@@ -1,0 +1,22 @@
+"""flink_cooccurrence_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of the Flink reference ``uce/flink-cooccurrence``.
+
+The engine re-expresses the reference's hand-built streaming dataflow
+(incremental item-item cooccurrence analysis with LLR rescoring and top-K
+output; see SURVEY.md) as idiomatic Spark:
+
+- the relational spine (parse, pair generation, windowed aggregation, LLR
+  scoring, top-K) is pure DataFrame / Spark SQL, optimized by Catalyst;
+- the order-sensitive sampling state (per-item frequency cuts, per-user
+  reservoir sampling) runs in Arrow-vectorized ``applyInPandas`` processors;
+- the streaming path uses Structured Streaming with ``foreachBatch`` state
+  tables in place of the reference's in-JVM feedback cycle;
+- beyond the reference, LLM-data-pipeline operators (dedup, similarity
+  search, text analysis, multimodal columns) are first-class.
+"""
+
+from flink_cooccurrence_spark.config import CooccurrenceConfig
+
+__all__ = ["CooccurrenceConfig"]
+
+__version__ = "0.1.0"

@@ -1,0 +1,67 @@
+"""Engine configuration, mirroring the reference CLI surface.
+
+Reference: ``Configuration.java:56-199`` — flags ``--input --skip-cuts
+--item-cut --user-cut --top-k --window-size --window-unit --seed
+--buffer-timeout`` with defaults at ``Configuration.java:151-157,181-182``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+
+#: Millis per window unit, mirroring java.util.concurrent.TimeUnit
+#: (``Configuration.java:87-98,155-179``).
+WINDOW_UNITS = {
+    "MILLISECONDS": 1,
+    "SECONDS": 1000,
+    "MINUTES": 60 * 1000,
+    "HOURS": 60 * 60 * 1000,
+    "DAYS": 24 * 60 * 60 * 1000,
+}
+
+
+@dataclass(frozen=True)
+class CooccurrenceConfig:
+    """Mirror of the reference CLI config (``Configuration.java``).
+
+    Defaults match ``Configuration.java:151-153,157,181-182`` (fMax = kMax =
+    500, topK = 10, window unit ms, buffer timeout 100 ms). ``seed`` defaults
+    to a constant instead of ``System.nanoTime()`` — the engine's determinism
+    spec (SURVEY §7) requires reproducible runs.
+    """
+
+    input_path: str | None = None
+    skip_cuts: bool = False
+    item_cut: int = 500  # fMax: max lifetime interactions admitted per item
+    user_cut: int = 500  # kMax: per-user reservoir (history) capacity
+    top_k: int = 10
+    window_size: int = 1
+    window_unit: str = "DAYS"
+    seed: int = 42
+    buffer_timeout_ms: int = 100  # latency knob; maps to trigger interval
+
+    @property
+    def window_millis(self) -> int:
+        return self.window_size * WINDOW_UNITS[self.window_unit]
+
+    @staticmethod
+    def from_args(argv: list[str] | None = None) -> "CooccurrenceConfig":
+        """CLI parse with the reference's flag names (``Configuration.java:56-105``)."""
+        p = argparse.ArgumentParser(prog="flink_cooccurrence_spark")
+        p.add_argument("--input", dest="input_path", required=False)
+        p.add_argument("--skip-cuts", dest="skip_cuts", action="store_true")
+        p.add_argument("--item-cut", dest="item_cut", type=int, default=500)
+        p.add_argument("--user-cut", dest="user_cut", type=int, default=500)
+        p.add_argument("--top-k", dest="top_k", type=int, default=10)
+        p.add_argument("--window-size", dest="window_size", type=int, default=1)
+        p.add_argument(
+            "--window-unit",
+            dest="window_unit",
+            default="MILLISECONDS",
+            choices=sorted(WINDOW_UNITS),
+        )
+        p.add_argument("--seed", dest="seed", type=lambda s: int(s, 0), default=42)
+        p.add_argument("--buffer-timeout", dest="buffer_timeout_ms", type=int, default=100)
+        ns = p.parse_args(argv)
+        return CooccurrenceConfig(**vars(ns))

@@ -1,0 +1,3 @@
+from flink_cooccurrence_spark.functions.llr import llr, llr_pandas_udf, x_log_x
+
+__all__ = ["llr", "llr_pandas_udf", "x_log_x"]

@@ -1,0 +1,91 @@
+"""Log-likelihood ratio (Ted Dunning's 2x2 contingency G^2 test).
+
+Semantics of ``LogLikelihood.logLikelihoodRatio`` in the reference
+(``LogLikelihood.java:41-57``, itself from
+``org.apache.mahout.math.stats.LogLikelihood``): unnormalized entropies via
+``xLogX`` with ``xLogX(0) = 0`` (``LogLikelihood.java:59-61``) and a
+round-off guard clamping negative results to 0
+(``LogLikelihood.java:51-54``).
+
+Implemented as a **pure Spark SQL column expression** — it stays inside
+whole-stage codegen, no UDF, no Python in the hot path (SURVEY §2 op 15).
+A pandas UDF variant exists only for parity testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def x_log_x(x: Column) -> Column:
+    """``x * ln(x)`` with ``x_log_x(0) = 0`` (``LogLikelihood.java:59-61``)."""
+    return F.when(x > 0, x.cast("double") * F.log(x.cast("double"))).otherwise(F.lit(0.0))
+
+
+def llr(k11: Column, k12: Column, k21: Column, k22: Column) -> Column:
+    """Raw LLR of a 2x2 contingency table as a codegen-friendly expression.
+
+    Column equivalent of ``LogLikelihood.java:41-57``:
+    ``2 * (row + column - matrix)`` unnormalized entropies, clamped to 0 when
+    round-off drives ``row + column < matrix``.
+    """
+    k11k12 = k11 + k12
+    k21k22 = k21 + k22
+    all_ = x_log_x(k11k12 + k21k22)
+    row = all_ - x_log_x(k11k12) - x_log_x(k21k22)
+    column = all_ - x_log_x(k11 + k21) - x_log_x(k12 + k22)
+    matrix = all_ - x_log_x(k11) - x_log_x(k12) - x_log_x(k21) - x_log_x(k22)
+    return F.when(row + column < matrix, F.lit(0.0)).otherwise(
+        F.lit(2.0) * (row + column - matrix)
+    )
+
+
+#: ANSI-SQL text of the same expression, usable verbatim in Spark SQL and in
+#: the DuckDB oracle (identical semantics both sides). Parameters are the
+#: column names for k11..k22.
+def llr_sql(k11: str, k12: str, k21: str, k22: str) -> str:
+    def xlx(e: str) -> str:
+        return f"(CASE WHEN ({e}) > 0 THEN ({e}) * LN({e}) ELSE 0.0 END)"
+
+    r_all = xlx(f"{k11} + {k12} + {k21} + {k22}")
+    row = f"({r_all} - {xlx(f'{k11} + {k12}')} - {xlx(f'{k21} + {k22}')})"
+    column = f"({r_all} - {xlx(f'{k11} + {k21}')} - {xlx(f'{k12} + {k22}')})"
+    matrix = (
+        f"({r_all} - {xlx(k11)} - {xlx(k12)} - {xlx(k21)} - {xlx(k22)})"
+    )
+    return (
+        f"(CASE WHEN {row} + {column} < {matrix} THEN 0.0 "
+        f"ELSE 2.0 * ({row} + {column} - {matrix}) END)"
+    )
+
+
+def llr_pandas_udf():
+    """Arrow-vectorized parity implementation (tests only — the column
+    expression above is the production path)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them and
+    # pyspark's hint resolver can't see the function-local `pd` import
+    @pandas_udf("double")
+    def _llr(k11, k12, k21, k22):
+        def xlx(x):
+            x = x.astype("float64")
+            out = np.zeros_like(x)
+            pos = x > 0
+            out[pos] = x[pos] * np.log(x[pos])
+            return out
+
+        k11k12 = k11 + k12
+        k21k22 = k21 + k22
+        all_ = xlx(k11k12 + k21k22)
+        row = all_ - xlx(k11k12) - xlx(k21k22)
+        column = all_ - xlx(k11 + k21) - xlx(k12 + k22)
+        matrix = all_ - xlx(k11) - xlx(k12) - xlx(k21) - xlx(k22)
+        res = 2.0 * (row + column - matrix)
+        res[row + column < matrix] = 0.0
+        return pd.Series(res)
+
+    return _llr

@@ -1,0 +1,21 @@
+from flink_cooccurrence_spark.operators.cooccurrence import (
+    cooccurrence_counts,
+    row_sums,
+    scored_rows,
+    total_observed,
+    windowed_item_row_deltas,
+    windowed_row_sum_deltas,
+    with_window,
+)
+from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+__all__ = [
+    "cooccurrence_counts",
+    "row_sums",
+    "scored_rows",
+    "total_observed",
+    "windowed_item_row_deltas",
+    "windowed_row_sum_deltas",
+    "with_window",
+    "top_k_per_group",
+]

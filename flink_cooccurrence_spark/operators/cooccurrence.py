@@ -1,0 +1,221 @@
+"""Batch (replay) cooccurrence operators — the semantic ground truth.
+
+Semantics derived from the reference's non-sampled path
+(``NonSampledUserInteractionCounterOneInputStreamOperator.java:117-170``):
+when a user's interaction with item *q* is processed, every item *p* already
+in the user's history contributes ``+1`` to C[q][p] **and** ``+1`` to C[p][q]
+(the transpose emission), plus row-sum deltas ``(q, +|history|)`` and
+``(p, +1)`` each. History is a **list** (multiset semantics — repeats count;
+``:160-161``), and the current item is appended only *after* pairing, so no
+self-pair is produced by a single interaction (the diagonal C[a][a] is still
+reachable via *repeated* interactions with the same item).
+
+Cumulative closed form (SURVEY §2 op 8): with n_u(a) = number of
+interactions of user u with item a and n_u = total interactions of u,
+
+    C[a][b]   = Σ_u n_u(a) · n_u(b)          (a ≠ b)
+    C[a][a]   = Σ_u n_u(a) · (n_u(a) − 1)
+    rowSum(a) = Σ_b C[a][b] = Σ_u n_u(a) · (n_u − 1)
+    total     = Σ_u n_u · (n_u − 1)
+
+**Scale design.** The naive realization is a per-user positional self-join —
+quadratic in per-user history. The closed form above lets us aggregate to
+per-user *item counts* first (map-side combinable groupBy) and self-join the
+much smaller ``(user, item, n)`` table, multiplying counts instead of
+enumerating interaction pairs; row sums and the global total need **no join
+at all**. On a cluster both sides of the self-join hash-partition by
+``user`` (a single shuffle each) and per-user row groups are bounded by the
+user cut (kMax ≤ 500) on the sampled path, so no skew blowup. The windowed
+delta operators keep the positional formulation only *within* a window and
+use the count-product form across windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.llr import llr
+
+
+def with_window(interactions: DataFrame, window_millis: int) -> DataFrame:
+    """Assign each interaction its tumbling event-time window start (epoch ms).
+
+    Equivalent of ``TumblingEventTimeWindows.assignWindows`` (windows are
+    aligned to epoch; ``NonSampledUserInteractionCounterOneInputStreamOperator.java:96-103``).
+    Computed with integer arithmetic (portable to the DuckDB oracle) rather
+    than ``F.window`` so window_start stays a plain joinable LONG.
+    """
+    w = F.lit(window_millis).cast("long")
+    return interactions.withColumn(
+        "window_start", (F.col("ts_ms") - (F.col("ts_ms") % w))
+    )
+
+
+def user_item_counts(interactions: DataFrame) -> DataFrame:
+    """Per-user item interaction counts n_u(item) — map-side combinable."""
+    return interactions.groupBy("user", "item").agg(F.count("*").alias("n"))
+
+
+def cooccurrence_counts(interactions: DataFrame) -> DataFrame:
+    """Final-state cooccurrence matrix C as long-form rows (item, other_item, cnt).
+
+    Count-product form: self-join of per-user item counts on ``user``; the
+    diagonal uses n·(n−1) (ordered position pairs of a repeated item). Both
+    join sides shuffle once on ``user``; output is grouped by (item, other).
+    """
+    counts = user_item_counts(interactions)
+    a = counts.alias("a")
+    b = counts.alias("b")
+    joined = a.join(b, on="user")
+    return (
+        joined.select(
+            F.col("a.item").alias("item"),
+            F.col("b.item").alias("other_item"),
+            F.when(
+                F.col("a.item") == F.col("b.item"),
+                F.col("a.n").cast("long") * (F.col("a.n") - 1),
+            )
+            .otherwise(F.col("a.n").cast("long") * F.col("b.n"))
+            .alias("pairs"),
+        )
+        # a repeated (user, item) with n == 1 contributes a zero diagonal row
+        .filter(F.col("pairs") > 0)
+        .groupBy("item", "other_item")
+        .agg(F.sum("pairs").alias("cnt"))
+    )
+
+
+def row_sums(interactions: DataFrame) -> DataFrame:
+    """rowSum(a) = Σ_u n_u(a)·(n_u − 1): two cheap aggregations, no join.
+
+    Matches the reference's incrementally-maintained ``globalItemRowSums``
+    (``ItemRowRescorerTwoInputStreamOperator.java:33,144-156``) at end of
+    stream.
+    """
+    counts = user_item_counts(interactions)
+    user_totals = counts.groupBy("user").agg(F.sum("n").alias("n_u"))
+    return (
+        counts.join(user_totals, on="user")
+        .select("item", (F.col("n").cast("long") * (F.col("n_u") - 1)).alias("c"))
+        .groupBy("item")
+        .agg(F.sum("c").alias("row_sum"))
+    )
+
+
+def total_observed(interactions: DataFrame) -> DataFrame:
+    """Global Σ C = Σ_u n_u·(n_u − 1) — the reference's scalar
+    ``observedCooccurrences`` (``ItemRowRescorerTwoInputStreamOperator.java:37,154``)."""
+    return (
+        interactions.groupBy("user")
+        .agg(F.count("*").alias("n_u"))
+        .agg(F.sum(F.col("n_u") * (F.col("n_u") - 1)).alias("total"))
+    )
+
+
+def scored_rows(
+    counts: DataFrame, sums: DataFrame, total: DataFrame, round_digits: int | None = 3
+) -> DataFrame:
+    """LLR-score every cell of the cooccurrence matrix.
+
+    Contingency assembly per ``ItemRowRescorerTwoInputStreamOperator.java:230-241``:
+    k11 = C[item][other], k12 = rowSum(item) − k11, k21 = rowSum(other) − k11,
+    k22 = total + k11 − k12 − k21. The row-sum table is **broadcast** to both
+    join sides (the Spark analog of the reference's ``rowSumStream.broadcast()``,
+    ``FlinkCooccurrences.java:163``) — it has one row per item, tiny relative
+    to the matrix. Scores are rounded (default 3 digits) so results are
+    stable across engines for oracle hashing; pass ``round_digits=None`` for
+    raw doubles.
+    """
+    rs_item = sums.select(
+        F.col("item").alias("item"), F.col("row_sum").alias("row_sum_item")
+    )
+    rs_other = sums.select(
+        F.col("item").alias("other_item"), F.col("row_sum").alias("row_sum_other")
+    )
+    scored = (
+        counts.join(F.broadcast(rs_item), on="item")
+        .join(F.broadcast(rs_other), on="other_item")
+        .crossJoin(F.broadcast(total))
+    )
+    k11 = F.col("cnt")
+    k12 = F.col("row_sum_item") - k11
+    k21 = F.col("row_sum_other") - k11
+    k22 = F.col("total") + k11 - k12 - k21
+    score = llr(k11, k12, k21, k22)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return scored.select(
+        "item", "other_item", F.col("cnt"), score.alias("score")
+    )
+
+
+def windowed_pair_deltas(interactions: DataFrame, window_millis: int) -> DataFrame:
+    """Per-window ±1 cooccurrence deltas in long form (window_start, item, other_item, increment).
+
+    Faithful to the reference's emission protocol: a pair fires in the window
+    of the *later* interaction (history pairing happens at window fire,
+    ``NonSampledUserInteractionCounterOneInputStreamOperator.java:117-166``),
+    and both directions (row + transpose) are emitted at that moment.
+    Processing order is (window_start, seq) — windows fire in time order,
+    and within a window the buffer replays in arrival order (SURVEY §1.4).
+
+    The self-join is positional within the pair's attribution window; at
+    scale the join shuffles both sides on ``user`` once and AQE handles any
+    user skew. Sampled-path inputs are bounded by kMax per user.
+    """
+    w = with_window(interactions, window_millis)
+    a = w.alias("a")  # earlier interaction (history side)
+    b = w.alias("b")  # later interaction (attribution side)
+    earlier = (F.col("a.window_start") < F.col("b.window_start")) | (
+        (F.col("a.window_start") == F.col("b.window_start"))
+        & (F.col("a.seq") < F.col("b.seq"))
+    )
+    pairs = a.join(b, on=(F.col("a.user") == F.col("b.user")) & earlier)
+    # both directions fire at the later window: (q -> p) and the transpose (p -> q)
+    return pairs.select(
+        F.col("b.window_start").alias("window_start"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("b.item").alias("item"),
+                    F.col("a.item").alias("other_item"),
+                ),
+                F.struct(
+                    F.col("a.item").alias("item"),
+                    F.col("b.item").alias("other_item"),
+                ),
+            )
+        ).alias("d"),
+    ).select(
+        "window_start",
+        F.col("d.item").alias("item"),
+        F.col("d.other_item").alias("other_item"),
+        F.lit(1).alias("increment"),
+    )
+
+
+def windowed_item_row_deltas(interactions: DataFrame, window_millis: int) -> DataFrame:
+    """Windowed grouped aggregation of cooccurrence deltas — the Spark form of
+    ``ItemRowAggregator`` (``ItemRowAggregator.java:10-59``): per (window,
+    item, other_item), Σ increments. Built-in partial+final hash aggregation
+    replaces the hand-rolled ``AggregateFunction``/``addTo`` fold."""
+    return (
+        windowed_pair_deltas(interactions, window_millis)
+        .groupBy("window_start", "item", "other_item")
+        .agg(F.sum("increment").alias("delta"))
+    )
+
+
+def windowed_row_sum_deltas(interactions: DataFrame, window_millis: int) -> DataFrame:
+    """Windowed row-sum delta aggregation — the Spark form of
+    ``RowSumAggregator`` (``RowSumAggregator.java:13-73``): per (window, item),
+    Σ row-sum deltas, emitted only if nonzero (``:66-70``)."""
+    return (
+        windowed_pair_deltas(interactions, window_millis)
+        .groupBy(
+            "window_start", "item"
+        )
+        .agg(F.sum("increment").cast("long").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )

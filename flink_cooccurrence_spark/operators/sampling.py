@@ -1,0 +1,177 @@
+"""Interaction-cut sampling operators (Mahout-style fMax/kMax cuts).
+
+Two layers:
+
+1. ``item_cut_flags`` — the *deterministic batch form* of the per-item
+   frequency cut (``ItemInteractionCounterTwoInputStreamOperator.java:118-143``):
+   flag an interaction ``sampled=true`` while the item's lifetime admitted
+   count is below fMax, in processing order (window fire order, then arrival
+   order within a window). This form excludes the feedback decrements — the
+   reference applies those asynchronously whenever the cycle delivers them,
+   so the exact admission set near the fMax boundary is timing-dependent
+   there; the engine's deterministic spec is the no-feedback two-pass form
+   (SURVEY §7 "hard parts"). The streaming engine applies feedback as
+   next-micro-batch state corrections and is property-tested.
+
+2. ``reservoir_sample_user_histories`` — the per-user reservoir (kMax) with
+   the engine's determinism spec: per-user processing order (window_start,
+   seq) and a per-key seeded RNG ``seed XOR user`` (the reference seeds one
+   RNG per *subtask*, ``UserInteractionCounterOneInputStreamOperator.java:82``,
+   which is partitioning-dependent; per-key seeding is our documented
+   deviation for reproducibility). Runs as an Arrow-vectorized
+   ``applyInPandas`` over user groups — each group is bounded by the user's
+   interaction count and state is one history list, so executor memory is
+   safe even at 100 TB input provided no single user is pathological (the
+   reservoir itself caps history at kMax; the group buffer is the user's
+   raw interactions, same as the reference's window ListState).
+
+Emissions mirror ``UserInteractionCounterOneInputStreamOperator.java:167-248``:
+admitted interactions append to history and emit +1 deltas both directions;
+at capacity, a random index k = rng.randint(total) either *replaces*
+history[k] (emit +1 for the new item vs history-without-slot-k, −1 for the
+evicted item, both with transposes) or *rejects* the interaction (feedback
+``(item, −1)``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.cooccurrence import with_window
+
+#: output schema of the reservoir processor's delta stream
+RESERVOIR_DELTAS_SCHEMA = (
+    "window_start long, kind string, item int, other_item int, increment int"
+)
+
+
+def item_cut_flags(
+    interactions: DataFrame, f_max: int, window_millis: int
+) -> DataFrame:
+    """Deterministic per-item frequency cut: first fMax interactions of each
+    item (in window-fire/processing order) are ``sampled=true``.
+
+    Pure window-function form — no state, one shuffle on ``item``. At
+    cluster scale each item partition only needs a row_number, which Spark
+    computes with a sort within the hash partition; skewed items are handled
+    by AQE (and fMax itself bounds what downstream consumes).
+    """
+    w = with_window(interactions, window_millis)
+    rn = F.row_number().over(
+        Window.partitionBy("item").orderBy("window_start", "seq")
+    )
+    return w.select(
+        "user",
+        "item",
+        "ts_ms",
+        "seq",
+        (rn <= f_max).alias("sampled"),
+    )
+
+
+def reservoir_sample_user_histories(
+    interactions: DataFrame,
+    user_cut: int,
+    window_millis: int,
+    seed: int = 42,
+    sampled_col: str | None = None,
+) -> DataFrame:
+    """Per-user reservoir sampling, emitting long-form cooccurrence deltas.
+
+    Returns rows ``(window_start, kind, item, other_item, increment)`` where
+    ``kind`` ∈ {'cooc', 'row_sum', 'feedback'}: 'cooc' rows are ±1 matrix
+    deltas, 'row_sum' rows carry the row-sum delta in ``increment`` with
+    ``other_item`` null, 'feedback' rows are the rejected-interaction
+    decrements the streaming engine feeds back to the item-cut state.
+
+    The interaction order within each user group is (window_start, seq) —
+    the engine determinism spec. If ``sampled_col`` is given, interactions
+    with ``sampled=false`` bypass the reservoir entirely (the reference only
+    routes flagged interactions into history updates,
+    ``UserInteractionCounterOneInputStreamOperator.java:167``: un-sampled
+    interactions still reach the operator but emit nothing and are not
+    appended).
+    """
+    w = with_window(interactions, window_millis)
+    cols = ["user", "item", "ts_ms", "seq", "window_start"]
+    if sampled_col:
+        cols.append(sampled_col)
+    w = w.select(*cols)
+
+    def process_user(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (user,) = key
+        rng = np.random.RandomState((seed ^ (user * 0x9E3779B9)) & 0x7FFFFFFF)
+        history: list[int] = []
+        total = 0
+        out_w: list[int] = []
+        out_kind: list[str] = []
+        out_item: list[float] = []
+        out_other: list[float] = []
+        out_inc: list[int] = []
+
+        def emit(wst: int, kind: str, item, other, inc: int) -> None:
+            out_w.append(wst)
+            out_kind.append(kind)
+            out_item.append(item)
+            out_other.append(other)
+            out_inc.append(inc)
+
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["window_start", "seq"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            item = int(row.item)
+            wst = int(row.window_start)
+            if sampled_col and not getattr(row, sampled_col):
+                continue
+            total += 1
+            if len(history) < user_cut:
+                # admit: pair against full prior history, both directions
+                # (UserInteractionCounterOneInputStreamOperator.java:167-205)
+                if history:
+                    for other in history:
+                        emit(wst, "cooc", item, other, 1)
+                        emit(wst, "cooc", other, item, 1)
+                        emit(wst, "row_sum", other, None, 1)
+                    emit(wst, "row_sum", item, None, len(history))
+                history.append(item)
+            else:
+                k = int(rng.randint(total))
+                if k < user_cut:
+                    # replace slot k: +1 for new item vs history minus slot k,
+                    # −1 for the evicted item's pairs (the k-skip encoding of
+                    # ItemCooccurrences applied in plain list ops; the
+                    # serializer semantics, ItemCooccurrences.java:116-132)
+                    evicted = history[k]
+                    rest = history[:k] + history[k + 1 :]
+                    for other in rest:
+                        emit(wst, "cooc", item, other, 1)
+                        emit(wst, "cooc", other, item, 1)
+                        emit(wst, "row_sum", other, None, 1)
+                        emit(wst, "cooc", evicted, other, -1)
+                        emit(wst, "cooc", other, evicted, -1)
+                        emit(wst, "row_sum", other, None, -1)
+                    emit(wst, "row_sum", item, None, len(rest))
+                    emit(wst, "row_sum", evicted, None, -len(rest))
+                    history[k] = item
+                else:
+                    # reject → feedback (item, −1)
+                    # (UserInteractionCounterOneInputStreamOperator.java:246-248)
+                    emit(wst, "feedback", item, None, -1)
+        yield pd.DataFrame(
+            {
+                "window_start": pd.Series(out_w, dtype="int64"),
+                "kind": pd.Series(out_kind, dtype="object"),
+                "item": pd.Series(out_item, dtype="int32"),
+                "other_item": pd.Series(out_other, dtype="float64").astype("Int32"),
+                "increment": pd.Series(out_inc, dtype="int32"),
+            }
+        )
+
+    return w.groupBy("user").applyInPandas(process_user, RESERVOIR_DELTAS_SCHEMA)

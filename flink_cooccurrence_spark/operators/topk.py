@@ -1,0 +1,37 @@
+"""Top-K per group — the Spark form of the reference's primitive min-heap
+(``IntDoublePriorityQueue.java:48-292``) used by the rescorer
+(``ItemRowRescorerTwoInputStreamOperator.java:218-222``).
+
+The heap's tie order is undefined (``IntDoublePriorityQueue.java:210-212``);
+the engine's spec (FIXTURES.md F3) is deterministic: order by (score DESC,
+tie-breaker ASC). ``row_number`` over a partitioned window is the idiomatic
+Spark realization — a partial top-K per partition would be a micro-opt
+Catalyst already approximates via WindowGroupLimit pushdown (Spark ≥ 3.5
+pushes ``row_number() <= k`` into a per-partition limit before the shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str | Column,
+    k: int,
+    tie_breakers: Sequence[str] = (),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the top ``k`` rows per group, ranked by ``order_col`` descending,
+    ties broken ascending by ``tie_breakers`` (deterministic)."""
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*group_cols).orderBy(
+        order.desc(), *[F.col(t).asc() for t in tie_breakers]
+    )
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

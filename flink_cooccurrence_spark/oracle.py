@@ -1,0 +1,262 @@
+"""DuckDB-oracle SQL for every deterministic engine query.
+
+Each SQL string is the ANSI-SQL equivalent of a ``queries()`` entry in
+``__spark_entry__.py``, runnable by DuckDB against the driver's
+pre-registered parquet views (``region nation customer supplier part orders
+lineitem events documents embeddings``). Column names and types are aligned
+with the Spark side (the driver sorts columns by name and value-hashes).
+
+The LLR expression text is shared with the Spark engine
+(``functions/llr.py:llr_sql``) — both engines evaluate the identical
+arithmetic tree, which we verified produces bit-identical doubles, so score
+columns hash-match without rounding.
+"""
+
+from __future__ import annotations
+
+from flink_cooccurrence_spark.functions.llr import llr_sql
+
+#: One tumbling window used by the windowed oracle queries (1 day — the
+#: events tables span ~30 days at ~1 event/43 s, giving ~30 fired windows).
+WINDOW_MILLIS = 24 * 60 * 60 * 1000
+
+#: Item cut used by the deterministic item-cut query (small enough that both
+#: flag values occur in the driver data; the reference default of 500 would
+#: admit everything at test scale).
+ITEM_CUT_F_MAX = 50
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments
+
+#: FIXTURES.md F1 mapping of the driver `events` table to the reference's
+#: interaction stream (portable between Spark and DuckDB).
+INTER_CTE = """
+inter AS (
+  SELECT CAST(user_id AS INT) AS user,
+         CAST(json_extract_string(props, '$.k') AS INT) AS item,
+         epoch_ms(ts) AS ts_ms,
+         event_id AS seq
+  FROM events
+)
+""".strip()
+
+WINTER_CTE = f"""
+winter AS (
+  SELECT *, ts_ms - ts_ms % {WINDOW_MILLIS} AS window_start FROM inter
+)
+""".strip()
+
+#: Ordered-pair deltas attributed to the window of the later interaction,
+#: both directions (row + transpose), mirroring the reference's emission at
+#: window fire (NonSampledUserInteractionCounterOneInputStreamOperator).
+PAIR_DELTAS_CTE = """
+ordered_pairs AS (
+  SELECT a.item AS item_p, b.item AS item_q, b.window_start AS window_start
+  FROM winter a JOIN winter b
+    ON a.user = b.user
+   AND (a.window_start < b.window_start
+        OR (a.window_start = b.window_start AND a.seq < b.seq))
+),
+pair_deltas AS (
+  SELECT window_start, item_q AS item, item_p AS other_item FROM ordered_pairs
+  UNION ALL
+  SELECT window_start, item_p AS item, item_q AS other_item FROM ordered_pairs
+)
+""".strip()
+
+UIC_CTE = """
+uic AS (SELECT user, item, count(*) AS n FROM inter GROUP BY 1, 2),
+ut  AS (SELECT user, CAST(sum(n) AS BIGINT) AS n_u FROM uic GROUP BY 1)
+""".strip()
+
+COUNTS_CTE = """
+pair_products AS (
+  SELECT a.item AS item, b.item AS other_item,
+         CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END AS p
+  FROM uic a JOIN uic b ON a.user = b.user
+),
+counts AS (
+  SELECT item, other_item, CAST(SUM(p) AS BIGINT) AS cnt
+  FROM pair_products WHERE p > 0 GROUP BY 1, 2
+)
+""".strip()
+
+ROW_SUMS_CTE = """
+rs AS (
+  SELECT item, CAST(SUM(n * (n_u - 1)) AS BIGINT) AS row_sum
+  FROM uic JOIN ut USING (user) GROUP BY 1
+)
+""".strip()
+
+TOTAL_CTE = """
+tot AS (SELECT CAST(SUM(n_u * (n_u - 1)) AS BIGINT) AS total FROM ut)
+""".strip()
+
+#: Scores are rounded to 3 decimals on BOTH engines: Spark's and DuckDB's
+#: ``ln`` differ by up to ~1 ulp (observed ≤ 7.5e-9 absolute at sf0.01), so
+#: raw doubles are not hash-stable; ranking is computed over the rounded
+#: score with other_item as tie-breaker, making order identical too.
+SCORE_ROUND_DIGITS = 3
+
+SCORED_CTE = f"""
+contingency AS (
+  SELECT c.item, c.other_item, c.cnt,
+         c.cnt AS k11,
+         rs_i.row_sum - c.cnt AS k12,
+         rs_o.row_sum - c.cnt AS k21,
+         tot.total + c.cnt - (rs_i.row_sum - c.cnt) - (rs_o.row_sum - c.cnt) AS k22
+  FROM counts c
+  JOIN rs rs_i ON c.item = rs_i.item
+  JOIN rs rs_o ON c.other_item = rs_o.item
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT item, other_item, cnt,
+         ROUND({llr_sql('k11', 'k12', 'k21', 'k22')}, {SCORE_ROUND_DIGITS}) AS score
+  FROM contingency
+)
+""".strip()
+
+# ---------------------------------------------------------------------------
+# per-query oracle SQL
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["interactions_parse"] = f"WITH {INTER_CTE} SELECT * FROM inter"
+
+ORACLES["late_data_audit"] = f"""
+WITH {INTER_CTE},
+flagged AS (
+  SELECT ts_ms,
+         max(ts_ms) OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_prior
+  FROM inter
+)
+SELECT count(*) FILTER (WHERE max_prior IS NOT NULL AND ts_ms < max_prior) AS late_count,
+       count(*) FILTER (WHERE max_prior IS NULL OR ts_ms >= max_prior) AS on_time_count
+FROM flagged
+"""
+
+ORACLES["cooccurrence_counts"] = f"""
+WITH {INTER_CTE}, {UIC_CTE}, {COUNTS_CTE}
+SELECT item, other_item, cnt FROM counts
+"""
+
+ORACLES["row_sums"] = f"""
+WITH {INTER_CTE}, {UIC_CTE}, {ROW_SUMS_CTE}
+SELECT item, row_sum FROM rs
+"""
+
+ORACLES["total_observed"] = f"""
+WITH {INTER_CTE}, {UIC_CTE}, {TOTAL_CTE}
+SELECT total FROM tot
+"""
+
+ORACLES["llr_scores"] = f"""
+WITH {INTER_CTE}, {UIC_CTE}, {COUNTS_CTE}, {ROW_SUMS_CTE}, {TOTAL_CTE}, {SCORED_CTE}
+SELECT item, other_item, cnt, score FROM scored
+"""
+
+ORACLES["topk_similar"] = f"""
+WITH {INTER_CTE}, {UIC_CTE}, {COUNTS_CTE}, {ROW_SUMS_CTE}, {TOTAL_CTE}, {SCORED_CTE},
+ranked AS (
+  SELECT item, other_item, cnt, score,
+         CAST(row_number() OVER (PARTITION BY item ORDER BY score DESC, other_item) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT item, rank, other_item, cnt, score FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["windowed_row_sum_deltas"] = f"""
+WITH {INTER_CTE}, {WINTER_CTE}, {PAIR_DELTAS_CTE}
+SELECT window_start, item, CAST(count(*) AS BIGINT) AS delta
+FROM pair_deltas GROUP BY 1, 2 HAVING count(*) != 0
+"""
+
+ORACLES["windowed_item_row_deltas"] = f"""
+WITH {INTER_CTE}, {WINTER_CTE}, {PAIR_DELTAS_CTE}
+SELECT window_start, item, other_item, CAST(count(*) AS BIGINT) AS delta
+FROM pair_deltas GROUP BY 1, 2, 3
+"""
+
+ORACLES["item_cut_flags"] = f"""
+WITH {INTER_CTE}, {WINTER_CTE},
+flagged AS (
+  SELECT user, item, ts_ms, seq,
+         row_number() OVER (PARTITION BY item ORDER BY window_start, seq) AS rn
+  FROM winter
+)
+SELECT user, item, ts_ms, seq, rn <= {ITEM_CUT_F_MAX} AS sampled FROM flagged
+"""
+
+ORACLES["windowed_topk"] = f"""
+WITH {INTER_CTE}, {WINTER_CTE}, {PAIR_DELTAS_CTE},
+cell_deltas AS (
+  SELECT window_start, item, other_item, CAST(count(*) AS BIGINT) AS delta
+  FROM pair_deltas GROUP BY 1, 2, 3
+),
+changed AS (SELECT DISTINCT item, window_start FROM cell_deltas),
+all_windows AS (SELECT DISTINCT window_start FROM changed),
+row_at AS (
+  SELECT ch.item, ch.window_start, cd.other_item,
+         CAST(SUM(cd.delta) AS BIGINT) AS cum_cnt
+  FROM changed ch
+  JOIN cell_deltas cd
+    ON cd.item = ch.item AND cd.window_start <= ch.window_start
+  GROUP BY 1, 2, 3
+),
+rs_deltas AS (
+  SELECT window_start, item, CAST(count(*) AS BIGINT) AS delta
+  FROM pair_deltas GROUP BY 1, 2
+),
+rs_at AS (
+  SELECT w.window_start, rd.item, CAST(SUM(rd.delta) AS BIGINT) AS row_sum
+  FROM all_windows w JOIN rs_deltas rd ON rd.window_start <= w.window_start
+  GROUP BY 1, 2
+),
+total_at AS (
+  SELECT w.window_start, CAST(SUM(rd.delta) AS BIGINT) AS total
+  FROM all_windows w JOIN rs_deltas rd ON rd.window_start <= w.window_start
+  GROUP BY 1
+),
+w_contingency AS (
+  SELECT r.window_start, r.item, r.other_item,
+         r.cum_cnt AS k11,
+         rs_i.row_sum - r.cum_cnt AS k12,
+         rs_o.row_sum - r.cum_cnt AS k21,
+         t.total + r.cum_cnt - (rs_i.row_sum - r.cum_cnt) - (rs_o.row_sum - r.cum_cnt)
+           AS k22
+  FROM row_at r
+  JOIN rs_at rs_i ON rs_i.window_start = r.window_start AND rs_i.item = r.item
+  JOIN rs_at rs_o ON rs_o.window_start = r.window_start AND rs_o.item = r.other_item
+  JOIN total_at t ON t.window_start = r.window_start
+),
+w_scored AS (
+  SELECT window_start + {WINDOW_MILLIS - 1} AS window_end, item, other_item,
+         ROUND({llr_sql('k11', 'k12', 'k21', 'k22')}, 3) AS score
+  FROM w_contingency
+),
+w_ranked AS (
+  SELECT window_end, item, other_item, score,
+         CAST(row_number() OVER (
+           PARTITION BY window_end, item ORDER BY score DESC, other_item) AS INT) AS rank
+  FROM w_scored
+)
+SELECT window_end, item, rank, other_item, score FROM w_ranked WHERE rank <= 10
+"""
+
+#: Golden LLR cases (FIXTURES.md F2, from LogLikelihoodTest.java:12-17).
+LLR_GOLDEN_ROWS = [
+    (1, 110, 2442, 111, 29114),
+    (2, 29, 13, 123, 31612),
+    (3, 9, 12, 429, 31327),
+    (4, 0, 0, 0, 0),
+    (5, 1, 0, 0, 1),
+]
+
+_golden_values = ", ".join(f"({c}, {a}, {b}, {c2}, {d})" for c, a, b, c2, d in LLR_GOLDEN_ROWS)
+ORACLES["llr_golden"] = f"""
+WITH cases(case_id, k11, k12, k21, k22) AS (VALUES {_golden_values})
+SELECT case_id, ROUND({llr_sql('k11', 'k12', 'k21', 'k22')}, 3) AS score FROM cases
+"""

@@ -1,0 +1,6 @@
+from flink_cooccurrence_spark.plans.cooccurrence import (
+    topk_similar_items,
+    windowed_topk_similar_items,
+)
+
+__all__ = ["topk_similar_items", "windowed_topk_similar_items"]

@@ -1,0 +1,170 @@
+"""End-to-end cooccurrence pipelines (batch/replay form).
+
+These compose the operator library into the reference's two observable
+outputs:
+
+1. ``topk_similar_items`` — the final-state top-K LLR-similar items per item
+   (what the reference's stream converges to after the last watermark).
+2. ``windowed_topk_similar_items`` — the full per-window emission history:
+   for every tumbling window in which an item's row changed, the item's
+   recomputed top-K as of that window (mirrors
+   ``ItemRowRescorerTwoInputStreamOperator.scoreItemRows``: a row is
+   rescored exactly when it has a delta in that window, against the
+   *cumulative* matrix/row sums/total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.llr import llr
+from flink_cooccurrence_spark.operators.cooccurrence import (
+    cooccurrence_counts,
+    row_sums,
+    scored_rows,
+    total_observed,
+    windowed_item_row_deltas,
+    windowed_row_sum_deltas,
+)
+from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+
+def topk_similar_items(
+    interactions: DataFrame, k: int = 10, round_digits: int | None = 3
+) -> DataFrame:
+    """Final-state top-K: (item, rank, other_item, cnt, score).
+
+    Rescores every nonzero cell (including the diagonal — the reference
+    scores whatever is in the row, ``ItemRowRescorerTwoInputStreamOperator.java:195-223``)
+    and keeps the K best per item, ties broken by other_item ascending.
+    """
+    counts = cooccurrence_counts(interactions)
+    scored = scored_rows(
+        counts, row_sums(interactions), total_observed(interactions), round_digits
+    )
+    return top_k_per_group(
+        scored, ["item"], "score", k, tie_breakers=["other_item"]
+    ).select("item", "rank", "other_item", "cnt", "score")
+
+
+def windowed_topk_similar_items(
+    interactions: DataFrame,
+    window_millis: int,
+    k: int = 10,
+    round_digits: int | None = 3,
+) -> DataFrame:
+    """Per-window top-K emission history (window_end, item, rank, other_item, score).
+
+    Implements the rescorer's watermark protocol in batch form (SURVEY §2 op
+    13): for each window, row sums are applied *before* scoring (free here —
+    cumulative sums are taken over ``window_start <= w``), and only rows with
+    a delta in the window are rescored, against their full cumulative row.
+    ``window_end`` is ``window.maxTimestamp()`` = start + size − 1 ms, the
+    timestamp stamped on every emission (SURVEY §1.4).
+
+    Shuffle shape: deltas are aggregated once; cumulative cell values come
+    from a running sum over a (item, other_item)-partitioned window (no
+    re-join of the raw pair stream); the changed-(item, window) set then
+    picks up its row cells via an equi-join on item with a range predicate.
+    Row sums / totals per window are tiny (|items| × |windows|) and broadcast.
+    """
+    cell_deltas = windowed_item_row_deltas(interactions, window_millis).cache()
+
+    # cumulative cell value as of each window where the cell changed
+    cum_w = (
+        Window.partitionBy("item", "other_item")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cells = cell_deltas.withColumn("cum_cnt", F.sum("delta").over(cum_w))
+
+    # the set of (item, window) pairs to rescore = windows where the row changed
+    changed = cell_deltas.select("item", "window_start").distinct()
+
+    # full cumulative row as of each changed window: for each changed (item, w),
+    # every cell whose last change is <= w, valid until the cell's next change
+    nxt = F.lead("window_start").over(
+        Window.partitionBy("item", "other_item").orderBy("window_start")
+    )
+    cell_intervals = cells.select(
+        F.col("item").alias("ci_item"),
+        "other_item",
+        F.col("window_start").alias("w_from"),
+        F.coalesce(nxt, F.lit(2**62)).alias("w_until"),
+        "cum_cnt",
+    )
+    row_at = changed.join(
+        cell_intervals,
+        on=[
+            F.col("item") == F.col("ci_item"),
+            F.col("window_start") >= F.col("w_from"),
+            F.col("window_start") < F.col("w_until"),
+        ],
+    ).select("item", "window_start", "other_item", "cum_cnt")
+
+    # cumulative row sums per (window, item) — evaluated at every changed window
+    rs_deltas = windowed_row_sum_deltas(interactions, window_millis)
+    all_windows = changed.select("window_start").distinct()
+    rs_at = (
+        all_windows.join(
+            rs_deltas,
+            on=[all_windows.window_start >= rs_deltas.window_start],
+        )
+        .groupBy(all_windows.window_start, "item")
+        .agg(F.sum("delta").alias("row_sum"))
+    )
+    total_at = (
+        all_windows.join(
+            rs_deltas.select(
+                F.col("window_start").alias("dw"), F.col("delta")
+            ),
+            on=[all_windows.window_start >= F.col("dw")],
+        )
+        .groupBy("window_start")
+        .agg(F.sum("delta").alias("total"))
+    )
+
+    rs_item = rs_at.select(
+        F.col("window_start").alias("ws"),
+        F.col("item").alias("i"),
+        F.col("row_sum").alias("row_sum_item"),
+    )
+    rs_other = rs_at.select(
+        F.col("window_start").alias("ws"),
+        F.col("item").alias("o"),
+        F.col("row_sum").alias("row_sum_other"),
+    )
+    scored = (
+        row_at.join(
+            F.broadcast(rs_item),
+            on=[row_at.window_start == rs_item.ws, row_at.item == rs_item.i],
+        )
+        .join(
+            F.broadcast(rs_other),
+            on=[
+                row_at.window_start == rs_other.ws,
+                row_at.other_item == rs_other.o,
+            ],
+        )
+        .join(
+            F.broadcast(total_at.withColumnRenamed("window_start", "tw")),
+            on=[row_at.window_start == F.col("tw")],
+        )
+    )
+    k11 = F.col("cum_cnt")
+    k12 = F.col("row_sum_item") - k11
+    k21 = F.col("row_sum_other") - k11
+    k22 = F.col("total") + k11 - k12 - k21
+    score = llr(k11, k12, k21, k22)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = scored.select(
+        (F.col("window_start") + F.lit(window_millis - 1)).alias("window_end"),
+        "item",
+        "other_item",
+        score.alias("score"),
+    )
+    return top_k_per_group(
+        scored, ["window_end", "item"], "score", k, tie_breakers=["other_item"]
+    ).select("window_end", "item", "rank", "other_item", "score")

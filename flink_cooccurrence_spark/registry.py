@@ -1,0 +1,148 @@
+"""Query registry — the driver contract surface.
+
+Maps every implemented operator/query from SURVEY.md §2 to (a) a Spark
+callable ``(spark, sf_dir) -> DataFrame`` and (b) the DuckDB oracle SQL in
+``oracle.py``. ``__spark_entry__.py`` re-exports these.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.llr import llr
+from flink_cooccurrence_spark.operators.cooccurrence import (
+    cooccurrence_counts,
+    row_sums,
+    scored_rows,
+    total_observed,
+    windowed_item_row_deltas,
+    windowed_row_sum_deltas,
+)
+from flink_cooccurrence_spark.operators.sampling import item_cut_flags
+from flink_cooccurrence_spark.oracle import (
+    ITEM_CUT_F_MAX,
+    LLR_GOLDEN_ROWS,
+    ORACLES,
+    SCORE_ROUND_DIGITS,
+    WINDOW_MILLIS,
+)
+from flink_cooccurrence_spark.plans.cooccurrence import (
+    topk_similar_items,
+    windowed_topk_similar_items,
+)
+from flink_cooccurrence_spark.sources import interactions_from_events, load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interactions_from_events(load_table(spark, sf_dir, "events"))
+
+
+def q_interactions_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 3 (projection/parse) + ★JSON extraction (SURVEY §2.1)."""
+    return _interactions(spark, sf_dir)
+
+
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 late-data semantics as an audit aggregate: an element is late iff
+    its timestamp <= the ascending watermark (max prior ts − 1), i.e.
+    ts_ms < max prior ts_ms (``ItemInteractionCounterTwoInputStreamOperator.java:75-77``)."""
+    inter = _interactions(spark, sf_dir)
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = inter.withColumn("max_prior", F.max("ts_ms").over(w))
+    late = F.col("max_prior").isNotNull() & (F.col("ts_ms") < F.col("max_prior"))
+    return flagged.agg(
+        F.count(F.when(late, F.lit(1))).alias("late_count"),
+        F.count(F.when(~late, F.lit(1))).alias("on_time_count"),
+    )
+
+
+def q_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 8 batch form: the cumulative cooccurrence matrix C in long form."""
+    return cooccurrence_counts(_interactions(spark, sf_dir))
+
+
+def q_row_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 7/10 cumulative row sums (globalItemRowSums at end of stream)."""
+    return row_sums(_interactions(spark, sf_dir))
+
+
+def q_total_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 13's scalar observedCooccurrences at end of stream."""
+    return total_observed(_interactions(spark, sf_dir))
+
+
+def q_llr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 15 applied to every matrix cell (full scored matrix)."""
+    inter = _interactions(spark, sf_dir)
+    return scored_rows(
+        cooccurrence_counts(inter),
+        row_sums(inter),
+        total_observed(inter),
+        round_digits=SCORE_ROUND_DIGITS,
+    )
+
+
+def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 13+16: the flagship final-state top-K most-similar items."""
+    return topk_similar_items(_interactions(spark, sf_dir), k=10, round_digits=SCORE_ROUND_DIGITS)
+
+
+def q_windowed_row_sum_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 10 (RowSumAggregator): per-window row-sum deltas, zero-suppressed."""
+    return windowed_row_sum_deltas(_interactions(spark, sf_dir), WINDOW_MILLIS)
+
+
+def q_windowed_item_row_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 11 (ItemRowAggregator): per-window sparse row deltas, long form."""
+    return windowed_item_row_deltas(_interactions(spark, sf_dir), WINDOW_MILLIS)
+
+
+def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 13's full per-window emission history (FIXTURES.md F4)."""
+    return windowed_topk_similar_items(
+        _interactions(spark, sf_dir), WINDOW_MILLIS, k=10, round_digits=SCORE_ROUND_DIGITS
+    )
+
+
+def q_item_cut_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 6 deterministic batch form (fMax admission, no feedback)."""
+    return item_cut_flags(_interactions(spark, sf_dir), ITEM_CUT_F_MAX, WINDOW_MILLIS)
+
+
+def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 15 golden cases (LogLikelihoodTest.java:12-17 via FIXTURES.md F2)."""
+    df = spark.createDataFrame(
+        LLR_GOLDEN_ROWS, "case_id int, k11 int, k12 int, k21 int, k22 int"
+    )
+    return df.select(
+        "case_id",
+        F.round(
+            llr(F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")),
+            SCORE_ROUND_DIGITS,
+        ).alias("score"),
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "interactions_parse": q_interactions_parse,
+    "late_data_audit": q_late_data_audit,
+    "cooccurrence_counts": q_cooccurrence_counts,
+    "row_sums": q_row_sums,
+    "total_observed": q_total_observed,
+    "llr_scores": q_llr_scores,
+    "topk_similar": q_topk_similar,
+    "windowed_row_sum_deltas": q_windowed_row_sum_deltas,
+    "windowed_item_row_deltas": q_windowed_item_row_deltas,
+    "windowed_topk": q_windowed_topk,
+    "item_cut_flags": q_item_cut_flags,
+    "llr_golden": q_llr_golden,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: ORACLES[name] for name in QUERIES if name in ORACLES}

@@ -1,0 +1,65 @@
+"""Engine schemas (SURVEY §1.5 mapping of the reference's tuple types).
+
+The reference is tuple-at-a-time with primitive Java types
+(``FlinkCooccurrences.java:55-61``, ``ItemCooccurrences.java:14-42``). We use
+long-form relational rows throughout — deltas are ``(item, other_item,
+increment)`` rows, not array batches or maps — so every intermediate is
+joinable, prunable, and oracle-checkable. Counts are INT/LONG, never SHORT
+(the reference's ``short`` counts saturate at 32767; SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: (user, item, ts) interaction — DataStream<Tuple3<Integer,Integer,Long>>
+#: (``FlinkCooccurrences.java:55-61``) plus the engine's determinism columns:
+#: ts_ms (event time, epoch millis) and seq (total-order tie-breaker, SURVEY §7).
+INTERACTION = T.StructType(
+    [
+        T.StructField("user", T.IntegerType(), False),
+        T.StructField("item", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+#: Sampled/flagged interaction — Tuple3<Integer,Integer,Boolean>
+#: (``ItemInteractionCounterTwoInputStreamOperator.java:27-33``).
+FLAGGED_INTERACTION = T.StructType(
+    INTERACTION.fields + [T.StructField("sampled", T.BooleanType(), False)]
+)
+
+#: Long-form cooccurrence delta — the exploded form of ``ItemCooccurrences``
+#: (``ItemCooccurrences.java:14-42``); window_start is the tumbling window
+#: the delta fires in (outputs carry window.maxTimestamp(); SURVEY §1.4).
+COOC_DELTA = T.StructType(
+    [
+        T.StructField("window_start", T.LongType(), False),
+        T.StructField("item", T.IntegerType(), False),
+        T.StructField("other_item", T.IntegerType(), False),
+        T.StructField("increment", T.IntegerType(), False),
+    ]
+)
+
+#: Row-sum delta — Tuple2<Integer,Integer>
+#: (``UserInteractionCounterOneInputStreamOperator.java:49-51``).
+ROW_SUM_DELTA = T.StructType(
+    [
+        T.StructField("window_start", T.LongType(), False),
+        T.StructField("item", T.IntegerType(), False),
+        T.StructField("delta", T.LongType(), False),
+    ]
+)
+
+#: Top-K result row — the exploded form of
+#: Tuple2<Integer, IntDoublePriorityQueue>
+#: (``ItemRowRescorerTwoInputStreamOperator.java:22-27``).
+TOPK_RESULT = T.StructType(
+    [
+        T.StructField("item", T.IntegerType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("other_item", T.IntegerType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)

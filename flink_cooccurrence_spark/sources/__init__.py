@@ -1,0 +1,7 @@
+from flink_cooccurrence_spark.sources.tables import (
+    interactions_from_events,
+    load_table,
+    read_interactions_csv,
+)
+
+__all__ = ["interactions_from_events", "load_table", "read_interactions_csv"]

@@ -1,0 +1,95 @@
+"""Batch sources.
+
+The reference's only source is a line-oriented CSV file/dir monitor
+(``ContinuousFileMonitoringFunction.java:66,219-294`` +
+``FlinkCooccurrences.java:188-219`` parse). Here the batch sources are
+Spark's native readers (columnar parquet with pushdown, schema'd CSV);
+order preservation is achieved by the explicit ``seq`` column instead of
+the reference's unsplittable-input trick (``UnsplittableTextInputFormat.java``;
+SURVEY §2 op 2) — Spark gives no cross-partition order guarantee, so
+order-sensitive operators sort by ``(ts_ms, seq)`` within groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Columns stored as TIMESTAMP(NANOS) in the driver parquet. Spark reads
+#: them as long nanos (``spark.sql.legacy.parquet.nanosAsLong``); we
+#: normalize back to TimestampType (micros) at load.
+NANOS_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of a driver testdata table (predicate/projection pushdown)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer DIV — float division loses ns precision beyond 2^53
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def interactions_from_events(events: DataFrame) -> DataFrame:
+    """Map the driver's ``events`` table to the reference's interaction stream.
+
+    Deterministic, engine-documented mapping (FIXTURES.md F1, adapted to be
+    portable between Spark and the DuckDB oracle):
+
+    - ``user``  = ``user_id``
+    - ``item``  = ``CAST(json $.k of props AS INT)`` — exercises the JSON
+      function surface (SURVEY §2.1 ★) and yields ~100 distinct items
+    - ``ts_ms`` = epoch millis of ``ts`` (the reference parses epoch-ms longs,
+      ``FlinkCooccurrences.java:216``)
+    - ``seq``   = ``event_id`` — the determinism tie-breaker (SURVEY §7)
+
+    Oracle-SQL equivalent (DuckDB)::
+
+        SELECT CAST(user_id AS INT)                              AS user,
+               CAST(json_extract_string(props, '$.k') AS INT)    AS item,
+               epoch_ms(ts)                                      AS ts_ms,
+               event_id                                          AS seq
+        FROM events
+    """
+    return events.select(
+        F.col("user_id").cast("int").alias("user"),
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def read_interactions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-shaped CSV input: lines ``user,item,timestamp``.
+
+    Mirrors ``InteractionLineSplitter`` (``FlinkCooccurrences.java:207-219``):
+    positional schema, ints + epoch-ms long, hard failure on malformed rows
+    (mode FAILFAST — the reference throws on bad input too). ``seq`` is
+    synthesized as a monotonically increasing id per the determinism spec —
+    for reference-shaped time-sorted files ordering by (ts_ms, seq) matches
+    the reference's file order.
+    """
+    df = spark.read.csv(
+        path,
+        schema="user INT, item INT, ts_ms LONG",
+        mode="FAILFAST",
+    )
+    return df.withColumn("seq", F.monotonically_increasing_id())

@@ -1,0 +1,99 @@
+"""Golden-value and property tests for the LLR scalar function.
+
+Cases from the reference's ``LogLikelihoodTest.java:12-17`` (values from
+Dunning's accuracy-of-surprise paper, imported there from
+``sscdotopen/puppies`` llr.rs), plus the clamp/xLogX(0) edge semantics of
+``LogLikelihood.java:51-61``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.llr import llr, llr_pandas_udf, llr_sql
+
+
+GOLDEN = [
+    (110, 2442, 111, 29114, 270.72),
+    (29, 13, 123, 31612, 263.90),
+    (9, 12, 429, 31327, 48.94),
+]
+
+
+def _eval_llr(spark, rows):
+    df = spark.createDataFrame(rows, "k11 long, k12 long, k21 long, k22 long")
+    return [
+        r.score
+        for r in df.select(
+            llr(F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")).alias("score")
+        ).collect()
+    ]
+
+
+def test_golden_values(spark):
+    scores = _eval_llr(spark, [(a, b, c, d) for a, b, c, d, _ in GOLDEN])
+    for (_, _, _, _, want), got in zip(GOLDEN, scores):
+        assert got == pytest.approx(want, abs=0.1)
+
+
+def test_zero_table_is_zero(spark):
+    assert _eval_llr(spark, [(0, 0, 0, 0)]) == [0.0]
+
+
+def test_score_never_negative(spark):
+    rows = [
+        (1, 0, 0, 1),
+        (1, 1, 1, 1),
+        (1000000, 1, 1, 1000000),
+        (1, 1000000, 1000000, 1),
+    ]
+    for s in _eval_llr(spark, rows):
+        assert s >= 0.0
+
+
+def test_python_reference_formula(spark):
+    """Column expression matches an independent scalar reimplementation."""
+
+    def xlx(x):
+        return 0.0 if x == 0 else x * math.log(x)
+
+    def py_llr(k11, k12, k21, k22):
+        all_ = xlx(k11 + k12 + k21 + k22)
+        row = all_ - xlx(k11 + k12) - xlx(k21 + k22)
+        col = all_ - xlx(k11 + k21) - xlx(k12 + k22)
+        matrix = all_ - xlx(k11) - xlx(k12) - xlx(k21) - xlx(k22)
+        return 0.0 if row + col < matrix else 2.0 * (row + col - matrix)
+
+    rows = [(a, b, c, d) for a, b, c, d, _ in GOLDEN] + [(5, 0, 3, 7), (0, 2, 0, 9)]
+    got = _eval_llr(spark, rows)
+    want = [py_llr(*r) for r in rows]
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_pandas_udf_parity(spark):
+    rows = [(a, b, c, d) for a, b, c, d, _ in GOLDEN] + [(0, 0, 0, 0), (1, 0, 0, 1)]
+    df = spark.createDataFrame(rows, "k11 long, k12 long, k21 long, k22 long")
+    udf = llr_pandas_udf()
+    out = df.select(
+        llr(F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")).alias("expr"),
+        udf(F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")).alias("udf"),
+    ).collect()
+    for r in out:
+        assert r.expr == pytest.approx(r.udf, rel=1e-12)
+
+
+def test_sql_text_matches_expression(spark):
+    rows = [(a, b, c, d) for a, b, c, d, _ in GOLDEN]
+    df = spark.createDataFrame(rows, "k11 long, k12 long, k21 long, k22 long")
+    df.createOrReplaceTempView("llr_cases")
+    sql_scores = [
+        r.score
+        for r in spark.sql(
+            f"SELECT {llr_sql('k11','k12','k21','k22')} AS score FROM llr_cases"
+        ).collect()
+    ]
+    assert sql_scores == pytest.approx(_eval_llr(spark, rows), rel=1e-15)

@@ -1,0 +1,54 @@
+"""Driver-style DuckDB-oracle parity for every registered deterministic query.
+
+Mirrors the t2 correctness gate: run the Spark query and the oracle SQL on
+the same parquet tables, compare row count + schema shape + order-insensitive
+values (exact on ints/strings/bools, tight tolerance on doubles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flink_cooccurrence_spark import registry
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, name: str) -> None:
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    got, exp = _normalize(got), _normalize(exp)
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert np.allclose(
+                g.astype("float64"), e.astype("float64"), rtol=1e-9, atol=1e-9, equal_nan=True
+            ), f"{name}: float column {c} mismatch (max diff "\
+               f"{np.nanmax(np.abs(g.astype('float64') - e.astype('float64')))})"
+        else:
+            same = (g.astype(object).values == e.astype(object).values)
+            assert same.all(), f"{name}: column {c} mismatch at rows {np.nonzero(~same)[0][:5]}"
+
+
+ORACLE_QUERIES = sorted(registry.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    got = registry.QUERIES[name](spark, sf_dir).toPandas()
+    exp = duck.execute(registry.oracle_sql()[name]).df()
+    assert_frames_match(got, exp, name)
+
+
+def test_every_query_has_oracle_or_is_documented():
+    missing = set(registry.QUERIES) - set(registry.oracle_sql())
+    # non-SQL-expressible ops may be rows-only, but must be deliberate
+    assert missing == set(), f"queries without oracle: {missing}"
