@@ -1,0 +1,71 @@
+"""Benchmark harness — the driver runs this per-round and records the JSON.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end through the noop sink (computes every
+column — ``count()`` would let Catalyst prune the expensive ones).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flink_cooccurrence_spark.registry import QUERIES
+    from flink_cooccurrence_spark.session import get_spark
+
+    #: headline queries: the flagship end-to-end pipeline plus the heaviest
+    #: operator families (windowed incremental path, full matrix scoring,
+    #: and — as they land — dedup / similarity / text extensions)
+    headline = [
+        "topk_similar",
+        "windowed_topk",
+        "llr_scores",
+        "windowed_item_row_deltas",
+        "cooccurrence_counts",
+        "minhash_lsh_dup_pairs",
+        "embedding_knn",
+        "text_stats",
+    ]
+    headline = [q for q in headline if q in QUERIES]
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + file metadata outside the measured region
+    QUERIES["topk_similar"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        spark.catalog.clearCache()  # no cross-query cache reuse — honest timings
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,10 @@ def cooccurrence_counts(interactions: DataFrame) -> DataFrame:
     join sides shuffle once on ``user``; output is grouped by (item, other).
     """
     counts = user_item_counts(interactions)
-    a = counts.alias("a")
+    # hash-partition both sides on user: a broadcast join here would inherit
+    # the scan's parallelism (1 task on a single small file) while the join
+    # OUTPUT is quadratic per user — the shuffle is tiny, the expansion isn't
+    a = counts.hint("shuffle_hash").alias("a")
     b = counts.alias("b")
     joined = a.join(b, on="user")
     return (
@@ -165,7 +168,9 @@ def windowed_pair_deltas(interactions: DataFrame, window_millis: int) -> DataFra
     user skew. Sampled-path inputs are bounded by kMax per user.
     """
     w = with_window(interactions, window_millis)
-    a = w.alias("a")  # earlier interaction (history side)
+    # co-partitioned shuffle join on user (see cooccurrence_counts): the
+    # expansion factor makes broadcast-with-scan-parallelism a serial plan
+    a = w.hint("shuffle_hash").alias("a")  # earlier interaction (history side)
     b = w.alias("b")  # later interaction (attribution side)
     earlier = (F.col("a.window_start") < F.col("b.window_start")) | (
         (F.col("a.window_start") == F.col("b.window_start"))

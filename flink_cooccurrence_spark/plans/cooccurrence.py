@@ -63,11 +63,14 @@ def windowed_topk_similar_items(
     ``window_end`` is ``window.maxTimestamp()`` = start + size − 1 ms, the
     timestamp stamped on every emission (SURVEY §1.4).
 
-    Shuffle shape: deltas are aggregated once; cumulative cell values come
-    from a running sum over a (item, other_item)-partitioned window (no
-    re-join of the raw pair stream); the changed-(item, window) set then
-    picks up its row cells via an equi-join on item with a range predicate.
-    Row sums / totals per window are tiny (|items| × |windows|) and broadcast.
+    Shuffle shape: the expensive per-user pair self-join runs ONCE — its
+    aggregated cell-delta table is cached and every downstream input (row-sum
+    deltas, cumulative row sums, totals, both broadcast sides of the scoring
+    join) derives from it. Cumulative cell values come from a running sum
+    over a (item, other_item)-partitioned window; the changed-(item, window)
+    set then picks up its row cells via an equi-join on item with a range
+    predicate. Row sums / totals per window are tiny (|items| × |windows|),
+    cached and broadcast.
     """
     cell_deltas = windowed_item_row_deltas(interactions, window_millis).cache()
 
@@ -103,26 +106,26 @@ def windowed_topk_similar_items(
         ],
     ).select("item", "window_start", "other_item", "cum_cnt")
 
-    # cumulative row sums per (window, item) — evaluated at every changed window
-    rs_deltas = windowed_row_sum_deltas(interactions, window_millis)
+    # row-sum deltas fall out of the cached cell deltas (each emitted pair
+    # contributes +1 to its row's sum — RowSumAggregator semantics), so the
+    # pair self-join is not recomputed
+    rs_deltas = cell_deltas.groupBy("window_start", "item").agg(
+        F.sum("delta").alias("delta")
+    )
     all_windows = changed.select("window_start").distinct()
     rs_at = (
         all_windows.join(
-            rs_deltas,
-            on=[all_windows.window_start >= rs_deltas.window_start],
-        )
-        .groupBy(all_windows.window_start, "item")
-        .agg(F.sum("delta").alias("row_sum"))
-    )
-    total_at = (
-        all_windows.join(
             rs_deltas.select(
-                F.col("window_start").alias("dw"), F.col("delta")
+                F.col("window_start").alias("dw"), "item", "delta"
             ),
             on=[all_windows.window_start >= F.col("dw")],
         )
-        .groupBy("window_start")
-        .agg(F.sum("delta").alias("total"))
+        .groupBy("window_start", "item")
+        .agg(F.sum("delta").alias("row_sum"))
+        .cache()
+    )
+    total_at = rs_at.groupBy("window_start").agg(
+        F.sum("row_sum").alias("total")
     )
 
     rs_item = rs_at.select(

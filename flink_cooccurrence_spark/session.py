@@ -31,6 +31,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE sizes post-shuffle partitions by shuffle-write bytes, which
+        # under-counts row-EXPANDING stages (self-joins, explode): a 100 KB
+        # input can coalesce to 1 partition and serialize a multi-million-row
+        # join on one core. A small floor keeps expansion stages parallel
+        # locally and is a no-op at cluster scale where partitions are >> this.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
