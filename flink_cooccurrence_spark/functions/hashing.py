@@ -1,0 +1,55 @@
+"""Portable deterministic hashing shared by the engine and the DuckDB oracle.
+
+Spark's builtin ``hash()``/``xxhash64()`` and DuckDB's ``hash()`` are
+different functions, so every hash that must oracle-match is built from
+md5 (identical everywhere): take the first 8 hex chars as an unsigned
+32-bit integer. Verified bit-equal between Spark
+(``conv(substr(md5(x),1,8),16,10)``) and DuckDB
+(``('0x' || substr(md5(x),1,8))::BIGINT``).
+
+MinHash uses the classic universal-hash family h_i(x) = (a_i·x + b_i) mod p
+with p = 2^61 − 1 kept in BIGINT range; the (a_i, b_i) parameters are
+generated from a fixed seed and embedded as literals in both engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 − 1: products a_i·h32 stay < 2^63 (h32 < 2^32,
+#: a_i < 2^31), so the arithmetic is exact in BIGINT on both engines.
+MINHASH_PRIME = 2147483647
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 md5 hex chars as an integer."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash32_sql(expr: str) -> str:
+    """DuckDB text of :func:`hash32` (bit-identical)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the minhash family (a odd, nonzero)."""
+    rng = random.Random(seed)
+    params = []
+    for _ in range(num_hashes):
+        a = rng.randrange(1, MINHASH_PRIME) | 1
+        b = rng.randrange(0, MINHASH_PRIME)
+        params.append((a, b))
+    return params
+
+
+def minhash_col(h: Column, a: int, b: int) -> Column:
+    """(a·h + b) mod p as a Spark column (exact BIGINT arithmetic)."""
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_sql(h_expr: str, a: int, b: int) -> str:
+    """DuckDB text of :func:`minhash_col`."""
+    return f"(({a} * {h_expr} + {b}) % {MINHASH_PRIME})"

@@ -1,0 +1,299 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-partitioned and oracle-checkable (the hashing
+primitives are portable to DuckDB — ``functions/hashing.py``):
+
+- **exact**: content-hash groupBy (md5 of raw text).
+- **n-gram Jaccard**: word 3-shingles → inverted-index self-join → exact
+  Jaccard. The candidate join is the classic "small-similarity-join" plan:
+  only docs sharing ≥1 shingle ever meet, so the shuffle key is the shingle
+  and hot shingles are the skew risk (AQE skew-join handles moderate skew;
+  a document-frequency cut is the standard scale lever, kept off here to
+  stay oracle-exact).
+- **MinHash + LSH**: 32 minhashes per doc computed in ONE aggregation pass
+  (32 agg columns over the exploded shingle-hash stream — no per-hash
+  shuffle), banded 8×4 into LSH buckets; candidate pairs = docs sharing a
+  band bucket; similarity estimated as matching-minhash fraction. This is
+  the 100 TB dedup path: cost is linear in corpus + bucket-local joins.
+- **SimHash**: 32-bit sign-aggregated token-hash fingerprint; near-dup =
+  small Hamming distance, candidates via byte-band equality.
+
+At 100 TB the explode(shingles) stream dominates; it is map-side only
+(no shuffle until the per-doc aggregation), columnar, and whole-stage
+codegen'd — no Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import (
+    hash32,
+    minhash_col,
+    minhash_params,
+)
+
+#: MinHash configuration shared with the oracle SQL (oracle.py).
+NUM_HASHES = 32
+NUM_BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+MINHASH_SEED = 42
+
+#: SimHash bit width (32 keeps every engine in exact BIGINT arithmetic).
+SIMHASH_BITS = 32
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Built with posexplode + lead-style join-free window over token position
+    (identical formulation in the oracle so shingle sets match exactly).
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    sh = words.select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("w", n - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return sh.select("doc_id", "shingle").distinct()
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup mapping: (doc_id, text_hash, canonical_id, is_duplicate).
+
+    canonical = min doc_id per content hash; one shuffle on the hash.
+    """
+    hashed = documents.select("doc_id", F.md5("text").alias("text_hash"))
+    groups = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs")
+    )
+    return (
+        hashed.join(groups, on="text_hash")
+        .select(
+            "doc_id",
+            "text_hash",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.05
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: (doc_a, doc_b, jaccard ≥ t).
+
+    Inverted-index plan: pairs are generated per shared shingle, aggregated
+    to intersection sizes, then joined to per-doc shingle counts.
+    """
+    sh = doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(sa), on="doc_a")
+        .join(F.broadcast(sb), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-doc minhash signature, long form: (doc_id, hash_idx, minhash).
+
+    All 32 minhashes come from ONE groupBy over the shingle-hash stream.
+    """
+    params = minhash_params(NUM_HASHES, MINHASH_SEED)
+    sh = doc_shingles(documents).select(
+        "doc_id", hash32(F.col("shingle")).alias("h")
+    )
+    aggs = [
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("hash_idx"), F.col(f"mh{i}").alias("minhash"))
+                for i in range(NUM_HASHES)
+            ]
+        )
+    ).alias("e")
+    return wide.select("doc_id", stacked).select(
+        "doc_id", F.col("e.hash_idx"), F.col("e.minhash")
+    )
+
+
+def minhash_lsh_dup_pairs(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: (doc_a, doc_b, est_jaccard ≥ t).
+
+    Candidates share at least one of 8 LSH band buckets (band key = the
+    band's 4 minhashes concatenated); est_jaccard = fraction of the 32
+    minhashes that agree. Only bucket-mates are ever joined — the scale
+    path for corpus-level dedup.
+    """
+    params = minhash_params(NUM_HASHES, MINHASH_SEED)
+    sh = doc_shingles(documents).select(
+        "doc_id", hash32(F.col("shingle")).alias("h")
+    )
+    aggs = [
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs).cache()
+
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{band * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for band in range(NUM_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band_idx"), F.col("e.band_key"))
+
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    candidates = (
+        ba.join(bb, on=["band_idx", "band_key"])
+        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est = (
+        candidates.join(wa, on="doc_a")
+        .join(wb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(NUM_HASHES), 6).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: (doc_id, simhash).
+
+    Token-multiset simhash: bit b of the fingerprint is the sign of
+    Σ_tokens (±1 by bit b of the token hash). One explode + one groupBy.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    ).select("doc_id", hash32(F.col("w")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = toks.groupBy("doc_id").agg(*bit_aggs)
+    simhash = sum(
+        F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(0)
+        for b in range(SIMHASH_BITS)
+    )
+    return wide.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
+
+    Candidates via byte-band equality (4 bands of 8 bits — two near-dup
+    fingerprints within Hamming 6 of each other are guaranteed to agree on
+    at least one band only for hamming ≤ 3; wider recall would OR more
+    bands; exactness is then enforced by the bit_count filter).
+    """
+    fp = simhash_fingerprints(documents).cache()
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id", "simhash", F.col("e.band_idx"), F.col("e.band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

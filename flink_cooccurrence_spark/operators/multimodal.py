@@ -1,0 +1,119 @@
+"""Multimodal column operators: opaque ``binary`` payloads + typed metadata,
+processed by Arrow-batched ``mapInPandas`` pipelines.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked deterministic fake (`_fake_decode_*`) — but the Spark-side
+plumbing is real and is the point: binary columns travel through Arrow
+batches into pandas, per-batch vectorized processing, typed struct-ish
+output schemas, and partition-friendly shapes. Swap the fake for PIL /
+torchaudio / pyav in a real deployment; the dataflow does not change.
+
+The fakes are arithmetic over md5 of the payload, so the outputs are
+SQL-expressible and the whole pandas pipeline is still oracle-checked
+(a rare luxury — it pins the Arrow plumbing, batching, and schema
+handling, not just the formula).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: bytes per fake audio frame
+FRAME_BYTES = 16
+
+
+def with_binary_payload(documents: DataFrame) -> DataFrame:
+    """Model an ingest of opaque media: (doc_id, payload BINARY, n_bytes).
+
+    Real pipelines read image/audio bytes from object storage; here the
+    utf-8 encoded text stands in as the payload (deterministic, and the
+    oracle can reproduce it with encode()).
+    """
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+    )
+
+
+def _h32(data: bytes) -> int:
+    """Python twin of functions/hashing.hash32 (first 8 md5 hex chars)."""
+    return int(hashlib.md5(data).hexdigest()[:8], 16)
+
+
+def image_metadata(documents: DataFrame) -> DataFrame:
+    """Fake image decode via mapInPandas: (doc_id, width, height, channels, format).
+
+    STUB: a real deployment replaces `_fake_decode_image` with an actual
+    codec (PIL.Image.open over io.BytesIO); schema and plumbing are final.
+    """
+
+    def _fake_decode_image(payload: bytes) -> tuple[int, int, int, str]:
+        h = _h32(payload)
+        return (64 + h % 1024, 64 + (h // 1024) % 1024, 3, "fake")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "channels": pd.Series([d[2] for d in decoded], dtype="int32"),
+                    "format": [d[3] for d in decoded],
+                }
+            )
+
+    payloads = with_binary_payload(documents).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        decode, "doc_id long, width int, height int, channels int, format string"
+    )
+
+
+def audio_frames(documents: DataFrame) -> DataFrame:
+    """Fake audio frame-split via mapInPandas: (doc_id, frame_idx, frame_hash).
+
+    Splits each payload into FRAME_BYTES-byte frames and emits one row per
+    frame — the row-expanding UDTF shape (1 input row → N output rows)
+    that real frame-samplers / spectrogram extractors need.
+    """
+
+    def split_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(1, (len(data) + FRAME_BYTES - 1) // FRAME_BYTES)):
+                    frame = data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(_h32(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    payloads = with_binary_payload(documents).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        split_frames, "doc_id long, frame_idx int, frame_hash long"
+    )
+
+
+def video_frame_sample(documents: DataFrame, every: int = 4) -> DataFrame:
+    """Deterministic frame sampling: keep every `every`-th frame (the
+    keyframe-sampling shape for video pipelines)."""
+    return audio_frames(documents).filter(
+        (F.col("frame_idx") % every) == 0
+    )

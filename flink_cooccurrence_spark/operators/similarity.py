@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, both oracle-checkable:
+
+- ``embedding_knn`` — brute-force cosine top-k. The query set is broadcast
+  against the full corpus (one pass, no shuffle of the corpus side); the
+  per-query top-k is a window rank. This is the exact baseline: at 100 TB
+  you run it only for evaluation slices.
+- ``ann_lsh_topk`` — random-hyperplane LSH: 16 signed projections bucket
+  each vector; neighbors are searched only within the query's bucket. The
+  hyperplanes are fixed literals (seeded, 6-decimal) shared with the oracle
+  SQL. This is the scale path: bucketing is map-side, the join is
+  bucket-local, and recall/latency trades via the number of planes.
+
+All arithmetic is double-precision dot products via ``zip_with`` +
+``aggregate`` (sequential fold — bit-identical to DuckDB's
+``list_dot_product``, verified) and IEEE-exact sqrt/divide, so cosine
+scores hash-match without rounding; we round to 6 anyway for belt and
+braces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: LSH configuration (shared with oracle.py). 6 planes = 64 buckets: sized
+#: so buckets hold multiple vectors at test scale (recall needs bucket-mates;
+#: at corpus scale you'd raise planes with corpus size, or use multi-probe).
+NUM_PLANES = 6
+EMBED_DIM = 64
+LSH_SEED = 7
+
+#: Every vec_id divisible by this is a KNN query point.
+QUERY_MOD = 10
+KNN_K = 5
+ANN_K = 3
+
+
+def hyperplanes() -> list[list[float]]:
+    """Deterministic literal hyperplanes (rounded so SQL literals are exact)."""
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.standard_normal((NUM_PLANES, EMBED_DIM))
+    return [[round(float(x), 6) for x in row] for row in planes]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def _with_norm(df: DataFrame, out: str = "norm") -> DataFrame:
+    v = _as_double(F.col("embedding"))
+    return df.withColumn(out, F.sqrt(dot(v, v)))
+
+
+def embedding_knn(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Brute-force cosine top-k: (q_id, rank, n_id, cosine).
+
+    Queries (vec_id % QUERY_MOD = 0) are broadcast; corpus streams through
+    one narrow pass; per-query rank via window top-k.
+    """
+    from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    queries = base.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    cos = F.round(
+        dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
+        / (F.col("q_norm") * F.col("norm")),
+        6,
+    )
+    scored = pairs.select(
+        "q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine")
+    )
+    return top_k_per_group(
+        scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+    ).select("q_id", "rank", "n_id", "cosine")
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """Random-hyperplane bucket per vector: (vec_id, bucket).
+
+    bucket = Σ_j 2^j · [dot(v, plane_j) ≥ 0] — 16 literal-array dot
+    products, fully codegen'd, no shuffle.
+    """
+    v = _as_double(F.col("embedding"))
+    bucket = None
+    for j, plane in enumerate(hyperplanes()):
+        lit = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, lit) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(
+        "vec_id", bucket.cast("long").alias("bucket"), "embedding"
+    )
+
+
+def ann_lsh_topk(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
+    """Bucketed approximate top-k: (q_id, rank, n_id, cosine, bucket).
+
+    Search is restricted to the query's LSH bucket — the join key is the
+    bucket id, so at scale each task only sees one bucket's vectors.
+    """
+    from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+    bucketed = _with_norm(lsh_buckets(embeddings)).cache()
+    queries = bucketed.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = bucketed.join(F.broadcast(queries), on="bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = F.round(
+        dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
+        / (F.col("q_norm") * F.col("norm")),
+        6,
+    )
+    scored = pairs.select(
+        "q_id", "bucket", F.col("vec_id").alias("n_id"), cos.alias("cosine")
+    )
+    return top_k_per_group(
+        scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+    ).select("q_id", "rank", "n_id", "cosine", "bucket")

@@ -1,0 +1,122 @@
+"""Text-analysis operators (language ID, quality scoring, token counting,
+fingerprinting) — pure column expressions, no Python in the data path.
+
+Every formula is rational arithmetic over exact integers (token counts,
+lengths) so results are bit-identical across engines; no libm calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32
+
+#: Small per-language stopword marker sets for the n-gram/stopword language
+#: heuristic (shared as literals with the oracle SQL).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "los", "las", "una", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "des", "est", "une", "et"),
+}
+
+#: Stopwords for the quality score (English-ish; the corpus vocabulary).
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it", "for")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    """# tokens contained in a literal word set (codegen'd array filter)."""
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lits, t)))
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_re): whitespace tokens and BPE-ish
+    regex tokens (alpha runs | digit runs | single non-space symbol)."""
+    toks = _tokens(F.col("text"))
+    re_toks = F.regexp_extract_all(
+        F.col("text"), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_ws"),
+        F.size(re_toks).alias("n_tokens_re"),
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Quality-scoring features + composite score per doc.
+
+    Columns: n_tokens, n_distinct_tokens, avg_token_len, stopword_ratio,
+    distinct_ratio, quality_score. The score rewards length (saturating at
+    100 tokens), lexical diversity, and penalizes stopword density —
+    a standard shape for pretraining-data quality filters.
+    """
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = _count_in(toks, QUALITY_STOPWORDS)
+    avg_len = F.round(sum_len / n_tokens, 6)
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    distinct_ratio = F.round(n_distinct / n_tokens, 6)
+    quality = F.round(
+        0.4 * F.least(n_tokens, F.lit(100)) / 100.0
+        + 0.4 * (n_distinct / n_tokens)
+        + 0.2 * (1 - n_stop / n_tokens),
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-marker language heuristic: (doc_id, lang_pred, lang_hits).
+
+    Picks the language whose marker set hits the most tokens (ties broken
+    by language code ascending, 'und' if no marker hits at all).
+    """
+    toks = _tokens(F.col("text"))
+    hits = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    best_hits = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # iterate in reverse-sorted order so earlier languages win ties
+    for lang in sorted(hits, reverse=True):
+        pred = F.when(hits[lang] == best_hits, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_hits == 0, F.lit("und")).otherwise(pred)
+    return documents.select(
+        "doc_id", pred.alias("lang_pred"), best_hits.alias("lang_hits")
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, min_shingle_hash): md5 of the
+    whitespace-normalized lowercase text, plus the minimum 3-shingle hash
+    (a 1-hash MinHash — the winnowing-style content sketch)."""
+    from flink_cooccurrence_spark.operators.dedup import doc_shingles
+
+    norm = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    )
+    base = documents.select("doc_id", norm.alias("fingerprint"))
+    min_sh = (
+        doc_shingles(documents)
+        .select("doc_id", hash32(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("min_shingle_hash"))
+    )
+    return base.join(min_sh, on="doc_id", how="left")

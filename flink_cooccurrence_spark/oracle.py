@@ -260,3 +260,329 @@ ORACLES["llr_golden"] = f"""
 WITH cases(case_id, k11, k12, k21, k22) AS (VALUES {_golden_values})
 SELECT case_id, ROUND({llr_sql('k11', 'k12', 'k21', 'k22')}, 3) AS score FROM cases
 """
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extension oracles (documents / embeddings tables)
+
+from flink_cooccurrence_spark.functions.hashing import (  # noqa: E402
+    hash32_sql,
+    minhash_sql,
+)
+
+
+def _ext_oracles() -> dict[str, str]:
+    from flink_cooccurrence_spark.operators import dedup as dd
+    from flink_cooccurrence_spark.operators import similarity as sim
+    from flink_cooccurrence_spark.operators import textstats as ts
+
+    o: dict[str, str] = {}
+
+    words_cte = r"""
+words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM documents
+)
+""".strip()
+
+    shingles_cte = """
+shingle_rows AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+         lead(w, 2) OVER win AS last_w
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM shingle_rows WHERE last_w IS NOT NULL
+)
+""".strip()
+
+    o["dedup_exact"] = """
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+groups AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY 1)
+SELECT h.doc_id, h.text_hash, g.canonical_id,
+       h.doc_id != g.canonical_id AS is_duplicate
+FROM hashed h JOIN groups g USING (text_hash)
+"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH {words_cte}, {shingles_cte},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.05
+"""
+
+    params = __import__(
+        "flink_cooccurrence_spark.functions.hashing", fromlist=["minhash_params"]
+    ).minhash_params(dd.NUM_HASHES, dd.MINHASH_SEED)
+    h32 = hash32_sql("shingle")
+    mins = ",\n         ".join(
+        f"MIN({minhash_sql('h', a, b)}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    wide_cte = f"""
+sh AS (SELECT doc_id, {h32} AS h FROM shingles),
+wide AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)
+""".strip()
+
+    sig_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS hash_idx, mh{i} AS minhash FROM wide"
+        for i in range(dd.NUM_HASHES)
+    )
+    o["minhash_signatures"] = f"""
+WITH {words_cte}, {shingles_cte}, {wide_cte}
+{sig_union}
+"""
+
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {i} AS band_idx, concat_ws('_', {cols}) AS band_key FROM wide".format(
+            i=band,
+            cols=", ".join(
+                f"mh{band * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND)
+            ),
+        )
+        for band in range(dd.NUM_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN wa.mh{i} = wb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(dd.NUM_HASHES)
+    )
+    o["minhash_lsh_dup_pairs"] = f"""
+WITH {words_cte}, {shingles_cte}, {wide_cte},
+bands AS (
+{band_selects}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b, round(({matches}) / {dd.NUM_HASHES}, 6) AS est_jaccard
+  FROM candidates
+  JOIN wide wa ON wa.doc_id = doc_a
+  JOIN wide wb ON wb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+    tok_h32 = hash32_sql("w")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    bit_assemble = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    simhash_cte = f"""
+toks AS (SELECT doc_id, {tok_h32} AS h FROM words),
+bitsums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM toks GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({bit_assemble} AS BIGINT) AS simhash FROM bitsums
+)
+""".strip()
+
+    o["simhash_fingerprints"] = f"""
+WITH {words_cte}, {simhash_cte}
+SELECT doc_id, simhash FROM fp
+"""
+
+    band4 = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS band_idx, (simhash >> {i * 8}) & 255 AS band_val FROM fp"
+        for i in range(4)
+    )
+    o["simhash_near_dup_pairs"] = f"""
+WITH {words_cte}, {simhash_cte},
+bands AS (
+{band4}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+    o["token_counts"] = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS INT)
+         AS n_tokens_re
+FROM documents
+"""
+
+    stop_list = ", ".join(f"'{w}'" for w in ts.QUALITY_STOPWORDS)
+    o["text_stats"] = rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(toks, t -> t IN ({stop_list}))) AS INT) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       round(sum_len / n_tokens, 6) AS avg_token_len,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round(n_distinct_tokens / n_tokens, 6) AS distinct_ratio,
+       round(0.4 * least(n_tokens, 100) / 100.0
+             + 0.4 * (n_distinct_tokens / n_tokens)
+             + 0.2 * (1 - n_stop / n_tokens), 6) AS quality_score
+FROM feat
+"""
+
+    hit_cols = []
+    for lang in sorted(ts.LANG_MARKERS):
+        ws = ", ".join(f"'{w}'" for w in ts.LANG_MARKERS[lang])
+        hit_cols.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({ws}))) AS INT) AS hits_{lang}"
+        )
+    langs_asc = sorted(ts.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"hits_{l}" for l in langs_asc) + ")"
+    case_lines = "\n         ".join(
+        f"WHEN hits_{l} = best THEN '{l}'" for l in langs_asc
+    )
+    o["lang_id"] = rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM base
+),
+best AS (SELECT *, {greatest} AS best FROM hits)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+         {case_lines}
+         ELSE 'und' END AS lang_pred,
+       best AS lang_hits
+FROM best
+"""
+
+    o["fingerprints"] = rf"""
+WITH {words_cte}, {shingles_cte},
+min_sh AS (
+  SELECT doc_id, MIN({hash32_sql("shingle")}) AS min_shingle_hash
+  FROM shingles GROUP BY 1
+)
+SELECT d.doc_id,
+       md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS fingerprint,
+       m.min_shingle_hash
+FROM documents d LEFT JOIN min_sh m ON d.doc_id = m.doc_id
+"""
+
+    o["embedding_knn"] = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+pairs AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) AS cosine
+  FROM normed q JOIN normed n ON n.vec_id != q.vec_id
+  WHERE q.vec_id % {sim.QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT)
+           AS rank
+  FROM pairs
+)
+SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= {sim.KNN_K}
+"""
+
+    plane_terms = []
+    for j, plane in enumerate(sim.hyperplanes()):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        plane_terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(plane_terms)
+    o["ann_lsh_topk"] = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+         CAST({bucket_expr} AS BIGINT) AS bucket
+  FROM base
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, q.bucket AS bucket, n.vec_id AS n_id,
+         round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) AS cosine
+  FROM bucketed q JOIN bucketed n ON n.bucket = q.bucket AND n.vec_id != q.vec_id
+  WHERE q.vec_id % {sim.QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT q_id, bucket, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT)
+           AS rank
+  FROM pairs
+)
+SELECT q_id, rank, n_id, cosine, bucket FROM ranked WHERE rank <= {sim.ANN_K}
+"""
+
+    o["image_metadata"] = f"""
+WITH h AS (SELECT doc_id, {hash32_sql("text")} AS hv FROM documents)
+SELECT doc_id,
+       CAST(64 + hv % 1024 AS INT) AS width,
+       CAST(64 + (hv // 1024) % 1024 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'fake' AS format
+FROM h
+"""
+
+    frame_h = hash32_sql("substr(text, CAST(i * 16 + 1 AS INT), 16)")
+    frames_cte = """
+frames AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS i
+  FROM documents
+)
+""".strip()
+    o["audio_frames"] = f"""
+WITH {frames_cte}
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       {frame_h} AS frame_hash
+FROM frames
+"""
+
+    o["video_frame_sample"] = f"""
+WITH {frames_cte}
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       {frame_h} AS frame_hash
+FROM frames
+WHERE i % 4 = 0
+"""
+
+    return o
+
+
+ORACLES.update(_ext_oracles())

@@ -146,3 +146,45 @@ QUERIES: dict[str, QueryFn] = {
 
 def oracle_sql() -> dict[str, str]:
     return {name: ORACLES[name] for name in QUERIES if name in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (SURVEY §2.1 ★ / BASELINE.json north star)
+
+from flink_cooccurrence_spark.operators import dedup as _dedup
+from flink_cooccurrence_spark.operators import multimodal as _mm
+from flink_cooccurrence_spark.operators import similarity as _sim
+from flink_cooccurrence_spark.operators import textstats as _ts
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+EXTENSION_QUERIES: dict[str, QueryFn] = {
+    # dedup family
+    "dedup_exact": lambda s, d: _dedup.exact_duplicates(_documents(s, d)),
+    "ngram_jaccard_pairs": lambda s, d: _dedup.ngram_jaccard_pairs(_documents(s, d)),
+    "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
+    "minhash_lsh_dup_pairs": lambda s, d: _dedup.minhash_lsh_dup_pairs(_documents(s, d)),
+    "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
+    "simhash_near_dup_pairs": lambda s, d: _dedup.simhash_near_dup_pairs(_documents(s, d)),
+    # text analysis
+    "token_counts": lambda s, d: _ts.token_counts(_documents(s, d)),
+    "text_stats": lambda s, d: _ts.text_stats(_documents(s, d)),
+    "lang_id": lambda s, d: _ts.lang_id(_documents(s, d)),
+    "fingerprints": lambda s, d: _ts.fingerprints(_documents(s, d)),
+    # similarity search
+    "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
+    "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
+    # multimodal (Arrow/pandas plumbing with SQL-checkable fake decode)
+    "image_metadata": lambda s, d: _mm.image_metadata(_documents(s, d)),
+    "audio_frames": lambda s, d: _mm.audio_frames(_documents(s, d)),
+    "video_frame_sample": lambda s, d: _mm.video_frame_sample(_documents(s, d)),
+}
+
+QUERIES.update(EXTENSION_QUERIES)
