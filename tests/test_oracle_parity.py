@@ -48,7 +48,15 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_frames_match(got, exp, name)
 
 
+#: non-SQL-expressible queries (driver records rows-only) — must be deliberate
+ROWS_ONLY = {
+    # sampled reservoir + feedback: deterministic under the engine's
+    # counter-based-draw spec but not expressible in DuckDB SQL; invariants
+    # are gated in tests/test_streaming.py
+    "streaming_sampled_matrix",
+}
+
+
 def test_every_query_has_oracle_or_is_documented():
     missing = set(registry.QUERIES) - set(registry.oracle_sql())
-    # non-SQL-expressible ops may be rows-only, but must be deliberate
-    assert missing == set(), f"queries without oracle: {missing}"
+    assert missing == ROWS_ONLY, f"undocumented queries without oracle: {missing - ROWS_ONLY}"

@@ -1,0 +1,251 @@
+"""Streaming-engine gates (SURVEY §7 M3/M4).
+
+M3 gate: the micro-batch engine replayed window-by-window over the driver
+interactions equals the batch (ground-truth) pipeline — matrix, row sums,
+total, and final top-K.
+
+M4 gate: the sampled path's invariants (§5) — history capacity, admission
+bounds with feedback slack, row-sum/row-entry conservation, and cuts=∞
+equivalence to the non-sampled path.
+
+Plus one true Structured Streaming run (file source → foreachBatch) to pin
+the wiring, and late-data drop semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.config import CooccurrenceConfig
+from flink_cooccurrence_spark.operators.cooccurrence import (
+    cooccurrence_counts,
+    row_sums,
+    total_observed,
+)
+from flink_cooccurrence_spark.operators.sampling import (
+    item_cut_flags,
+    reservoir_sample_user_histories,
+)
+from flink_cooccurrence_spark.oracle import WINDOW_MILLIS
+from flink_cooccurrence_spark.plans.cooccurrence import topk_similar_items
+from flink_cooccurrence_spark.registry import _interactions
+from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
+from flink_cooccurrence_spark.streaming.sources import interactions_csv_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cfg(**kw) -> CooccurrenceConfig:
+    base = dict(window_size=1, window_unit="DAYS", top_k=10)
+    base.update(kw)
+    return CooccurrenceConfig(**base)
+
+
+def _pdf(df):
+    pdf = df.toPandas()
+    return pdf[sorted(pdf.columns)].sort_values(by=sorted(pdf.columns)).reset_index(drop=True)
+
+
+def assert_df_equal(got, exp, name):
+    g, e = _pdf(got), _pdf(exp)
+    assert len(g) == len(e), f"{name}: {len(g)} rows != {len(e)}"
+    assert list(g.columns) == list(e.columns), f"{name}: {list(g.columns)}"
+    for c in g.columns:
+        assert (g[c].values == e[c].values).all(), f"{name}: column {c} differs"
+
+
+@pytest.fixture(scope="module")
+def inter(spark):
+    return _interactions(spark, SF_DIR).cache()
+
+
+# ---------------------------------------------------------------- M3 gates
+
+@pytest.fixture(scope="module")
+def nonsampled_engine(spark, inter, tmp_path_factory):
+    eng = CooccurrenceStreamEngine(
+        spark,
+        _cfg(skip_cuts=True),
+        workdir=str(tmp_path_factory.mktemp("eng_ns")),
+    )
+    # 3 windows per batch: exercises both multi-window batches and state
+    # carried across many batches
+    eng.replay(inter, windows_per_batch=3)
+    return eng
+
+
+def test_streaming_matrix_equals_batch(nonsampled_engine, inter):
+    assert_df_equal(nonsampled_engine.item_rows(), cooccurrence_counts(inter), "item_rows")
+
+
+def test_streaming_row_sums_equal_batch(nonsampled_engine, inter):
+    got = nonsampled_engine.row_sums().filter(F.col("row_sum") != 0)
+    exp = row_sums(inter).filter(F.col("row_sum") != 0)
+    assert_df_equal(got, exp, "row_sums")
+
+
+def test_streaming_total_equals_batch(nonsampled_engine, inter):
+    assert nonsampled_engine.total_observed() == total_observed(inter).first()[0]
+
+
+def test_streaming_final_topk_equals_batch(nonsampled_engine, inter):
+    assert_df_equal(
+        nonsampled_engine.final_topk(), topk_similar_items(inter, k=10), "final_topk"
+    )
+
+
+def test_topk_update_log_covers_changed_items(nonsampled_engine):
+    updates = nonsampled_engine.topk_updates()
+    assert updates.count() > 0
+    # every batch's emissions are ranked 1..K with K bounded
+    bad = updates.filter((F.col("rank") < 1) | (F.col("rank") > 10)).count()
+    assert bad == 0
+    assert nonsampled_engine.metrics()["rescored_items"] > 0
+
+
+# --------------------------------------------------- real structured stream
+
+def test_structured_streaming_file_source(spark, inter, tmp_path):
+    """File-source CSV stream (one file per trigger) through foreachBatch
+    equals the batch pipeline — the end-to-end M3 wiring."""
+    sample = inter.filter(F.col("user") % 7 == 0)
+    csv_dir = str(tmp_path / "csv_in")
+    # one file per window, named in time order (the source processes
+    # oldest-first; mod times of sequential writes are ascending)
+    rows = sample.select("user", "item", "ts_ms").orderBy("ts_ms", "seq").collect()
+    os.makedirs(csv_dir)
+    n_files = 4
+    per = (len(rows) + n_files - 1) // n_files
+    base = 1_600_000_000
+    for i in range(n_files):
+        path = os.path.join(csv_dir, f"part-{i:04d}.csv")
+        with open(path, "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(f"{r['user']},{r['item']},{r['ts_ms']}\n")
+        # the source hands files out oldest-first by mod time (the reference's
+        # ContinuousFileMonitoringFunction order); fast sequential writes can
+        # tie on the clock, so pin strictly ascending times
+        os.utime(path, (base + i, base + i))
+
+    eng = CooccurrenceStreamEngine(
+        spark, _cfg(skip_cuts=True), workdir=str(tmp_path / "eng")
+    )
+    q = eng.attach(interactions_csv_stream(spark, csv_dir), available_now=True)
+    q.awaitTermination(120)
+    assert eng.metrics()["late_elements"] == 0
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(sample), "stream_vs_batch")
+    assert eng.metrics()["batches"] >= 4
+
+
+def test_late_rows_dropped_and_counted(spark, tmp_path):
+    cfg = _cfg(skip_cuts=True, window_size=1, window_unit="SECONDS")
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "late"))
+    b0 = spark.createDataFrame(
+        [(1, 10, 5000, 0), (1, 11, 6000, 1)], "user int, item int, ts_ms long, seq long"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 12, 1000, 2), (1, 13, 7000, 3)], "user int, item int, ts_ms long, seq long"
+    )
+    eng.process_batch(b0, 0)
+    eng.process_batch(b1, 1)  # ts=1000 < watermark 6000 → dropped
+    assert eng.metrics()["late_elements"] == 1
+    # dropped row contributed no pairs: items {10,11,13} pair fully = 3*2 cells
+    assert eng.item_rows().count() == 6
+    assert eng.total_observed() == 6
+
+
+# ---------------------------------------------------------------- M4 gates
+
+@pytest.fixture(scope="module")
+def sampled_engine(spark, inter, tmp_path_factory):
+    eng = CooccurrenceStreamEngine(
+        spark,
+        _cfg(item_cut=40, user_cut=8, seed=42),
+        workdir=str(tmp_path_factory.mktemp("eng_s")),
+    )
+    eng.replay(inter, windows_per_batch=3)
+    return eng
+
+
+def test_sampled_history_capacity(sampled_engine):
+    hist = sampled_engine.state.get(
+        "user_histories", "user int, history array<int>, total long"
+    )
+    over = hist.filter(F.size("history") > 8).count()
+    assert over == 0
+    assert hist.filter(F.size("history") > 0).count() > 0
+
+
+def test_sampled_row_sum_conservation(sampled_engine):
+    """DEVELOPMENT_MODE invariant (ItemRowRescorerTwoInputStreamOperator.java:183-193):
+    materialized rowSum(i) == Σ_j C[i][j], and Σ rowSum == observed total."""
+    from_rows = sampled_engine.item_rows().groupBy("item").agg(
+        F.sum("cnt").alias("from_rows")
+    )
+    joined = (
+        sampled_engine.row_sums()
+        .join(from_rows, on="item", how="full")
+        .fillna(0)
+        .filter(F.col("row_sum") != F.col("from_rows"))
+    )
+    assert joined.count() == 0
+    total = sampled_engine.row_sums().agg(F.sum("row_sum")).first()[0]
+    assert total == sampled_engine.total_observed()
+
+
+def test_sampled_admission_bound(sampled_engine, inter):
+    """Admitted-per-item ≤ fMax + feedback slack: lifetime item-count state
+    never exceeds fMax (feedback can only free slots, never overfill)."""
+    ic = sampled_engine.state.get("item_counts", "item int, cnt long")
+    assert ic.filter(F.col("cnt") > 40).count() == 0
+
+
+def test_sampled_matrix_entries_nonnegative(sampled_engine):
+    assert sampled_engine.item_rows().filter(F.col("cnt") < 0).count() == 0
+
+
+def test_infinite_cuts_equal_nonsampled(spark, inter, tmp_path):
+    """cuts=∞ ⇒ the sampled machinery (reservoir + item cut + feedback)
+    degenerates to the exact non-sampled matrix (SURVEY §5)."""
+    big = 1 << 30
+    sample = inter.filter(F.col("user") % 17 == 0)
+    eng = CooccurrenceStreamEngine(
+        spark,
+        _cfg(item_cut=big, user_cut=big),
+        workdir=str(tmp_path / "inf"),
+    )
+    eng.replay(sample, windows_per_batch=5)
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(sample), "inf_cuts_matrix")
+    got_total = eng.total_observed()
+    assert got_total == total_observed(sample).first()[0]
+
+
+def test_batch_reservoir_equals_streaming_reservoir(spark, inter, tmp_path):
+    """The counter-based draw makes the batch applyInPandas reservoir and the
+    per-micro-batch stateful reservoir produce the identical final matrix."""
+    sample = inter.filter(F.col("user") % 11 == 0)
+    cfg = _cfg(item_cut=1 << 30, user_cut=5, seed=7)
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "resv"))
+    eng.replay(sample, windows_per_batch=2)
+
+    deltas = reservoir_sample_user_histories(
+        sample, user_cut=5, window_millis=cfg.window_millis, seed=7
+    )
+    exp = (
+        deltas.filter(F.col("kind") == "cooc")
+        .groupBy("item", "other_item")
+        .agg(F.sum("increment").cast("long").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+    assert_df_equal(eng.item_rows(), exp, "reservoir_batch_vs_stream")
+
+
+def test_item_cut_flags_admission_prefix(spark, inter):
+    """First fMax interactions per item (processing order) are flagged."""
+    flags = item_cut_flags(inter, 50, WINDOW_MILLIS)
+    admitted = flags.filter("sampled").groupBy("item").count()
+    assert admitted.filter(F.col("count") > 50).count() == 0
