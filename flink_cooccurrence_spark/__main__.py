@@ -1,0 +1,132 @@
+"""CLI entry point — the engine's analog of ``FlinkCooccurrences.main``
+(``FlinkCooccurrences.java:36-182``), with the reference's flag surface
+(``Configuration.java:56-105``) plus engine-side output/mode flags.
+
+Usage (reference-shaped CSV input, same flags/defaults as the Flink job)::
+
+    python -m flink_cooccurrence_spark \
+        --input /path/to/interactions_csv_dir \
+        --window-size 1 --window-unit DAYS \
+        [--skip-cuts] [--item-cut 500] [--user-cut 500] [--top-k 10] \
+        [--seed 42] [--mode streaming|batch] [--output /path/out]
+
+``--mode streaming`` (default) monitors ``--input`` for CSV files and runs
+the micro-batch engine until all available data is processed (availableNow
+— the PROCESS_ONCE analog). ``--mode batch`` runs the one-shot batch
+pipeline. Both print the accumulator dump + wall clock the way the
+reference does (``FlinkCooccurrences.java:173-181``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from flink_cooccurrence_spark.config import WINDOW_UNITS, CooccurrenceConfig
+from flink_cooccurrence_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="flink_cooccurrence_spark")
+    p.add_argument("--input", dest="input_path", required=True)
+    p.add_argument("--skip-cuts", dest="skip_cuts", action="store_true")
+    p.add_argument("--item-cut", dest="item_cut", type=int, default=500)
+    p.add_argument("--user-cut", dest="user_cut", type=int, default=500)
+    p.add_argument("--top-k", dest="top_k", type=int, default=10)
+    p.add_argument("--window-size", dest="window_size", type=int, required=True)
+    p.add_argument(
+        "--window-unit", dest="window_unit", default="MILLISECONDS",
+        choices=sorted(WINDOW_UNITS),
+    )
+    p.add_argument("--seed", dest="seed", type=lambda s: int(s, 0), default=42)
+    p.add_argument("--buffer-timeout", dest="buffer_timeout_ms", type=int, default=100)
+    p.add_argument("--mode", choices=["streaming", "batch"], default="streaming")
+    p.add_argument("--output", default=None, help="parquet dir for the top-K output")
+    p.add_argument("--workdir", default=None, help="state/checkpoint dir (streaming)")
+    ns = p.parse_args(argv)
+
+    cfg = CooccurrenceConfig(
+        input_path=ns.input_path,
+        skip_cuts=ns.skip_cuts,
+        item_cut=ns.item_cut,
+        user_cut=ns.user_cut,
+        top_k=ns.top_k,
+        window_size=ns.window_size,
+        window_unit=ns.window_unit,
+        seed=ns.seed,
+        buffer_timeout_ms=ns.buffer_timeout_ms,
+    )
+    spark = get_spark(app_name="flink_cooccurrence_spark")
+    t0 = time.perf_counter()
+
+    if ns.mode == "streaming":
+        from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
+        from flink_cooccurrence_spark.streaming.sources import interactions_csv_stream
+
+        eng = CooccurrenceStreamEngine(spark, cfg, workdir=ns.workdir)
+        query = eng.attach(
+            interactions_csv_stream(spark, cfg.input_path), available_now=True
+        )
+        query.awaitTermination()
+        result = eng.final_topk()
+        metrics = eng.metrics()
+    else:
+        from flink_cooccurrence_spark.plans.cooccurrence import topk_similar_items
+        from flink_cooccurrence_spark.sources.tables import read_interactions_csv
+
+        inter = read_interactions_csv(spark, cfg.input_path)
+        if not cfg.skip_cuts:
+            from flink_cooccurrence_spark.operators.sampling import (
+                item_cut_flags,
+                reservoir_sample_user_histories,
+            )
+            from pyspark.sql import functions as F
+
+            flagged = item_cut_flags(inter, cfg.item_cut, cfg.window_millis)
+            deltas = reservoir_sample_user_histories(
+                flagged, cfg.user_cut, cfg.window_millis, cfg.seed, sampled_col="sampled"
+            )
+            # score the sampled matrix via the shared scoring tail
+            from flink_cooccurrence_spark.operators.cooccurrence import scored_rows
+            from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+            counts = (
+                deltas.filter(F.col("kind") == "cooc")
+                .groupBy("item", "other_item")
+                .agg(F.sum("increment").cast("long").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+            ).cache()
+            sums = counts.groupBy("item").agg(F.sum("cnt").alias("row_sum"))
+            total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+            result = top_k_per_group(
+                scored_rows(counts, sums, total), ["item"], "score", cfg.top_k,
+                tie_breakers=["other_item"],
+            ).select("item", "rank", "other_item", "cnt", "score")
+        else:
+            result = topk_similar_items(inter, k=cfg.top_k)
+        metrics = {}
+
+    if ns.output:
+        result.write.mode("overwrite").parquet(ns.output)
+        n = spark.read.parquet(ns.output).count()
+    else:
+        n = result.count()
+
+    # the reference's duration log + accumulator dump (FlinkCooccurrences.java:173-181)
+    print(
+        json.dumps(
+            {
+                "duration_ms": round((time.perf_counter() - t0) * 1000),
+                "result_rows": n,
+                "accumulators": metrics,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,50 @@
+"""Job metrics (SURVEY §2 op 18).
+
+The reference exposes per-job counters through Flink accumulators —
+``lateElements``, ``observedCooccurrences``, ``rescoredItems``,
+``RowSumProcessWindowRowSum`` — dumped after ``env.execute``
+(``FlinkCooccurrences.java:181``; counters at
+``UserInteractionCounterOneInputStreamOperator.java:111-112``,
+``ItemRowRescorerTwoInputStreamOperator.java:60``,
+``RowSumAggregator.java:50``). The Spark engine surfaces the same three
+ways, matching where each metric lives:
+
+- **streaming engine state scalars** — ``CooccurrenceStreamEngine.metrics()``
+  (late elements, observed cooccurrences, rescored items, batches);
+- **``DataFrame.observe``** — zero-extra-pass metrics evaluated inside the
+  job on any batch pipeline (this module);
+- **SparkContext accumulators** — for Python-side processors
+  (``accumulator`` below), the direct Flink-accumulator analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+
+def observed(df: DataFrame, name: str, **aggs: Column) -> tuple[DataFrame, Observation]:
+    """Attach named aggregate metrics to ``df`` at no extra pass.
+
+    ``aggs`` maps metric name → aggregate Column; read results from the
+    returned ``Observation.get`` after an action on the DataFrame::
+
+        df, obs = observed(inter, "ingest",
+                           rows=F.count(F.lit(1)),
+                           late=F.count_if(F.col("ts_ms") < F.lit(wm)))
+        df.write.format("noop").mode("overwrite").save()
+        obs.get["late"]
+    """
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in aggs.items()]), obs
+
+
+def count_where(condition: Column) -> Column:
+    """Counter-style aggregate: number of rows satisfying ``condition``."""
+    return F.count(F.when(condition, F.lit(1)))
+
+
+def accumulator(spark: SparkSession, initial: int = 0):
+    """A driver-readable counter usable from Python UDF/processor code —
+    the direct analog of the reference's ``IntCounter``/``LongCounter``."""
+    return spark.sparkContext.accumulator(initial)

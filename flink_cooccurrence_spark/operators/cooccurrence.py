@@ -153,74 +153,71 @@ def scored_rows(
     )
 
 
-def windowed_pair_deltas(interactions: DataFrame, window_millis: int) -> DataFrame:
-    """Per-window ±1 cooccurrence deltas in long form (window_start, item, other_item, increment).
-
-    Faithful to the reference's emission protocol: a pair fires in the window
-    of the *later* interaction (history pairing happens at window fire,
-    ``NonSampledUserInteractionCounterOneInputStreamOperator.java:117-166``),
-    and both directions (row + transpose) are emitted at that moment.
-    Processing order is (window_start, seq) — windows fire in time order,
-    and within a window the buffer replays in arrival order (SURVEY §1.4).
-
-    The self-join is positional within the pair's attribution window; at
-    scale the join shuffles both sides on ``user`` once and AQE handles any
-    user skew. Sampled-path inputs are bounded by kMax per user.
-    """
+def _windowed_qp_counts(interactions: DataFrame, window_millis: int) -> DataFrame:
+    """Aggregated one-directional pair counts per window: (window_start,
+    q, p, c) where c = #{ordered position pairs (p earlier, q later)}
+    attributed to the later window. The transpose direction is mirrored
+    *after* this aggregation — half the rows enter the expensive partial
+    aggregate and no explode interrupts codegen."""
     w = with_window(interactions, window_millis)
-    # co-partitioned shuffle join on user (see cooccurrence_counts): the
-    # expansion factor makes broadcast-with-scan-parallelism a serial plan
     a = w.hint("shuffle_hash").alias("a")  # earlier interaction (history side)
     b = w.alias("b")  # later interaction (attribution side)
     earlier = (F.col("a.window_start") < F.col("b.window_start")) | (
         (F.col("a.window_start") == F.col("b.window_start"))
         & (F.col("a.seq") < F.col("b.seq"))
     )
-    pairs = a.join(b, on=(F.col("a.user") == F.col("b.user")) & earlier)
-    # both directions fire at the later window: (q -> p) and the transpose (p -> q)
-    return pairs.select(
-        F.col("b.window_start").alias("window_start"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("b.item").alias("item"),
-                    F.col("a.item").alias("other_item"),
-                ),
-                F.struct(
-                    F.col("a.item").alias("item"),
-                    F.col("b.item").alias("other_item"),
-                ),
-            )
-        ).alias("d"),
-    ).select(
-        "window_start",
-        F.col("d.item").alias("item"),
-        F.col("d.other_item").alias("other_item"),
-        F.lit(1).alias("increment"),
+    return (
+        a.join(b, on=(F.col("a.user") == F.col("b.user")) & earlier)
+        .groupBy(
+            F.col("b.window_start").alias("window_start"),
+            F.col("b.item").alias("q"),
+            F.col("a.item").alias("p"),
+        )
+        .agg(F.count("*").alias("c"))
     )
 
 
 def windowed_item_row_deltas(interactions: DataFrame, window_millis: int) -> DataFrame:
     """Windowed grouped aggregation of cooccurrence deltas — the Spark form of
     ``ItemRowAggregator`` (``ItemRowAggregator.java:10-59``): per (window,
-    item, other_item), Σ increments. Built-in partial+final hash aggregation
-    replaces the hand-rolled ``AggregateFunction``/``addTo`` fold."""
-    return (
-        windowed_pair_deltas(interactions, window_millis)
-        .groupBy("window_start", "item", "other_item")
-        .agg(F.sum("increment").alias("delta"))
+    item, other_item), Σ increments (each pair fires both directions at the
+    later window). Built-in partial+final hash aggregation replaces the
+    hand-rolled ``AggregateFunction``/``addTo`` fold; the transpose is the
+    aggregated table mirrored, so the quadratic join output is aggregated
+    exactly once."""
+    qp = _windowed_qp_counts(interactions, window_millis)
+    # mirror AFTER aggregation via explode of the tiny aggregated table — a
+    # unionByName of two selects would recompute the quadratic join subtree
+    # (no CSE across union branches)
+    both = qp.select(
+        "window_start",
+        F.explode(
+            F.array(
+                F.struct(F.col("q").alias("item"), F.col("p").alias("other_item")),
+                F.struct(F.col("p").alias("item"), F.col("q").alias("other_item")),
+            )
+        ).alias("d"),
+        "c",
+    ).select("window_start", "d.item", "d.other_item", "c")
+    return both.groupBy("window_start", "item", "other_item").agg(
+        F.sum("c").alias("delta")
     )
 
 
 def windowed_row_sum_deltas(interactions: DataFrame, window_millis: int) -> DataFrame:
     """Windowed row-sum delta aggregation — the Spark form of
     ``RowSumAggregator`` (``RowSumAggregator.java:13-73``): per (window, item),
-    Σ row-sum deltas, emitted only if nonzero (``:66-70``)."""
+    Σ row-sum deltas, emitted only if nonzero (``:66-70``). Derived from the
+    same aggregated pair counts as the row deltas (both roles of each pair
+    add to their row's sum)."""
+    qp = _windowed_qp_counts(interactions, window_millis)
+    both = qp.select(
+        "window_start",
+        F.explode(F.array(F.col("q"), F.col("p"))).alias("item"),
+        "c",
+    )
     return (
-        windowed_pair_deltas(interactions, window_millis)
-        .groupBy(
-            "window_start", "item"
-        )
-        .agg(F.sum("increment").cast("long").alias("delta"))
+        both.groupBy("window_start", "item")
+        .agg(F.sum("c").cast("long").alias("delta"))
         .filter(F.col("delta") != 0)
     )

@@ -39,13 +39,23 @@ def topk_similar_items(
     scores whatever is in the row, ``ItemRowRescorerTwoInputStreamOperator.java:195-223``)
     and keeps the K best per item, ties broken by other_item ascending.
     """
-    counts = cooccurrence_counts(interactions)
-    scored = scored_rows(
-        counts, row_sums(interactions), total_observed(interactions), round_digits
-    )
+    counts = cooccurrence_counts(interactions).cache()
+    scored = scored_rows(counts, *sums_and_total_from_counts(counts), round_digits)
     return top_k_per_group(
         scored, ["item"], "score", k, tie_breakers=["other_item"]
     ).select("item", "rank", "other_item", "cnt", "score")
+
+
+def sums_and_total_from_counts(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive (row_sums, total) from the materialized matrix via the
+    conservation identity rowSum(i) = Σ_j C[i][j] (the DEVELOPMENT_MODE
+    invariant, ``ItemRowRescorerTwoInputStreamOperator.java:183-193``) —
+    one pass over the cached counts instead of re-scanning interactions.
+    Items with zero row sum have no matrix row and don't score, so the
+    scored output is unchanged."""
+    sums = counts.groupBy("item").agg(F.sum("cnt").alias("row_sum"))
+    total = sums.agg(F.sum("row_sum").cast("long").alias("total"))
+    return sums, total
 
 
 def windowed_topk_similar_items(

@@ -78,12 +78,11 @@ def q_total_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_llr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15 applied to every matrix cell (full scored matrix)."""
-    inter = _interactions(spark, sf_dir)
+    from flink_cooccurrence_spark.plans.cooccurrence import sums_and_total_from_counts
+
+    counts = cooccurrence_counts(_interactions(spark, sf_dir)).cache()
     return scored_rows(
-        cooccurrence_counts(inter),
-        row_sums(inter),
-        total_observed(inter),
-        round_digits=SCORE_ROUND_DIGITS,
+        counts, *sums_and_total_from_counts(counts), round_digits=SCORE_ROUND_DIGITS
     )
 
 

@@ -1,0 +1,115 @@
+"""CLI runner (op 19 / FlinkCooccurrences.main analog) and metrics (op 18)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.config import CooccurrenceConfig
+from flink_cooccurrence_spark.metrics import accumulator, count_where, observed
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_csv(path: str, rows: list[tuple[int, int, int]]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for u, i, t in rows:
+            f.write(f"{u},{i},{t}\n")
+
+
+ROWS = [
+    (1, 10, 1000), (1, 11, 2000), (1, 12, 3000),
+    (2, 10, 1500), (2, 11, 2500),
+    (3, 12, 1100), (3, 10, 2100), (3, 12, 3100),
+]
+
+
+@pytest.mark.parametrize("mode", ["streaming", "batch"])
+def test_cli_end_to_end(tmp_path, mode):
+    csv = str(tmp_path / "in" / "part-0000.csv")
+    _write_csv(csv, ROWS)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", SPARK_GRAFT_DRIVER_MEM="2g")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "flink_cooccurrence_spark",
+            "--input", str(tmp_path / "in"),
+            "--window-size", "1", "--window-unit", "SECONDS",
+            "--skip-cuts", "--mode", mode, "--output", out,
+            "--workdir", str(tmp_path / "wd"),
+        ],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["result_rows"] > 0
+    assert report["duration_ms"] > 0
+    if mode == "streaming":
+        assert report["accumulators"]["observed_cooccurrences"] > 0
+
+
+def test_cli_sampled_batch(tmp_path):
+    csv = str(tmp_path / "in" / "part-0000.csv")
+    _write_csv(csv, ROWS * 3)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", SPARK_GRAFT_DRIVER_MEM="2g")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "flink_cooccurrence_spark",
+            "--input", str(tmp_path / "in"),
+            "--window-size", "1", "--window-unit", "SECONDS",
+            "--item-cut", "4", "--user-cut", "2", "--seed", "0xC0FFEE",
+            "--mode", "batch", "--output", out,
+        ],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["result_rows"] >= 0
+
+
+def test_config_defaults_match_reference():
+    """Configuration.java:151-153,157,181-182 defaults."""
+    cfg = CooccurrenceConfig()
+    assert (cfg.item_cut, cfg.user_cut, cfg.top_k) == (500, 500, 10)
+    assert cfg.buffer_timeout_ms == 100
+    cfg2 = CooccurrenceConfig.from_args(
+        ["--window-size", "5", "--window-unit", "MINUTES", "--seed", "0xC0FFEE"]
+    )
+    assert cfg2.window_millis == 5 * 60 * 1000
+    assert cfg2.seed == 0xC0FFEE  # hex-capable seed (Configuration.java:181)
+
+
+def test_observe_metrics_no_extra_pass(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 10).cast("int").alias("user"),
+        F.col("id").cast("long").alias("ts_ms"),
+    )
+    df, obs = observed(
+        df, "ingest",
+        rows=F.count(F.lit(1)),
+        late=count_where(F.col("ts_ms") < 10),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] == 100
+    assert obs.get["late"] == 10
+
+
+def test_accumulator_from_python_processor(spark):
+    acc = accumulator(spark)
+    df = spark.range(1000).repartition(4)
+
+    def f(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    df.mapInPandas(f, "id long").write.format("noop").mode("overwrite").save()
+    assert acc.value == 1000
