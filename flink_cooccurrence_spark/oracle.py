@@ -599,6 +599,50 @@ FROM frames
 WHERE i % 4 = 0
 """
 
+    from flink_cooccurrence_spark.plans import corpus as cp
+
+    o["corpus_filter"] = rf"""
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+groups AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY 1),
+canonical AS (
+  SELECT h.doc_id FROM hashed h JOIN groups g USING (text_hash)
+  WHERE h.doc_id = g.canonical_id
+),
+base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         CAST(len(list_filter(toks, t -> t IN ({stop_list}))) AS INT) AS n_stop
+  FROM base
+),
+quality AS (
+  SELECT doc_id, n_tokens,
+         round(0.4 * least(n_tokens, 100) / 100.0
+               + 0.4 * (n_distinct / n_tokens)
+               + 0.2 * (1 - n_stop / n_tokens), 6) AS quality_score
+  FROM feat
+),
+hits AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM base
+),
+best AS (SELECT *, {greatest} AS best FROM hits),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best = 0 THEN 'und'
+           {case_lines}
+           ELSE 'und' END AS lang_pred
+  FROM best
+)
+SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score
+FROM quality q
+JOIN canonical c ON q.doc_id = c.doc_id
+JOIN lang l ON q.doc_id = l.doc_id
+WHERE q.n_tokens >= {cp.MIN_TOKENS} AND q.quality_score >= {cp.MIN_QUALITY}
+"""
+
     return o
 
 

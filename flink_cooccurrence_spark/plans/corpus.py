@@ -1,0 +1,49 @@
+"""Training-corpus preparation pipeline — the composition the LLM-pipeline
+operators exist for (SURVEY §2.1 ★ / BASELINE.json north star): exact dedup
+→ text quality features → language ID → filter, in one declarative plan.
+
+All stages are pure column expressions over one ``documents`` scan; Catalyst
+collapses the three feature joins into co-partitioned hash joins on
+``doc_id`` (or broadcasts at small scale), and every feature computation is
+codegen'd — no Python in the data path, so the plan scales linearly with
+corpus bytes at 100 TB (one shuffle per join key, no skew: doc_id is
+unique).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.dedup import exact_duplicates
+from flink_cooccurrence_spark.operators.textstats import lang_id, text_stats
+
+#: defaults chosen to be selective-but-nonempty on the driver corpus
+MIN_TOKENS = 30
+MIN_QUALITY = 0.6
+
+
+def corpus_filter(
+    documents: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_quality: float = MIN_QUALITY,
+) -> DataFrame:
+    """Kept-document manifest: (doc_id, lang_pred, n_tokens, quality_score).
+
+    A document survives iff it is the canonical copy of its exact-hash
+    group, has ≥ ``min_tokens`` whitespace tokens, and a quality score ≥
+    ``min_quality``.
+    """
+    canonical = exact_duplicates(documents).filter(~F.col("is_duplicate"))
+    stats = text_stats(documents)
+    lang = lang_id(documents)
+    return (
+        canonical.select("doc_id")
+        .join(stats, on="doc_id")
+        .join(lang.select("doc_id", "lang_pred"), on="doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "quality_score")
+    )

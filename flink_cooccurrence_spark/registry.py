@@ -228,6 +228,10 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
+    # composed training-corpus preparation pipeline
+    "corpus_filter": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["corpus_filter"]
+    ).corpus_filter(_documents(s, d)),
     # multimodal (Arrow/pandas plumbing with SQL-checkable fake decode)
     "image_metadata": lambda s, d: _mm.image_metadata(_documents(s, d)),
     "audio_frames": lambda s, d: _mm.audio_frames(_documents(s, d)),

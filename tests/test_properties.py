@@ -1,0 +1,152 @@
+"""Property-based gates (SURVEY §5): reservoir invariants over arbitrary
+interaction sequences (pure-Python core — no Spark in the loop, so
+hypothesis can explore aggressively) and LLR column-expression equivalence
+against an independent scalar implementation."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_cooccurrence_spark.operators.sampling import reservoir_draw, reservoir_step
+
+interactions_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 200_000)),  # (item, window_start)
+    min_size=0,
+    max_size=120,
+)
+
+
+def _run_reservoir(seq, user_cut, seed=42, user=7):
+    emissions = []
+    history: list[int] = []
+    total = 0
+    hist_sizes = []
+    for item, wst in seq:
+        total = reservoir_step(
+            item, wst, history, total, user_cut, seed, user,
+            lambda w, k, i, o, inc: emissions.append((w, k, i, o, inc)),
+        )
+        hist_sizes.append(len(history))
+    return emissions, history, total, hist_sizes
+
+
+@settings(max_examples=300, deadline=None)
+@given(seq=interactions_strategy, user_cut=st.integers(1, 8))
+def test_reservoir_invariants(seq, user_cut):
+    emissions, history, total, hist_sizes = _run_reservoir(seq, user_cut)
+
+    # capacity: history never exceeds kMax, total counts every interaction
+    assert all(s <= user_cut for s in hist_sizes)
+    assert total == len(seq)
+
+    # conservation (the DEVELOPMENT_MODE invariant): per item, Σ row_sum
+    # deltas == Σ cooc increments of that item's row; feedback only at capacity
+    row_from_cooc: dict[int, int] = defaultdict(int)
+    row_from_sums: dict[int, int] = defaultdict(int)
+    matrix: dict[tuple[int, int], int] = defaultdict(int)
+    for _, kind, item, other, inc in emissions:
+        if kind == "cooc":
+            row_from_cooc[item] += inc
+            matrix[(item, other)] += inc
+        elif kind == "row_sum":
+            row_from_sums[item] += inc
+    for item in set(row_from_cooc) | set(row_from_sums):
+        assert row_from_cooc[item] == row_from_sums[item], item
+
+    # matrix symmetry and non-negativity of materialized cells
+    for (a, b), v in matrix.items():
+        assert v == matrix[(b, a)]
+        assert v >= 0
+
+    # feedback appears only once the reservoir is full
+    first_fb = next(
+        (i for i, e in enumerate(emissions) if e[1] == "feedback"), None
+    )
+    if first_fb is not None:
+        assert len(seq) > user_cut
+
+
+@settings(max_examples=200, deadline=None)
+@given(seq=interactions_strategy)
+def test_reservoir_infinite_cut_is_exact(seq):
+    """cuts=∞ ⇒ deltas aggregate to the exact ordered-pair count matrix."""
+    emissions, history, total, _ = _run_reservoir(seq, user_cut=10**9)
+    assert history == [i for i, _ in seq]
+
+    matrix: dict[tuple[int, int], int] = defaultdict(int)
+    for _, kind, item, other, inc in emissions:
+        if kind == "cooc":
+            matrix[(item, other)] += inc
+
+    items = [i for i, _ in seq]
+    expected: dict[tuple[int, int], int] = defaultdict(int)
+    for x in range(len(items)):
+        for y in range(x):
+            expected[(items[x], items[y])] += 1
+            expected[(items[y], items[x])] += 1
+    assert dict(matrix) == dict(expected)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    user=st.integers(0, 2**31 - 1),
+    total=st.integers(1, 10**6),
+)
+def test_reservoir_draw_in_range_and_deterministic(seed, user, total):
+    k = reservoir_draw(seed, user, total)
+    assert 0 <= k < total
+    assert k == reservoir_draw(seed, user, total)
+
+
+def _llr_py(k11, k12, k21, k22):
+    """Independent scalar LLR (Dunning / LogLikelihood.java:41-61)."""
+
+    def x_log_x(x):
+        return 0.0 if x <= 0 else x * math.log(x)
+
+    def entropy(*xs):
+        return x_log_x(sum(xs)) - sum(x_log_x(x) for x in xs)
+
+    row = entropy(k11 + k12, k21 + k22)
+    col = entropy(k11 + k21, k12 + k22)
+    mat = entropy(k11, k12, k21, k22)
+    if row + col < mat:
+        return 0.0
+    return 2.0 * (row + col - mat)
+
+
+def test_llr_column_expression_matches_scalar(spark):
+    """Vectorized cross-check over 500 seeded random contingency tables."""
+    from pyspark.sql import functions as F
+
+    from flink_cooccurrence_spark.functions.llr import llr
+
+    rng = np.random.RandomState(0xC0FFEE)
+    cases = [
+        (
+            i,
+            int(rng.randint(0, 1000)),
+            int(rng.randint(0, 100000)),
+            int(rng.randint(0, 100000)),
+            int(rng.randint(0, 10000000)),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(cases, "i int, k11 long, k12 long, k21 long, k22 long")
+    got = (
+        df.select("i", llr(F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")).alias("s"))
+        .toPandas()
+        .sort_values("i")["s"]
+        .to_numpy()
+    )
+    exp = np.array([_llr_py(c[1], c[2], c[3], c[4]) for c in cases])
+    # the two formulations differ by cancellation noise only: entropies are
+    # O(total·ln total) ≈ 1e8 while the LLR is their near-cancelling sum, so
+    # absolute error floats at ~1e-7 for 1e7-scale totals (double eps · 1e8)
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-6)

@@ -1,0 +1,106 @@
+"""Native applyInPandasWithState operators (SURVEY §2 ops 6–8 streaming
+forms): state persists across micro-batches and the aggregated output equals
+the batch ground truth."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.cooccurrence import cooccurrence_counts
+from flink_cooccurrence_spark.streaming.sources import interactions_csv_stream
+from flink_cooccurrence_spark.streaming.stateful import (
+    item_cut_stream,
+    user_history_deltas_stream,
+)
+
+ROWS = [
+    # (user, item, ts_ms) — 3 users, repeated items to exercise multiset
+    (1, 10, 1000), (1, 11, 2000), (2, 10, 1500), (1, 12, 3000),
+    (2, 11, 2500), (3, 12, 1100), (1, 10, 4000), (3, 10, 2100),
+    (2, 10, 3500), (3, 12, 3100), (3, 12, 4100), (2, 12, 4500),
+]
+
+
+def _write_files(dirpath: str, n_files: int = 3) -> None:
+    os.makedirs(dirpath)
+    per = (len(ROWS) + n_files - 1) // n_files
+    base = 1_600_000_000
+    for i in range(n_files):
+        p = os.path.join(dirpath, f"f{i:03d}.csv")
+        with open(p, "w") as f:
+            for u, it, ts in ROWS[i * per : (i + 1) * per]:
+                f.write(f"{u},{it},{ts}\n")
+        os.utime(p, (base + i, base + i))
+
+
+def _batch_df(spark):
+    return spark.createDataFrame(
+        [(u, i, t, s) for s, (u, i, t) in enumerate(ROWS)],
+        "user int, item int, ts_ms long, seq long",
+    )
+
+
+def _run_stream(spark, stream_df, name, tmp_path):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_user_history_deltas_match_batch_matrix(spark, tmp_path):
+    """Σ emitted deltas across micro-batches == batch count-product matrix —
+    proves per-user state survives batch boundaries."""
+    csv_dir = str(tmp_path / "in")
+    _write_files(csv_dir)
+    stream = interactions_csv_stream(
+        spark, csv_dir, max_files_per_trigger=1
+    ).withColumn("seq", F.col("ts_ms"))
+    out = _run_stream(
+        spark, user_history_deltas_stream(stream), "hist_deltas", tmp_path
+    )
+    got = (
+        out.groupBy("item", "other_item")
+        .agg(F.sum("increment").alias("cnt"))
+        .toPandas()
+        .sort_values(["item", "other_item"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        cooccurrence_counts(_batch_df(spark))
+        .toPandas()
+        .sort_values(["item", "other_item"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp.astype(got.dtypes.to_dict())), f"\n{got}\nvs\n{exp}"
+
+
+def test_item_cut_lifetime_state_across_batches(spark, tmp_path):
+    """Admission counts accumulate across micro-batches: with fMax=2, each
+    item admits exactly its first 2 interactions stream-wide."""
+    csv_dir = str(tmp_path / "in2")
+    _write_files(csv_dir)
+    stream = interactions_csv_stream(
+        spark, csv_dir, max_files_per_trigger=1
+    ).withColumn("seq", F.col("ts_ms"))
+    out = _run_stream(spark, item_cut_stream(stream, f_max=2), "cut_flags", tmp_path)
+    per_item = (
+        out.groupBy("item")
+        .agg(
+            F.count(F.when(F.col("sampled"), 1)).alias("admitted"),
+            F.count("*").alias("total"),
+        )
+        .toPandas()
+        .set_index("item")
+    )
+    for item, row in per_item.iterrows():
+        assert row["admitted"] == min(2, row["total"]), (item, dict(row))
+    # rows are never dropped, only flagged (the reference forwards both)
+    assert int(per_item["total"].sum()) == len(ROWS)
