@@ -38,6 +38,7 @@ def main() -> None:
         "minhash_lsh_dup_pairs",
         "embedding_knn",
         "text_stats",
+        "corpus_filter",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -57,20 +57,45 @@ def user_item_counts(interactions: DataFrame) -> DataFrame:
     return interactions.groupBy("user", "item").agg(F.count("*").alias("n"))
 
 
-def cooccurrence_counts(interactions: DataFrame) -> DataFrame:
+def cooccurrence_counts(
+    interactions: DataFrame, salt_buckets: int | None = None
+) -> DataFrame:
     """Final-state cooccurrence matrix C as long-form rows (item, other_item, cnt).
 
     Count-product form: self-join of per-user item counts on ``user``; the
     diagonal uses n·(n−1) (ordered position pairs of a repeated item). Both
     join sides shuffle once on ``user``; output is grouped by (item, other).
+
+    ``salt_buckets``: skew escape hatch for the non-sampled path at scale.
+    A pathological user (huge distinct-item history) is a *single* join key
+    whose quadratic pair output lands on one task — AQE skew-join cannot
+    split within a key. Salting partitions the left side's items into S
+    buckets by item hash and replicates the right side S× (join key
+    (user, salt)), spreading one user's expansion across S tasks for an S×
+    replication of the small pre-aggregated counts table. The sampled path
+    never needs this: kMax bounds per-user history.
     """
     counts = user_item_counts(interactions)
     # hash-partition both sides on user: a broadcast join here would inherit
     # the scan's parallelism (1 task on a single small file) while the join
     # OUTPUT is quadratic per user — the shuffle is tiny, the expansion isn't
-    a = counts.hint("shuffle_hash").alias("a")
-    b = counts.alias("b")
-    joined = a.join(b, on="user")
+    if salt_buckets and salt_buckets > 1:
+        s = salt_buckets
+        a = (
+            counts.withColumn("salt", F.pmod(F.hash("item"), F.lit(s)))
+            .hint("shuffle_hash")
+            .alias("a")
+        )
+        b = (
+            counts.withColumn(
+                "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+            )
+        ).alias("b")
+        joined = a.join(b, on=["user", "salt"])
+    else:
+        a = counts.hint("shuffle_hash").alias("a")
+        b = counts.alias("b")
+        joined = a.join(b, on="user")
     return (
         joined.select(
             F.col("a.item").alias("item"),

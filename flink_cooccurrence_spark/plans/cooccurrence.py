@@ -122,16 +122,22 @@ def windowed_topk_similar_items(
     rs_deltas = cell_deltas.groupBy("window_start", "item").agg(
         F.sum("delta").alias("delta")
     )
+    # cumulative row sum at every (item, window): items × windows grid (both
+    # tiny — |items| · |windows|) + a running-sum window, all equi-joins; a
+    # range join here would plan as a CartesianProduct over the delta table
     all_windows = changed.select("window_start").distinct()
+    items = cell_deltas.select("item").distinct()
+    cum_rs = (
+        Window.partitionBy("item")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     rs_at = (
-        all_windows.join(
-            rs_deltas.select(
-                F.col("window_start").alias("dw"), "item", "delta"
-            ),
-            on=[all_windows.window_start >= F.col("dw")],
-        )
-        .groupBy("window_start", "item")
-        .agg(F.sum("delta").alias("row_sum"))
+        items.crossJoin(F.broadcast(all_windows))
+        .join(rs_deltas, on=["item", "window_start"], how="left")
+        .fillna(0, subset=["delta"])
+        .withColumn("row_sum", F.sum("delta").over(cum_rs))
+        .select("window_start", "item", "row_sum")
         .cache()
     )
     total_at = rs_at.groupBy("window_start").agg(

@@ -107,6 +107,46 @@ def test_topk_update_log_covers_changed_items(nonsampled_engine):
     assert nonsampled_engine.metrics()["rescored_items"] > 0
 
 
+def test_per_window_emission_log_matches_batch_protocol(spark, inter, tmp_path):
+    """One window per micro-batch ⇒ the engine's top-K emission log equals
+    the batch windowed rescorer output exactly — same changed-rows-only
+    scoping, same sums-before-scores ordering, same cumulative state
+    (ItemRowRescorerTwoInputStreamOperator protocol, SURVEY §2 op 13)."""
+    from flink_cooccurrence_spark.plans.cooccurrence import (
+        windowed_topk_similar_items,
+    )
+
+    sample = inter.filter(F.col("user") % 5 == 0)
+    eng = CooccurrenceStreamEngine(
+        spark, _cfg(skip_cuts=True), workdir=str(tmp_path / "emit")
+    )
+    eng.replay(sample, windows_per_batch=1)
+
+    wins = sorted(
+        r[0]
+        for r in sample.withColumn(
+            "w", F.col("ts_ms") - F.col("ts_ms") % WINDOW_MILLIS
+        )
+        .select("w")
+        .distinct()
+        .collect()
+    )
+    mapping = spark.createDataFrame(
+        [(i, w + WINDOW_MILLIS - 1) for i, w in enumerate(wins)],
+        "batch_id long, window_end long",
+    )
+    got = (
+        eng.topk_updates()
+        .join(mapping, on="batch_id")
+        .select("window_end", "item", "rank", "other_item", "score")
+    )
+    exp = windowed_topk_similar_items(sample, WINDOW_MILLIS, k=10).select(
+        "window_end", "item", "rank", "other_item", "score"
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
 # --------------------------------------------------- real structured stream
 
 def test_structured_streaming_file_source(spark, inter, tmp_path):
@@ -242,6 +282,14 @@ def test_batch_reservoir_equals_streaming_reservoir(spark, inter, tmp_path):
         .filter(F.col("cnt") != 0)
     )
     assert_df_equal(eng.item_rows(), exp, "reservoir_batch_vs_stream")
+
+
+def test_salted_cooccurrence_equals_unsalted(spark, inter):
+    """Skew-salted expanding self-join is a pure physical rewrite."""
+    plain = cooccurrence_counts(inter)
+    salted = cooccurrence_counts(inter, salt_buckets=4)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
 
 
 def test_item_cut_flags_admission_prefix(spark, inter):
