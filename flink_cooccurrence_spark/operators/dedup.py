@@ -43,6 +43,10 @@ MINHASH_SEED = 42
 #: SimHash bit width (32 keeps every engine in exact BIGINT arithmetic).
 SIMHASH_BITS = 32
 
+#: Embedding near-dup cosine threshold (shared with the oracle SQL) —
+#: calibrated to the driver corpus; see ``embedding_near_dup_pairs``.
+EMBED_NEAR_DUP_THRESHOLD = 0.35
+
 
 def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
@@ -297,3 +301,92 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = EMBED_NEAR_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (doc_a, doc_b, cosine ≥ threshold).
+
+    Candidates come from the random-hyperplane LSH buckets of
+    ``operators/similarity.py`` (map-side bucketing, bucket-local join — the
+    same scale shape as MinHash-LSH: no all-pairs pass ever runs), then the
+    exact cosine filter keeps true near-dups. Recall is governed by the
+    plane count; multi-probe or band-OR widens it at scale. The default
+    threshold is calibrated to the driver corpus (~99.9th percentile of the
+    pair-cosine distribution — embeddings there are near-random); real
+    near-dup dedup runs at ~0.95.
+    """
+    from flink_cooccurrence_spark.operators.similarity import (
+        _as_double,
+        _with_norm,
+        dot,
+        lsh_buckets,
+    )
+
+    bucketed = _with_norm(lsh_buckets(embeddings)).cache()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = F.round(
+        dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dup_clusters(
+    documents: DataFrame, threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Near-duplicate clusters: (doc_id, cluster_id) for every document,
+    cluster_id = min doc_id reachable through MinHash-LSH near-dup edges
+    (singletons cluster with themselves).
+
+    Connected components by iterative **min-label propagation**: each round
+    every node takes the min of its own label and its neighbors' labels;
+    fixpoint in O(component diameter) rounds. Each round is one shuffle
+    join + aggregation; ``localCheckpoint`` truncates the growing lineage
+    (the standard Spark iterative-algorithm pattern — at cluster scale the
+    alternating large-star/small-star variant cuts rounds to
+    O(log diameter), dup components in practice have tiny diameters).
+    """
+    edges = minhash_lsh_dup_pairs(documents, threshold).select("doc_a", "doc_b")
+    sym = (
+        edges.union(edges.select("doc_b", "doc_a")).toDF("src", "dst").cache()
+    )
+    labels = documents.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, on=sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on=labels.doc_id == nbr_min.src, how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

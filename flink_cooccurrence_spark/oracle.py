@@ -599,6 +599,42 @@ FROM frames
 WHERE i % 4 = 0
 """
 
+    o["embedding_near_dup_pairs"] = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+         CAST({bucket_expr} AS BIGINT) AS bucket
+  FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cosine FROM pairs
+WHERE cosine >= {dd.EMBED_NEAR_DUP_THRESHOLD}
+"""
+
+    o["dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({o["minhash_lsh_dup_pairs"]})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc_id = e.d
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
     from flink_cooccurrence_spark.plans import corpus as cp
 
     o["corpus_filter"] = rf"""

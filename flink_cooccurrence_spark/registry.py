@@ -220,6 +220,8 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_dup_pairs": lambda s, d: _dedup.minhash_lsh_dup_pairs(_documents(s, d)),
     "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
     "simhash_near_dup_pairs": lambda s, d: _dedup.simhash_near_dup_pairs(_documents(s, d)),
+    "embedding_near_dup_pairs": lambda s, d: _dedup.embedding_near_dup_pairs(_embeddings(s, d)),
+    "dup_clusters": lambda s, d: _dedup.dup_clusters(_documents(s, d)),
     # text analysis
     "token_counts": lambda s, d: _ts.token_counts(_documents(s, d)),
     "text_stats": lambda s, d: _ts.text_stats(_documents(s, d)),
