@@ -389,4 +389,10 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise it or switch to "
+            "the large-star/small-star variant"
+        )
     return labels

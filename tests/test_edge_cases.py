@@ -1,0 +1,71 @@
+"""Edge cases: empty inputs, all-filtered batches, degenerate groups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.config import CooccurrenceConfig
+from flink_cooccurrence_spark.operators.cooccurrence import (
+    cooccurrence_counts,
+    row_sums,
+    windowed_item_row_deltas,
+)
+from flink_cooccurrence_spark.operators.sampling import (
+    reservoir_sample_user_histories,
+)
+from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
+
+EMPTY = "user int, item int, ts_ms long, seq long"
+
+
+def test_empty_interactions_everywhere(spark):
+    empty = spark.createDataFrame([], EMPTY)
+    assert cooccurrence_counts(empty).count() == 0
+    assert row_sums(empty).count() == 0
+    assert windowed_item_row_deltas(empty, 1000).count() == 0
+    assert reservoir_sample_user_histories(empty, 5, 1000).count() == 0
+
+
+def test_engine_empty_and_single_row_batches(spark, tmp_path):
+    cfg = CooccurrenceConfig(skip_cuts=True, window_size=1, window_unit="SECONDS")
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "e"))
+    eng.process_batch(spark.createDataFrame([], EMPTY), 0)
+    eng.process_batch(
+        spark.createDataFrame([(1, 10, 1000, 0)], EMPTY), 1
+    )  # single interaction: no pairs yet
+    assert eng.item_rows().count() == 0
+    assert eng.total_observed() == 0
+    eng.process_batch(
+        spark.createDataFrame([(1, 11, 2000, 1)], EMPTY), 2
+    )  # second interaction of user 1 → one pair, both directions
+    assert eng.item_rows().count() == 2
+    assert eng.total_observed() == 2
+
+
+def test_sampled_engine_all_rows_cut(spark, tmp_path):
+    """fMax=0 admits nothing: no deltas, empty histories, no feedback."""
+    cfg = CooccurrenceConfig(item_cut=0, user_cut=5, window_size=1, window_unit="SECONDS")
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "cut0"))
+    eng.process_batch(
+        spark.createDataFrame(
+            [(1, 10, 1000, 0), (1, 11, 2000, 1), (2, 10, 1500, 2)], EMPTY
+        ),
+        0,
+    )
+    assert eng.item_rows().count() == 0
+    hist = eng.state.get("user_histories", "user int, history array<int>, total long")
+    assert hist.filter(F.size("history") > 0).count() == 0
+
+
+def test_reservoir_user_cut_one(spark):
+    """kMax=1: every admitted interaction after the first replaces-or-rejects
+    a single slot; matrix cells stay within ±1 transitions (non-negative)."""
+    rows = [(1, i % 3, 1000 * (i + 1), i) for i in range(12)]
+    df = spark.createDataFrame(rows, EMPTY)
+    deltas = reservoir_sample_user_histories(df, 1, 1000, seed=3)
+    matrix = (
+        deltas.filter(F.col("kind") == "cooc")
+        .groupBy("item", "other_item")
+        .agg(F.sum("increment").alias("cnt"))
+    )
+    assert matrix.filter(F.col("cnt") < 0).count() == 0
