@@ -291,8 +291,10 @@ class CooccurrenceStreamEngine:
         # 2. item cut: lifetime-count admission (op 6)
         w = with_window(batch, cfg.window_millis)
         rn = F.row_number().over(Window.partitionBy("item").orderBy("window_start", "seq"))
+        # no forced broadcast: the item-count state is per-item and can be
+        # arbitrarily wide at scale — AQE picks broadcast when it is small
         flagged = (
-            w.join(F.broadcast(ic.withColumnRenamed("cnt", "prior")), on="item", how="left")
+            w.join(ic.withColumnRenamed("cnt", "prior"), on="item", how="left")
             .fillna(0, subset=["prior"])
             .withColumn("sampled", (F.col("prior") + rn) <= cfg.item_cut)
         )
@@ -369,9 +371,9 @@ class CooccurrenceStreamEngine:
 
         tagged_out = tagged_in.groupBy("user").applyInPandas(process_user, TAGGED_SCHEMA)
         # materialize once: four consumers below must not re-run the processor
-        tag_path = os.path.join(self.workdir, f"tagged_batch_{batch_id}")
-        tagged_out.write.mode("overwrite").parquet(tag_path)
-        tagged = self.spark.read.schema(TAGGED_SCHEMA).parquet(tag_path)
+        # (eager localCheckpoint keeps it executor-local — the durable copies
+        # are the state tables written from it, not this transient batch)
+        tagged = tagged_out.localCheckpoint(eager=True)
 
         self.state.put(
             "user_histories",
@@ -432,10 +434,9 @@ class CooccurrenceStreamEngine:
         self.state.add_scalar("rescored_items", n_changed)
         if n_changed == 0:
             return
-        # read state back post-put: materialized parquet, lineage truncated
-        rows = self.state.get("item_rows", ITEM_ROWS_SCHEMA).join(
-            F.broadcast(changed), on="item"
-        )
+        # read state back post-put: materialized parquet, lineage truncated.
+        # changed-set size is batch-dependent — AQE decides broadcast vs hash
+        rows = self.state.get("item_rows", ITEM_ROWS_SCHEMA).join(changed, on="item")
         total_df = self.spark.createDataFrame([(total,)], "total long")
         scored = scored_rows(
             rows, self.state.get("row_sums", ROW_SUMS_SCHEMA), total_df, round_digits=3
