@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", dest="seed", type=lambda s: int(s, 0), default=42)
     p.add_argument("--buffer-timeout", dest="buffer_timeout_ms", type=int, default=100)
     p.add_argument("--mode", choices=["streaming", "batch"], default="streaming")
+    p.add_argument(
+        "--follow",
+        action="store_true",
+        help="keep monitoring --input instead of stopping at available data; "
+        "micro-batch trigger interval = --buffer-timeout ms (the reference's "
+        "latency/throughput knob, Configuration.java:182)",
+    )
     p.add_argument("--output", default=None, help="parquet dir for the top-K output")
     p.add_argument("--workdir", default=None, help="state/checkpoint dir (streaming)")
     ns = p.parse_args(argv)
@@ -66,10 +73,21 @@ def main(argv: list[str] | None = None) -> int:
         from flink_cooccurrence_spark.streaming.sources import interactions_csv_stream
 
         eng = CooccurrenceStreamEngine(spark, cfg, workdir=ns.workdir)
-        query = eng.attach(
-            interactions_csv_stream(spark, cfg.input_path), available_now=True
-        )
-        query.awaitTermination()
+        stream = interactions_csv_stream(spark, cfg.input_path)
+        if ns.follow:
+            query = (
+                stream.writeStream.foreachBatch(eng.process_batch)
+                .option(
+                    "checkpointLocation",
+                    (ns.workdir or eng.workdir) + "/checkpoint",
+                )
+                .trigger(processingTime=f"{cfg.buffer_timeout_ms} milliseconds")
+                .start()
+            )
+            query.awaitTermination()  # runs until interrupted
+        else:
+            query = eng.attach(stream, available_now=True)
+            query.awaitTermination()
         result = eng.final_topk()
         metrics = eng.metrics()
     else:

@@ -246,3 +246,27 @@ def windowed_row_sum_deltas(interactions: DataFrame, window_millis: int) -> Data
         .agg(F.sum("c").cast("long").alias("delta"))
         .filter(F.col("delta") != 0)
     )
+
+
+def sliding_item_counts(
+    interactions: DataFrame, size_millis: int, slide_millis: int
+) -> DataFrame:
+    """Per-item interaction counts over sliding event-time windows:
+    (window_start, item, cnt).
+
+    Beyond-reference window surface (the reference is tumbling-only,
+    SURVEY §1.4; sliding comes free from ``F.window``): each event lands in
+    size/slide epoch-aligned windows. Emitted through the built-in window
+    expression, so the replicate-per-window expansion happens inside
+    whole-stage codegen before the single hash-aggregate shuffle.
+    """
+    win = F.window(
+        F.timestamp_millis(F.col("ts_ms")),
+        f"{size_millis} milliseconds",
+        f"{slide_millis} milliseconds",
+    )
+    return (
+        interactions.groupBy(win.alias("w"), "item")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_millis("w.start").alias("window_start"), "item", "cnt")
+    )

@@ -93,15 +93,34 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.05
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: (doc_a, doc_b, jaccard ≥ t).
 
     Inverted-index plan: pairs are generated per shared shingle, aggregated
     to intersection sizes, then joined to per-doc shingle counts.
+
+    ``max_doc_freq`` is the corpus-scale lever: shingles appearing in more
+    than this many documents are dropped from the *inverted index only*
+    before the pair join (a shingle in d docs contributes d² join rows — a
+    boilerplate shingle in 1M docs is 10¹² rows). Denominators still use
+    full shingle sets, so with the cut the result is a lower-bound estimate
+    that misses pairs whose overlap is exclusively hot shingles; default
+    off keeps the operator exact (and oracle-checked).
     """
     sh = doc_shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -261,6 +261,25 @@ WITH cases(case_id, k11, k12, k21, k22) AS (VALUES {_golden_values})
 SELECT case_id, ROUND({llr_sql('k11', 'k12', 'k21', 'k22')}, 3) AS score FROM cases
 """
 
+#: Sliding-window config for the beyond-reference window query (2d size /
+#: 1d slide → every event in exactly 2 windows).
+SLIDING_SIZE_MILLIS = 2 * 24 * 60 * 60 * 1000
+SLIDING_SLIDE_MILLIS = 24 * 60 * 60 * 1000
+
+ORACLES["sliding_item_counts"] = f"""
+WITH {INTER_CTE},
+expanded AS (
+  SELECT item, k * {SLIDING_SLIDE_MILLIS} AS window_start
+  FROM inter,
+       unnest(generate_series(
+         (ts_ms - {SLIDING_SIZE_MILLIS}) // {SLIDING_SLIDE_MILLIS} + 1,
+         ts_ms // {SLIDING_SLIDE_MILLIS}
+       )) AS t(k)
+)
+SELECT window_start, item, CAST(count(*) AS BIGINT) AS cnt
+FROM expanded GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # streaming-engine oracles: the micro-batch engine's final state must equal
 # the batch closed forms, so the streaming queries reuse the same SQL (the

@@ -113,6 +113,19 @@ def q_item_cut_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_cut_flags(_interactions(spark, sf_dir), ITEM_CUT_F_MAX, WINDOW_MILLIS)
 
 
+def q_sliding_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference window surface: sliding event-time windows (§2.1)."""
+    from flink_cooccurrence_spark.operators.cooccurrence import sliding_item_counts
+    from flink_cooccurrence_spark.oracle import (
+        SLIDING_SIZE_MILLIS,
+        SLIDING_SLIDE_MILLIS,
+    )
+
+    return sliding_item_counts(
+        _interactions(spark, sf_dir), SLIDING_SIZE_MILLIS, SLIDING_SLIDE_MILLIS
+    )
+
+
 def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15 golden cases (LogLikelihoodTest.java:12-17 via FIXTURES.md F2)."""
     df = spark.createDataFrame(
@@ -183,6 +196,7 @@ QUERIES: dict[str, QueryFn] = {
     "windowed_item_row_deltas": q_windowed_item_row_deltas,
     "windowed_topk": q_windowed_topk,
     "item_cut_flags": q_item_cut_flags,
+    "sliding_item_counts": q_sliding_item_counts,
     "llr_golden": q_llr_golden,
     "streaming_cooccurrence_counts": q_streaming_cooccurrence_counts,
     "streaming_row_sums": q_streaming_row_sums,

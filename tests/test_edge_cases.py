@@ -57,6 +57,21 @@ def test_sampled_engine_all_rows_cut(spark, tmp_path):
     assert hist.filter(F.size("history") > 0).count() == 0
 
 
+def test_ngram_df_cut_is_conservative(spark, sf_dir):
+    """The document-frequency cut only removes candidate overlap: every
+    surviving pair's jaccard is ≤ its exact value, and no new pairs appear."""
+    from flink_cooccurrence_spark.operators.dedup import ngram_jaccard_pairs
+    from flink_cooccurrence_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    exact = ngram_jaccard_pairs(docs, threshold=0.0).toPandas()
+    cut = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=2).toPandas()
+    exact_map = {(r.doc_a, r.doc_b): r.jaccard for r in exact.itertuples()}
+    for r in cut.itertuples():
+        assert (r.doc_a, r.doc_b) in exact_map
+        assert r.jaccard <= exact_map[(r.doc_a, r.doc_b)] + 1e-9
+
+
 def test_reservoir_user_cut_one(spark):
     """kMax=1: every admitted interaction after the first replaces-or-rejects
     a single slot; matrix cells stay within ±1 transitions (non-negative)."""
