@@ -1,0 +1,59 @@
+"""Relational-surface operators beyond the reference (SURVEY §2.1 rows the
+reference lacks: session windows, distinct aggregation, grouping
+sets/rollup). The reference's dataflow never needs these; the engine
+exposes them because a user migrating real workloads will — and each one is
+a thin declarative plan over the built-in Catalyst operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.cooccurrence import with_window
+
+
+def session_item_counts(interactions: DataFrame, gap_millis: int) -> DataFrame:
+    """Per-item session windows: (item, session_start, session_end, cnt).
+
+    ``F.session_window`` semantics: a session extends ``gap`` past its last
+    event; an event at distance ≥ gap starts a new session. session_end =
+    last event + gap.
+    """
+    sw = F.session_window(
+        F.timestamp_millis(F.col("ts_ms")), f"{gap_millis} milliseconds"
+    )
+    return (
+        interactions.groupBy(sw.alias("w"), "item")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "item",
+            F.unix_millis("w.start").alias("session_start"),
+            F.unix_millis("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
+def distinct_users_per_item(interactions: DataFrame) -> DataFrame:
+    """Distinct aggregation: (item, n_users) — partial-aggregated two-phase
+    distinct under the hood (expand + two hash aggregates)."""
+    return interactions.groupBy("item").agg(
+        F.count_distinct("user").alias("n_users")
+    )
+
+
+def interaction_rollup(interactions: DataFrame, window_millis: int) -> DataFrame:
+    """ROLLUP (item, window_start) interaction counts with −1 as the
+    all-marker (portable: Spark and SQL engines both emit NULL for rolled-up
+    levels; the sentinel keeps the driver's value-hash well-defined)."""
+    w = with_window(interactions, window_millis)
+    return (
+        w.rollup("item", "window_start")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce(F.col("item"), F.lit(-1)).alias("item"),
+            F.coalesce(F.col("window_start"), F.lit(-1)).alias("window_start"),
+            "cnt",
+        )
+    )

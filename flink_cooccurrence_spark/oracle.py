@@ -280,6 +280,46 @@ SELECT window_start, item, CAST(count(*) AS BIGINT) AS cnt
 FROM expanded GROUP BY 1, 2
 """
 
+#: Session gap for the session-window query (6h — mean per-item gap in the
+#: driver events is ~7h, so both merges and splits occur).
+SESSION_GAP_MILLIS = 6 * 60 * 60 * 1000
+
+ORACLES["session_item_counts"] = f"""
+WITH {INTER_CTE},
+ordered AS (
+  SELECT item, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                OR ts_ms - lag(ts_ms) OVER w >= {SESSION_GAP_MILLIS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM inter
+  WINDOW w AS (PARTITION BY item ORDER BY ts_ms)
+),
+sess AS (
+  SELECT item, ts_ms,
+         SUM(new_s) OVER (PARTITION BY item ORDER BY ts_ms
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT item, min(ts_ms) AS session_start,
+       max(ts_ms) + {SESSION_GAP_MILLIS} AS session_end,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM sess GROUP BY item, sid
+"""
+
+ORACLES["distinct_users_per_item"] = f"""
+WITH {INTER_CTE}
+SELECT item, CAST(count(DISTINCT user) AS BIGINT) AS n_users
+FROM inter GROUP BY item
+"""
+
+ORACLES["interaction_rollup"] = f"""
+WITH {INTER_CTE}, {WINTER_CTE}
+SELECT COALESCE(item, -1) AS item,
+       COALESCE(window_start, -1) AS window_start,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM winter GROUP BY ROLLUP (item, window_start)
+"""
+
 # ---------------------------------------------------------------------------
 # streaming-engine oracles: the micro-batch engine's final state must equal
 # the batch closed forms, so the streaming queries reuse the same SQL (the

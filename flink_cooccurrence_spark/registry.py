@@ -126,6 +126,28 @@ def q_sliding_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference window surface: session windows (§2.1)."""
+    from flink_cooccurrence_spark.operators.relational import session_item_counts
+    from flink_cooccurrence_spark.oracle import SESSION_GAP_MILLIS
+
+    return session_item_counts(_interactions(spark, sf_dir), SESSION_GAP_MILLIS)
+
+
+def q_distinct_users_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation surface (§2.1)."""
+    from flink_cooccurrence_spark.operators.relational import distinct_users_per_item
+
+    return distinct_users_per_item(_interactions(spark, sf_dir))
+
+
+def q_interaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets/rollup surface (§2.1)."""
+    from flink_cooccurrence_spark.operators.relational import interaction_rollup
+
+    return interaction_rollup(_interactions(spark, sf_dir), WINDOW_MILLIS)
+
+
 def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15 golden cases (LogLikelihoodTest.java:12-17 via FIXTURES.md F2)."""
     df = spark.createDataFrame(
@@ -197,6 +219,9 @@ QUERIES: dict[str, QueryFn] = {
     "windowed_topk": q_windowed_topk,
     "item_cut_flags": q_item_cut_flags,
     "sliding_item_counts": q_sliding_item_counts,
+    "session_item_counts": q_session_item_counts,
+    "distinct_users_per_item": q_distinct_users_per_item,
+    "interaction_rollup": q_interaction_rollup,
     "llr_golden": q_llr_golden,
     "streaming_cooccurrence_counts": q_streaming_cooccurrence_counts,
     "streaming_row_sums": q_streaming_row_sums,
