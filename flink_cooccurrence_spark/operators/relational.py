@@ -7,7 +7,7 @@ a thin declarative plan over the built-in Catalyst operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.operators.cooccurrence import with_window
@@ -56,4 +56,73 @@ def interaction_rollup(interactions: DataFrame, window_millis: int) -> DataFrame
             F.coalesce(F.col("window_start"), F.lit(-1)).alias("window_start"),
             "cnt",
         )
+    )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for each left row, the values of the latest right row with
+    ``right_ts < left_ts`` (``strict=False``: ≤), per key.
+
+    Realized with the scalable union trick rather than a range join: tag
+    both sides, union, and take ``last(value, ignorenulls)`` over a
+    (key)-partitioned window ordered by (ts, side) — one shuffle on the
+    key, a single sort, no per-row range probe (a range join here plans as
+    a broadcast-nested-loop / cartesian at worst). Ties on ts between left
+    and right are resolved by the side order (strict ⇒ the right row is
+    not yet visible at its own timestamp); ties *within* the right side
+    are undefined — pass a composite timestamp if that matters.
+    """
+    side_left, side_right = (0, 1) if strict else (1, 0)
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(side_left)
+    ).withColumn("__is_left", F.lit(True))
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(side_right).alias("__side"),
+        F.lit(False).alias("__is_left"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"__v_{v}", ignorenulls=True).over(w).alias(f"{prefix}{v}")
+            for v in value_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left")).drop(
+        "__ts", "__side", "__is_left", *[f"__v_{v}" for v in value_cols]
+    )
+
+
+def semi_join_active(dim: DataFrame, fact: DataFrame, dim_key: str, fact_key: str) -> DataFrame:
+    """LEFT SEMI join: dimension rows with at least one matching fact row."""
+    return dim.join(
+        fact.select(F.col(fact_key).alias(dim_key)).distinct(),
+        on=dim_key,
+        how="left_semi",
+    )
+
+
+def anti_join_inactive(dim: DataFrame, fact: DataFrame, dim_key: str, fact_key: str) -> DataFrame:
+    """LEFT ANTI join: dimension rows with no matching fact row."""
+    return dim.join(
+        fact.select(F.col(fact_key).alias(dim_key)).distinct(),
+        on=dim_key,
+        how="left_anti",
     )

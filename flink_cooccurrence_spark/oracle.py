@@ -306,6 +306,25 @@ SELECT item, min(ts_ms) AS session_start,
 FROM sess GROUP BY item, sid
 """
 
+ORACLES["prev_interaction"] = f"""
+WITH {INTER_CTE}
+SELECT user, seq, item,
+       COALESCE(lag(item) OVER w, -1) AS prev_item,
+       COALESCE(lag(ts_ms) OVER w, -1) AS prev_ts_ms
+FROM inter
+WINDOW w AS (PARTITION BY user ORDER BY ts_ms)
+"""
+
+ORACLES["active_customers"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+ORACLES["inactive_customers"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
 ORACLES["distinct_users_per_item"] = f"""
 WITH {INTER_CTE}
 SELECT item, CAST(count(DISTINCT user) AS BIGINT) AS n_users

@@ -148,6 +148,56 @@ def q_interaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interaction_rollup(_interactions(spark, sf_dir), WINDOW_MILLIS)
 
 
+def q_prev_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of self-join (§2.1 joins row): each interaction picks up the
+    user's latest strictly-prior interaction's item and timestamp."""
+    from flink_cooccurrence_spark.operators.relational import as_of_join
+
+    inter = _interactions(spark, sf_dir)
+    return as_of_join(
+        inter.select("user", "item", "ts_ms", "seq"),
+        inter.select("user", "item", "ts_ms"),
+        on=["user"],
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        value_cols=["item", "ts_ms"],
+        strict=True,
+        prefix="prev_",
+    ).select(
+        "user",
+        "seq",
+        "item",
+        # −1 sentinel for "no prior interaction": keeps the columns
+        # non-null so the driver's value compare never sees NaN-typed ints
+        F.coalesce(F.col("prev_item"), F.lit(-1)).alias("prev_item"),
+        F.coalesce(F.col("prev_ts_ms"), F.lit(-1)).alias("prev_ts_ms"),
+    )
+
+
+def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface: customers with at least one event."""
+    from flink_cooccurrence_spark.operators.relational import semi_join_active
+
+    return semi_join_active(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        load_table(spark, sf_dir, "events"),
+        "c_custkey",
+        "user_id",
+    )
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with no events."""
+    from flink_cooccurrence_spark.operators.relational import anti_join_inactive
+
+    return anti_join_inactive(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        load_table(spark, sf_dir, "events"),
+        "c_custkey",
+        "user_id",
+    )
+
+
 def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15 golden cases (LogLikelihoodTest.java:12-17 via FIXTURES.md F2)."""
     df = spark.createDataFrame(
@@ -222,6 +272,9 @@ QUERIES: dict[str, QueryFn] = {
     "session_item_counts": q_session_item_counts,
     "distinct_users_per_item": q_distinct_users_per_item,
     "interaction_rollup": q_interaction_rollup,
+    "prev_interaction": q_prev_interaction,
+    "active_customers": q_active_customers,
+    "inactive_customers": q_inactive_customers,
     "llr_golden": q_llr_golden,
     "streaming_cooccurrence_counts": q_streaming_cooccurrence_counts,
     "streaming_row_sums": q_streaming_row_sums,
