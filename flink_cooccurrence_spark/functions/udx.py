@@ -1,0 +1,74 @@
+"""User-defined function surface (SURVEY §2.1 UDF/UDAF/UDTF row).
+
+The reference has no UDF layer (all compiled operators); the engine exposes
+all three PySpark extension points with oracle-checked examples:
+
+- scalar: the LLR column expression needs no UDF (``functions/llr.py``) —
+  the pandas-UDF variant here exists for parity testing;
+- UDAF: Arrow-backed grouped-agg pandas UDF (``median_udaf``);
+- UDTF: row-expanding table function (``SentenceSplitter``).
+
+UDFs are the slow path by design (SURVEY §4.3): everything hot in the
+engine is a built-in column expression; these exist so user workloads that
+genuinely need Python have a vetted pattern (Arrow batches, not
+row-at-a-time).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+
+@pandas_udf("double")
+def llr_pandas(k11: pd.Series, k12: pd.Series, k21: pd.Series, k22: pd.Series) -> pd.Series:
+    """Row-parity pandas UDF of the LLR expression (tests only — the hot
+    path is the codegen'd column expression in ``functions/llr.py``)."""
+
+    def x_log_x(x: float) -> float:
+        return 0.0 if x <= 0 else x * math.log(x)
+
+    def one(a: float, b: float, c: float, d: float) -> float:
+        def ent(*xs: float) -> float:
+            return x_log_x(sum(xs)) - sum(x_log_x(x) for x in xs)
+
+        row, col, mat = ent(a + b, c + d), ent(a + c, b + d), ent(a, b, c, d)
+        return 0.0 if row + col < mat else 2.0 * (row + col - mat)
+
+    return pd.Series(
+        [one(a, b, c, d) for a, b, c, d in zip(k11, k12, k21, k22)]
+    )
+
+
+@pandas_udf("double")
+def median_udaf(v: pd.Series) -> float:
+    """Grouped-agg pandas UDAF: exact median (linear interpolation at even
+    counts — the quantile_cont semantics)."""
+    return float(v.median())
+
+
+@udtf(returnType="sentence_idx int, sentence string")
+class SentenceSplitter:
+    """UDTF: split a text into trimmed non-empty '.'-delimited sentences,
+    one output row each — the table-function extension point."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        idx = 0
+        for part in text.split("."):
+            s = part.strip()
+            if s:
+                yield idx, s
+                idx += 1
+
+
+def doc_sentences(documents):
+    """(doc_id, sentence_idx, sentence) via the UDTF through a lateral join."""
+    return documents.lateralJoin(
+        SentenceSplitter(F.col("text").outer())
+    ).select("doc_id", "sentence_idx", "sentence")

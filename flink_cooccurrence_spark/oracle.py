@@ -713,6 +713,54 @@ reach(doc_id, r) AS (
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 """
 
+    o["median_quality_by_lang"] = rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         CAST(len(list_filter(toks, t -> t IN ({stop_list}))) AS INT) AS n_stop
+  FROM base
+),
+quality AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tokens, 100) / 100.0
+               + 0.4 * (n_distinct / n_tokens)
+               + 0.2 * (1 - n_stop / n_tokens), 6) AS quality_score
+  FROM feat
+),
+hits AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM base
+),
+best AS (SELECT *, {greatest} AS best FROM hits),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best = 0 THEN 'und'
+           {case_lines}
+           ELSE 'und' END AS lang_pred
+  FROM best
+)
+SELECT l.lang_pred, round(median(q.quality_score), 6) AS median_quality
+FROM quality q JOIN lang l USING (doc_id)
+GROUP BY l.lang_pred
+"""
+
+    o["doc_sentences"] = r"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(string_split(text, '.')) AS p,
+         generate_subscripts(string_split(text, '.'), 1) AS orig_pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY orig_pos) - 1 AS INT)
+         AS sentence_idx,
+       trim(p) AS sentence
+FROM parts WHERE trim(p) != ''
+"""
+
     from flink_cooccurrence_spark.plans import corpus as cp
 
     o["corpus_filter"] = rf"""

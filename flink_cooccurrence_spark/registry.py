@@ -315,6 +315,19 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _q_median_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF surface: exact per-language median quality."""
+    from flink_cooccurrence_spark.functions.udx import median_udaf
+
+    docs = _documents(spark, sf_dir)
+    joined = _ts.text_stats(docs).join(
+        _ts.lang_id(docs).select("doc_id", "lang_pred"), on="doc_id"
+    )
+    return joined.groupBy("lang_pred").agg(
+        F.round(median_udaf("quality_score"), 6).alias("median_quality")
+    )
+
+
 EXTENSION_QUERIES: dict[str, QueryFn] = {
     # dedup family
     "dedup_exact": lambda s, d: _dedup.exact_duplicates(_documents(s, d)),
@@ -333,6 +346,11 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
+    # UDF/UDAF/UDTF surface (functions/udx.py)
+    "median_quality_by_lang": lambda s, d: _q_median_quality_by_lang(s, d),
+    "doc_sentences": lambda s, d: __import__(
+        "flink_cooccurrence_spark.functions.udx", fromlist=["doc_sentences"]
+    ).doc_sentences(_documents(s, d)),
     # composed training-corpus preparation pipeline
     "corpus_filter": lambda s, d: __import__(
         "flink_cooccurrence_spark.plans.corpus", fromlist=["corpus_filter"]

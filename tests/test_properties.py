@@ -121,6 +121,34 @@ def _llr_py(k11, k12, k21, k22):
     return 2.0 * (row + col - mat)
 
 
+def test_llr_pandas_udf_matches_expression(spark):
+    """The pandas-UDF parity variant (SURVEY §2 op 15) agrees with the
+    codegen'd column expression."""
+    from pyspark.sql import functions as F
+
+    from flink_cooccurrence_spark.functions.llr import llr
+    from flink_cooccurrence_spark.functions.udx import llr_pandas
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (i, int(rng.randint(0, 500)), int(rng.randint(0, 5000)),
+         int(rng.randint(0, 5000)), int(rng.randint(0, 500000)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(cases, "i int, k11 long, k12 long, k21 long, k22 long")
+    args = (F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22"))
+    pdf = df.select(
+        llr(*args).alias("expr"),
+        llr_pandas(
+            F.col("k11").cast("double"),
+            F.col("k12").cast("double"),
+            F.col("k21").cast("double"),
+            F.col("k22").cast("double"),
+        ).alias("udf"),
+    ).toPandas()
+    assert np.allclose(pdf["expr"], pdf["udf"], rtol=1e-9, atol=1e-6)
+
+
 def test_llr_column_expression_matches_scalar(spark):
     """Vectorized cross-check over 500 seeded random contingency tables."""
     from pyspark.sql import functions as F
