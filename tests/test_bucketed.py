@@ -1,0 +1,76 @@
+"""Bucketing gate: the cooccurrence matrix build over a user-bucketed table
+runs with exactly ONE exchange (the final cell aggregation) — the
+interactions shuffle is paid once at write time."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.cooccurrence import cooccurrence_counts
+from flink_cooccurrence_spark.registry import _interactions
+from flink_cooccurrence_spark.sources.bucketed import (
+    read_bucketed_interactions,
+    write_bucketed_interactions,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_table(spark, sf_dir):
+    inter = _interactions(spark, sf_dir)
+    write_bucketed_interactions(inter, "interactions_bucketed", buckets=8)
+    yield "interactions_bucketed"
+    spark.sql("DROP TABLE IF EXISTS interactions_bucketed")
+
+
+def test_bucketed_matrix_single_exchange(spark, bucketed_table):
+    inter = read_bucketed_interactions(spark, bucketed_table)
+    # drop the shuffle_hash hint path: with bucketing both agg inputs are
+    # already hash-distributed by user, the join is a bucket join
+    counts = inter.groupBy("user", "item").agg(F.count("*").alias("n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    matrix = (
+        a.join(b, on="user")
+        .select(
+            F.col("a.item").alias("item"),
+            F.col("b.item").alias("other_item"),
+            F.when(
+                F.col("a.item") == F.col("b.item"),
+                F.col("a.n").cast("long") * (F.col("a.n") - 1),
+            )
+            .otherwise(F.col("a.n").cast("long") * F.col("b.n"))
+            .alias("pairs"),
+        )
+        .filter(F.col("pairs") > 0)
+        .groupBy("item", "other_item")
+        .agg(F.sum("pairs").alias("cnt"))
+    )
+    plan = matrix._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange (final cell agg), got {n_exchanges}:\n{plan[:4000]}"
+
+
+def test_bucketed_matrix_equals_plain(spark, sf_dir, bucketed_table):
+    inter = read_bucketed_interactions(spark, bucketed_table)
+    counts = inter.groupBy("user", "item").agg(F.count("*").alias("n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    matrix = (
+        a.join(b, on="user")
+        .select(
+            F.col("a.item").alias("item"),
+            F.col("b.item").alias("other_item"),
+            F.when(
+                F.col("a.item") == F.col("b.item"),
+                F.col("a.n").cast("long") * (F.col("a.n") - 1),
+            )
+            .otherwise(F.col("a.n").cast("long") * F.col("b.n"))
+            .alias("pairs"),
+        )
+        .filter(F.col("pairs") > 0)
+        .groupBy("item", "other_item")
+        .agg(F.sum("pairs").alias("cnt"))
+    )
+    exp = cooccurrence_counts(_interactions(spark, sf_dir))
+    assert matrix.exceptAll(exp).count() == 0
+    assert exp.exceptAll(matrix).count() == 0
