@@ -32,12 +32,18 @@ class StateStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._versions: dict[str, int] = {}
         self._scalars_path = os.path.join(root, "scalars.json")
+        self._versions_path = os.path.join(root, "versions.json")
         self.scalars: dict[str, int] = {}
+        self._versions: dict[str, int] = {}
+        # restart support: a new engine on an existing workdir (checkpoint
+        # recovery) must resume from the persisted pointers, not version 0
         if os.path.exists(self._scalars_path):
             with open(self._scalars_path) as f:
                 self.scalars = json.load(f)
+        if os.path.exists(self._versions_path):
+            with open(self._versions_path) as f:
+                self._versions = json.load(f)
 
     # -- table state ---------------------------------------------------------
 
@@ -56,6 +62,8 @@ class StateStore:
         v = self._versions.get(name, 0) + 1
         df.write.mode("overwrite").parquet(self._path(name, v))
         self._versions[name] = v
+        with open(self._versions_path, "w") as f:
+            json.dump(self._versions, f)
         stale = v - RETAIN_VERSIONS
         if stale > 0:
             shutil.rmtree(self._path(name, stale), ignore_errors=True)

@@ -181,6 +181,36 @@ def test_structured_streaming_file_source(spark, inter, tmp_path):
     assert eng.metrics()["batches"] >= 4
 
 
+def test_engine_restart_resumes_from_checkpoint(spark, inter, tmp_path):
+    """A NEW engine instance on the same workdir + checkpoint resumes state
+    (the reference's checkpointed-source restart, SURVEY §2 op 1/§4.2):
+    files arriving after a restart fold into the pre-restart state."""
+    sample = inter.filter(F.col("user") % 13 == 0)
+    rows = sample.select("user", "item", "ts_ms").orderBy("ts_ms", "seq").collect()
+    csv_dir, wd = str(tmp_path / "csv"), str(tmp_path / "wd")
+    os.makedirs(csv_dir)
+    half = len(rows) // 2
+    base = 1_600_000_000
+
+    def write_file(i, chunk):
+        p = os.path.join(csv_dir, f"part-{i:04d}.csv")
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(f"{r['user']},{r['item']},{r['ts_ms']}\n")
+        os.utime(p, (base + i, base + i))
+
+    write_file(0, rows[:half])
+    eng1 = CooccurrenceStreamEngine(spark, _cfg(skip_cuts=True), workdir=wd)
+    eng1.attach(interactions_csv_stream(spark, csv_dir)).awaitTermination(120)
+
+    write_file(1, rows[half:])
+    eng2 = CooccurrenceStreamEngine(spark, _cfg(skip_cuts=True), workdir=wd)
+    eng2.attach(interactions_csv_stream(spark, csv_dir)).awaitTermination(120)
+
+    assert_df_equal(eng2.item_rows(), cooccurrence_counts(sample), "restart_resume")
+    assert eng2.metrics()["batches"] == 2
+
+
 def test_late_rows_dropped_and_counted(spark, tmp_path):
     cfg = _cfg(skip_cuts=True, window_size=1, window_unit="SECONDS")
     eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "late"))
