@@ -104,6 +104,50 @@ def test_reservoir_draw_in_range_and_deterministic(seed, user, total):
     assert k == reservoir_draw(seed, user, total)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key
+            st.integers(0, 50),     # ts
+            st.booleans(),          # side: True = left
+            st.integers(0, 99),     # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    strict=st.booleans(),
+)
+def test_as_of_join_matches_bruteforce(spark, data, strict):
+    """as_of_join == per-row brute-force 'latest right with ts < (≤) left ts'."""
+    from flink_cooccurrence_spark.operators.relational import as_of_join
+
+    lrows = [(k, t, v) for k, t, s, v in data if s]
+    rrows = [(k, t, v) for k, t, s, v in data if not s]
+    # unique right (key, ts): ties within the right side are documented-
+    # undefined, so the property avoids them
+    seen = set()
+    rrows = [r for r in rrows if not (r[:2] in seen or seen.add(r[:2]))]
+    if not lrows:
+        return
+    left = spark.createDataFrame(lrows, "k int, ts long, lv int")
+    right = spark.createDataFrame(rrows or [(99, -1, 0)], "k int, ts long, rv int")
+    got = {
+        (r["k"], r["ts"], r["lv"]): r["asof_rv"]
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rv"], strict=strict,
+        ).collect()
+    }
+    for k, t, v in lrows:
+        cands = [
+            (rt, rv) for rk, rt, rv in (rrows or [(99, -1, 0)])
+            if rk == k and (rt < t if strict else rt <= t)
+        ]
+        exp = max(cands)[1] if cands else None
+        assert got[(k, t, v)] == exp, (k, t, strict, cands)
+
+
 def _llr_py(k11, k12, k21, k22):
     """Independent scalar LLR (Dunning / LogLikelihood.java:41-61)."""
 
