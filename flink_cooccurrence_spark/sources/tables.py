@@ -40,6 +40,10 @@ NANOS_TS_COLS = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of a driver testdata table (predicate/projection pushdown)."""
+    # the driver tables use TIMESTAMP(NANOS), which vanilla Spark rejects;
+    # set the (runtime-settable) legacy conf defensively so the engine works
+    # under ANY caller session, not just flink_cooccurrence_spark.session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
