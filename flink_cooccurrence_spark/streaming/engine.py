@@ -93,15 +93,23 @@ class CooccurrenceStreamEngine:
     # ------------------------------------------------------------------ api
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: fold one micro-batch into the state tables."""
-        batch = self._ensure_seq(batch)
-        batch = self._drop_late(batch)
-        if self.config.skip_cuts:
-            delta, rs_delta = self._nonsampled_deltas(batch, batch_id)
-        else:
-            delta, rs_delta = self._sampled_deltas(batch, batch_id)
-        self._merge_and_score(delta, rs_delta, batch_id)
-        self.state.flush_scalars()
+        """foreachBatch body: fold one micro-batch into the state tables.
+
+        The whole batch is one state transaction: puts/scalars publish at
+        ``commit()``; on any failure the in-memory pointers roll back to
+        the last committed batch so a foreachBatch retry is idempotent."""
+        try:
+            batch = self._ensure_seq(batch)
+            batch = self._drop_late(batch)
+            if self.config.skip_cuts:
+                delta, rs_delta = self._nonsampled_deltas(batch, batch_id)
+            else:
+                delta, rs_delta = self._sampled_deltas(batch, batch_id)
+            self._merge_and_score(delta, rs_delta, batch_id)
+        except BaseException:
+            self.state.rollback()
+            raise
+        self.state.commit()
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):
         """Wire the engine into a streaming DataFrame via foreachBatch."""
@@ -153,7 +161,7 @@ class CooccurrenceStreamEngine:
     def topk_updates(self) -> DataFrame:
         """Per-batch top-K emission log (batch_id, item, rank, other_item, cnt, score)."""
         try:
-            return self.spark.read.parquet(self._topk_dir)
+            return self.spark.read.parquet(os.path.join(self._topk_dir, "batch-*"))
         except Exception:
             return self.spark.createDataFrame(
                 [], "batch_id long, item int, rank int, other_item int, cnt long, score double"
@@ -451,4 +459,8 @@ class CooccurrenceStreamEngine:
             "cnt",
             "score",
         )
-        topk.write.mode("append").parquet(self._topk_dir)
+        # per-batch subdir with overwrite: a retried batch rewrites its own
+        # emissions instead of appending duplicates (idempotent output log)
+        topk.write.mode("overwrite").parquet(
+            os.path.join(self._topk_dir, f"batch-{batch_id}")
+        )

@@ -58,15 +58,45 @@ class StateStore:
         return self.spark.read.schema(schema).parquet(self._path(name, v))
 
     def put(self, name: str, df: DataFrame) -> None:
-        """Materialize ``df`` as the next version of ``name`` (copy-on-write)."""
+        """Materialize ``df`` as the next version of ``name`` (copy-on-write).
+
+        The new version becomes durable only at ``commit()`` — a batch that
+        fails between puts leaves the persisted pointers at the pre-batch
+        state, and the orphan version dirs are simply overwritten when the
+        batch is retried (same next-version numbers)."""
         v = self._versions.get(name, 0) + 1
         df.write.mode("overwrite").parquet(self._path(name, v))
         self._versions[name] = v
-        with open(self._versions_path, "w") as f:
-            json.dump(self._versions, f)
         stale = v - RETAIN_VERSIONS
         if stale > 0:
             shutil.rmtree(self._path(name, stale), ignore_errors=True)
+
+    # -- batch transaction boundary ------------------------------------------
+
+    def commit(self) -> None:
+        """Durably publish all puts + scalar updates of the current batch in
+        one step (write-then-rename): the multi-table batch update is
+        all-or-nothing from a restart's point of view."""
+        for path, payload in (
+            (self._versions_path, self._versions),
+            (self._scalars_path, self.scalars),
+        ):
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, path)
+
+    def rollback(self) -> None:
+        """Discard in-memory state back to the last commit (for retrying a
+        failed batch in the same process)."""
+        self.scalars = {}
+        self._versions = {}
+        if os.path.exists(self._scalars_path):
+            with open(self._scalars_path) as f:
+                self.scalars = json.load(f)
+        if os.path.exists(self._versions_path):
+            with open(self._versions_path) as f:
+                self._versions = json.load(f)
 
     # -- scalar state (watermark, running total, metric counters) ------------
 
@@ -79,7 +109,3 @@ class StateStore:
 
     def set_scalar(self, key: str, value: int) -> None:
         self.scalars[key] = value
-
-    def flush_scalars(self) -> None:
-        with open(self._scalars_path, "w") as f:
-            json.dump(self.scalars, f)

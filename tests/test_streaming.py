@@ -211,6 +211,46 @@ def test_engine_restart_resumes_from_checkpoint(spark, inter, tmp_path):
     assert eng2.metrics()["batches"] == 2
 
 
+def test_failed_batch_rolls_back_and_retries_cleanly(spark, tmp_path):
+    """A batch that fails mid-update leaves no partial state: pointers roll
+    back to the last commit, a retry produces exactly the same final state
+    as a clean run (foreachBatch retry idempotency)."""
+    cfg = _cfg(skip_cuts=True, window_size=1, window_unit="SECONDS")
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "rb"))
+    b0 = spark.createDataFrame(
+        [(1, 10, 1000, 0), (1, 11, 2000, 1)], "user int, item int, ts_ms long, seq long"
+    )
+    # all b1 timestamps ≥ b0's max ts (2000): nothing is late, so the
+    # clean-run expectation is simply both batches combined
+    b1 = spark.createDataFrame(
+        [(1, 12, 3000, 2), (2, 10, 2500, 3), (2, 12, 3500, 4)],
+        "user int, item int, ts_ms long, seq long",
+    )
+    eng.process_batch(b0, 0)
+    pre_metrics = dict(eng.metrics())
+    pre_rows = eng.item_rows().toPandas()
+
+    real_merge = eng._merge_and_score
+
+    def boom(*a, **k):
+        raise RuntimeError("injected mid-batch failure")
+
+    eng._merge_and_score = boom
+    try:
+        eng.process_batch(b1, 1)
+    except RuntimeError:
+        pass
+    # state unchanged after the failed batch
+    assert dict(eng.metrics()) == pre_metrics
+    assert eng.item_rows().toPandas().equals(pre_rows)
+
+    eng._merge_and_score = real_merge
+    eng.process_batch(b1, 1)  # retry
+    both = b0.unionByName(b1)
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(both), "retried_state")
+    assert eng.total_observed() == total_observed(both).first()[0]
+
+
 def test_late_rows_dropped_and_counted(spark, tmp_path):
     cfg = _cfg(skip_cuts=True, window_size=1, window_unit="SECONDS")
     eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "late"))
