@@ -97,7 +97,12 @@ class CooccurrenceStreamEngine:
 
         The whole batch is one state transaction: puts/scalars publish at
         ``commit()``; on any failure the in-memory pointers roll back to
-        the last committed batch so a foreachBatch retry is idempotent."""
+        the last committed batch so a foreachBatch retry is idempotent.
+        A batch id at or below the committed high-water mark is skipped
+        outright — covers the crash window between the state commit and the
+        streaming checkpoint commit, where Spark re-delivers the batch."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
         try:
             batch = self._ensure_seq(batch)
             batch = self._drop_late(batch)
@@ -109,6 +114,7 @@ class CooccurrenceStreamEngine:
         except BaseException:
             self.state.rollback()
             raise
+        self.state.set_scalar("last_batch_id", int(batch_id))
         self.state.commit()
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):

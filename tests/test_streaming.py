@@ -249,6 +249,11 @@ def test_failed_batch_rolls_back_and_retries_cleanly(spark, tmp_path):
     both = b0.unionByName(b1)
     assert_df_equal(eng.item_rows(), cooccurrence_counts(both), "retried_state")
     assert eng.total_observed() == total_observed(both).first()[0]
+    # re-delivery of an already-committed batch (crash between state commit
+    # and checkpoint commit) is a no-op
+    eng.process_batch(b1, 1)
+    assert eng.total_observed() == total_observed(both).first()[0]
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(both), "redelivered_state")
 
 
 def test_late_rows_dropped_and_counted(spark, tmp_path):
