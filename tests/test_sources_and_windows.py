@@ -59,6 +59,33 @@ def test_csv_reader_failfast_on_malformed(spark, tmp_path):
         read_interactions_csv(spark, str(p)).collect()
 
 
+def test_sink_helpers(spark, tmp_path):
+    """Op 17 sink family: noop forces computation, parquet round-trips,
+    the streaming memory/parquet writers drain a file stream."""
+    from flink_cooccurrence_spark.streaming.sinks import (
+        stream_to_parquet,
+        write_noop,
+        write_parquet,
+    )
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    write_noop(df)
+    write_parquet(df, str(tmp_path / "pq"))
+    assert spark.read.parquet(str(tmp_path / "pq")).count() == 10
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "a.csv").write_text("1,10,1000\n2,20,2000\n")
+    stream = (
+        spark.readStream.schema("user INT, item INT, ts_ms LONG").csv(str(src))
+    )
+    q = stream_to_parquet(
+        stream, str(tmp_path / "stream_out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(str(tmp_path / "stream_out")).count() == 2
+
+
 def test_csv_reader_roundtrip(spark, tmp_path):
     p = tmp_path / "ok.csv"
     p.write_text("1,10,1000\n2,20,2000\n")
