@@ -117,3 +117,65 @@ def video_frame_sample(documents: DataFrame, every: int = 4) -> DataFrame:
     return audio_frames(documents).filter(
         (F.col("frame_idx") % every) == 0
     )
+
+
+#: fake feature dimensionality (bytes of the content hash, scaled)
+FEATURE_DIM = 8
+
+#: fake resize target edge
+RESIZE_MAX_EDGE = 256
+
+
+def image_resize(documents: DataFrame) -> DataFrame:
+    """Fake resize via mapInPandas: (doc_id, width, height, out_width,
+    out_height, scale) — aspect-preserving clamp of the longer edge to
+    RESIZE_MAX_EDGE.
+
+    STUB: a real deployment decodes and resamples pixels (PIL thumbnail);
+    here the geometry math is real (it is what a resize planner needs for
+    batch shaping) and the pixel op is elided. Scale is rounded to 6 for
+    cross-engine hashing.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = _h32(bytes(payload))
+                w, ht = 64 + h % 1024, 64 + (h // 1024) % 1024
+                scale = min(1.0, RESIZE_MAX_EDGE / max(w, ht))
+                rows.append(
+                    (doc_id, w, ht, int(w * scale), int(ht * scale), round(scale, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_width", "out_height", "scale"],
+            )
+
+    payloads = with_binary_payload(documents).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        resize,
+        "doc_id long, width int, height int, out_width int, out_height int, scale double",
+    )
+
+
+def image_features(documents: DataFrame) -> DataFrame:
+    """Fake feature extraction via mapInPandas: (doc_id, features
+    ARRAY<DOUBLE>) — FEATURE_DIM values in [0, 1] derived from the content
+    hash bytes.
+
+    STUB for a real embedding model (CLIP et al.); the Arrow array-column
+    output shape, batching, and downstream joinability (it feeds the
+    similarity operators) are the real, tested part.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.md5(bytes(payload)).digest()
+                feats.append([round(b / 255.0, 6) for b in digest[:FEATURE_DIM]])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+
+    payloads = with_binary_payload(documents).select("doc_id", "payload")
+    return payloads.mapInPandas(extract, "doc_id long, features array<double>")

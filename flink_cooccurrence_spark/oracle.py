@@ -642,6 +642,36 @@ ranked AS (
 SELECT q_id, rank, n_id, cosine, bucket FROM ranked WHERE rank <= {sim.ANN_K}
 """
 
+    from flink_cooccurrence_spark.operators import multimodal as mm
+
+    o["image_resize"] = f"""
+WITH h AS (SELECT doc_id, {hash32_sql("text")} AS hv FROM documents),
+dims AS (
+  SELECT doc_id,
+         CAST(64 + hv % 1024 AS INT) AS width,
+         CAST(64 + (hv // 1024) % 1024 AS INT) AS height
+  FROM h
+),
+scaled AS (
+  SELECT doc_id, width, height,
+         least(1.0, {mm.RESIZE_MAX_EDGE} / greatest(width, height)) AS s
+  FROM dims
+)
+SELECT doc_id, width, height,
+       CAST(floor(width * s) AS INT) AS out_width,
+       CAST(floor(height * s) AS INT) AS out_height,
+       round(s, 6) AS scale
+FROM scaled
+"""
+
+    feat_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS dim, "
+        f"round(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0, 6) AS feature "
+        f"FROM documents"
+        for i in range(mm.FEATURE_DIM)
+    )
+    o["image_features"] = feat_selects
+
     o["image_metadata"] = f"""
 WITH h AS (SELECT doc_id, {hash32_sql("text")} AS hv FROM documents)
 SELECT doc_id,

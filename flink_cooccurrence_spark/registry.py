@@ -357,6 +357,11 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     ).corpus_filter(_documents(s, d)),
     # multimodal (Arrow/pandas plumbing with SQL-checkable fake decode)
     "image_metadata": lambda s, d: _mm.image_metadata(_documents(s, d)),
+    "image_resize": lambda s, d: _mm.image_resize(_documents(s, d)),
+    # long form (doc_id, dim, feature): array cells don't compare scalar-wise
+    "image_features": lambda s, d: _mm.image_features(_documents(s, d)).select(
+        "doc_id", F.posexplode("features").alias("dim", "feature")
+    ),
     "audio_frames": lambda s, d: _mm.audio_frames(_documents(s, d)),
     "video_frame_sample": lambda s, d: _mm.video_frame_sample(_documents(s, d)),
 }
