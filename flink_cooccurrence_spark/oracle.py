@@ -325,6 +325,22 @@ SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 """
 
+ORACLES["top_events_global"] = """
+SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+FROM events
+ORDER BY ts_ms DESC, event_id ASC
+LIMIT 100
+"""
+
+ORACLES["event_props_struct"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT json_extract(props, '$.k')) AS BIGINT) AS n_distinct_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type
+"""
+
 ORACLES["distinct_users_per_item"] = f"""
 WITH {INTER_CTE}
 SELECT item, CAST(count(DISTINCT user) AS BIGINT) AS n_users

@@ -198,6 +198,33 @@ def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit surface (§2.1 sorts row): range-partitioned
+    orderBy with a deterministic total order, then LIMIT."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"))
+        .orderBy(F.col("ts_ms").desc(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
+def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function surface beyond get_json_object: schema'd from_json
+    parse of the props column into a struct, plus event-type aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct(F.col("p.k")).cast("long").alias("n_distinct_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
 def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15 golden cases (LogLikelihoodTest.java:12-17 via FIXTURES.md F2)."""
     df = spark.createDataFrame(
@@ -286,6 +313,8 @@ QUERIES: dict[str, QueryFn] = {
     "prev_interaction": q_prev_interaction,
     "active_customers": q_active_customers,
     "inactive_customers": q_inactive_customers,
+    "top_events_global": q_top_events_global,
+    "event_props_struct": q_event_props_struct,
     "llr_golden": q_llr_golden,
     "streaming_cooccurrence_counts": q_streaming_cooccurrence_counts,
     "streaming_row_sums": q_streaming_row_sums,
