@@ -126,3 +126,35 @@ def anti_join_inactive(dim: DataFrame, fact: DataFrame, dim_key: str, fact_key: 
         on=dim_key,
         how="left_anti",
     )
+
+
+#: rollup cascade resolutions (epoch-aligned)
+DAY_MILLIS = 24 * 60 * 60 * 1000
+WEEK_MILLIS = 7 * DAY_MILLIS
+
+
+def rollup_cascade_counts(interactions: DataFrame) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: per-item counts at two
+    resolutions, ``(resolution, window_start, item, cnt)``, where the coarse
+    level is computed FROM the fine level (aggregate-of-aggregate), not from
+    raw — the TimescaleDB/continuous-rollup pattern. At scale the fine
+    aggregate is the only pass over raw data; every coarser resolution
+    reads the one below it (cheap, pre-aggregated input).
+    """
+    day = F.lit(DAY_MILLIS).cast("long")
+    daily = (
+        interactions.withColumn("window_start", F.col("ts_ms") - F.col("ts_ms") % day)
+        .groupBy("window_start", "item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    week = F.lit(WEEK_MILLIS).cast("long")
+    weekly = (
+        daily.withColumn("wk", F.col("window_start") - F.col("window_start") % week)
+        .groupBy(F.col("wk").alias("window_start"), F.col("item"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return daily.select(
+        F.lit("1d").alias("resolution"), "window_start", "item", "cnt"
+    ).unionByName(
+        weekly.select(F.lit("7d").alias("resolution"), "window_start", "item", "cnt")
+    )

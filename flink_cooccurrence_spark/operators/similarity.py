@@ -136,3 +136,77 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
     return top_k_per_group(
         scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
     ).select("q_id", "rank", "n_id", "cosine", "bucket")
+
+
+#: IVF configuration (shared with the oracle SQL): every vec_id with
+#: ``% IVF_CENTROID_MOD == 1`` serves as a centroid (deterministic "training"
+#: — a real deployment would k-means; the partition/probe dataflow is what
+#: matters and is identical).
+IVF_CENTROID_MOD = 25
+IVF_K = 3
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid cell: (vec_id, cell, cos_c).
+
+    The centroid set is tiny (|corpus| / IVF_CENTROID_MOD) and broadcast;
+    assignment is one narrow pass over the corpus + a per-vector arg-max —
+    linear, no corpus self-join. Ties break to the lower centroid id.
+    """
+    from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    cents = base.filter((F.col("vec_id") % IVF_CENTROID_MOD) == 1).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = F.round(
+        dot(_as_double(F.col("embedding")), _as_double(F.col("c_emb")))
+        / (F.col("norm") * F.col("c_norm")),
+        6,
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", F.col("c_id"), cos.alias("cos_c")
+    )
+    return (
+        top_k_per_group(scored, ["vec_id"], "cos_c", 1, tie_breakers=["c_id"])
+        .select("vec_id", F.col("c_id").alias("cell"), "cos_c")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
+    """IVF approximate top-k: (q_id, rank, n_id, cosine, cell).
+
+    Queries probe only their own cell (nprobe=1): the candidate join key is
+    the cell id, so at scale each task sees one inverted list — the same
+    partition-local shape as the LSH variant, but with data-adaptive
+    Voronoi cells instead of fixed hyperplanes. Raising recall = probing
+    the next-nearest cells (nprobe>1), a straightforward extension of the
+    assignment top-1 to top-nprobe.
+    """
+    from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    cells = ivf_assignments(embeddings).select("vec_id", "cell")
+    corpus = base.join(cells, on="vec_id")
+    queries = corpus.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cell"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = F.round(
+        dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
+        / (F.col("q_norm") * F.col("norm")),
+        6,
+    )
+    pairs = corpus.join(F.broadcast(queries), on="cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id", "cell", F.col("vec_id").alias("n_id"), cos.alias("cosine")
+    )
+    return top_k_per_group(
+        scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+    ).select("q_id", "rank", "n_id", "cosine", "cell")

@@ -341,6 +341,25 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+_DAY = 24 * 60 * 60 * 1000
+_WEEK = 7 * _DAY
+ORACLES["rollup_cascade"] = f"""
+WITH {INTER_CTE},
+daily AS (
+  SELECT ts_ms - ts_ms % {_DAY} AS window_start, item,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM inter GROUP BY 1, 2
+),
+weekly AS (
+  SELECT window_start - window_start % {_WEEK} AS window_start, item,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM daily GROUP BY 1, 2
+)
+SELECT '1d' AS resolution, window_start, item, cnt FROM daily
+UNION ALL
+SELECT '7d' AS resolution, window_start, item, cnt FROM weekly
+"""
+
 ORACLES["distinct_users_per_item"] = f"""
 WITH {INTER_CTE}
 SELECT item, CAST(count(DISTINCT user) AS BIGINT) AS n_users
@@ -659,6 +678,44 @@ SELECT q_id, rank, n_id, cosine, bucket FROM ranked WHERE rank <= {sim.ANN_K}
 """
 
     from flink_cooccurrence_spark.operators import multimodal as mm
+
+    o["ivf_topk"] = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+cents AS (
+  SELECT vec_id AS c_id, v AS c_v, norm AS c_norm
+  FROM normed WHERE vec_id % {sim.IVF_CENTROID_MOD} = 1
+),
+assign_scored AS (
+  SELECT n.vec_id, c.c_id,
+         round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm), 6) AS cos_c
+  FROM normed n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+corpus AS (
+  SELECT n.vec_id, n.v, n.norm, a.cell FROM normed n JOIN assigned a USING (vec_id)
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, q.cell AS cell, n.vec_id AS n_id,
+         round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) AS cosine
+  FROM corpus q JOIN corpus n ON n.cell = q.cell AND n.vec_id != q.vec_id
+  WHERE q.vec_id % {sim.QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT q_id, cell, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT)
+           AS rank
+  FROM pairs
+)
+SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {sim.IVF_K}
+"""
 
     o["image_resize"] = f"""
 WITH h AS (SELECT doc_id, {hash32_sql("text")} AS hv FROM documents),

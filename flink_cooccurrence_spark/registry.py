@@ -225,6 +225,13 @@ def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution aggregate cascade (§2.1 ★)."""
+    from flink_cooccurrence_spark.operators.relational import rollup_cascade_counts
+
+    return rollup_cascade_counts(_interactions(spark, sf_dir))
+
+
 def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15 golden cases (LogLikelihoodTest.java:12-17 via FIXTURES.md F2)."""
     df = spark.createDataFrame(
@@ -315,6 +322,7 @@ QUERIES: dict[str, QueryFn] = {
     "inactive_customers": q_inactive_customers,
     "top_events_global": q_top_events_global,
     "event_props_struct": q_event_props_struct,
+    "rollup_cascade": q_rollup_cascade,
     "llr_golden": q_llr_golden,
     "streaming_cooccurrence_counts": q_streaming_cooccurrence_counts,
     "streaming_row_sums": q_streaming_row_sums,
@@ -375,6 +383,7 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
+    "ivf_topk": lambda s, d: _sim.ivf_topk(_embeddings(s, d)),
     # UDF/UDAF/UDTF surface (functions/udx.py)
     "median_quality_by_lang": lambda s, d: _q_median_quality_by_lang(s, d),
     "doc_sentences": lambda s, d: __import__(
