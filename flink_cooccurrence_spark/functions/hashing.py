@@ -7,9 +7,12 @@ md5 (identical everywhere): take the first 8 hex chars as an unsigned
 (``conv(substr(md5(x),1,8),16,10)``) and DuckDB
 (``('0x' || substr(md5(x),1,8))::BIGINT``).
 
-MinHash uses the classic universal-hash family h_i(x) = (a_i·x + b_i) mod p
-with p = 2^61 − 1 kept in BIGINT range; the (a_i, b_i) parameters are
-generated from a fixed seed and embedded as literals in both engines.
+MinHash uses the classic universal-hash family h_i(x) = (a_i·(x mod p) + b_i)
+mod p with p = 2^31 − 1 kept exactly in BIGINT range; the (a_i, b_i)
+parameters are generated from a fixed seed and embedded as literals in both
+engines. The input is reduced mod p first — h32 spans [0, 2^32) > p, and
+without the reduction inputs differing by exactly p would collide under
+every (a, b) pair, breaking universality.
 """
 
 from __future__ import annotations
@@ -46,10 +49,12 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_col(h: Column, a: int, b: int) -> Column:
-    """(a·h + b) mod p as a Spark column (exact BIGINT arithmetic)."""
-    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+    """(a·(h mod p) + b) mod p as a Spark column (exact BIGINT arithmetic)."""
+    return (F.lit(a) * (h % F.lit(MINHASH_PRIME)) + F.lit(b)) % F.lit(
+        MINHASH_PRIME
+    )
 
 
 def minhash_sql(h_expr: str, a: int, b: int) -> str:
-    """DuckDB text of :func:`minhash_col`."""
-    return f"(({a} * {h_expr} + {b}) % {MINHASH_PRIME})"
+    """DuckDB text of :func:`minhash_col` (bit-identical)."""
+    return f"(({a} * ({h_expr} % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME})"

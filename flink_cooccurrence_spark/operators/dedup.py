@@ -275,18 +275,36 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     return wide.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    documents: DataFrame, max_hamming: int = 6
-) -> DataFrame:
-    """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
+def simhash_band_spec(
+    max_hamming: int, bits: int = SIMHASH_BITS
+) -> list[tuple[int, int]]:
+    """(offset, width) of ``max_hamming + 1`` disjoint bit bands covering
+    ``bits``. Pigeonhole guarantee: two fingerprints within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` bands, so they agree
+    exactly on at least one — band-equality candidates have FULL recall at
+    the contract threshold (``tests/test_properties.py`` pins this on
+    constructed fingerprints)."""
+    n = max_hamming + 1
+    if n > bits:
+        raise ValueError(f"max_hamming {max_hamming} needs > {bits} bands")
+    base, extra = divmod(bits, n)
+    spec: list[tuple[int, int]] = []
+    off = 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        spec.append((off, w))
+        off += w
+    return spec
 
-    Candidates via byte-band equality (4 bands of 8 bits — two near-dup
-    fingerprints within Hamming 6 of each other are guaranteed to agree on
-    at least one band only for hamming ≤ 3; wider recall would OR more
-    bands; exactness is then enforced by the bit_count filter).
-    """
-    fp = simhash_fingerprints(documents).cache()
-    bands = fp.select(
+
+def simhash_pairs_from_fingerprints(
+    fingerprints: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs from a (doc_id, simhash) table: (doc_a, doc_b,
+    hamming ≤ max_hamming), candidates via pigeonhole band equality
+    (``simhash_band_spec``), exactness by the bit_count filter."""
+    spec = simhash_band_spec(max_hamming)
+    bands = fingerprints.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -294,11 +312,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), i * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("band_val"),
                     )
-                    for i in range(4)
+                    for i, (off, w) in enumerate(spec)
                 ]
             )
         ).alias("e"),
@@ -320,6 +338,20 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
+
+    Band count derives from ``max_hamming`` (pigeonhole: h+1 bands), so the
+    returned contract is complete — every pair within the threshold shares
+    at least one band and is found. More bands = more candidate join rows;
+    the trade is explicit in the ``max_hamming`` parameter.
+    """
+    fp = simhash_fingerprints(documents).cache()
+    return simhash_pairs_from_fingerprints(fp, max_hamming)
 
 
 def embedding_near_dup_pairs(

@@ -82,7 +82,12 @@ def audio_frames(documents: DataFrame) -> DataFrame:
 
     Splits each payload into FRAME_BYTES-byte frames and emits one row per
     frame — the row-expanding UDTF shape (1 input row → N output rows)
-    that real frame-samplers / spectrogram extractors need.
+    that real frame-samplers / spectrogram extractors need. An empty payload
+    emits zero frames (matching the oracle's ``ceil(len/16)`` row count).
+
+    Oracle-parity note: the engine frames *bytes* of the utf-8 payload while
+    the oracle SQL frames *characters* of ``text`` — identical for ASCII
+    corpora (the testdata); a non-ASCII corpus needs a byte-slicing oracle.
     """
 
     def split_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,7 +97,7 @@ def audio_frames(documents: DataFrame) -> DataFrame:
             hashes: list[int] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                for i in range(0, max(1, (len(data) + FRAME_BYTES - 1) // FRAME_BYTES)):
+                for i in range((len(data) + FRAME_BYTES - 1) // FRAME_BYTES):
                     frame = data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
                     doc_ids.append(doc_id)
                     idxs.append(i)

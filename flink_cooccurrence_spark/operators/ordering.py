@@ -1,0 +1,123 @@
+"""Distributed total-order primitives — no single-task global sorts.
+
+An unpartitioned ``Window.orderBy(...)`` plans as one task sorting the whole
+input — fine on a bounded micro-batch at test scale, a serial bottleneck at
+100×. These helpers compute global ranks and running aggregates with the
+two-narrow-pass decomposition instead:
+
+1. **Deterministic range bucketing** on the leading order column: bucket =
+   ``floor((x − min) · B / (max − min + 1))`` with min/max from a broadcast
+   1-row aggregate. The bucket is a *pure function of the data* (unlike
+   ``spark_partition_id()`` after ``repartitionByRange``, whose sampled
+   boundaries can differ between two computations of the same subtree), so
+   the per-row pass and the per-bucket-counts pass agree by construction.
+2. **Within-bucket** rank / running aggregate via a window partitioned by
+   bucket — parallel across buckets.
+3. **Cross-bucket prefix** (offsets / prefix max) over the per-bucket
+   aggregate table — at most ``num_buckets`` rows, so the one ordered
+   window there is trivially cheap.
+
+Skew note: all rows sharing a single leading-key value land in one bucket
+(required — equal keys must rank contiguously); a hot key therefore sorts
+in one task. That is inherent to rank semantics, not to this decomposition.
+
+Replaces the reference's implicit single-stream ordering (the unsplittable
+file splits of ``UnsplittableTextInputFormat.java:8-21`` exist purely to
+preserve arrival order; the engine's determinism spec orders by explicit
+columns instead — SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default bucket count — sized so the offsets table is trivially small while
+#: each bucket holds ~1/4096 of the input (at 100 TB: ~25 GB per bucket of
+#: *rank work*, itself parallel within the bucket's window partition when
+#: leading-key values are distinct)
+DEFAULT_BUCKETS = 4096
+
+
+def _with_range_bucket(
+    df: DataFrame, col: str, num_buckets: int, out: str = "_bucket"
+) -> DataFrame:
+    """Deterministic monotone bucket id in [0, num_buckets) from the value
+    range of ``col`` (broadcast min/max — one shuffle-free aggregate folded
+    into the plan, no driver action)."""
+    bounds = df.agg(
+        F.min(col).cast("double").alias("_lo"), F.max(col).cast("double").alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo") + F.lit(1.0)
+    bucket = F.floor((F.col(col).cast("double") - F.col("_lo")) * num_buckets / span)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, F.least(F.lit(num_buckets - 1), bucket).cast("int"))
+        .drop("_lo", "_hi")
+    )
+
+
+def global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "seq",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Append a 1-based global rank by ``order_cols`` without a global sort.
+
+    seq = (prefix sum of lower buckets' row counts) + (row_number within the
+    bucket). Ties on the full key get an arbitrary but valid order — same
+    contract as ``row_number`` over a global window.
+    """
+    d = _with_range_bucket(df, order_cols[0], num_buckets)
+    rn = F.row_number().over(Window.partitionBy("_bucket").orderBy(*order_cols))
+    d = d.withColumn("_rn", rn)
+    counts = d.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
+    off_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), on="_bucket")
+        .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_bucket", "_rn", "_off")
+    )
+
+
+def running_max_exclusive(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "max_prior",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Append the running max of ``value_col`` over all *strictly prior* rows
+    in ``order_col`` order (null for the first row) — the ascending-watermark
+    audit primitive — without a global sort.
+
+    max_prior = greatest(max over prior rows in my bucket,
+                         prefix max of all lower buckets).
+    Assumes ``order_col`` values are distinct (a sequence column); with ties
+    the bucket-boundary prefix would include tie-mates, matching the
+    within-bucket window's tie behavior only up to window semantics.
+    """
+    d = _with_range_bucket(df, order_col, num_buckets)
+    in_w = (
+        Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_in_max", F.max(value_col).over(in_w))
+    per_bucket = d.groupBy("_bucket").agg(F.max(value_col).alias("_bmax"))
+    prev_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prev = per_bucket.select(
+        "_bucket", F.max("_bmax").over(prev_w).alias("_prev_max")
+    )
+    combined = F.when(
+        F.col("_in_max").isNull(), F.col("_prev_max")
+    ).otherwise(F.greatest(F.col("_in_max"), F.coalesce(F.col("_prev_max"), F.col("_in_max"))))
+    return (
+        d.join(F.broadcast(prev), on="_bucket")
+        .withColumn(out, combined)
+        .drop("_bucket", "_in_max", "_prev_max")
+    )

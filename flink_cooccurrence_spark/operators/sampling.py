@@ -163,11 +163,12 @@ def reservoir_sample_user_histories(
     Returns rows ``(window_start, kind, item, other_item, increment)`` (see
     ``reservoir_step``). The interaction order within each user group is
     (window_start, seq) — the engine determinism spec. If ``sampled_col`` is
-    given, interactions with ``sampled=false`` bypass the reservoir entirely
-    (the reference only routes flagged interactions into history updates,
-    ``UserInteractionCounterOneInputStreamOperator.java:167``: un-sampled
-    interactions still reach the operator but emit nothing and are not
-    appended).
+    given, interactions with ``sampled=false`` bypass the reservoir's
+    history/emission path but still increment the lifetime ``total`` — the
+    reference bumps ``userInteractionsTotal`` for *every* interaction
+    reaching the operator, before the sample-flag check
+    (``UserInteractionCounterOneInputStreamOperator.java:158``), so the
+    replacement-draw denominator counts cut-rejected interactions too.
 
     Runs as an Arrow-vectorized ``applyInPandas`` over user groups — each
     group is bounded by the user's interaction count and state is one
@@ -194,6 +195,9 @@ def reservoir_sample_user_histories(
         pdf = pdf.sort_values(["window_start", "seq"], kind="mergesort")
         for row in pdf.itertuples(index=False):
             if sampled_col and not getattr(row, sampled_col):
+                # un-sampled rows still count toward the draw denominator
+                # (UserInteractionCounterOneInputStreamOperator.java:158)
+                total += 1
                 continue
             total = reservoir_step(
                 int(row.item),

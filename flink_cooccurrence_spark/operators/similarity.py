@@ -6,8 +6,9 @@ Two paths, both oracle-checkable:
   against the full corpus (one pass, no shuffle of the corpus side); the
   per-query top-k is a window rank. This is the exact baseline: at 100 TB
   you run it only for evaluation slices.
-- ``ann_lsh_topk`` — random-hyperplane LSH: 16 signed projections bucket
-  each vector; neighbors are searched only within the query's bucket. The
+- ``ann_lsh_topk`` — random-hyperplane LSH: ``NUM_PLANES`` (6) signed
+  projections bucket each vector; neighbors are searched within the query's
+  bucket (or its Hamming-1 neighborhood with ``multi_probe``). The
   hyperplanes are fixed literals (seeded, 6-decimal) shared with the oracle
   SQL. This is the scale path: bucketing is map-side, the join is
   bucket-local, and recall/latency trades via the number of planes.
@@ -93,8 +94,8 @@ def embedding_knn(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
 def lsh_buckets(embeddings: DataFrame) -> DataFrame:
     """Random-hyperplane bucket per vector: (vec_id, bucket).
 
-    bucket = Σ_j 2^j · [dot(v, plane_j) ≥ 0] — 16 literal-array dot
-    products, fully codegen'd, no shuffle.
+    bucket = Σ_j 2^j · [dot(v, plane_j) ≥ 0] — ``NUM_PLANES`` literal-array
+    dot products, fully codegen'd, no shuffle.
     """
     v = _as_double(F.col("embedding"))
     bucket = None

@@ -538,14 +538,16 @@ WITH {words_cte}, {simhash_cte}
 SELECT doc_id, simhash FROM fp
 """
 
-    band4 = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, simhash, {i} AS band_idx, (simhash >> {i * 8}) & 255 AS band_val FROM fp"
-        for i in range(4)
+    # band layout shared with the engine: max_hamming+1 pigeonhole bands
+    sim_bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS band_idx,"
+        f" (simhash >> {off}) & {(1 << w) - 1} AS band_val FROM fp"
+        for i, (off, w) in enumerate(dd.simhash_band_spec(6))
     )
     o["simhash_near_dup_pairs"] = f"""
 WITH {words_cte}, {simhash_cte},
 bands AS (
-{band4}
+{sim_bands}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -51,9 +51,12 @@ def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.4 late-data semantics as an audit aggregate: an element is late iff
     its timestamp <= the ascending watermark (max prior ts − 1), i.e.
     ts_ms < max prior ts_ms (``ItemInteractionCounterTwoInputStreamOperator.java:75-77``)."""
+    from flink_cooccurrence_spark.operators.ordering import running_max_exclusive
+
     inter = _interactions(spark, sf_dir)
-    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
-    flagged = inter.withColumn("max_prior", F.max("ts_ms").over(w))
+    # distributed running max (bucketed prefix decomposition) — an
+    # unpartitioned Window.orderBy here would serialize the whole table
+    flagged = running_max_exclusive(inter, "seq", "ts_ms")
     late = F.col("max_prior").isNotNull() & (F.col("ts_ms") < F.col("max_prior"))
     return flagged.agg(
         F.count(F.when(late, F.lit(1))).alias("late_count"),

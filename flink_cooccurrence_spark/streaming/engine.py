@@ -191,15 +191,14 @@ class CooccurrenceStreamEngine:
     def _ensure_seq(self, batch: DataFrame) -> DataFrame:
         """Determinism spec (SURVEY §7): order-sensitive stages sort by
         (ts_ms, seq). Sources without a seq column (e.g. the CSV stream) get
-        one from a per-batch sort — reference-shaped inputs are time-sorted,
-        so this reproduces file order; the single-task sort only sees one
-        bounded micro-batch."""
+        a distributed global rank — range-bucketed per-partition counts +
+        prefix offsets (``operators/ordering.py``), never a single-task
+        global sort, so seq assignment scales with the batch."""
         if "seq" in batch.columns:
             return batch
-        return batch.withColumn(
-            "seq",
-            F.row_number().over(Window.orderBy("ts_ms", "user", "item")).cast("long"),
-        )
+        from flink_cooccurrence_spark.operators.ordering import global_seq
+
+        return global_seq(batch, ["ts_ms", "user", "item"])
 
     def _drop_late(self, batch: DataFrame) -> DataFrame:
         """Ascending watermark at micro-batch granularity: late iff ts_ms <
@@ -369,6 +368,10 @@ class CooccurrenceStreamEngine:
             data = pdf[~is_state].sort_values(["window_start", "seq"], kind="mergesort")
             for row in data.itertuples(index=False):
                 if not row.sampled:
+                    # every interaction reaching the operator counts toward
+                    # the draw denominator, sampled or not
+                    # (UserInteractionCounterOneInputStreamOperator.java:158)
+                    total += 1
                     continue
                 total = reservoir_step(
                     int(row.item), int(row.window_start), history, total,

@@ -1,0 +1,104 @@
+"""Distributed ordering primitives (operators/ordering.py): correctness vs
+the single-task global-window formulation they replace, plus plan assertions
+that no full-input unpartitioned window remains."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.ordering import (
+    global_seq,
+    running_max_exclusive,
+)
+
+
+def _random_rows(n: int, seed: int, ts_range: int) -> list[tuple[int, int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(ts_range), rng.randrange(50), rng.randrange(20))
+        for _ in range(n)
+    ]
+
+
+def test_global_seq_matches_global_rank_distinct_keys(spark):
+    rng = random.Random(1)
+    rows = [(ts, u, i) for ts, u, i in {(t, u, i) for t, u, i in _random_rows(2000, 1, 10**6)}]
+    df = spark.createDataFrame(rows, "ts_ms long, user int, item int")
+    got = global_seq(df, ["ts_ms", "user", "item"], num_buckets=16).toPandas()
+    exp = (
+        pd.DataFrame(rows, columns=["ts_ms", "user", "item"])
+        .sort_values(["ts_ms", "user", "item"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp["seq"] = range(1, len(exp) + 1)
+    got = got.sort_values(["ts_ms", "user", "item"], kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["ts_ms", "user", "item", "seq"]].astype("int64"),
+        exp.astype("int64"),
+    )
+
+
+def test_global_seq_with_ties_is_valid_rank(spark):
+    # heavy ties: every key repeated ~10x; seq must be a permutation of 1..N
+    # in which any strictly-smaller key precedes any larger key
+    rows = _random_rows(1000, 2, ts_range=10)
+    df = spark.createDataFrame(rows, "ts_ms long, user int, item int")
+    got = global_seq(df, ["ts_ms", "user", "item"], num_buckets=4).toPandas()
+    assert sorted(got["seq"]) == list(range(1, len(rows) + 1))
+    got = got.sort_values("seq").reset_index(drop=True)
+    keys = list(zip(got["ts_ms"], got["user"], got["item"]))
+    assert keys == sorted(keys)
+
+
+def test_global_seq_single_value_column(spark):
+    # degenerate range (all leading keys equal) must not divide by zero
+    df = spark.createDataFrame([(5, i, 0) for i in range(50)], "ts_ms long, user int, item int")
+    got = global_seq(df, ["ts_ms", "user", "item"]).toPandas().sort_values("user")
+    assert list(got["seq"]) == list(range(1, 51))
+
+
+def test_running_max_exclusive_matches_pandas(spark):
+    rng = random.Random(3)
+    n = 1500
+    seqs = list(range(1, n + 1))
+    rng.shuffle(seqs)
+    rows = [(s, rng.randrange(10**6)) for s in seqs]
+    df = spark.createDataFrame(rows, "seq long, ts_ms long")
+    got = (
+        running_max_exclusive(df, "seq", "ts_ms", num_buckets=16)
+        .toPandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(rows, columns=["seq", "ts_ms"])
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    exp["max_prior"] = exp["ts_ms"].cummax().shift(1)
+    assert got["max_prior"].isna().sum() == 1 and pd.isna(got.loc[0, "max_prior"])
+    pd.testing.assert_series_equal(
+        got["max_prior"].astype("float64"), exp["max_prior"].astype("float64"),
+        check_names=False,
+    )
+
+
+def test_no_unpartitioned_window_over_data_columns(spark):
+    """The only ordered windows left run over the per-bucket aggregate table
+    (spec leads with _bucket); none lead with a raw data column — the
+    single-task global-sort signature this module exists to remove."""
+    df = spark.createDataFrame(
+        _random_rows(100, 4, 10**6), "ts_ms long, user int, item int"
+    )
+    for out in (
+        global_seq(df, ["ts_ms", "user", "item"]),
+        running_max_exclusive(df.withColumn("seq", F.col("ts_ms")), "seq", "ts_ms"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line:
+                spec = line.split("windowspecdefinition(", 1)[1]
+                assert spec.startswith("_bucket"), f"unbucketed window: {line.strip()}"

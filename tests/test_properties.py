@@ -222,3 +222,57 @@ def test_llr_column_expression_matches_scalar(spark):
     # O(total·ln total) ≈ 1e8 while the LLR is their near-cancelling sum, so
     # absolute error floats at ~1e-7 for 1e7-scale totals (double eps · 1e8)
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-6)
+
+
+def test_simhash_band_recall_guarantee(spark):
+    """The operator contract: EVERY pair within max_hamming is found.
+
+    Constructed-fingerprint corpus: a base value plus variants at each
+    Hamming distance 1..6 (adversarial for the old 4x8 band scheme, where
+    distance 4-6 pairs could spread mismatches across all bands), plus
+    random far-away values. Brute force is the ground truth.
+    """
+    import random
+
+    from flink_cooccurrence_spark.operators.dedup import (
+        simhash_band_spec,
+        simhash_pairs_from_fingerprints,
+    )
+
+    # band spec sanity: h+1 disjoint bands exactly covering 32 bits
+    spec = simhash_band_spec(6)
+    assert len(spec) == 7
+    assert sum(w for _, w in spec) == 32
+    assert [off for off, _ in spec] == [
+        sum(w for _, w in spec[:i]) for i in range(7)
+    ]
+
+    rng = random.Random(7)
+    base = rng.getrandbits(32)
+    rows: list[tuple[int, int]] = [(0, base)]
+    doc_id = 1
+    for h in range(1, 7):
+        for _ in range(5):
+            v = base
+            for b in rng.sample(range(32), h):
+                v ^= 1 << b
+            rows.append((doc_id, v))
+            doc_id += 1
+    for _ in range(20):
+        rows.append((doc_id, rng.getrandbits(32)))
+        doc_id += 1
+
+    fp = spark.createDataFrame(rows, "doc_id int, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_from_fingerprints(fp, 6).collect()
+    }
+    exp = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            hm = bin(rows[i][1] ^ rows[j][1]).count("1")
+            if hm <= 6:
+                exp.add((rows[i][0], rows[j][0], hm))
+    assert got == exp
+    # the variants guarantee pairs exist at the contract boundary
+    assert any(hm >= 4 for _, _, hm in exp)
