@@ -63,11 +63,47 @@ def _with_norm(df: DataFrame, out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.sqrt(dot(v, v)))
 
 
-def embedding_knn(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+#: query sets at or below this row count broadcast; above it the blocked
+#: exact-KNN plan runs (the query side of a 100 TB corpus slice is unbounded
+#: — broadcasting it was the round-1 scale flaw)
+KNN_BROADCAST_LIMIT = 100_000
+
+#: corpus blocks for the blocked plan — each task scores one corpus block
+#: against the full (shuffled, not broadcast) query set
+KNN_NUM_BLOCKS = 32
+
+
+def _knn_cosine() -> Column:
+    return F.round(
+        dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
+        / (F.col("q_norm") * F.col("norm")),
+        6,
+    )
+
+
+def embedding_knn(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    strategy: str = "auto",
+    max_broadcast_queries: int = KNN_BROADCAST_LIMIT,
+    num_blocks: int = KNN_NUM_BLOCKS,
+) -> DataFrame:
     """Brute-force cosine top-k: (q_id, rank, n_id, cosine).
 
-    Queries (vec_id % QUERY_MOD = 0) are broadcast; corpus streams through
-    one narrow pass; per-query rank via window top-k.
+    Two physical plans with identical results:
+
+    - ``broadcast`` — queries (vec_id % QUERY_MOD = 0) broadcast against a
+      single narrow corpus pass. Right when the query set is small (an
+      evaluation slice); wrong when it grows with the corpus.
+    - ``blocked`` — grid-partitioned exact KNN: the corpus hash-partitions
+      into ``num_blocks`` blocks, queries replicate to every block through
+      the shuffle (never the driver), each task computes a block-local
+      top-k, and a final per-query top-k merges blocks. Work per task is
+      |corpus|/B × |Q| — flat in cluster size, no broadcast of an unbounded
+      side.
+
+    ``auto`` probes the query count with a LIMIT-pushed count (bounded work)
+    and picks: ≤ ``max_broadcast_queries`` → broadcast, else blocked.
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
@@ -77,17 +113,42 @@ def embedding_knn(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
-    cos = F.round(
-        dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
-        / (F.col("q_norm") * F.col("norm")),
-        6,
+    if strategy == "auto":
+        probe = queries.limit(max_broadcast_queries + 1).count()
+        strategy = "broadcast" if probe <= max_broadcast_queries else "blocked"
+
+    if strategy == "broadcast":
+        pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        scored = pairs.select(
+            "q_id", F.col("vec_id").alias("n_id"), _knn_cosine().alias("cosine")
+        )
+        return top_k_per_group(
+            scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+        ).select("q_id", "rank", "n_id", "cosine")
+
+    if strategy != "blocked":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    corpus = base.withColumn("block", F.pmod(F.hash("vec_id"), F.lit(num_blocks)))
+    q_rep = queries.withColumn(
+        "block", F.explode(F.array(*[F.lit(i) for i in range(num_blocks)]))
+    )
+    # shuffle_hash: both sides are large by assumption here — a sort-merge
+    # would sort |Q|·B rows for nothing, and AQE must not broadcast either
+    pairs = (
+        corpus.hint("shuffle_hash")
+        .join(q_rep, on="block")
+        .filter(F.col("vec_id") != F.col("q_id"))
     )
     scored = pairs.select(
-        "q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine")
+        "q_id", "block", F.col("vec_id").alias("n_id"), _knn_cosine().alias("cosine")
+    )
+    # block-local k first: the final merge sees B·k rows per query, not |C|
+    local = top_k_per_group(
+        scored, ["q_id", "block"], "cosine", k, tie_breakers=["n_id"]
     )
     return top_k_per_group(
-        scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+        local.select("q_id", "n_id", "cosine"),
+        ["q_id"], "cosine", k, tie_breakers=["n_id"],
     ).select("q_id", "rank", "n_id", "cosine")
 
 
@@ -108,11 +169,21 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ann_lsh_topk(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
+def ann_lsh_topk(
+    embeddings: DataFrame, k: int = ANN_K, multi_probe: bool = False
+) -> DataFrame:
     """Bucketed approximate top-k: (q_id, rank, n_id, cosine, bucket).
 
     Search is restricted to the query's LSH bucket — the join key is the
     bucket id, so at scale each task only sees one bucket's vectors.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (flip each of the NUM_PLANES sign
+    bits) — the standard multi-probe LSH recall lever: candidate volume
+    grows ×(NUM_PLANES+1) while the join stays bucket-local; the vectors
+    most likely to be missed by a single probe sit just across one
+    hyperplane. Each neighbor lives in exactly one bucket, so probing
+    distinct buckets never duplicates a candidate.
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
@@ -123,6 +194,14 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
+    if multi_probe:
+        flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(NUM_PLANES)])
+        queries = queries.withColumn("_flip", F.explode(flips)).select(
+            "q_id",
+            F.col("bucket").bitwiseXOR(F.col("_flip")).cast("long").alias("bucket"),
+            "q_emb",
+            "q_norm",
+        )
     pairs = bucketed.join(F.broadcast(queries), on="bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
@@ -147,12 +226,13 @@ IVF_CENTROID_MOD = 25
 IVF_K = 3
 
 
-def ivf_assignments(embeddings: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid cell: (vec_id, cell, cos_c).
+def ivf_assignments(embeddings: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Rank every vector's ``nprobe`` nearest centroid cells:
+    (vec_id, cell, cos_c, probe_rank) — probe_rank 1 is the home cell.
 
     The centroid set is tiny (|corpus| / IVF_CENTROID_MOD) and broadcast;
-    assignment is one narrow pass over the corpus + a per-vector arg-max —
-    linear, no corpus self-join. Ties break to the lower centroid id.
+    assignment is one narrow pass over the corpus + a per-vector top-nprobe
+    — linear, no corpus self-join. Ties break to the lower centroid id.
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
@@ -170,32 +250,44 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
     scored = base.join(F.broadcast(cents)).select(
         "vec_id", F.col("c_id"), cos.alias("cos_c")
     )
-    return (
-        top_k_per_group(scored, ["vec_id"], "cos_c", 1, tie_breakers=["c_id"])
-        .select("vec_id", F.col("c_id").alias("cell"), "cos_c")
+    return top_k_per_group(
+        scored, ["vec_id"], "cos_c", nprobe, tie_breakers=["c_id"]
+    ).select(
+        "vec_id", F.col("c_id").alias("cell"), "cos_c",
+        F.col("rank").alias("probe_rank"),
     )
 
 
-def ivf_topk(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
+def ivf_topk(
+    embeddings: DataFrame, k: int = IVF_K, nprobe: int = 1
+) -> DataFrame:
     """IVF approximate top-k: (q_id, rank, n_id, cosine, cell).
 
-    Queries probe only their own cell (nprobe=1): the candidate join key is
+    Every corpus vector lives in its home (nearest-centroid) inverted list;
+    queries probe their ``nprobe`` nearest cells. The candidate join key is
     the cell id, so at scale each task sees one inverted list — the same
     partition-local shape as the LSH variant, but with data-adaptive
-    Voronoi cells instead of fixed hyperplanes. Raising recall = probing
-    the next-nearest cells (nprobe>1), a straightforward extension of the
-    assignment top-1 to top-nprobe.
+    Voronoi cells instead of fixed hyperplanes. nprobe multiplies the
+    probed volume (and recall) without ever leaving the bucket-local join;
+    a neighbor appears once regardless of nprobe (it has one home cell).
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
     base = _with_norm(embeddings.select("vec_id", "embedding"))
-    cells = ivf_assignments(embeddings).select("vec_id", "cell")
-    corpus = base.join(cells, on="vec_id")
-    queries = corpus.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("cell"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
+    assign = ivf_assignments(embeddings, nprobe)
+    home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
+    corpus = base.join(home, on="vec_id")
+    q_cells = assign.filter(
+        ((F.col("vec_id") % QUERY_MOD) == 0) & (F.col("probe_rank") <= nprobe)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    queries = (
+        base.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        .join(q_cells, on="q_id")
     )
     cos = F.round(
         dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
@@ -211,3 +303,39 @@ def ivf_topk(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
     return top_k_per_group(
         scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
     ).select("q_id", "rank", "n_id", "cosine", "cell")
+
+
+def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
+    """Measured recall@k of every ANN variant against exact KNN:
+    (method, recall) — the quality meter for the approximate paths.
+
+    recall = |ANN top-k ∩ exact top-k| / |exact top-k| over all queries.
+    Both sides use the same deterministic tie-break, so the comparison is
+    exact. nprobe/multi-probe variants must come out ≥ their single-probe
+    baselines (pytest pins this; the driver oracle checks the values).
+    """
+    exact = embedding_knn(embeddings, k=k, strategy="broadcast").select(
+        "q_id", "n_id"
+    ).cache()
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    methods: list[tuple[str, DataFrame]] = [
+        ("ivf_nprobe1", ivf_topk(embeddings, k, nprobe=1)),
+        ("ivf_nprobe2", ivf_topk(embeddings, k, nprobe=2)),
+        ("lsh", ann_lsh_topk(embeddings, k)),
+        ("lsh_multiprobe", ann_lsh_topk(embeddings, k, multi_probe=True)),
+    ]
+    parts = []
+    for name, df in methods:
+        hit = df.select("q_id", "n_id").join(exact, on=["q_id", "n_id"])
+        parts.append(
+            hit.agg(F.count("*").alias("n_hit"))
+            .crossJoin(F.broadcast(n_exact))
+            .select(
+                F.lit(name).alias("method"),
+                F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -628,7 +628,8 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN min_sh m ON d.doc_id = m.doc_id
 """
 
-    o["embedding_knn"] = f"""
+    def _knn_sql(k: int) -> str:
+        return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -645,8 +646,12 @@ ranked AS (
            AS rank
   FROM pairs
 )
-SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= {sim.KNN_K}
+SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= {k}
 """
+
+    o["embedding_knn"] = _knn_sql(sim.KNN_K)
+    # the blocked plan is a physical-strategy change only — same result set
+    o["embedding_knn_blocked"] = _knn_sql(sim.KNN_K)
 
     plane_terms = []
     for j, plane in enumerate(sim.hyperplanes()):
@@ -655,7 +660,26 @@ SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= {sim.KNN_K}
             f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << j} ELSE 0 END)"
         )
     bucket_expr = " + ".join(plane_terms)
-    o["ann_lsh_topk"] = f"""
+    flips = "[" + ", ".join(
+        str(x) for x in [0] + [1 << j for j in range(sim.NUM_PLANES)]
+    ) + "]"
+
+    def _lsh_sql(k: int, multi_probe: bool) -> str:
+        if multi_probe:
+            qprobe = f"""
+qprobe AS (
+  SELECT q.vec_id AS q_id, CAST(xor(q.bucket, f.flip) AS BIGINT) AS bucket,
+         q.v, q.norm
+  FROM bucketed q CROSS JOIN (SELECT unnest({flips}) AS flip) f
+  WHERE q.vec_id % {sim.QUERY_MOD} = 0
+)"""
+        else:
+            qprobe = f"""
+qprobe AS (
+  SELECT vec_id AS q_id, bucket, v, norm FROM bucketed
+  WHERE vec_id % {sim.QUERY_MOD} = 0
+)"""
+        return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -663,12 +687,11 @@ bucketed AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
          CAST({bucket_expr} AS BIGINT) AS bucket
   FROM base
-),
+),{qprobe},
 pairs AS (
-  SELECT q.vec_id AS q_id, q.bucket AS bucket, n.vec_id AS n_id,
+  SELECT q.q_id, q.bucket AS bucket, n.vec_id AS n_id,
          round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) AS cosine
-  FROM bucketed q JOIN bucketed n ON n.bucket = q.bucket AND n.vec_id != q.vec_id
-  WHERE q.vec_id % {sim.QUERY_MOD} = 0
+  FROM qprobe q JOIN bucketed n ON n.bucket = q.bucket AND n.vec_id != q.q_id
 ),
 ranked AS (
   SELECT q_id, bucket, n_id, cosine,
@@ -676,12 +699,16 @@ ranked AS (
            AS rank
   FROM pairs
 )
-SELECT q_id, rank, n_id, cosine, bucket FROM ranked WHERE rank <= {sim.ANN_K}
+SELECT q_id, rank, n_id, cosine, bucket FROM ranked WHERE rank <= {k}
 """
+
+    o["ann_lsh_topk"] = _lsh_sql(sim.ANN_K, multi_probe=False)
+    o["ann_lsh_multiprobe"] = _lsh_sql(sim.ANN_K, multi_probe=True)
 
     from flink_cooccurrence_spark.operators import multimodal as mm
 
-    o["ivf_topk"] = f"""
+    def _ivf_sql(k: int, nprobe: int) -> str:
+        return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -696,19 +723,24 @@ assign_scored AS (
   FROM normed n CROSS JOIN cents c
 ),
 assigned AS (
-  SELECT vec_id, c_id AS cell FROM (
+  SELECT vec_id, c_id AS cell, rn AS probe_rank FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id) AS rn
     FROM assign_scored
-  ) WHERE rn = 1
+  ) WHERE rn <= {nprobe}
 ),
 corpus AS (
-  SELECT n.vec_id, n.v, n.norm, a.cell FROM normed n JOIN assigned a USING (vec_id)
+  SELECT n.vec_id, n.v, n.norm, a.cell FROM normed n
+  JOIN assigned a ON a.vec_id = n.vec_id AND a.probe_rank = 1
+),
+qprobe AS (
+  SELECT a.vec_id AS q_id, a.cell, q.v, q.norm
+  FROM assigned a JOIN normed q ON q.vec_id = a.vec_id
+  WHERE a.vec_id % {sim.QUERY_MOD} = 0
 ),
 pairs AS (
-  SELECT q.vec_id AS q_id, q.cell AS cell, n.vec_id AS n_id,
+  SELECT q.q_id, q.cell AS cell, n.vec_id AS n_id,
          round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) AS cosine
-  FROM corpus q JOIN corpus n ON n.cell = q.cell AND n.vec_id != q.vec_id
-  WHERE q.vec_id % {sim.QUERY_MOD} = 0
+  FROM qprobe q JOIN corpus n ON n.cell = q.cell AND n.vec_id != q.q_id
 ),
 ranked AS (
   SELECT q_id, cell, n_id, cosine,
@@ -716,7 +748,30 @@ ranked AS (
            AS rank
   FROM pairs
 )
-SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {sim.IVF_K}
+SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
+"""
+
+    o["ivf_topk"] = _ivf_sql(sim.IVF_K, nprobe=1)
+    o["ivf_topk_nprobe2"] = _ivf_sql(sim.IVF_K, nprobe=2)
+
+    # recall@k of every ANN variant vs exact KNN at the same k (the engine's
+    # ann_recall); method SQLs embed as derived tables (DuckDB nested WITH)
+    recall_methods = {
+        "ivf_nprobe1": _ivf_sql(sim.ANN_K, nprobe=1),
+        "ivf_nprobe2": _ivf_sql(sim.ANN_K, nprobe=2),
+        "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
+        "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
+    }
+    recall_selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, "
+        f"round(CAST((SELECT count(*) FROM ({msql}) m "
+        f"JOIN exact e ON m.q_id = e.q_id AND m.n_id = e.n_id) AS DOUBLE) "
+        f"/ (SELECT count(*) FROM exact), 6) AS recall"
+        for name, msql in recall_methods.items()
+    )
+    o["ann_recall"] = f"""
+WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
+{recall_selects}
 """
 
     o["image_resize"] = f"""

@@ -385,8 +385,18 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     "fingerprints": lambda s, d: _ts.fingerprints(_documents(s, d)),
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
+    # same results through the grid-partitioned exact plan (no query-side
+    # broadcast) — the 100 TB path, driver-checked against the same oracle
+    "embedding_knn_blocked": lambda s, d: _sim.embedding_knn(
+        _embeddings(s, d), strategy="blocked"
+    ),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
+    "ann_lsh_multiprobe": lambda s, d: _sim.ann_lsh_topk(
+        _embeddings(s, d), multi_probe=True
+    ),
     "ivf_topk": lambda s, d: _sim.ivf_topk(_embeddings(s, d)),
+    "ivf_topk_nprobe2": lambda s, d: _sim.ivf_topk(_embeddings(s, d), nprobe=2),
+    "ann_recall": lambda s, d: _sim.ann_recall(_embeddings(s, d)),
     # UDF/UDAF/UDTF surface (functions/udx.py)
     "median_quality_by_lang": lambda s, d: _q_median_quality_by_lang(s, d),
     "doc_sentences": lambda s, d: __import__(

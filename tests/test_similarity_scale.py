@@ -1,0 +1,81 @@
+"""Scale-strategy tests for the similarity family: the blocked exact-KNN
+plan (no query-side broadcast), multi-probe/nprobe recall monotonicity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.similarity import (
+    ann_lsh_topk,
+    ann_recall,
+    embedding_knn,
+    ivf_topk,
+)
+from flink_cooccurrence_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_blocked_knn_matches_broadcast(spark, emb):
+    b = embedding_knn(emb, strategy="broadcast").toPandas()
+    g = embedding_knn(emb, strategy="blocked", num_blocks=8).toPandas()
+    key = ["q_id", "rank"]
+    pd.testing.assert_frame_equal(
+        b.sort_values(key).reset_index(drop=True),
+        g.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_blocked_knn_plan_has_no_broadcast(spark, emb):
+    """The point of the blocked strategy: the query side moves through the
+    shuffle, never a driver-collected broadcast — so the plan must contain
+    no BroadcastExchange (auto would broadcast here; blocked must not)."""
+    plan = (
+        embedding_knn(emb, strategy="blocked")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_auto_knn_broadcasts_small_query_sets(spark, emb):
+    plan = (
+        embedding_knn(emb, strategy="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_auto_knn_switches_to_blocked_over_limit(spark, emb):
+    plan = (
+        embedding_knn(emb, strategy="auto", max_broadcast_queries=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" not in plan
+
+
+def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
+    """Multi-probe probes the original bucket plus its Hamming-1 neighbors,
+    so its hit set against exact KNN can only grow."""
+    recalls = {r["method"]: r["recall"] for r in ann_recall(emb).collect()}
+    assert set(recalls) == {"ivf_nprobe1", "ivf_nprobe2", "lsh", "lsh_multiprobe"}
+    assert recalls["lsh_multiprobe"] >= recalls["lsh"]
+    assert recalls["ivf_nprobe2"] >= recalls["ivf_nprobe1"]
+    for v in recalls.values():
+        assert 0.0 <= v <= 1.0
+
+
+def test_nprobe2_candidates_contain_nprobe1(spark, emb):
+    """With k above any cell size the output IS the candidate set — and the
+    nprobe=2 candidate pool must contain the nprobe=1 pool (home cell plus
+    one more probed cell per query)."""
+    big_k = 10**6
+    one = ivf_topk(emb, k=big_k, nprobe=1).select("q_id", "n_id")
+    two = ivf_topk(emb, k=big_k, nprobe=2).select("q_id", "n_id")
+    assert one.exceptAll(two).count() == 0
+    assert two.count() >= one.count()
