@@ -383,6 +383,8 @@ FROM winter GROUP BY ROLLUP (item, window_start)
 # state has no 0 rows — compare the nonzero subset.
 
 ORACLES["streaming_cooccurrence_counts"] = ORACLES["cooccurrence_counts"]
+# salting is a pure physical rewrite — same result set
+ORACLES["cooccurrence_counts_salted"] = ORACLES["cooccurrence_counts"]
 
 ORACLES["streaming_row_sums"] = f"""
 WITH {INTER_CTE}, {UIC_CTE}, {ROW_SUMS_CTE}
@@ -443,6 +445,31 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.05
+"""
+
+    # hot-shingle cut variant: shingles with df > 100 leave the inverted
+    # index; denominators use full shingle sets (operators/dedup.py contract)
+    o["ngram_jaccard_cut"] = f"""
+WITH {words_cte}, {shingles_cte},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+idx AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
+  WHERE df.df <= 100
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (

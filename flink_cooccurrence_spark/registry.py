@@ -7,6 +7,7 @@ callable ``(spark, sf_dir) -> DataFrame`` and (b) the DuckDB oracle SQL in
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -67,6 +68,14 @@ def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 8 batch form: the cumulative cooccurrence matrix C in long form."""
     return cooccurrence_counts(_interactions(spark, sf_dir))
+
+
+def q_cooccurrence_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 8 through the skew-salting physical rewrite (salt_buckets=8): a
+    hot user's quadratic pair expansion spreads across 8 tasks. Same rows
+    as ``cooccurrence_counts`` — the driver checks it against the same
+    oracle, the bench watches its cost next to the unsalted plan."""
+    return cooccurrence_counts(_interactions(spark, sf_dir), salt_buckets=8)
 
 
 def q_row_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,10 +313,50 @@ def q_streaming_sampled_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.item_rows()
 
 
+def q_streaming_sampled_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core identity as one continuous Structured Streaming
+    job (``FlinkCooccurrences.java:36-182``): file source → feedback-
+    corrected item cut → per-user reservoir → merge/score via a single
+    checkpointed ``writeStream`` query (``streaming/native.py``). Same
+    window batching as ``streaming_sampled_matrix``'s replay, so the final
+    state is bit-identical to it — pytest pins the equality; the driver
+    records rows-only (seeded reservoir is not SQL-expressible)."""
+    import tempfile
+
+    from flink_cooccurrence_spark.config import CooccurrenceConfig
+    from flink_cooccurrence_spark.streaming.native import (
+        run_sampled_stream,
+        write_window_files,
+    )
+
+    base = dict(
+        window_size=1, window_unit="DAYS", top_k=10,
+        item_cut=50, user_cut=8, seed=42,
+    )
+    key = (id(spark), sf_dir, "native_sampled")
+    if key not in _ENGINE_MEMO:
+        cfg = CooccurrenceConfig(**base)
+        root = tempfile.mkdtemp(prefix="cooc_native_")
+        write_window_files(
+            _interactions(spark, sf_dir),
+            cfg.window_millis,
+            os.path.join(root, "files"),
+            windows_per_file=8,
+        )
+        _ENGINE_MEMO[key] = run_sampled_stream(
+            spark,
+            os.path.join(root, "files"),
+            cfg,
+            workdir=os.path.join(root, "wd"),
+        )
+    return _ENGINE_MEMO[key].item_rows()
+
+
 QUERIES: dict[str, QueryFn] = {
     "interactions_parse": q_interactions_parse,
     "late_data_audit": q_late_data_audit,
     "cooccurrence_counts": q_cooccurrence_counts,
+    "cooccurrence_counts_salted": q_cooccurrence_counts_salted,
     "row_sums": q_row_sums,
     "total_observed": q_total_observed,
     "llr_scores": q_llr_scores,
@@ -331,6 +380,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_row_sums": q_streaming_row_sums,
     "streaming_final_topk": q_streaming_final_topk,
     "streaming_sampled_matrix": q_streaming_sampled_matrix,
+    "streaming_sampled_native": q_streaming_sampled_native,
 }
 
 
@@ -372,6 +422,11 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # dedup family
     "dedup_exact": lambda s, d: _dedup.exact_duplicates(_documents(s, d)),
     "ngram_jaccard_pairs": lambda s, d: _dedup.ngram_jaccard_pairs(_documents(s, d)),
+    # the corpus-scale skew lever live: hot shingles (df > 100) leave the
+    # inverted index; denominators stay exact — oracle mirrors the cut
+    "ngram_jaccard_cut": lambda s, d: _dedup.ngram_jaccard_pairs(
+        _documents(s, d), max_doc_freq=100
+    ),
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
     "minhash_lsh_dup_pairs": lambda s, d: _dedup.minhash_lsh_dup_pairs(_documents(s, d)),
     "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),

@@ -105,12 +105,12 @@ class CooccurrenceStreamEngine:
             return
         try:
             batch = self._ensure_seq(batch)
-            batch = self._drop_late(batch)
+            batch, wm, late_stats = self._drop_late(batch)
             if self.config.skip_cuts:
                 delta, rs_delta = self._nonsampled_deltas(batch, batch_id)
             else:
                 delta, rs_delta = self._sampled_deltas(batch, batch_id)
-            self._merge_and_score(delta, rs_delta, batch_id)
+            self._merge_and_score(delta, rs_delta, batch_id, wm, late_stats)
         except BaseException:
             self.state.rollback()
             raise
@@ -200,22 +200,31 @@ class CooccurrenceStreamEngine:
 
         return global_seq(batch, ["ts_ms", "user", "item"])
 
-    def _drop_late(self, batch: DataFrame) -> DataFrame:
+    def _drop_late(self, batch: DataFrame):
         """Ascending watermark at micro-batch granularity: late iff ts_ms <
         max event time of prior batches (``ts <= watermark`` with watermark =
         maxTs − 1). Within a batch the watermark is frozen — the reference
         advances it per element, so the engine drops *no more* than the
-        reference would."""
+        reference would.
+
+        Returns (filtered batch, prior watermark, late-stats *plan*): a
+        1-row aggregate over the batch that ``_merge_and_score`` folds into
+        the single combined per-batch stats action — round-1 issued a
+        synchronous ``.first()`` here, one of 3 separate per-batch driver
+        round-trips capping micro-batch throughput at scale.
+
+        (``Dataset.observe`` would let these stats ride the main pass for
+        free, but observations are fulfilled by a query-execution listener
+        that never fires for the nested actions inside a ``foreachBatch``
+        callback on this Spark line — ``Observation.get`` deadlocks the
+        stream thread — so the engine keeps the stats as explicit plans
+        merged into one action.)"""
         wm = self.state.get_scalar("watermark_ms", -(1 << 62))
-        counted = batch.select(
+        stats = batch.agg(
             F.count(F.when(F.col("ts_ms") < wm, 1)).alias("late"),
             F.max("ts_ms").alias("max_ts"),
-        ).first()
-        self.state.add_scalar("late_elements", int(counted["late"] or 0))
-        self.state.add_scalar("batches", 1)
-        if counted["max_ts"] is not None:
-            self.state.set_scalar("watermark_ms", max(wm, int(counted["max_ts"])))
-        return batch.filter(F.col("ts_ms") >= wm)
+        )
+        return batch.filter(F.col("ts_ms") >= wm), wm, stats
 
     def _nonsampled_deltas(
         self, batch: DataFrame, batch_id: int
@@ -417,14 +426,43 @@ class CooccurrenceStreamEngine:
         return delta, rs_delta
 
     def _merge_and_score(
-        self, delta: DataFrame, rs_delta: DataFrame | None, batch_id: int
+        self,
+        delta: DataFrame,
+        rs_delta: DataFrame | None,
+        batch_id: int,
+        wm: int,
+        late_stats: DataFrame,
     ) -> None:
         """Ops 10/11/13: merge ±deltas into cumulative state, then rescore
-        only the rows that changed in this batch."""
+        only the rows that changed in this batch.
+
+        ALL per-batch statistics — late count, new watermark, total delta,
+        changed-item count — are one combined 1-row action (the cross-join
+        of three tiny aggregates). Round 1 issued three separate synchronous
+        jobs per batch (late ``.first()``, total ``.first()``,
+        ``changed.count()``), serializing 3 driver round-trips into every
+        micro-batch; in the sampled path the delta aggregates here read the
+        localCheckpointed ``tagged`` batch, so the combined action is a
+        narrow re-aggregation, not a pipeline re-run."""
         if rs_delta is None:
             # RowSumAggregator semantics: each emitted pair adds to its row's
             # sum — derivable from the cell deltas, no second shuffle source
             rs_delta = delta.groupBy("item").agg(F.sum("delta").alias("d"))
+
+        stats = (
+            late_stats.crossJoin(rs_delta.agg(F.sum("d").alias("total_delta")))
+            .crossJoin(delta.agg(F.count_distinct("item").alias("n_changed")))
+            .first()
+        )  # <- the ONE auxiliary per-batch action
+        self.state.add_scalar("late_elements", int(stats["late"] or 0))
+        self.state.add_scalar("batches", 1)
+        if stats["max_ts"] is not None:
+            self.state.set_scalar("watermark_ms", max(wm, int(stats["max_ts"])))
+        total = self.state.add_scalar(
+            "observed_cooccurrences", int(stats["total_delta"] or 0)
+        )
+        n_changed = int(stats["n_changed"] or 0)
+        self.state.add_scalar("rescored_items", n_changed)
 
         new_rows = (
             self.state.get("item_rows", ITEM_ROWS_SCHEMA)
@@ -443,14 +481,9 @@ class CooccurrenceStreamEngine:
         )
         self.state.put("row_sums", new_sums)
 
-        total_delta = rs_delta.agg(F.sum("d")).first()[0] or 0
-        total = self.state.add_scalar("observed_cooccurrences", int(total_delta))
-
-        changed = delta.select("item").distinct()
-        n_changed = changed.count()
-        self.state.add_scalar("rescored_items", n_changed)
         if n_changed == 0:
             return
+        changed = delta.select("item").distinct()
         # read state back post-put: materialized parquet, lineage truncated.
         # changed-set size is batch-dependent — AQE decides broadcast vs hash
         rows = self.state.get("item_rows", ITEM_ROWS_SCHEMA).join(changed, on="item")

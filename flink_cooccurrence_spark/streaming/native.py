@@ -1,0 +1,110 @@
+"""The reference's identity as ONE continuously-running streaming job.
+
+The reference is a single always-on Flink job: file monitor source → CSV
+parse → watermark/late-drop → feedback-corrected item cut → per-user
+reservoir → windowed delta aggregation → rescoring sink
+(``FlinkCooccurrences.java:36-182``). This module wires the same DAG as one
+Structured Streaming ``writeStream`` query: the file source
+(``streaming/sources.py``) feeds ``CooccurrenceStreamEngine.process_batch``
+via ``foreachBatch`` with a streaming checkpoint, so the full *sampled*
+pipeline — cut, reservoir, feedback, merge, changed-row rescoring — runs
+continuously with restart-from-checkpoint semantics.
+
+Why the cut/reservoir run inside ``foreachBatch`` rather than as chained
+``applyInPandasWithState`` operators (which exist at operator level in
+``streaming/stateful.py``): the reference's feedback edge
+(``FeedbackSource.java:16-57``) is a *cycle* delivering reservoir
+rejections (user-keyed operator) back into the item cut (item-keyed
+operator). Keyed streaming state is private to its operator — an acyclic
+chain of native stateful operators has no channel for that cross-key,
+cross-operator correction. The engine's state-table realization applies
+feedback as next-batch corrections (``streaming/engine.py``), which is the
+reference's own asynchronous-delivery semantics, and ``foreachBatch`` is
+the Spark-native place where such multi-table transactional state lives
+(the same pattern as Delta MERGE sinks).
+
+Determinism: with one window-chunk per file and ``maxFilesPerTrigger=1``,
+the native run's micro-batches are exactly the replay's
+(``engine.replay(..., windows_per_batch=n)``) — and the counter-based
+reservoir draws (``operators/sampling.py``) make the final state
+bit-identical between the two, which the tests and the driver registry pin.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cooccurrence_spark.config import CooccurrenceConfig
+from flink_cooccurrence_spark.operators.cooccurrence import with_window
+from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
+from flink_cooccurrence_spark.streaming.sources import interactions_parquet_stream
+
+#: fixed base for artificial file mod-times: the source hands files out
+#: oldest-first (the reference's ContinuousFileMonitoringFunction order);
+#: sequential writes can tie on the clock, so mtimes are pinned ascending
+_MTIME_BASE = 1_600_000_000
+
+
+def write_window_files(
+    interactions: DataFrame,
+    window_millis: int,
+    files_dir: str,
+    windows_per_file: int = 8,
+) -> int:
+    """Spool interactions into window-ordered parquet files (one file per
+    ``windows_per_file`` consecutive event-time windows) — the stream-input
+    layout whose per-trigger batches mirror ``replay(windows_per_batch=n)``.
+
+    This is the *test-harness/ingest* side of the job (the reference replays
+    event files the same way); the collect here builds input files, it is
+    not part of the engine dataflow. Returns the number of files written.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(files_dir, exist_ok=True)
+    pdf = (
+        with_window(interactions, window_millis)
+        .select("user", "item", "ts_ms", "seq", "window_start")
+        .orderBy("window_start", "seq")
+        .toPandas()
+        .astype(
+            {"user": "int32", "item": "int32", "ts_ms": "int64", "seq": "int64"}
+        )
+    )
+    windows = sorted(pdf["window_start"].unique())
+    n_files = 0
+    for i in range(0, len(windows), windows_per_file):
+        chunk = windows[i : i + windows_per_file]
+        sub = pdf[pdf["window_start"].isin(chunk)].drop(columns=["window_start"])
+        path = os.path.join(files_dir, f"chunk-{n_files:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(sub, preserve_index=False), path)
+        os.utime(path, (_MTIME_BASE + n_files, _MTIME_BASE + n_files))
+        n_files += 1
+    return n_files
+
+
+def run_sampled_stream(
+    spark: SparkSession,
+    files_dir: str,
+    config: CooccurrenceConfig,
+    workdir: str | None = None,
+    timeout_sec: int = 600,
+) -> CooccurrenceStreamEngine:
+    """Run the full sampled pipeline as one ``writeStream`` query over the
+    file source (one file per trigger) until all available input is
+    processed; returns the engine with its final state.
+
+    Restart semantics: calling this again with the same ``workdir`` (state
+    + streaming checkpoint live under it) resumes exactly where the
+    previous run stopped — already-processed files are skipped by the
+    source checkpoint and re-delivered batches by the engine's batch-id
+    high-water mark (``tests/test_streaming.py`` kills a run mid-stream and
+    pins bit-identity of the restarted final state)."""
+    eng = CooccurrenceStreamEngine(spark, config, workdir=workdir)
+    stream = interactions_parquet_stream(spark, files_dir, max_files_per_trigger=1)
+    query = eng.attach(stream, available_now=True)
+    query.awaitTermination(timeout_sec)
+    return eng

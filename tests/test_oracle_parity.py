@@ -54,6 +54,9 @@ ROWS_ONLY = {
     # counter-based-draw spec but not expressible in DuckDB SQL; invariants
     # are gated in tests/test_streaming.py
     "streaming_sampled_matrix",
+    # same pipeline as one continuous writeStream job; pytest pins its
+    # bit-identity to streaming_sampled_matrix (tests/test_streaming.py)
+    "streaming_sampled_native",
 }
 
 

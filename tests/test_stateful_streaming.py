@@ -146,3 +146,49 @@ def test_item_cut_lifetime_state_across_batches(spark, tmp_path):
         assert row["admitted"] == min(2, row["total"]), (item, dict(row))
     # rows are never dropped, only flagged (the reference forwards both)
     assert int(per_item["total"].sum()) == len(ROWS)
+
+
+def test_watermark_divergence_bound_vs_per_element(spark, tmp_path):
+    """Pins the documented micro-batch watermark spec: the engine freezes
+    the watermark per batch while the reference advances it per element
+    (FlinkCooccurrences.java:221-229, late check at
+    ItemInteractionCounterTwoInputStreamOperator.java:75-77) — so for the
+    same stream, the engine's dropped set is a SUBSET of the reference's
+    (it drops no more, never different rows)."""
+    from flink_cooccurrence_spark.config import CooccurrenceConfig
+    from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
+
+    # batch 0: out-of-order WITHIN the batch — per-element would drop the
+    # ts=2000 row (arrives after 3000); frozen-per-batch drops nothing
+    b0 = [(1, 10, 1000, 0), (1, 11, 3000, 1), (1, 12, 2000, 2)]
+    # batch 1: ts=1500 is behind batch 0's max (3000) — BOTH specs drop it
+    b1 = [(2, 10, 1500, 3), (2, 11, 4000, 4)]
+
+    def per_element_drops(batches):
+        wm, dropped = -(1 << 62), []
+        for rows in batches:
+            for (u, i, ts, seq) in rows:
+                if ts < wm:
+                    dropped.append(seq)
+                wm = max(wm, ts)
+        return dropped
+
+    ref_dropped = per_element_drops([b0, b1])
+    assert ref_dropped == [2, 3]  # the reference would drop both
+
+    cfg = CooccurrenceConfig(
+        window_size=1, window_unit="SECONDS", top_k=10, skip_cuts=True
+    )
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "wm"))
+    schema = "user int, item int, ts_ms long, seq long"
+    eng.process_batch(spark.createDataFrame(b0, schema), 0)
+    assert eng.metrics()["late_elements"] == 0  # frozen watermark: no drop
+    eng.process_batch(spark.createDataFrame(b1, schema), 1)
+    engine_dropped_count = eng.metrics()["late_elements"]
+    assert engine_dropped_count == 1  # only the cross-batch late row
+
+    # direction of the divergence: engine drops no more than the reference,
+    # and every engine-dropped row is reference-dropped (subset, not skew)
+    assert engine_dropped_count <= len(ref_dropped)
+    # seq 3 (the engine's one drop) is in the reference's dropped set
+    assert 3 in ref_dropped

@@ -372,3 +372,83 @@ def test_item_cut_flags_admission_prefix(spark, inter):
     flags = item_cut_flags(inter, 50, WINDOW_MILLIS)
     admitted = flags.filter("sampled").groupBy("item").count()
     assert admitted.filter(F.col("count") > 50).count() == 0
+
+
+# ------------------------------------------- native continuous sampled job
+
+def test_native_sampled_stream_bit_identical_to_replay(spark, inter, tmp_path):
+    """The full sampled DAG (feedback-corrected cut + reservoir) running as
+    ONE writeStream job off the file source equals the deterministic replay
+    bit-for-bit — matrix, row sums, and total (the counter-based draws make
+    the comparison exact)."""
+    from flink_cooccurrence_spark.streaming.native import (
+        run_sampled_stream,
+        write_window_files,
+    )
+
+    sample = inter.filter(F.col("user") % 5 == 0)
+    cfg = _cfg(item_cut=40, user_cut=6, seed=42)
+    n_files = write_window_files(
+        sample, cfg.window_millis, str(tmp_path / "files"), windows_per_file=2
+    )
+    assert n_files >= 3  # multi-batch run or the test proves nothing
+
+    native = run_sampled_stream(
+        spark, str(tmp_path / "files"), cfg, workdir=str(tmp_path / "native_wd")
+    )
+    assert native.metrics()["batches"] == n_files
+
+    replayed = CooccurrenceStreamEngine(
+        spark, cfg, workdir=str(tmp_path / "replay_wd")
+    )
+    replayed.replay(sample, windows_per_batch=2)
+
+    assert_df_equal(native.item_rows(), replayed.item_rows(), "native_matrix")
+    assert_df_equal(native.row_sums(), replayed.row_sums(), "native_row_sums")
+    assert native.total_observed() == replayed.total_observed()
+
+
+def test_native_sampled_stream_restart_mid_stream(spark, inter, tmp_path):
+    """Kill the continuous sampled job mid-stream (half the files), restart
+    from the checkpoint with a NEW engine instance, feed the rest: the final
+    state is bit-identical to an uninterrupted replay — the reference's
+    checkpoint-restore contract on its core pipeline."""
+    from flink_cooccurrence_spark.streaming.native import (
+        run_sampled_stream,
+        write_window_files,
+    )
+
+    sample = inter.filter(F.col("user") % 4 == 0)
+    cfg = _cfg(item_cut=40, user_cut=6, seed=42)
+    all_dir, half_dir = str(tmp_path / "all"), str(tmp_path / "half")
+    n_files = write_window_files(
+        sample, cfg.window_millis, all_dir, windows_per_file=2
+    )
+    assert n_files >= 4
+
+    # phase 1: only the first half of the files exist; the job processes
+    # them and stops (the "kill" point — state + checkpoint are on disk)
+    import shutil
+
+    os.makedirs(half_dir)
+    files = sorted(os.listdir(all_dir))
+    for f in files[: n_files // 2]:
+        shutil.copy2(os.path.join(all_dir, f), os.path.join(half_dir, f))
+    wd = str(tmp_path / "wd")
+    eng1 = run_sampled_stream(spark, half_dir, cfg, workdir=wd)
+    assert eng1.metrics()["batches"] == n_files // 2
+
+    # phase 2: the rest of the files arrive; a NEW engine on the same
+    # workdir resumes from the source checkpoint + state high-water mark
+    for f in files[n_files // 2 :]:
+        shutil.copy2(os.path.join(all_dir, f), os.path.join(half_dir, f))
+    eng2 = run_sampled_stream(spark, half_dir, cfg, workdir=wd)
+    assert eng2.metrics()["batches"] == n_files
+
+    replayed = CooccurrenceStreamEngine(
+        spark, cfg, workdir=str(tmp_path / "replay_wd")
+    )
+    replayed.replay(sample, windows_per_batch=2)
+    assert_df_equal(eng2.item_rows(), replayed.item_rows(), "restart_matrix")
+    assert_df_equal(eng2.row_sums(), replayed.row_sums(), "restart_row_sums")
+    assert eng2.total_observed() == replayed.total_observed()
