@@ -51,14 +51,14 @@ def main() -> None:
     # warm the JVM + file metadata outside the measured region
     QUERIES["topk_similar"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    #: two measured runs per query, min reported: first runs are dominated
+    #: three measured runs per query, min reported: first runs are dominated
     #: by JIT/codegen compilation of the large generated stages (observed
-    #: 2-3x on the windowed pipeline), which a long-running cluster
-    #: amortizes away — min-of-2 approximates steady state
+    #: 2-3x on the windowed pipeline) and run-to-run GC noise grows with the
+    #: larger headline set — min-of-3 approximates steady state
     times: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()  # no cross-query cache reuse — honest timings
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -116,7 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "aggregation": "min",
                 "counters": counters,
                 "sf": sf,
