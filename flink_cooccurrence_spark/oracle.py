@@ -457,7 +457,7 @@ jac AS (
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.05
 """
 
-    # hot-shingle cut variant: shingles with df > 100 leave the inverted
+    # hot-shingle cut variant: shingles with df > 5 leave the inverted
     # index; denominators use full shingle sets (operators/dedup.py contract)
     o["ngram_jaccard_cut"] = f"""
 WITH {words_cte}, {shingles_cte},
@@ -465,7 +465,7 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
 df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
 idx AS (
   SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
-  WHERE df.df <= 100
+  WHERE df.df <= 5
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -422,10 +422,12 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # dedup family
     "dedup_exact": lambda s, d: _dedup.exact_duplicates(_documents(s, d)),
     "ngram_jaccard_pairs": lambda s, d: _dedup.ngram_jaccard_pairs(_documents(s, d)),
-    # the corpus-scale skew lever live: hot shingles (df > 100) leave the
-    # inverted index; denominators stay exact — oracle mirrors the cut
+    # the corpus-scale skew lever live: hot shingles (df > 5 — chosen so the
+    # cut actually fires at every test SF; max df is 7 at sf0.01, 25 at
+    # sf0.1) leave the inverted index; denominators stay exact — oracle
+    # mirrors the cut
     "ngram_jaccard_cut": lambda s, d: _dedup.ngram_jaccard_pairs(
-        _documents(s, d), max_doc_freq=100
+        _documents(s, d), max_doc_freq=5
     ),
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
     "minhash_lsh_dup_pairs": lambda s, d: _dedup.minhash_lsh_dup_pairs(_documents(s, d)),
