@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_cooccurrence_spark.functions.hashing import hash32
+
 #: LSH configuration (shared with oracle.py). 6 planes = 64 buckets: sized
 #: so buckets hold multiple vectors at test scale (recall needs bucket-mates;
 #: at corpus scale you'd raise planes with corpus size, or use multi-probe).
@@ -104,6 +106,11 @@ def embedding_knn(
 
     ``auto`` probes the query count with a LIMIT-pushed count (bounded work)
     and picks: ≤ ``max_broadcast_queries`` → broadcast, else blocked.
+    NOTE: the auto probe is an *eager* Spark job at DataFrame-construction
+    time — every invocation pays one LIMIT-bounded count before the real
+    query runs. That is deliberate for interactive use (the probe is cheap
+    and pushes LIMIT into the scan); scale/pipeline contexts should pass an
+    explicit ``strategy`` to keep plan construction fully lazy.
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
@@ -184,6 +191,13 @@ def ann_lsh_topk(
     most likely to be missed by a single probe sit just across one
     hyperplane. Each neighbor lives in exactly one bucket, so probing
     distinct buckets never duplicates a candidate.
+
+    The candidate join is a *shuffled* hash join on the bucket id — the
+    query side is an unbounded corpus slice (10% here, ×(NUM_PLANES+1)
+    under multi-probe), so broadcasting it would grow linearly with the
+    corpus and blow the broadcast budget at scale (the round-2 flaw class
+    fixed for ``embedding_knn``; plan-asserted broadcast-free in
+    ``tests/test_similarity_scale.py``).
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
@@ -202,7 +216,7 @@ def ann_lsh_topk(
             "q_emb",
             "q_norm",
         )
-    pairs = bucketed.join(F.broadcast(queries), on="bucket").filter(
+    pairs = bucketed.join(queries.hint("shuffle_hash"), on="bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
     cos = F.round(
@@ -218,30 +232,49 @@ def ann_lsh_topk(
     ).select("q_id", "rank", "n_id", "cosine", "bucket")
 
 
-#: IVF configuration (shared with the oracle SQL): every vec_id with
-#: ``% IVF_CENTROID_MOD == 1`` serves as a centroid (deterministic "training"
-#: — a real deployment would k-means; the partition/probe dataflow is what
-#: matters and is identical).
-IVF_CENTROID_MOD = 25
+#: IVF configuration (shared with the oracle SQL): a FIXED number of
+#: centroids regardless of corpus size — the round-2 design (every 25th
+#: vec_id) grew the centroid set, and so the broadcast and the O(|C|·|cents|)
+#: assignment cost, linearly with the corpus. Centroids are a deterministic
+#: pseudo-random sample: the ``IVF_NUM_CENTROIDS`` lowest vec_ids by portable
+#: hash order (a real deployment would k-means||; the partition/probe
+#: dataflow — and the oracle-exact determinism — is what matters here).
+IVF_NUM_CENTROIDS = 16
 IVF_K = 3
+
+
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """The fixed-K deterministic centroid sample: (c_id, c_emb, c_norm).
+
+    Top-K by (hash32(vec_id), vec_id) — a seeded uniform sample whose size
+    is corpus-independent (pytest pins K constant under corpus doubling).
+    orderBy+limit plans as TakeOrderedAndProject: per-partition top-K then a
+    K-row driver merge — no global sort at any corpus size.
+    """
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    return (
+        base.orderBy(hash32(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_NUM_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
 
 
 def ivf_assignments(embeddings: DataFrame, nprobe: int = 1) -> DataFrame:
     """Rank every vector's ``nprobe`` nearest centroid cells:
     (vec_id, cell, cos_c, probe_rank) — probe_rank 1 is the home cell.
 
-    The centroid set is tiny (|corpus| / IVF_CENTROID_MOD) and broadcast;
-    assignment is one narrow pass over the corpus + a per-vector top-nprobe
-    — linear, no corpus self-join. Ties break to the lower centroid id.
+    The centroid set is a genuinely tiny fixed K and broadcast; assignment
+    is one narrow pass over the corpus + a per-vector top-nprobe —
+    O(|C|·K), no corpus self-join. Ties break to the lower centroid id.
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
     base = _with_norm(embeddings.select("vec_id", "embedding"))
-    cents = base.filter((F.col("vec_id") % IVF_CENTROID_MOD) == 1).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
+    cents = ivf_centroids(embeddings)
     cos = F.round(
         dot(_as_double(F.col("embedding")), _as_double(F.col("c_emb")))
         / (F.col("norm") * F.col("c_norm")),
@@ -270,13 +303,21 @@ def ivf_topk(
     Voronoi cells instead of fixed hyperplanes. nprobe multiplies the
     probed volume (and recall) without ever leaving the bucket-local join;
     a neighbor appears once regardless of nprobe (it has one home cell).
+
+    Every join whose sides grow with the corpus (home-cell attach, query
+    probe attach, the cell-local candidate join) is a *shuffled* hash join
+    — the only broadcast anywhere in the plan is the fixed-K centroid set
+    inside the cached ``ivf_assignments`` (plan-asserted in
+    ``tests/test_similarity_scale.py``).
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
     base = _with_norm(embeddings.select("vec_id", "embedding"))
-    assign = ivf_assignments(embeddings, nprobe)
+    # two consumers (home cells + query probes) — cache so the centroid
+    # assignment pass runs once
+    assign = ivf_assignments(embeddings, nprobe).cache()
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
-    corpus = base.join(home, on="vec_id")
+    corpus = base.join(home.hint("shuffle_hash"), on="vec_id")
     q_cells = assign.filter(
         ((F.col("vec_id") % QUERY_MOD) == 0) & (F.col("probe_rank") <= nprobe)
     ).select(F.col("vec_id").alias("q_id"), "cell")
@@ -287,14 +328,14 @@ def ivf_topk(
             F.col("embedding").alias("q_emb"),
             F.col("norm").alias("q_norm"),
         )
-        .join(q_cells, on="q_id")
+        .join(q_cells.hint("shuffle_hash"), on="q_id")
     )
     cos = F.round(
         dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
         / (F.col("q_norm") * F.col("norm")),
         6,
     )
-    pairs = corpus.join(F.broadcast(queries), on="cell").filter(
+    pairs = corpus.join(queries.hint("shuffle_hash"), on="cell").filter(
         F.col("vec_id") != F.col("q_id")
     )
     scored = pairs.select(

@@ -742,7 +742,9 @@ WITH base AS (
 normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
 cents AS (
   SELECT vec_id AS c_id, v AS c_v, norm AS c_norm
-  FROM normed WHERE vec_id % {sim.IVF_CENTROID_MOD} = 1
+  FROM normed
+  ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {sim.IVF_NUM_CENTROIDS}
 ),
 assign_scored AS (
   SELECT n.vec_id, c.c_id,

@@ -8,9 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.operators.similarity import (
+    IVF_NUM_CENTROIDS,
     ann_lsh_topk,
     ann_recall,
     embedding_knn,
+    ivf_centroids,
     ivf_topk,
 )
 from flink_cooccurrence_spark.sources import load_table
@@ -57,6 +59,43 @@ def test_auto_knn_switches_to_blocked_over_limit(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastExchange" not in plan
+
+
+@pytest.mark.parametrize("multi_probe", [False, True])
+def test_ann_lsh_plan_has_no_broadcast(spark, emb, multi_probe):
+    """The LSH candidate join key is the bucket id and the query side is an
+    unbounded corpus slice — it must move through the shuffle, never a
+    driver-collected broadcast (the round-2 scale flaw, fixed)."""
+    plan = (
+        ann_lsh_topk(emb, multi_probe=multi_probe)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_ivf_plan_broadcasts_only_fixed_centroids(spark, emb):
+    """Every corpus-sized IVF join (home-cell attach, probe attach, the
+    cell-local candidate join) is a shuffled hash join; the only broadcast
+    allowed anywhere is the fixed-K centroid set (an IdentityBroadcastMode
+    cross join of 16 rows inside the cached assignment pass)."""
+    plan = ivf_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "IdentityBroadcastMode" in line, line
+    assert plan.count("ShuffledHashJoin") >= 3
+
+
+def test_ivf_centroid_count_corpus_independent(spark, emb):
+    """The round-2 design derived centroids from vec_id % 25 — a set that
+    grew (and was broadcast) linearly with the corpus. The fixed-K sample
+    must stay constant as the corpus doubles."""
+    doubled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    assert ivf_centroids(emb).count() == IVF_NUM_CENTROIDS
+    assert ivf_centroids(doubled).count() == IVF_NUM_CENTROIDS
 
 
 def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
