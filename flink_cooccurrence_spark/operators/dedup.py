@@ -15,8 +15,11 @@ primitives are portable to DuckDB — ``functions/hashing.py``):
   shuffle), banded 8×4 into LSH buckets; candidate pairs = docs sharing a
   band bucket; similarity estimated as matching-minhash fraction. This is
   the 100 TB dedup path: cost is linear in corpus + bucket-local joins.
-- **SimHash**: 32-bit sign-aggregated token-hash fingerprint; near-dup =
-  small Hamming distance, candidates via byte-band equality.
+- **SimHash**: 63-bit sign-aggregated token-hash fingerprint; near-dup =
+  small Hamming distance, candidates via pigeonhole band equality
+  (``max_hamming + 1`` disjoint bit bands — full recall at the contract
+  threshold, 9-bit bands so each band has 512 distinct values and the
+  band self-join stays bucket-local at corpus scale).
 
 At 100 TB the explode(shingles) stream dominates; it is map-side only
 (no shuffle until the per-doc aggregation), columnar, and whole-stage
@@ -40,8 +43,16 @@ NUM_BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MINHASH_SEED = 42
 
-#: SimHash bit width (32 keeps every engine in exact BIGINT arithmetic).
-SIMHASH_BITS = 32
+#: SimHash bit width. 63 rather than 64: all fingerprints stay non-negative
+#: BIGINTs, so shifts are logical and the arithmetic is exact and identical
+#: in Spark and DuckDB with no sign-bit special cases; the max assembled
+#: value 2^63−1 is exactly the BIGINT max. The width is the scale lever for
+#: candidate generation: at max_hamming=6 the 7 pigeonhole bands are 9 bits
+#: each (512 values/band), vs 4–5 bits at the old 32-bit width where ≤32
+#: band values degenerated the band self-join toward all-pairs at corpus
+#: scale (~0.31 collision probability per random pair; now ~7/512 ≈ 0.014,
+#: and the width can grow further without changing any engine code).
+SIMHASH_BITS = 63
 
 #: Embedding near-dup cosine threshold (shared with the oracle SQL) —
 #: calibrated to the driver corpus; see ``embedding_near_dup_pairs``.
@@ -253,18 +264,28 @@ def minhash_lsh_dup_pairs(
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
-    """32-bit SimHash per doc: (doc_id, simhash).
+    """63-bit SimHash per doc: (doc_id, simhash).
 
     Token-multiset simhash: bit b of the fingerprint is the sign of
     Σ_tokens (±1 by bit b of the token hash). One explode + one groupBy.
+    The 63 token-hash bits come from two independent portable 32-bit
+    hashes (bits 0–31 from ``hash32(w)``, bits 32–62 from
+    ``hash32('s2|' + w)``) — both md5-derived, identical in DuckDB.
     """
     toks = documents.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
-    ).select("doc_id", hash32(F.col("w")).alias("h"))
+    ).select(
+        "doc_id",
+        hash32(F.col("w")).alias("h1"),
+        hash32(F.concat(F.lit("s2|"), F.col("w"))).alias("h2"),
+    )
+
+    def tok_bit(b: int) -> Column:
+        src, off = ("h1", b) if b < 32 else ("h2", b - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.sum(F.when(tok_bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
     wide = toks.groupBy("doc_id").agg(*bit_aggs)
@@ -359,23 +380,27 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (doc_a, doc_b, cosine ≥ threshold).
 
-    Candidates come from the random-hyperplane LSH buckets of
-    ``operators/similarity.py`` (map-side bucketing, bucket-local join — the
-    same scale shape as MinHash-LSH: no all-pairs pass ever runs), then the
-    exact cosine filter keeps true near-dups. Recall is governed by the
-    plane count; multi-probe or band-OR widens it at scale. The default
-    threshold is calibrated to the driver corpus (~99.9th percentile of the
-    pair-cosine distribution — embeddings there are near-random); real
-    near-dup dedup runs at ~0.95.
+    Candidates come from the *corpus-size-adaptive* random-hyperplane LSH
+    buckets of ``operators/similarity.py`` (map-side bucketing, bucket-local
+    join — the same scale shape as MinHash-LSH: no all-pairs pass ever
+    runs), then the exact cosine filter keeps true near-dups. The plane
+    count grows with the corpus (``adaptive_lsh_buckets``: expected bucket
+    occupancy pinned near TARGET_BUCKET_SIZE, pytest-gated under corpus
+    doubling) — a fixed plane count was the round-2 gap: bucket occupancy,
+    and so the bucket-local join, grew linearly with N. Recall trades with
+    occupancy via TARGET_BUCKET_SIZE; multi-probe widens it at scale. The
+    default threshold is calibrated to the driver corpus (~99.9th
+    percentile of the pair-cosine distribution — embeddings there are
+    near-random); real near-dup dedup runs at ~0.95.
     """
     from flink_cooccurrence_spark.operators.similarity import (
         _as_double,
         _with_norm,
+        adaptive_lsh_buckets,
         dot,
-        lsh_buckets,
     )
 
-    bucketed = _with_norm(lsh_buckets(embeddings)).cache()
+    bucketed = _with_norm(adaptive_lsh_buckets(embeddings)).cache()
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = F.round(
         dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))

@@ -42,10 +42,15 @@ KNN_K = 5
 ANN_K = 3
 
 
-def hyperplanes() -> list[list[float]]:
-    """Deterministic literal hyperplanes (rounded so SQL literals are exact)."""
+def hyperplanes(num_planes: int = NUM_PLANES) -> list[list[float]]:
+    """Deterministic literal hyperplanes (rounded so SQL literals are exact).
+
+    Generation is prefix-stable: ``hyperplanes(n)`` is the first ``n`` rows
+    of ``hyperplanes(m)`` for any m ≥ n (one sequential draw stream), so the
+    fixed-plane and adaptive-plane paths share the same plane family.
+    """
     rng = np.random.RandomState(LSH_SEED)
-    planes = rng.standard_normal((NUM_PLANES, EMBED_DIM))
+    planes = rng.standard_normal((num_planes, EMBED_DIM))
     return [[round(float(x), 6) for x in row] for row in planes]
 
 
@@ -173,6 +178,66 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
         bucket = bit if bucket is None else bucket + bit
     return embeddings.select(
         "vec_id", bucket.cast("long").alias("bucket"), "embedding"
+    )
+
+
+#: Adaptive-plane LSH (the near-dup scale path): the plane count derives
+#: from the corpus size so the expected bucket occupancy stays near
+#: ``TARGET_BUCKET_SIZE`` as the corpus grows — a fixed plane count means
+#: bucket occupancy, and so the bucket-local join cost, grows linearly
+#: with N. ``MAX_ADAPTIVE_PLANES`` literal planes are generated; how many
+#: are *used* is a data-dependent expression evaluated inside the plan.
+MAX_ADAPTIVE_PLANES = 16
+TARGET_BUCKET_SIZE = 32
+
+
+def adaptive_planes_for(n: int) -> int:
+    """Pure-python mirror of the in-plan plane count: the number of
+    doublings of ``TARGET_BUCKET_SIZE`` strictly below ``n``, clamped to
+    [1, MAX_ADAPTIVE_PLANES] — an integer-exact ceil(log2(n/target))."""
+    p = sum(1 for j in range(MAX_ADAPTIVE_PLANES) if n > TARGET_BUCKET_SIZE << j)
+    return max(1, p)
+
+
+def adaptive_num_planes(n: Column) -> Column:
+    """planes_used as a column expression over the corpus row count ``n``.
+
+    Integer-only arithmetic (a sum of threshold CASEs, no log2/ceil floats)
+    so Spark and DuckDB can never diverge by a ulp at a power-of-two
+    boundary; the identical SQL text is generated in ``oracle.py``.
+    """
+    p = sum(
+        F.when(n > F.lit(TARGET_BUCKET_SIZE << j), 1).otherwise(0)
+        for j in range(MAX_ADAPTIVE_PLANES)
+    )
+    return F.greatest(F.lit(1), p)
+
+
+def adaptive_lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """Corpus-size-adaptive random-hyperplane buckets: (vec_id, bucket,
+    embedding, planes_used).
+
+    bucket = Σ_{j < planes_used} 2^j · [dot(v, plane_j) ≥ 0]. The corpus
+    count rides in as a broadcast 1-row aggregate (a scalar subquery — no
+    eager driver action), so the bucket space doubles every time the corpus
+    doubles past ``TARGET_BUCKET_SIZE``·2^j and expected occupancy stays
+    O(TARGET_BUCKET_SIZE) until ``MAX_ADAPTIVE_PLANES`` caps it.
+    """
+    n = embeddings.agg(F.count("*").cast("long").alias("_n"))
+    planes_used = adaptive_num_planes(F.col("_n"))
+    v = _as_double(F.col("embedding"))
+    bucket = None
+    for j, plane in enumerate(hyperplanes(MAX_ADAPTIVE_PLANES)):
+        lit = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(
+            (F.lit(j) < planes_used) & (dot(v, lit) >= 0), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        bucket.cast("long").alias("bucket"),
+        "embedding",
+        planes_used.cast("int").alias("planes_used"),
     )
 
 

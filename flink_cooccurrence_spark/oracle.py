@@ -539,9 +539,12 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
-    tok_h32 = hash32_sql("w")
+    tok_h1 = hash32_sql("w")
+    tok_h2 = hash32_sql("'s2|' || w")
     bit_sums = ",\n         ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        "SUM(CASE WHEN ({src} >> {off}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}".format(
+            src="h1" if b < 32 else "h2", off=b if b < 32 else b - 32, b=b
+        )
         for b in range(dd.SIMHASH_BITS)
     )
     bit_assemble = " + ".join(
@@ -549,7 +552,7 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
         for b in range(dd.SIMHASH_BITS)
     )
     simhash_cte = f"""
-toks AS (SELECT doc_id, {tok_h32} AS h FROM words),
+toks AS (SELECT doc_id, {tok_h1} AS h1, {tok_h2} AS h2 FROM words),
 bitsums AS (
   SELECT doc_id,
          {bit_sums}
@@ -866,14 +869,33 @@ FROM frames
 WHERE i % 4 = 0
 """
 
+    # adaptive-plane bucket expr (embedding_near_dup_pairs): planes_used is
+    # the integer doubling count of the corpus size over the target bucket
+    # size — identical CASE-sum arithmetic to adaptive_num_planes, no floats
+    planes_cases = " + ".join(
+        f"(CASE WHEN _n > {sim.TARGET_BUCKET_SIZE << j} THEN 1 ELSE 0 END)"
+        for j in range(sim.MAX_ADAPTIVE_PLANES)
+    )
+    adaptive_terms = []
+    for j, plane in enumerate(sim.hyperplanes(sim.MAX_ADAPTIVE_PLANES)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        adaptive_terms.append(
+            f"(CASE WHEN {j} < planes_used AND list_dot_product(v, {arr}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    adaptive_bucket_expr = " + ".join(adaptive_terms)
     o["embedding_near_dup_pairs"] = f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+planes AS (
+  SELECT GREATEST(1, {planes_cases}) AS planes_used
+  FROM (SELECT count(*) AS _n FROM base)
+),
 bucketed AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
-         CAST({bucket_expr} AS BIGINT) AS bucket
-  FROM base
+         CAST({adaptive_bucket_expr} AS BIGINT) AS bucket
+  FROM base CROSS JOIN planes
 ),
 pairs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

@@ -235,31 +235,34 @@ def test_simhash_band_recall_guarantee(spark):
     import random
 
     from flink_cooccurrence_spark.operators.dedup import (
+        SIMHASH_BITS,
         simhash_band_spec,
         simhash_pairs_from_fingerprints,
     )
 
-    # band spec sanity: h+1 disjoint bands exactly covering 32 bits
+    # band spec sanity: h+1 disjoint bands exactly covering the fingerprint
+    # width (63 bits / 7 bands = 9 bits per band, no remainder)
     spec = simhash_band_spec(6)
     assert len(spec) == 7
-    assert sum(w for _, w in spec) == 32
+    assert sum(w for _, w in spec) == SIMHASH_BITS
+    assert all(w == SIMHASH_BITS // 7 for _, w in spec)
     assert [off for off, _ in spec] == [
         sum(w for _, w in spec[:i]) for i in range(7)
     ]
 
     rng = random.Random(7)
-    base = rng.getrandbits(32)
+    base = rng.getrandbits(SIMHASH_BITS)
     rows: list[tuple[int, int]] = [(0, base)]
     doc_id = 1
     for h in range(1, 7):
         for _ in range(5):
             v = base
-            for b in rng.sample(range(32), h):
+            for b in rng.sample(range(SIMHASH_BITS), h):
                 v ^= 1 << b
             rows.append((doc_id, v))
             doc_id += 1
     for _ in range(20):
-        rows.append((doc_id, rng.getrandbits(32)))
+        rows.append((doc_id, rng.getrandbits(SIMHASH_BITS)))
         doc_id += 1
 
     fp = spark.createDataFrame(rows, "doc_id int, simhash long")

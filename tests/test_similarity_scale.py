@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.operators.similarity import (
     IVF_NUM_CENTROIDS,
+    TARGET_BUCKET_SIZE,
+    adaptive_lsh_buckets,
+    adaptive_planes_for,
     ann_lsh_topk,
     ann_recall,
     embedding_knn,
@@ -96,6 +99,33 @@ def test_ivf_centroid_count_corpus_independent(spark, emb):
     )
     assert ivf_centroids(emb).count() == IVF_NUM_CENTROIDS
     assert ivf_centroids(doubled).count() == IVF_NUM_CENTROIDS
+
+
+def test_adaptive_lsh_occupancy_bounded_under_doubling(spark, emb):
+    """The near-dup bucketing must not let bucket occupancy grow linearly
+    with the corpus: doubling the corpus adds a plane (bucket space ×2), so
+    the mean bucket occupancy stays in the same O(TARGET_BUCKET_SIZE) band
+    instead of doubling."""
+    n = emb.count()
+    doubled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    # the in-plan plane count must track the pure-python mirror and grow
+    p1 = adaptive_lsh_buckets(emb).select("planes_used").first()[0]
+    p2 = adaptive_lsh_buckets(doubled).select("planes_used").first()[0]
+    assert p1 == adaptive_planes_for(n)
+    assert p2 == adaptive_planes_for(2 * n) == p1 + 1
+
+    def mean_occupancy(df):
+        occ = adaptive_lsh_buckets(df).groupBy("bucket").count()
+        return occ.agg(F.avg("count")).first()[0]
+
+    m1, m2 = mean_occupancy(emb), mean_occupancy(doubled)
+    # doubling N while adding one plane must not double mean occupancy
+    # (the doubled copy reuses identical vectors — the worst case for
+    # spreading, since copies always share a bucket)
+    assert m2 <= 1.5 * m1
+    assert m2 <= 4 * TARGET_BUCKET_SIZE
 
 
 def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
