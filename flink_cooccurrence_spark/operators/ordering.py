@@ -50,9 +50,16 @@ def _with_range_bucket(
     )
     span = F.col("_hi") - F.col("_lo") + F.lit(1.0)
     bucket = F.floor((F.col(col).cast("double") - F.col("_lo")) * num_buckets / span)
+    # a NULL key must land in bucket 0: window orderBy sorts nulls FIRST, and
+    # without the guard ``least`` would skip the null bucket expr and send the
+    # row to the LAST bucket — a globally wrong rank (latent here since ts/seq
+    # are non-null, but the contract must not depend on that)
+    bucket = F.when(F.col(col).isNull(), F.lit(0)).otherwise(
+        F.least(F.lit(num_buckets - 1), bucket)
+    )
     return (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn(out, F.least(F.lit(num_buckets - 1), bucket).cast("int"))
+        .withColumn(out, bucket.cast("int"))
         .drop("_lo", "_hi")
     )
 

@@ -151,6 +151,140 @@ def reservoir_step(
     return total
 
 
+def reservoir_user_deltas(
+    items,
+    wsts,
+    sampled,
+    history: list[int],
+    total: int,
+    user_cut: int,
+    seed: int,
+    user: int,
+) -> tuple[pd.DataFrame, int]:
+    """One user's rows (numpy arrays, already in (window_start, seq) order)
+    through the reservoir; mutates ``history``, returns (deltas, new total).
+
+    The per-row Python loop is *semantic* only while the reservoir is at
+    capacity (each draw depends on the mutated history). Below capacity,
+    every sampled row is admitted unconditionally, so the whole prefix —
+    which is ALL rows whenever a user's lifetime stays under kMax, the
+    common case at corpus scale — vectorizes: the pairs-against-prior-
+    history emissions are one triangular-index numpy construction instead
+    of O(rows × history) Python ``emit`` calls. Emission multiset is
+    identical to the loop form (all consumers aggregate; no order
+    dependence).
+
+    Deltas columns: window_start int64, kind object, item int64,
+    other_item float64 (NaN = null — callers ``astype("Int32")``),
+    increment int64.
+    """
+    import numpy as np
+
+    n = len(items)
+    room = max(user_cut - len(history), 0)
+    s_idx = np.flatnonzero(sampled)
+    # first row index of the at-capacity phase: the (room+1)-th sampled row
+    cut = n if room >= len(s_idx) else int(s_idx[room])
+
+    frames: list[pd.DataFrame] = []
+    adm_sel = sampled[:cut]
+    adm_items = items[:cut][adm_sel]
+    adm_wst = wsts[:cut][adm_sel]
+    h0, m = len(history), len(adm_items)
+    if m:
+        full_hist = np.concatenate(
+            [np.asarray(history, dtype=np.int64), adm_items]
+        )
+        counts = h0 + np.arange(m, dtype=np.int64)  # partners per admit
+        owner = np.repeat(np.arange(m), counts)
+        starts = np.cumsum(counts) - counts
+        ppos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            starts, counts
+        )
+        partners = full_hist[ppos]
+        it_o, ws_o = adm_items[owner], adm_wst[owner]
+        nz = counts > 0
+        p = len(ws_o)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "window_start": np.concatenate(
+                        [ws_o, ws_o, ws_o, adm_wst[nz]]
+                    ),
+                    "kind": np.concatenate(
+                        [
+                            np.full(p, "cooc", dtype=object),
+                            np.full(p, "cooc", dtype=object),
+                            np.full(p, "row_sum", dtype=object),
+                            np.full(int(nz.sum()), "row_sum", dtype=object),
+                        ]
+                    ),
+                    "item": np.concatenate(
+                        [it_o, partners, partners, adm_items[nz]]
+                    ),
+                    "other_item": np.concatenate(
+                        [
+                            partners.astype(np.float64),
+                            it_o.astype(np.float64),
+                            np.full(p, np.nan),
+                            np.full(int(nz.sum()), np.nan),
+                        ]
+                    ),
+                    "increment": np.concatenate(
+                        [
+                            np.ones(p, np.int64),
+                            np.ones(p, np.int64),
+                            np.ones(p, np.int64),
+                            counts[nz],
+                        ]
+                    ),
+                }
+            )
+        )
+        history[:] = [int(x) for x in full_hist]
+    total += cut  # every phase-1 row counts toward the draw denominator
+
+    if cut < n:
+        out: list[tuple] = []
+
+        def emit(wst: int, kind: str, item, other, inc: int) -> None:
+            out.append((wst, kind, item, other, inc))
+
+        for i in range(cut, n):
+            if not sampled[i]:
+                total += 1  # un-sampled rows still advance the denominator
+                continue
+            total = reservoir_step(
+                int(items[i]), int(wsts[i]), history, total,
+                user_cut, seed, user, emit,
+            )
+        ldf = pd.DataFrame(
+            out,
+            columns=["window_start", "kind", "item", "other_item", "increment"],
+        )
+        if len(ldf):
+            ldf = ldf.astype(
+                {"window_start": "int64", "item": "int64", "increment": "int64"}
+            )
+            ldf["other_item"] = ldf["other_item"].astype("float64")  # None → NaN
+            frames.append(ldf)
+
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "window_start": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype=object),
+                    "item": pd.Series(dtype="int64"),
+                    "other_item": pd.Series(dtype="float64"),
+                    "increment": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True), total
+
+
 def reservoir_sample_user_histories(
     interactions: DataFrame,
     user_cut: int,
@@ -183,35 +317,27 @@ def reservoir_sample_user_histories(
     w = w.select(*cols)
 
     def process_user(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (user,) = key
-        out: list[tuple] = []
-
-        def emit(wst: int, kind: str, item, other, inc: int) -> None:
-            out.append((wst, kind, item, other, inc))
-
-        history: list[int] = []
-        total = 0
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["window_start", "seq"], kind="mergesort")
-        for row in pdf.itertuples(index=False):
-            if sampled_col and not getattr(row, sampled_col):
-                # un-sampled rows still count toward the draw denominator
-                # (UserInteractionCounterOneInputStreamOperator.java:158)
-                total += 1
-                continue
-            total = reservoir_step(
-                int(row.item),
-                int(row.window_start),
-                history,
-                total,
-                user_cut,
-                seed,
-                int(user),
-                emit,
-            )
-        yield pd.DataFrame(
-            out, columns=["window_start", "kind", "item", "other_item", "increment"]
-        ).astype(
+        sampled = (
+            pdf[sampled_col].to_numpy(bool)
+            if sampled_col
+            else np.ones(len(pdf), dtype=bool)
+        )
+        deltas, _ = reservoir_user_deltas(
+            pdf["item"].to_numpy(np.int64),
+            pdf["window_start"].to_numpy(np.int64),
+            sampled,
+            [],
+            0,
+            user_cut,
+            seed,
+            int(user),
+        )
+        yield deltas.astype(
             {
                 "window_start": "int64",
                 "kind": "object",

@@ -261,6 +261,27 @@ def q_llr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENGINE_MEMO: dict[tuple, object] = {}
 
 
+def _memo_key(spark: SparkSession, *parts) -> tuple:
+    """Memo key anchored on the Spark applicationId — stable for a session's
+    lifetime, never reused across sessions (``id(spark)`` can be: CPython
+    recycles addresses after a session is garbage-collected, which could
+    hand a dead engine to a fresh session in the same process)."""
+    return (spark.sparkContext.applicationId, *parts)
+
+
+def _memo_tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup — replay/spool workdirs are per-process
+    scratch, not durable state; without this every registry invocation
+    leaks a directory tree."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _streaming_engine(spark: SparkSession, sf_dir: str, **cfg_kw):
     """Run the micro-batch streaming engine (SURVEY §7 M3/M4) over the
     interactions via deterministic window-ordered replay.
@@ -268,20 +289,18 @@ def _streaming_engine(spark: SparkSession, sf_dir: str, **cfg_kw):
     Replays are deterministic, so one engine per (session, sf_dir, config)
     is memoized — the three non-sampled streaming queries share a single
     replay instead of re-running it."""
-    import tempfile
-
     from flink_cooccurrence_spark.config import CooccurrenceConfig
     from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
 
     base = dict(window_size=1, window_unit="DAYS", top_k=10)
     base.update(cfg_kw)
-    key = (id(spark), sf_dir, tuple(sorted(base.items())))
+    key = _memo_key(spark, sf_dir, tuple(sorted(base.items())))
     if key in _ENGINE_MEMO:
         return _ENGINE_MEMO[key]
     eng = CooccurrenceStreamEngine(
         spark,
         CooccurrenceConfig(**base),
-        workdir=tempfile.mkdtemp(prefix="cooc_q_"),
+        workdir=_memo_tmpdir("cooc_q_"),
     )
     eng.replay(_interactions(spark, sf_dir), windows_per_batch=8)
     _ENGINE_MEMO[key] = eng
@@ -321,8 +340,6 @@ def q_streaming_sampled_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     window batching as ``streaming_sampled_matrix``'s replay, so the final
     state is bit-identical to it — pytest pins the equality; the driver
     records rows-only (seeded reservoir is not SQL-expressible)."""
-    import tempfile
-
     from flink_cooccurrence_spark.config import CooccurrenceConfig
     from flink_cooccurrence_spark.streaming.native import (
         run_sampled_stream,
@@ -333,10 +350,10 @@ def q_streaming_sampled_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_size=1, window_unit="DAYS", top_k=10,
         item_cut=50, user_cut=8, seed=42,
     )
-    key = (id(spark), sf_dir, "native_sampled")
+    key = _memo_key(spark, sf_dir, "native_sampled")
     if key not in _ENGINE_MEMO:
         cfg = CooccurrenceConfig(**base)
-        root = tempfile.mkdtemp(prefix="cooc_native_")
+        root = _memo_tmpdir("cooc_native_")
         write_window_files(
             _interactions(spark, sf_dir),
             cfg.window_millis,
@@ -356,7 +373,6 @@ QUERIES: dict[str, QueryFn] = {
     "interactions_parse": q_interactions_parse,
     "late_data_audit": q_late_data_audit,
     "cooccurrence_counts": q_cooccurrence_counts,
-    "cooccurrence_counts_salted": q_cooccurrence_counts_salted,
     "row_sums": q_row_sums,
     "total_observed": q_total_observed,
     "llr_scores": q_llr_scores,
@@ -380,7 +396,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_row_sums": q_streaming_row_sums,
     "streaming_final_topk": q_streaming_final_topk,
     "streaming_sampled_matrix": q_streaming_sampled_matrix,
-    "streaming_sampled_native": q_streaming_sampled_native,
 }
 
 
@@ -442,17 +457,8 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     "fingerprints": lambda s, d: _ts.fingerprints(_documents(s, d)),
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
-    # same results through the grid-partitioned exact plan (no query-side
-    # broadcast) — the 100 TB path, driver-checked against the same oracle
-    "embedding_knn_blocked": lambda s, d: _sim.embedding_knn(
-        _embeddings(s, d), strategy="blocked"
-    ),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
-    "ann_lsh_multiprobe": lambda s, d: _sim.ann_lsh_topk(
-        _embeddings(s, d), multi_probe=True
-    ),
     "ivf_topk": lambda s, d: _sim.ivf_topk(_embeddings(s, d)),
-    "ivf_topk_nprobe2": lambda s, d: _sim.ivf_topk(_embeddings(s, d), nprobe=2),
     "ann_recall": lambda s, d: _sim.ann_recall(_embeddings(s, d)),
     # UDF/UDAF/UDTF surface (functions/udx.py)
     "median_quality_by_lang": lambda s, d: _q_median_quality_by_lang(s, d),
@@ -466,12 +472,41 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # multimodal (Arrow/pandas plumbing with SQL-checkable fake decode)
     "image_metadata": lambda s, d: _mm.image_metadata(_documents(s, d)),
     "image_resize": lambda s, d: _mm.image_resize(_documents(s, d)),
-    # long form (doc_id, dim, feature): array cells don't compare scalar-wise
-    "image_features": lambda s, d: _mm.image_features(_documents(s, d)).select(
-        "doc_id", F.posexplode("features").alias("dim", "feature")
-    ),
     "audio_frames": lambda s, d: _mm.audio_frames(_documents(s, d)),
     "video_frame_sample": lambda s, d: _mm.video_frame_sample(_documents(s, d)),
 }
 
 QUERIES.update(EXTENSION_QUERIES)
+
+#: physical-rewrite / long-form twins of driver-checked queries, kept OFF
+#: the driver surface so the registry stays within the driver's 50-query
+#: check budget (round 2 silently dropped 6 families past the cap) while
+#: every family keeps a driver row. Every entry here is still verified: the
+#: ones with ORACLES rows run through the same DuckDB parity gate in
+#: ``tests/test_oracle_parity.py``, and each has a semantic pytest gate
+#: pinning it to its driver-checked twin (salting/blocked-plan equality,
+#: multi-probe/nprobe candidate-superset, native-stream bit-identity).
+PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
+    # salting physical rewrite — identical results to cooccurrence_counts
+    "cooccurrence_counts_salted": q_cooccurrence_counts_salted,
+    # continuous writeStream job — bit-identical to streaming_sampled_matrix
+    "streaming_sampled_native": q_streaming_sampled_native,
+    # grid-partitioned exact-KNN plan (no query-side broadcast)
+    "embedding_knn_blocked": lambda s, d: _sim.embedding_knn(
+        _embeddings(s, d), strategy="blocked"
+    ),
+    # widened-recall ANN variants of ann_lsh_topk / ivf_topk
+    "ann_lsh_multiprobe": lambda s, d: _sim.ann_lsh_topk(
+        _embeddings(s, d), multi_probe=True
+    ),
+    "ivf_topk_nprobe2": lambda s, d: _sim.ivf_topk(_embeddings(s, d), nprobe=2),
+    # long form (doc_id, dim, feature) of image_metadata's feature arrays
+    "image_features": lambda s, d: _mm.image_features(_documents(s, d)).select(
+        "doc_id", F.posexplode("features").alias("dim", "feature")
+    ),
+}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    """Driver surface + pytest-only twins (bench and pytest parity use this)."""
+    return {**QUERIES, **PYTEST_ONLY_QUERIES}

@@ -37,6 +37,10 @@ def get_spark(
         # join on one core. A small floor keeps expansion stages parallel
         # locally and is a no-op at cluster scale where partitions are >> this.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
+        # without this, a .persist() subtree is planned with AQE disabled
+        # (fixed-width shuffles); the engine caches its per-batch delta and
+        # micro-batch inputs, which must keep adaptive coalescing
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -25,8 +25,10 @@ Per micro-batch, in order:
    count-product form: per-user item counts as state, within-batch pairs +
    batch×state cross pairs — no Python loop, no positional join.
 5. **Delta merge** (ops 10/11/13): ±deltas are summed into the materialized
-   ``item_rows`` / ``row_sums`` tables (copy-on-write parquet versions —
-   Delta-style MERGE at cluster scale) and the scalar total.
+   ``item_rows`` / ``row_sums`` tables — hash-bucketed copy-on-write
+   partitions where a batch rewrites only the buckets its changed items
+   hash into (``StateStore.put_parts``; the parquet realization of a
+   partition-pruned Delta/Iceberg MERGE) — and the scalar total.
 6. **Rescore changed rows only** (op 13): the changed-item set joins its
    full cumulative rows against broadcast row sums + the scalar total, LLR
    (pure column expression), top-K per item (window rank), appended to the
@@ -52,7 +54,7 @@ from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.config import CooccurrenceConfig
 from flink_cooccurrence_spark.operators.cooccurrence import scored_rows, with_window
-from flink_cooccurrence_spark.operators.sampling import reservoir_step
+from flink_cooccurrence_spark.operators.sampling import reservoir_user_deltas
 from flink_cooccurrence_spark.operators.topk import top_k_per_group
 from flink_cooccurrence_spark.streaming.state import StateStore
 
@@ -68,6 +70,18 @@ TAGGED_SCHEMA = (
     "kind string, user int, item int, other_item int, increment long, "
     "window_start long, history array<int>, total long"
 )
+
+#: hash buckets for the partitioned ``item_rows``/``row_sums`` state tables
+#: (``StateStore.put_parts``): a batch merges and rewrites only the buckets
+#: containing items its delta touched, so per-batch state I/O is O(changed
+#: items' buckets), not O(|state|). Sized like a Delta/Iceberg partition
+#: count: high enough that a typical batch's changed items miss most
+#: buckets, low enough that each bucket is a healthy parquet file.
+STATE_BUCKETS = 16
+
+
+def _item_bucket(col: str = "item"):
+    return F.pmod(F.hash(F.col(col)), F.lit(STATE_BUCKETS)).cast("int")
 
 
 class CooccurrenceStreamEngine:
@@ -89,6 +103,32 @@ class CooccurrenceStreamEngine:
         self.workdir = workdir or tempfile.mkdtemp(prefix="cooc_stream_")
         self.state = StateStore(spark, os.path.join(self.workdir, "state"))
         self._topk_dir = os.path.join(self.workdir, "topk_updates")
+        # independent state/output writes of one batch overlap as concurrent
+        # Spark jobs (the reference's operators all run concurrently in one
+        # dataflow; foreachBatch would otherwise serialize them) — each put
+        # touches only its own table's version pointer, and process_batch
+        # joins every pending write before rescoring reads state back,
+        # before commit, and before any rollback
+        import concurrent.futures
+
+        self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+        self._pending: list = []
+        self._cached: list = []
+
+    def _submit_write(self, fn) -> None:
+        self._pending.append(self._write_pool.submit(fn))
+
+    def _drain_writes(self) -> None:
+        """Join all in-flight writes; re-raise the first failure (after all
+        have settled, so a later rollback can't race a still-running put)."""
+        pending, self._pending = self._pending, []
+        first_err: BaseException | None = None
+        for f in pending:
+            err = f.exception()
+            if err is not None and first_err is None:
+                first_err = err
+        if first_err is not None:
+            raise first_err
 
     # ------------------------------------------------------------------ api
 
@@ -103,17 +143,36 @@ class CooccurrenceStreamEngine:
         streaming checkpoint commit, where Spark re-delivers the batch."""
         if batch_id <= self.state.get_scalar("last_batch_id", -1):
             return
+        self._cached = []
         try:
             batch = self._ensure_seq(batch)
+            # a true Structured Streaming micro-batch arrives materialized;
+            # replay-mode batches are lazy source slices that every consumer
+            # (late stats, delta joins, state merge) would re-scan and
+            # re-parse — cache for the batch's lifetime to match streaming
+            # semantics (first action fills it; unpersisted in finally)
+            batch = batch.persist()
+            self._cached.append(batch)
             batch, wm, late_stats = self._drop_late(batch)
             if self.config.skip_cuts:
                 delta, rs_delta = self._nonsampled_deltas(batch, batch_id)
             else:
                 delta, rs_delta = self._sampled_deltas(batch, batch_id)
             self._merge_and_score(delta, rs_delta, batch_id, wm, late_stats)
+            self._drain_writes()
         except BaseException:
+            # settle every in-flight write before rolling back — a put that
+            # completed after rollback would resurrect a dead pointer
+            try:
+                self._drain_writes()
+            except BaseException:
+                pass
             self.state.rollback()
             raise
+        finally:
+            for df in self._cached:
+                df.unpersist(blocking=False)
+            self._cached = []
         self.state.set_scalar("last_batch_id", int(batch_id))
         self.state.commit()
 
@@ -133,24 +192,33 @@ class CooccurrenceStreamEngine:
         order, ``windows_per_batch`` at a time — the batch equivalent of the
         watermark-driven window fire (one window per batch ≡ the reference's
         cadence; SURVEY §3.3)."""
-        wdf = with_window(interactions, self.config.window_millis)
-        windows = [r[0] for r in wdf.select("window_start").distinct().orderBy("window_start").collect()]
-        for i in range(0, len(windows), windows_per_batch):
-            chunk = windows[i : i + windows_per_batch]
-            batch = wdf.filter(
-                (F.col("window_start") >= chunk[0]) & (F.col("window_start") <= chunk[-1])
-            ).drop("window_start")
-            self.process_batch(batch, i // windows_per_batch)
+        # the replay source is scanned once and cached (the windows-listing
+        # action fills it): window_start is computed from ts_ms, so the
+        # per-batch filters can't push down to the scan — without the cache
+        # every batch re-reads and re-parses the full source, O(batches ×
+        # source) I/O that a real streaming source (materialized
+        # micro-batches) never pays
+        wdf = with_window(interactions, self.config.window_millis).persist()
+        try:
+            windows = [r[0] for r in wdf.select("window_start").distinct().orderBy("window_start").collect()]
+            for i in range(0, len(windows), windows_per_batch):
+                chunk = windows[i : i + windows_per_batch]
+                batch = wdf.filter(
+                    (F.col("window_start") >= chunk[0]) & (F.col("window_start") <= chunk[-1])
+                ).drop("window_start")
+                self.process_batch(batch, i // windows_per_batch)
+        finally:
+            wdf.unpersist(blocking=False)
 
     # state accessors -------------------------------------------------------
 
     def item_rows(self) -> DataFrame:
         """Materialized cooccurrence matrix C (long form) — the engine's view
         of the rescorer's ``itemRows`` (``ItemRowRescorerTwoInputStreamOperator.java:35``)."""
-        return self.state.get("item_rows", ITEM_ROWS_SCHEMA)
+        return self.state.get_parts("item_rows", ITEM_ROWS_SCHEMA)
 
     def row_sums(self) -> DataFrame:
-        return self.state.get("row_sums", ROW_SUMS_SCHEMA)
+        return self.state.get_parts("row_sums", ROW_SUMS_SCHEMA)
 
     def total_observed(self) -> int:
         return self.state.get_scalar("observed_cooccurrences")
@@ -285,14 +353,29 @@ class CooccurrenceStreamEngine:
             .filter(F.col("d") != 0)
             .groupBy("item", "other_item")
             .agg(F.sum("d").alias("delta"))
+            # materialize once: the delta feeds the stats action, both state
+            # merges, and the changed-set rescore — without this each
+            # consumer re-runs the within+cross joins against the batch and
+            # the full user-counts state. Lazy persist, not an eager
+            # localCheckpoint: the combined stats action (the batch's one
+            # auxiliary action, which runs before any concurrent consumer)
+            # fills the cache as a side effect, so materialization costs no
+            # extra job. (The sampled path keeps its eager localCheckpoint:
+            # its first consumers are concurrent, and a lazy cache there
+            # would duplicate the applyInPandas pass.)
+            .persist()
         )
+        self._cached.append(delta)
 
         new_counts = (
             prior.unionByName(bc.withColumnRenamed("m", "n"))
             .groupBy("user", "item")
             .agg(F.sum("n").alias("n"))
         )
-        self.state.put("user_counts", new_counts)
+        # nothing downstream of this batch reads user_counts (next batch
+        # does, after the drain barrier) — overlap the write with the
+        # stats action and the item_rows/row_sums merges
+        self._submit_write(lambda: self.state.put("user_counts", new_counts))
         return delta, None
 
     def _sampled_deltas(
@@ -331,7 +414,10 @@ class CooccurrenceStreamEngine:
             .agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") != 0)
         )
-        self.state.put("item_counts", new_ic)
+        # only the next batch reads item_counts — overlap this write with
+        # the reservoir pass below (both sides recompute ``flagged``; they
+        # now do so concurrently instead of back-to-back)
+        self._submit_write(lambda: self.state.put("item_counts", new_ic))
 
         # 3. reservoir with history state (op 7): tagged union — one state
         # row per user, so the ≤ kMax array shuffles once, not per row
@@ -360,6 +446,8 @@ class CooccurrenceStreamEngine:
         user_cut, seed = cfg.user_cut, cfg.seed
 
         def process_user(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
             (user,) = key
             pdf = pd.concat(list(pdf_iter), ignore_index=True)
             is_state = pdf["kind"] == "state"
@@ -369,31 +457,43 @@ class CooccurrenceStreamEngine:
                 srow = pdf[is_state].iloc[0]
                 history = [int(x) for x in srow["history"]]
                 total = int(srow["total"])
-            out: list[tuple] = []
-
-            def emit(wst: int, kind: str, item, other, inc: int) -> None:
-                out.append((kind, int(user), item, other, inc, wst, None, None))
-
             data = pdf[~is_state].sort_values(["window_start", "seq"], kind="mergesort")
-            for row in data.itertuples(index=False):
-                if not row.sampled:
-                    # every interaction reaching the operator counts toward
-                    # the draw denominator, sampled or not
-                    # (UserInteractionCounterOneInputStreamOperator.java:158)
-                    total += 1
-                    continue
-                total = reservoir_step(
-                    int(row.item), int(row.window_start), history, total,
-                    user_cut, seed, int(user), emit,
-                )
-            out.append(("state", int(user), None, None, None, None, history, total))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "kind", "user", "item", "other_item", "increment",
-                    "window_start", "history", "total",
-                ],
+            # vectorized reservoir core: the below-capacity admit prefix
+            # (including un-sampled denominator bumps,
+            # UserInteractionCounterOneInputStreamOperator.java:158) is one
+            # numpy construction; only at-capacity draw rows loop in Python
+            deltas, total = reservoir_user_deltas(
+                data["item"].to_numpy(np.int64),
+                data["window_start"].to_numpy(np.int64),
+                data["sampled"].to_numpy(bool),
+                history, total, user_cut, seed, int(user),
             )
+            n = len(deltas)
+            out_df = pd.DataFrame(
+                {
+                    "kind": deltas["kind"].to_numpy(object),
+                    "user": pd.array(np.full(n, int(user)), dtype="Int64"),
+                    "item": pd.array(deltas["item"], dtype="Int64"),
+                    "other_item": deltas["other_item"].astype("Int64"),
+                    "increment": pd.array(deltas["increment"], dtype="Int64"),
+                    "window_start": pd.array(deltas["window_start"], dtype="Int64"),
+                    "history": pd.Series([None] * n, dtype=object),
+                    "total": pd.array([None] * n, dtype="Int64"),
+                }
+            )
+            state_row = pd.DataFrame(
+                {
+                    "kind": pd.Series(["state"], dtype=object),
+                    "user": pd.array([int(user)], dtype="Int64"),
+                    "item": pd.array([None], dtype="Int64"),
+                    "other_item": pd.array([None], dtype="Int64"),
+                    "increment": pd.array([None], dtype="Int64"),
+                    "window_start": pd.array([None], dtype="Int64"),
+                    "history": pd.Series([history], dtype=object),
+                    "total": pd.array([total], dtype="Int64"),
+                }
+            )
+            yield pd.concat([out_df, state_row], ignore_index=True)
 
         tagged_out = tagged_in.groupBy("user").applyInPandas(process_user, TAGGED_SCHEMA)
         # materialize once: four consumers below must not re-run the processor
@@ -401,16 +501,19 @@ class CooccurrenceStreamEngine:
         # are the state tables written from it, not this transient batch)
         tagged = tagged_out.localCheckpoint(eager=True)
 
-        self.state.put(
-            "user_histories",
-            tagged.filter(F.col("kind") == "state").select("user", "history", "total"),
+        # both tables are read only by the next batch; the plans read the
+        # localCheckpointed ``tagged`` batch, so the writes are cheap narrow
+        # jobs that overlap with the delta merges downstream
+        hist_df = tagged.filter(F.col("kind") == "state").select(
+            "user", "history", "total"
         )
-        self.state.put(
-            "feedback",
+        self._submit_write(lambda: self.state.put("user_histories", hist_df))
+        fb_df = (
             tagged.filter(F.col("kind") == "feedback")
             .groupBy("item")
-            .agg(F.sum("increment").alias("dec")),
+            .agg(F.sum("increment").alias("dec"))
         )
+        self._submit_write(lambda: self.state.put("feedback", fb_df))
         delta = (
             tagged.filter(F.col("kind") == "cooc")
             .groupBy("item", "other_item")
@@ -450,10 +553,21 @@ class CooccurrenceStreamEngine:
             rs_delta = delta.groupBy("item").agg(F.sum("delta").alias("d"))
 
         stats = (
-            late_stats.crossJoin(rs_delta.agg(F.sum("d").alias("total_delta")))
-            .crossJoin(delta.agg(F.count_distinct("item").alias("n_changed")))
+            late_stats.crossJoin(
+                rs_delta.agg(
+                    F.sum("d").alias("total_delta"),
+                    F.collect_set(_item_bucket()).alias("rs_buckets"),
+                )
+            )
+            .crossJoin(
+                delta.agg(
+                    F.count_distinct("item").alias("n_changed"),
+                    F.collect_set(_item_bucket()).alias("delta_buckets"),
+                )
+            )
             .first()
-        )  # <- the ONE auxiliary per-batch action
+        )  # <- the ONE auxiliary per-batch action (the changed-bucket sets
+        #    for the partitioned state MERGE ride along as collect_sets)
         self.state.add_scalar("late_elements", int(stats["late"] or 0))
         self.state.add_scalar("batches", 1)
         if stats["max_ts"] is not None:
@@ -463,33 +577,63 @@ class CooccurrenceStreamEngine:
         )
         n_changed = int(stats["n_changed"] or 0)
         self.state.add_scalar("rescored_items", n_changed)
+        delta_buckets = sorted(stats["delta_buckets"])
+        rs_buckets = sorted(stats["rs_buckets"])
 
-        new_rows = (
-            self.state.get("item_rows", ITEM_ROWS_SCHEMA)
-            .unionByName(delta.selectExpr("item", "other_item", "delta as cnt"))
-            .groupBy("item", "other_item")
-            .agg(F.sum("cnt").alias("cnt"))
-            .filter(F.col("cnt") != 0)
-        )
-        self.state.put("item_rows", new_rows)
+        # partitioned MERGE (op 10/11 state): read + rewrite ONLY the hash
+        # buckets containing changed items — untouched buckets keep their
+        # existing version dirs, so per-batch state I/O tracks the batch's
+        # changed-item footprint instead of the lifetime state size
+        merge_futs = []
+        if delta_buckets:
+            new_rows = (
+                self.state.get_parts("item_rows", ITEM_ROWS_SCHEMA, delta_buckets)
+                .unionByName(delta.selectExpr("item", "other_item", "delta as cnt"))
+                .groupBy("item", "other_item")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+                .withColumn("_bucket", _item_bucket())
+            )
+            merge_futs.append(
+                self._write_pool.submit(
+                    self.state.put_parts, "item_rows", new_rows, delta_buckets
+                )
+            )
 
-        new_sums = (
-            self.state.get("row_sums", ROW_SUMS_SCHEMA)
-            .unionByName(rs_delta.selectExpr("item", "d as row_sum"))
-            .groupBy("item")
-            .agg(F.sum("row_sum").alias("row_sum"))
-        )
-        self.state.put("row_sums", new_sums)
+        if rs_buckets:
+            new_sums = (
+                self.state.get_parts("row_sums", ROW_SUMS_SCHEMA, rs_buckets)
+                .unionByName(rs_delta.selectExpr("item", "d as row_sum"))
+                .groupBy("item")
+                .agg(F.sum("row_sum").alias("row_sum"))
+                .withColumn("_bucket", _item_bucket())
+            )
+            merge_futs.append(
+                self._write_pool.submit(
+                    self.state.put_parts, "row_sums", new_sums, rs_buckets
+                )
+            )
+        # the two merges are independent of each other but the rescore below
+        # reads both tables back — join them here (errors re-raise)
+        for f in merge_futs:
+            f.result()
 
         if n_changed == 0:
             return
         changed = delta.select("item").distinct()
-        # read state back post-put: materialized parquet, lineage truncated.
-        # changed-set size is batch-dependent — AQE decides broadcast vs hash
-        rows = self.state.get("item_rows", ITEM_ROWS_SCHEMA).join(changed, on="item")
+        # read state back post-put: materialized parquet, lineage truncated,
+        # and bucket-pruned — changed items live only in the just-rewritten
+        # buckets. changed-set size is batch-dependent — AQE decides
+        # broadcast vs hash for the join
+        rows = self.state.get_parts(
+            "item_rows", ITEM_ROWS_SCHEMA, delta_buckets
+        ).join(changed, on="item")
         total_df = self.spark.createDataFrame([(total,)], "total long")
         scored = scored_rows(
-            rows, self.state.get("row_sums", ROW_SUMS_SCHEMA), total_df, round_digits=3
+            rows,
+            self.state.get_parts("row_sums", ROW_SUMS_SCHEMA),
+            total_df,
+            round_digits=3,
         )
         topk = top_k_per_group(
             scored, ["item"], "score", self.config.top_k, tie_breakers=["other_item"]
@@ -502,7 +646,11 @@ class CooccurrenceStreamEngine:
             "score",
         )
         # per-batch subdir with overwrite: a retried batch rewrites its own
-        # emissions instead of appending duplicates (idempotent output log)
-        topk.write.mode("overwrite").parquet(
-            os.path.join(self._topk_dir, f"batch-{batch_id}")
+        # emissions instead of appending duplicates (idempotent output log);
+        # async — overlaps any still-pending state writes, joined at the
+        # process_batch drain barrier before commit
+        self._submit_write(
+            lambda: topk.write.mode("overwrite").parquet(
+                os.path.join(self._topk_dir, f"batch-{batch_id}")
+            )
         )

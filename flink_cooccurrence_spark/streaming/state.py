@@ -12,6 +12,17 @@ Write protocol: each ``put`` writes ``{root}/{name}/v{n+1}`` then flips the
 in-memory pointer — readers of version *n* are never disturbed (parquet
 dirs are immutable once written), which is exactly the copy-on-write table
 format trick. Old versions beyond a small retention are removed.
+
+Partitioned tables (``put_parts``/``get_parts``) extend the protocol to the
+poor-man's MERGE the module gestures at above: rows are hash-bucketed on
+the state key into ``_bucket`` subdirs, the version pointer is *per bucket*
+(``{name}/v{n}/_bucket={k}``), and a batch writes one partitionBy job
+containing only the buckets whose keys changed — every other bucket keeps
+pointing at its older version dir. Per-batch state I/O is then O(changed
+buckets), not O(|state|): the copy-on-write safety story is unchanged
+(version dirs stay immutable; pointers flip atomically at ``commit``), and
+at cluster scale the same layout maps 1:1 onto a Delta/Iceberg MERGE with
+partition pruning.
 """
 
 from __future__ import annotations
@@ -70,6 +81,84 @@ class StateStore:
         stale = v - RETAIN_VERSIONS
         if stale > 0:
             shutil.rmtree(self._path(name, stale), ignore_errors=True)
+
+    # -- partitioned table state (hash-bucketed MERGE) ------------------------
+
+    def get_parts(
+        self, name: str, schema: str, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Union read of a partitioned table's buckets at their current
+        versions — ``buckets=None`` reads all, an explicit list prunes the
+        scan to just those bucket dirs (the read half of the MERGE: a batch
+        reads only the buckets its delta touches)."""
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict):
+            return self.spark.createDataFrame([], schema)
+        bmap: dict[str, int] = ptr["buckets"]
+        want = bmap if buckets is None else [str(b) for b in buckets]
+        paths = [
+            os.path.join(self._path(name, bmap[b]), f"_bucket={b}")
+            for b in want
+            if bmap.get(b, 0) > 0
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def put_parts(self, name: str, df: DataFrame, buckets: list[int]) -> None:
+        """MERGE-write: materialize ``df`` (which must carry an int
+        ``_bucket`` column and contain exactly the post-merge rows of the
+        ``buckets`` listed) as the next version of those buckets only.
+
+        One ``partitionBy`` job writes all changed buckets; untouched
+        buckets keep their existing version pointers, so per-batch I/O is
+        proportional to the changed-key footprint. A changed bucket that
+        ends up with zero rows gets pointer 0 (reads as empty) — its old
+        dir is no longer referenced and is garbage-collected."""
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict):
+            ptr = {"latest": 0, "buckets": {}}
+        v = ptr["latest"] + 1
+        # co-locate each bucket into one task so a version holds one file
+        # per bucket (without this, every upstream shuffle partition writes
+        # a sliver into every bucket dir — P× the files per batch); the
+        # partition count is the file-size knob at larger state
+        df.repartition(max(len(buckets), 1), "_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(self._path(name, v))
+        written = {
+            d.split("=", 1)[1]
+            for d in os.listdir(self._path(name, v))
+            if d.startswith("_bucket=")
+        }
+        bmap = dict(ptr["buckets"])
+        for b in buckets:
+            bmap[str(b)] = v if str(b) in written else 0
+        self._versions[name] = {"latest": v, "buckets": bmap}
+        self._gc_parts(name)
+
+    def _gc_parts(self, name: str) -> None:
+        """Remove version dirs referenced by neither the in-memory pointers
+        nor the last-committed (on-disk) pointers — i.e. exactly the
+        retain-current-plus-rollback-target policy of the whole-table path."""
+        live: set[int] = set()
+        for src in (self._versions, self._committed_versions()):
+            ptr = src.get(name)
+            if isinstance(ptr, dict):
+                live.add(ptr["latest"])
+                live.update(v for v in ptr["buckets"].values() if v > 0)
+        table_dir = os.path.join(self.root, name)
+        if not os.path.isdir(table_dir):
+            return
+        for d in os.listdir(table_dir):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+
+    def _committed_versions(self) -> dict:
+        if os.path.exists(self._versions_path):
+            with open(self._versions_path) as f:
+                return json.load(f)
+        return {}
 
     # -- batch transaction boundary ------------------------------------------
 

@@ -102,3 +102,20 @@ def test_no_unpartitioned_window_over_data_columns(spark):
             if "windowspecdefinition(" in line:
                 spec = line.split("windowspecdefinition(", 1)[1]
                 assert spec.startswith("_bucket"), f"unbucketed window: {line.strip()}"
+
+
+def test_global_seq_null_order_keys_rank_first(spark):
+    """A NULL leading key must rank FIRST (window orderBy is nulls-first):
+    the range bucketing routes null keys to bucket 0 — without the guard
+    they'd fall into the last bucket and get a globally wrong seq."""
+    rows = [(None, 1, 1), (10, 2, 1), (None, 3, 1), (5, 4, 1), (20, 5, 1)]
+    df = spark.createDataFrame(rows, "ts_ms long, user int, item int")
+    got = (
+        global_seq(df, ["ts_ms", "user", "item"], num_buckets=4)
+        .orderBy("seq")
+        .select("ts_ms", "seq")
+        .collect()
+    )
+    assert [r["seq"] for r in got] == [1, 2, 3, 4, 5]
+    # the two null-key rows hold ranks 1-2, ahead of every non-null key
+    assert [r["ts_ms"] for r in got] == [None, None, 5, 10, 20]

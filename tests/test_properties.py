@@ -279,3 +279,60 @@ def test_simhash_band_recall_guarantee(spark):
     assert got == exp
     # the variants guarantee pairs exist at the contract boundary
     assert any(hm >= 4 for _, _, hm in exp)
+
+
+def test_vectorized_reservoir_matches_loop_form():
+    """``reservoir_user_deltas`` vectorizes the below-capacity admit prefix;
+    its (total, history, aggregated emission multiset) must be identical to
+    driving ``reservoir_step`` row by row — including capacity crossings,
+    interleaved un-sampled rows, and non-empty initial state."""
+    import random
+
+    import numpy as np
+
+    from flink_cooccurrence_spark.operators.sampling import (
+        reservoir_step,
+        reservoir_user_deltas,
+    )
+
+    def loop_form(items, wsts, sampled, history, total, user_cut, seed, user):
+        out: list[tuple] = []
+
+        def emit(wst, kind, item, other, inc):
+            out.append((wst, kind, item, other, inc))
+
+        for i in range(len(items)):
+            if not sampled[i]:
+                total += 1
+                continue
+            total = reservoir_step(
+                int(items[i]), int(wsts[i]), history, total,
+                user_cut, seed, user, emit,
+            )
+        return out, total
+
+    def agg(rows):
+        m: dict = {}
+        for wst, kind, item, other, inc in rows:
+            isnull = other is None or (isinstance(other, float) and np.isnan(other))
+            k = (int(wst), kind, int(item), None if isnull else int(other))
+            m[k] = m.get(k, 0) + int(inc)
+        return {k: v for k, v in m.items() if v != 0}
+
+    rng = random.Random(0)
+    for trial in range(100):
+        n = rng.randrange(0, 60)
+        user_cut = rng.choice([1, 2, 5, 8, 500])
+        h0 = rng.randrange(0, min(user_cut, 6) + 1)
+        init_hist = [rng.randrange(100) for _ in range(h0)]
+        init_total = rng.randrange(0, 20)
+        items = np.array([rng.randrange(30) for _ in range(n)], dtype=np.int64)
+        wsts = np.array([rng.randrange(3) * 86400000 for _ in range(n)], dtype=np.int64)
+        sampled = np.array([rng.random() < 0.8 for _ in range(n)], dtype=bool)
+        h1, h2 = list(init_hist), list(init_hist)
+        out1, t1 = loop_form(items, wsts, sampled, h1, init_total, user_cut, 42, 7)
+        d2, t2 = reservoir_user_deltas(
+            items, wsts, sampled, h2, init_total, user_cut, 42, 7
+        )
+        assert t1 == t2 and h1 == h2, trial
+        assert agg(out1) == agg(list(d2.itertuples(index=False, name=None))), trial
