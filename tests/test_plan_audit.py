@@ -1,0 +1,133 @@
+"""Fleet-wide physical-plan audit: every registered query's plan is scanned
+for scale red flags.
+
+The per-operator plan assertions (`test_similarity_scale.py`,
+`test_ordering.py`, `test_bucketed.py`) pin specific rewrites; this gate
+sweeps the WHOLE query surface so a regression anywhere — a join that
+degrades to a cartesian product, a new broadcast of an unbounded side, a
+1-task global sort — fails even in queries with no dedicated plan test.
+
+Red flags and why:
+
+- ``CartesianProduct`` — an unconditional |A|×|B| join; never acceptable
+  (the windowed row-sum grid exists precisely to avoid the range-join form
+  that plans as one of these).
+- ``BroadcastNestedLoopJoin`` — per-row scan of a broadcast side. Fine iff
+  the broadcast side is provably bounded (a 1-row aggregate, a fixed-K
+  constant set, an explicitly capped query slice); each such use must be
+  allowlisted here with its bound.
+- ``Exchange SinglePartition`` — all data through one task. Fine only for
+  1-row global aggregates.
+
+Adding a query to an allowlist is a reviewed action: the entry documents
+the bound that keeps the pattern safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cooccurrence_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: engine/stream-backed queries: their work happens in foreachBatch /
+#: writeStream jobs, not in the returned DataFrame's plan (the replayed
+#: engine's per-batch plans are exercised by the streaming tests); auditing
+#: the final-state read plan would only re-audit parquet scans
+ENGINE_BACKED = {
+    "streaming_cooccurrence_counts",
+    "streaming_row_sums",
+    "streaming_final_topk",
+    "streaming_sampled_matrix",
+    "streaming_sampled_native",
+}
+
+#: BroadcastNestedLoopJoin allowlist → the bound that keeps it safe.
+#: Every entry is a crossJoin/non-equi join whose BROADCAST side cannot
+#: grow with the corpus.
+ALLOWED_BNLJ = {
+    # 1-row totals table crossJoined into scoring (row_sums grand total)
+    "llr_scores": "1-row global-total aggregate",
+    "topk_similar": "1-row global-total aggregate",
+    "windowed_topk": "1-row per-window running-total slice (≤ |windows| rows)",
+    "late_data_audit": "1-row watermark aggregate",
+    # interactive KNN path: the query side is capped at
+    # KNN_BROADCAST_LIMIT by the auto-probe; past the cap the plan
+    # switches to the blocked grid (no broadcast — plan-asserted in
+    # test_similarity_scale.py)
+    "embedding_knn": "query side capped by KNN_BROADCAST_LIMIT auto-probe",
+    # IVF assignment: corpus × K centroids with K fixed
+    # (IVF_NUM_CENTROIDS), corpus-independent since round 2
+    "ivf_topk": "fixed-K centroid set (corpus-independent)",
+    "ivf_topk_nprobe2": "fixed-K centroid set (corpus-independent)",
+    # adaptive plane count rides as a 1-row scalar-subquery crossJoin
+    "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
+    # recall meter: evaluation-only joins of 4 tiny per-variant top-k
+    # slices against the exact-KNN baseline slice
+    "ann_recall": "evaluation-only; per-variant top-k slices (≤ |Q|·k rows)",
+}
+
+#: Exchange SinglePartition allowlist → only 1-row global aggregates may
+#: collapse to one partition.
+ALLOWED_SINGLE_PARTITION = {
+    "total_observed": "1-row global sum",
+    "late_data_audit": "1-row late-count aggregate",
+    "llr_scores": "1-row global-total aggregate feeding the crossJoin",
+    "topk_similar": "1-row global-total aggregate feeding the crossJoin",
+    "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
+    "ann_recall": "4-row recall summary aggregate",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Compile every auditable query's physical plan once (no execution
+    beyond eager plan-time probes like embedding_knn's auto strategy)."""
+    out: dict[str, str] = {}
+    for name, fn in sorted(all_queries().items()):
+        if name in ENGINE_BACKED:
+            continue
+        out[name] = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"cartesian product in: {offenders}"
+
+
+def test_broadcast_nested_loop_only_with_bounded_sides(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in ALLOWED_BNLJ
+    ]
+    assert offenders == [], (
+        f"unreviewed BroadcastNestedLoopJoin in: {offenders} — either fix "
+        "the plan (equi-key shuffled join) or allowlist with the bound "
+        "that keeps the broadcast side corpus-independent"
+    )
+
+
+def test_single_partition_exchange_only_for_scalar_aggregates(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if "Exchange SinglePartition" in p and n not in ALLOWED_SINGLE_PARTITION
+    ]
+    assert offenders == [], (
+        f"unreviewed single-partition exchange in: {offenders} — all-data-"
+        "through-one-task plans are only acceptable for 1-row aggregates"
+    )
+
+
+def test_allowlists_not_stale(plans):
+    """An allowlist entry whose query no longer exhibits the pattern is
+    stale — prune it so the lists stay an accurate plan inventory."""
+    stale = [
+        n for n in ALLOWED_BNLJ
+        if n in plans and "BroadcastNestedLoopJoin" not in plans[n]
+    ] + [
+        n for n in ALLOWED_SINGLE_PARTITION
+        if n in plans and "Exchange SinglePartition" not in plans[n]
+    ]
+    assert stale == [], f"stale allowlist entries: {stale}"
