@@ -1,0 +1,119 @@
+"""Unit tests for the versioned parquet StateStore — in particular the
+hash-bucketed partitioned tables (`put_parts`/`get_parts`), the engine's
+state backbone since the partitioned-MERGE rewrite. The engine-level tests
+(`test_streaming.py`) cover restart/rollback end-to-end; these pin the
+store's own contract so a regression is localized, not a 5-minute engine
+bisect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+SCHEMA = "item int, cnt long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _bucketed(df, n=4):
+    return df.withColumn("_bucket", F.pmod(F.col("item"), F.lit(n)).cast("int"))
+
+
+def _rows(df):
+    return sorted((r["item"], r["cnt"]) for r in df.collect())
+
+
+def test_put_parts_then_get_parts_roundtrip(spark, tmp_path):
+    st = StateStore(spark, str(tmp_path))
+    st.put_parts("t", _bucketed(_df(spark, [(0, 10), (1, 11), (2, 12)])), [0, 1, 2])
+    assert _rows(st.get_parts("t", SCHEMA)) == [(0, 10), (1, 11), (2, 12)]
+    # pruned read returns only the requested buckets' rows
+    assert _rows(st.get_parts("t", SCHEMA, [1])) == [(1, 11)]
+    # a bucket never written reads empty, not an error
+    assert _rows(st.get_parts("t", SCHEMA, [3])) == []
+
+
+def test_partial_rewrite_leaves_other_buckets_at_old_version(spark, tmp_path):
+    st = StateStore(spark, str(tmp_path))
+    st.put_parts("t", _bucketed(_df(spark, [(0, 10), (1, 11)])), [0, 1])
+    # rewrite ONLY bucket 0; bucket 1 must keep serving its old version
+    st.put_parts("t", _bucketed(_df(spark, [(0, 99), (4, 40)])), [0])
+    assert _rows(st.get_parts("t", SCHEMA)) == [(0, 99), (1, 11), (4, 40)]
+    ptr = st._versions["t"]
+    assert ptr["buckets"]["0"] == 2 and ptr["buckets"]["1"] == 1
+
+
+def test_changed_bucket_emptied_reads_empty(spark, tmp_path):
+    """A merge that deletes a bucket's last row (cnt → 0 filter) lists the
+    bucket as changed but writes no rows for it — the pointer must become a
+    tombstone, not keep serving the stale version."""
+    st = StateStore(spark, str(tmp_path))
+    st.put_parts("t", _bucketed(_df(spark, [(0, 10), (1, 11)])), [0, 1])
+    st.put_parts("t", _bucketed(_df(spark, [(1, 12)])), [0, 1])
+    assert _rows(st.get_parts("t", SCHEMA)) == [(1, 12)]
+    assert st._versions["t"]["buckets"]["0"] == 0
+
+
+def test_rollback_restores_committed_bucket_pointers(spark, tmp_path):
+    st = StateStore(spark, str(tmp_path))
+    st.put_parts("t", _bucketed(_df(spark, [(0, 10), (1, 11)])), [0, 1])
+    st.commit()
+    # a failed batch: rewrite bucket 0, then roll back pre-commit
+    st.put_parts("t", _bucketed(_df(spark, [(0, 99)])), [0])
+    assert _rows(st.get_parts("t", SCHEMA, [0])) == [(0, 99)]
+    st.rollback()
+    assert _rows(st.get_parts("t", SCHEMA)) == [(0, 10), (1, 11)]
+    # the committed version dir survived the failed batch's GC
+    assert _rows(st.get_parts("t", SCHEMA, [0])) == [(0, 10)]
+
+
+def test_restart_resumes_partitioned_pointers(spark, tmp_path):
+    st = StateStore(spark, str(tmp_path))
+    st.put_parts("t", _bucketed(_df(spark, [(0, 10), (1, 11)])), [0, 1])
+    st.put_parts("t", _bucketed(_df(spark, [(0, 20)])), [0])
+    st.commit()
+    # fresh store on the same root (process restart): per-bucket pointers
+    # come back from versions.json, including the mixed-version layout
+    st2 = StateStore(spark, str(tmp_path))
+    assert _rows(st2.get_parts("t", SCHEMA)) == [(0, 20), (1, 11)]
+
+
+def test_gc_removes_unreferenced_versions_only(spark, tmp_path):
+    st = StateStore(spark, str(tmp_path))
+    for v in range(4):
+        st.put_parts("t", _bucketed(_df(spark, [(0, v)])), [0])
+        st.commit()
+    table_dir = os.path.join(str(tmp_path), "t")
+    live = {d for d in os.listdir(table_dir) if d.startswith("v")}
+    # GC runs at put time, where the previous committed version must be
+    # retained as the rollback target — so the steady state is current +
+    # prior (the flat path's RETAIN_VERSIONS=2), never unbounded growth
+    assert live == {"v3", "v4"}
+    assert _rows(st.get_parts("t", SCHEMA)) == [(0, 3)]
+
+
+def test_retry_after_rollback_overwrites_orphan_dir(spark, tmp_path):
+    """A failed batch leaves an orphan v{n+1} dir; the retried batch reuses
+    the same version number and must overwrite it cleanly."""
+    st = StateStore(spark, str(tmp_path))
+    st.put_parts("t", _bucketed(_df(spark, [(0, 1)])), [0])
+    st.commit()
+    st.put_parts("t", _bucketed(_df(spark, [(0, 99), (1, 99)])), [0, 1])
+    st.rollback()
+    st.put_parts("t", _bucketed(_df(spark, [(0, 2)])), [0])
+    st.commit()
+    assert _rows(st.get_parts("t", SCHEMA)) == [(0, 2)]
+
+
+def test_whole_table_and_partitioned_tables_coexist(spark, tmp_path):
+    st = StateStore(spark, str(tmp_path))
+    st.put("flat", _df(spark, [(7, 70)]))
+    st.put_parts("parts", _bucketed(_df(spark, [(0, 10)])), [0])
+    assert _rows(st.get("flat", SCHEMA)) == [(7, 70)]
+    assert _rows(st.get_parts("parts", SCHEMA)) == [(0, 10)]
