@@ -1,0 +1,354 @@
+"""Streaming deduplication engine — online dedup of an arriving document
+stream against the accumulated corpus.
+
+The batch dedup operators (``operators/dedup.py``) answer "dedup this
+corpus"; a training-data pipeline also needs the online form: documents
+arrive continuously (a crawl, an ingest queue) and each micro-batch must be
+checked against *everything seen so far* without rescanning it. This engine
+is the ``foreachBatch`` realization, built on the same partitioned
+copy-on-write state machinery as the cooccurrence engine
+(``streaming/state.py``):
+
+- ``seen_hashes`` state — (text_hash, canonical_id), hash-bucketed. Exact
+  dedup is an equi-join of the batch's content hashes against only the
+  state buckets those hashes fall in (``get_parts`` pruning), then a
+  partitioned MERGE of the new hashes — per-batch I/O tracks the batch
+  footprint, not corpus size.
+- ``band_index`` state — the LSH index: (band_idx, band_key, doc_id, sig),
+  bucketed by band key. The signature rides IN the posting list
+  (classic LSH-index denormalization): a cross-batch candidate pair comes
+  out of the band join with the state doc's sketch attached, so estimating
+  Jaccard needs NO second state lookup — one join, not two. Storage is
+  NUM_BANDS× the signature (8 × 32 ints/doc); the trade is documented and
+  deliberate: it converts a random-access signature fetch into the same
+  bucket-pruned equi-join as candidate generation.
+
+Per micro-batch, in order: one eager checkpoint of the minhash pass (the
+batch's heavy lifting, consumed by four plans), ONE combined stats action
+(row count + changed-bucket collect_sets — same single-auxiliary-action
+budget as the cooccurrence engine), the exact-dedup join + MERGE, the
+near-dup candidate join (within-batch ∪ batch×state) + pair emission +
+band-index MERGE. Outputs are append-only per-batch parquet logs (idempotent
+per-batch overwrite); state publishes via the store's commit/rollback
+transaction with re-delivered batches skipped by high-water mark.
+
+Emission semantics and batch parity:
+
+- A near-dup pair is discovered exactly once — in the batch where its
+  LATER document arrives (both docs in batch → within-batch join; one doc
+  earlier → batch×state join). The union of per-batch emissions over any
+  batch slicing therefore equals ``minhash_lsh_dup_pairs`` on the full
+  corpus, regardless of arrival order.
+- Exact dedup emits each document once, with the canonical id current at
+  its arrival (min doc_id seen for its hash so far, reference-style
+  first-wins). Under doc_id-ordered arrival this is bit-identical to the
+  batch ``exact_duplicates``; under reordering the dup *groups* are
+  identical and only the representative can differ (pinned by tests).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import (
+    hash32,
+    minhash_col,
+    minhash_params,
+)
+from flink_cooccurrence_spark.operators.dedup import (
+    MINHASH_SEED,
+    NUM_BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    doc_shingles,
+)
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+SEEN_HASHES_SCHEMA = "text_hash string, canonical_id long"
+BAND_INDEX_SCHEMA = (
+    "band_idx int, band_key string, doc_id long, sig array<int>"
+)
+
+#: state hash buckets (see ``streaming/engine.py:STATE_BUCKETS`` for sizing)
+DEDUP_STATE_BUCKETS = 16
+
+
+def _hash_bucket(col: str):
+    return F.pmod(F.hash(F.col(col)), F.lit(DEDUP_STATE_BUCKETS)).cast("int")
+
+
+def _band_bucket():
+    return F.pmod(
+        F.hash(F.col("band_idx"), F.col("band_key")), F.lit(DEDUP_STATE_BUCKETS)
+    ).cast("int")
+
+
+def _batch_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<int>) — all NUM_HASHES minhashes from ONE
+    aggregation over the shingle-hash stream (same pass as the batch
+    operator; ``operators/dedup.py:minhash_signatures``)."""
+    params = minhash_params(NUM_HASHES, MINHASH_SEED)
+    sh = doc_shingles(docs).select("doc_id", hash32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig"),
+    )
+
+
+def _bands_of(sigs: DataFrame) -> DataFrame:
+    """Explode a signature table into its LSH band postings."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[band * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for band in range(NUM_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "sig", F.col("e.band_idx"), F.col("e.band_key"))
+
+
+def _est_jaccard(a: str = "sig_a", b: str = "sig_b"):
+    """Matching-minhash fraction of two signature arrays — the column-
+    expression form of the batch operator's 32-way when/sum."""
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return F.round(matches / F.lit(NUM_HASHES), 6)
+
+
+class DedupStreamEngine:
+    """Stateful micro-batch dedup; one instance per logical stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        threshold: float = 0.5,
+    ) -> None:
+        self.spark = spark
+        self.threshold = threshold
+        self.workdir = workdir or tempfile.mkdtemp(prefix="dedup_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+        self._exact_dir = os.path.join(self.workdir, "exact_log")
+        self._pairs_dir = os.path.join(self.workdir, "pairs_log")
+
+    # ------------------------------------------------------------------ api
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch of documents (doc_id, text) into the state.
+
+        One transaction per batch (commit/rollback + re-delivery skip),
+        mirroring the cooccurrence engine's contract."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
+        try:
+            self._process(docs.select("doc_id", "text"), batch_id)
+        except BaseException:
+            self.state.rollback()
+            raise
+        self.state.set_scalar("last_batch_id", int(batch_id))
+        self.state.commit()
+
+    def attach(self, stream_df: DataFrame, available_now: bool = True):
+        """Wire into a streaming DataFrame via foreachBatch."""
+        writer = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", os.path.join(self.workdir, "checkpoint"))
+            .queryName("dedup_engine")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def replay(self, documents: DataFrame, docs_per_batch: int = 200) -> None:
+        """Deterministic replay in doc_id order, ``docs_per_batch`` at a
+        time — doc_id-ordered arrival is what makes the exact-dedup output
+        bit-identical to the batch operator (module docstring)."""
+        ids = [
+            r[0]
+            for r in documents.select("doc_id").orderBy("doc_id").collect()
+        ]
+        for b, lo in enumerate(range(0, len(ids), docs_per_batch)):
+            chunk = ids[lo : lo + docs_per_batch]
+            batch = documents.filter(
+                (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
+            )
+            self.process_batch(batch, b)
+
+    # accessors --------------------------------------------------------------
+
+    def exact_log(self) -> DataFrame:
+        """(doc_id, text_hash, canonical_id, is_duplicate) — one row per
+        processed document."""
+        try:
+            return self.spark.read.parquet(os.path.join(self._exact_dir, "batch-*"))
+        except Exception:
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, text_hash string, canonical_id long, is_duplicate boolean",
+            )
+
+    def dup_pairs(self) -> DataFrame:
+        """(doc_a, doc_b, est_jaccard) — near-dup pairs, each discovered in
+        the batch where its later document arrived."""
+        try:
+            return self.spark.read.parquet(os.path.join(self._pairs_dir, "batch-*"))
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "doc_a long, doc_b long, est_jaccard double"
+            )
+
+    def metrics(self) -> dict[str, int]:
+        """Processed-document / batch counters (duplicate and pair counts
+        are derivable from the output logs — keeping them out of the
+        per-batch hot path preserves the one-auxiliary-action budget)."""
+        return {
+            "documents": self.state.get_scalar("documents"),
+            "batches": self.state.get_scalar("batches"),
+        }
+
+    # --------------------------------------------------------------- stages
+
+    def _process(self, docs: DataFrame, batch_id: int) -> None:
+        hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+
+        # the batch's heavy pass (shingle explode → 32-way min agg) feeds
+        # the stats action, the pair join, and the band MERGE — materialize
+        # once, executor-local (the durable copy is the band_index MERGE)
+        sigs = _batch_signatures(docs).localCheckpoint(eager=True)
+        batch_bands = _bands_of(sigs)
+
+        # ONE auxiliary action: batch size + duplicate count + the changed-
+        # bucket sets driving every partitioned state read and MERGE below
+        stats = (
+            hashed.agg(
+                F.count("*").alias("n_docs"),
+                F.collect_set(_hash_bucket("text_hash")).alias("hash_buckets"),
+            )
+            .crossJoin(
+                batch_bands.agg(
+                    F.collect_set(_band_bucket()).alias("band_buckets")
+                )
+            )
+            .first()
+        )
+        self.state.add_scalar("documents", int(stats["n_docs"] or 0))
+        self.state.add_scalar("batches", 1)
+        hash_buckets = sorted(stats["hash_buckets"])
+        band_buckets = sorted(stats["band_buckets"])
+        if not hash_buckets:
+            return
+
+        # -- exact dedup (state join pruned to the batch's hash buckets) ----
+        seen = self.state.get_parts("seen_hashes", SEEN_HASHES_SCHEMA, hash_buckets)
+        batch_min = hashed.groupBy("text_hash").agg(
+            F.min("doc_id").alias("batch_min")
+        )
+        canon = (
+            batch_min.join(seen, on="text_hash", how="left")
+            .select(
+                "text_hash",
+                F.least(
+                    F.col("batch_min"),
+                    F.coalesce(F.col("canonical_id"), F.col("batch_min")),
+                ).alias("canonical_id"),
+            )
+        )
+        exact_out = (
+            hashed.join(canon, on="text_hash")
+            .select(
+                "doc_id",
+                "text_hash",
+                "canonical_id",
+                (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+            )
+        )
+        exact_out.write.mode("overwrite").parquet(
+            os.path.join(self._exact_dir, f"batch-{batch_id}")
+        )
+        merged_hashes = (
+            self.state.get_parts("seen_hashes", SEEN_HASHES_SCHEMA, hash_buckets)
+            .unionByName(canon)
+            .groupBy("text_hash")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+            .withColumn("_bucket", _hash_bucket("text_hash"))
+        )
+        self.state.put_parts("seen_hashes", merged_hashes, hash_buckets)
+
+        # -- near-dup pairs (LSH index join pruned to the batch's bands) ----
+        state_bands = self.state.get_parts(
+            "band_index", BAND_INDEX_SCHEMA, band_buckets
+        )
+        nb = batch_bands.select(
+            "band_idx",
+            "band_key",
+            F.col("doc_id").alias("n_id"),
+            F.col("sig").alias("n_sig"),
+        )
+        within = (
+            nb.alias("x")
+            .join(nb.alias("y"), on=["band_idx", "band_key"])
+            .filter(F.col("x.n_id") < F.col("y.n_id"))
+            .select(
+                F.col("x.n_id").alias("doc_a"),
+                F.col("y.n_id").alias("doc_b"),
+                F.col("x.n_sig").alias("sig_a"),
+                F.col("y.n_sig").alias("sig_b"),
+            )
+        )
+        cross = (
+            nb.join(state_bands, on=["band_idx", "band_key"])
+            .select(
+                F.least(F.col("n_id"), F.col("doc_id")).alias("doc_a"),
+                F.greatest(F.col("n_id"), F.col("doc_id")).alias("doc_b"),
+                F.when(F.col("n_id") < F.col("doc_id"), F.col("n_sig"))
+                .otherwise(F.col("sig"))
+                .alias("sig_a"),
+                F.when(F.col("n_id") < F.col("doc_id"), F.col("sig"))
+                .otherwise(F.col("n_sig"))
+                .alias("sig_b"),
+            )
+        )
+        pairs = (
+            within.unionByName(cross)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", _est_jaccard().alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= self.threshold)
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self._pairs_dir, f"batch-{batch_id}")
+        )
+
+        merged_bands = (
+            self.state.get_parts("band_index", BAND_INDEX_SCHEMA, band_buckets)
+            .unionByName(
+                batch_bands.select("band_idx", "band_key", "doc_id", "sig")
+            )
+            .withColumn("_bucket", _band_bucket())
+        )
+        self.state.put_parts("band_index", merged_bands, band_buckets)
