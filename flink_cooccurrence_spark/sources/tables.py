@@ -46,9 +46,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
             # integer DIV — float division loses ns precision beyond 2^53
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # micros parquet with isAdjustedToUTC=false reads as NTZ; the
+            # session timezone is UTC, so the cast maps wall time to the
+            # same instant DuckDB's epoch_ms sees — keeps every downstream
+            # unix_millis/window expression (TIMESTAMP-typed) analyzable
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
