@@ -44,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # set the (runtime-settable) legacy conf defensively so the engine works
     # under ANY caller session, not just flink_cooccurrence_spark.session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→TZ cast below maps *wall time* to an instant via the session
+    # timezone; a non-UTC caller session would shift every timestamp off the
+    # DuckDB oracle's epoch_ms — pin it alongside the nanos conf
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
         if c not in df.columns:
@@ -54,10 +58,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif dtype == "timestamp_ntz":
             # micros parquet with isAdjustedToUTC=false reads as NTZ; the
-            # session timezone is UTC, so the cast maps wall time to the
-            # same instant DuckDB's epoch_ms sees — keeps every downstream
-            # unix_millis/window expression (TIMESTAMP-typed) analyzable
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # session timezone is pinned to UTC above, so the cast maps wall
+            # time to the same instant DuckDB's epoch_ms sees — keeps every
+            # downstream unix_millis/window expression (TIMESTAMP-typed)
+            # analyzable. Cast to the unambiguous TimestampType(): the
+            # "timestamp" string alias resolves to TIMESTAMP_NTZ (a no-op
+            # here) under spark.sql.timestampType=TIMESTAMP_NTZ sessions
+            from pyspark.sql.types import TimestampType
+
+            df = df.withColumn(c, F.col(c).cast(TimestampType()))
     return df
 
 
