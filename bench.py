@@ -61,8 +61,15 @@ def main() -> None:
     #: by JIT/codegen compilation of the large generated stages (observed
     #: 2-3x on the windowed pipeline) and run-to-run GC noise grows with the
     #: larger headline set — min-of-3 approximates steady state
+    # plan-shape fingerprints ride in the bench metadata: identical
+    # fingerprints round-over-round mean a timing delta is environmental,
+    # not a plan regression (the round-3 bench lost hours to exactly that
+    # ambiguity); pytest pins the expected shapes (tests/test_plan_audit.py)
+    from flink_cooccurrence_spark.planfp import plan_fingerprint
+
     times: dict[str, float] = {}
     runs: dict[str, int] = {}
+    fingerprints: dict[str, str] = {}
     for name in headline:
         best = float("inf")
         for _ in range(3):
@@ -72,6 +79,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
         runs[name] = 3
+        spark.catalog.clearCache()
+        fingerprints[name] = plan_fingerprint(QUERIES[name](spark, sf_dir))
 
     # the incremental micro-batch engine end-to-end: replay the interactions
     # through the full merge/score loop (8 windows per batch) — watches the
@@ -92,6 +101,20 @@ def main() -> None:
     eng.replay(_interactions(spark, sf_dir), windows_per_batch=8)
     times["streaming_replay"] = round(time.perf_counter() - t0, 3)
     runs["streaming_replay"] = 1
+
+    # the streaming dedup engine end-to-end: replay the documents corpus
+    # through the online exact + LSH near-dup state machinery (~9 batches at
+    # sf0.1) — watches the per-batch MERGE budget of the second engine like
+    # streaming_replay watches the first
+    from flink_cooccurrence_spark.sources import load_table
+    from flink_cooccurrence_spark.streaming.dedup import DedupStreamEngine
+
+    deng = DedupStreamEngine(spark, workdir=tempfile.mkdtemp(prefix="bench_dedup_"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.perf_counter()
+    deng.replay(docs, docs_per_batch=600)
+    times["dedup_replay"] = round(time.perf_counter() - t0, 3)
+    runs["dedup_replay"] = 1
 
     # the reference's accumulator dump alongside the wall clock
     # (BASELINE.md / FlinkCooccurrences.java:181)
@@ -131,6 +154,9 @@ def main() -> None:
                 # runs_per_query:3 would mis-describe it to regression tooling
                 "runs_per_query": runs,
                 "aggregation": "min",
+                # plan-shape hash per headline query (planfp.py): equal
+                # fingerprints across rounds ⇒ timing deltas are noise
+                "plan_fingerprints": fingerprints,
                 "counters": counters,
                 "sf": sf,
             }

@@ -160,10 +160,13 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """Per-doc minhash signature, long form: (doc_id, hash_idx, minhash).
+def minhash_sig_array(documents: DataFrame) -> DataFrame:
+    """Per-doc minhash signature, array form: (doc_id, sig array<int>).
 
-    All 32 minhashes come from ONE groupBy over the shingle-hash stream.
+    All ``NUM_HASHES`` minhashes come from ONE aggregation pass over the
+    exploded shingle-hash stream — the single shared signature builder for
+    the batch LSH operators and the streaming dedup engine
+    (``streaming/dedup.py``), so the two can never drift.
     """
     params = minhash_params(NUM_HASHES, MINHASH_SEED)
     sh = doc_shingles(documents).select(
@@ -174,10 +177,63 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
         for i, (a, b) in enumerate(params)
     ]
     wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig"),
+    )
+
+
+def sig_bands(sigs: DataFrame) -> DataFrame:
+    """Explode a (doc_id, sig) table into its LSH band postings:
+    (doc_id, sig, band_idx, band_key) — band key = the band's
+    ``ROWS_PER_BAND`` minhashes concatenated. Shared by the batch candidate
+    join and the streaming band index."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[band * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for band in range(NUM_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "sig", F.col("e.band_idx"), F.col("e.band_key"))
+
+
+def est_jaccard(a: str = "sig_a", b: str = "sig_b") -> Column:
+    """Matching-minhash fraction of two signature-array columns — the
+    estimator both the batch pair join and the streaming engine score
+    candidates with (rounded to 6 like every oracle-compared double)."""
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return F.round(matches / F.lit(NUM_HASHES), 6)
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-doc minhash signature, long form: (doc_id, hash_idx, minhash).
+
+    All 32 minhashes come from ONE groupBy over the shingle-hash stream.
+    """
+    wide = minhash_sig_array(documents)
     stacked = F.explode(
         F.array(
             *[
-                F.struct(F.lit(i).alias("hash_idx"), F.col(f"mh{i}").alias("minhash"))
+                F.struct(F.lit(i).alias("hash_idx"), F.col("sig")[i].alias("minhash"))
                 for i in range(NUM_HASHES)
             ]
         )
@@ -195,38 +251,12 @@ def minhash_lsh_dup_pairs(
     Candidates share at least one of 8 LSH band buckets (band key = the
     band's 4 minhashes concatenated); est_jaccard = fraction of the 32
     minhashes that agree. Only bucket-mates are ever joined — the scale
-    path for corpus-level dedup.
+    path for corpus-level dedup. Built entirely from the shared
+    ``minhash_sig_array`` / ``sig_bands`` / ``est_jaccard`` builders so the
+    streaming engine (``streaming/dedup.py``) computes the identical pairs.
     """
-    params = minhash_params(NUM_HASHES, MINHASH_SEED)
-    sh = doc_shingles(documents).select(
-        "doc_id", hash32(F.col("shingle")).alias("h")
-    )
-    aggs = [
-        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs).cache()
-
-    bands = wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_idx"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh{band * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for band in range(NUM_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.band_idx"), F.col("e.band_key"))
+    sigs = minhash_sig_array(documents).cache()
+    bands = sig_bands(sigs).select("doc_id", "band_idx", "band_key")
 
     ba = bands.alias("ba")
     bb = bands.alias("bb")
@@ -239,26 +269,12 @@ def minhash_lsh_dup_pairs(
         .distinct()
     )
 
-    wa = wide.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
-    )
-    wb = wide.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
-    )
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
-    )
+    wa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    wb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
         candidates.join(wa, on="doc_a")
         .join(wb, on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(NUM_HASHES), 6).alias("est_jaccard"),
-        )
+        .select("doc_a", "doc_b", est_jaccard().alias("est_jaccard"))
     )
     return est.filter(F.col("est_jaccard") >= threshold)
 

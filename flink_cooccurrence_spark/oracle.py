@@ -1020,3 +1020,9 @@ WHERE q.n_tokens >= {cp.MIN_TOKENS} AND q.quality_score >= {cp.MIN_QUALITY}
 
 
 ORACLES.update(_ext_oracles())
+
+# the streaming dedup engine's accumulated output logs equal the batch
+# operators on the full corpus (streaming/dedup.py emission contract) — the
+# pytest-only twins run the identical DuckDB parity gate against the same SQL
+ORACLES["streaming_dedup_exact"] = ORACLES["dedup_exact"]
+ORACLES["streaming_dedup_pairs"] = ORACLES["minhash_lsh_dup_pairs"]

@@ -486,9 +486,31 @@ QUERIES.update(EXTENSION_QUERIES)
 #: ``tests/test_oracle_parity.py``, and each has a semantic pytest gate
 #: pinning it to its driver-checked twin (salting/blocked-plan equality,
 #: multi-probe/nprobe candidate-superset, native-stream bit-identity).
+def _dedup_stream_engine(spark: SparkSession, sf_dir: str):
+    """Replay the streaming dedup engine over the documents corpus in
+    doc_id order (100 docs/batch → a genuinely multi-batch run at every
+    test SF); memoized per (session, sf_dir) like the cooccurrence engines."""
+    from flink_cooccurrence_spark.streaming.dedup import DedupStreamEngine
+
+    key = _memo_key(spark, sf_dir, "dedup_stream")
+    if key not in _ENGINE_MEMO:
+        eng = DedupStreamEngine(spark, workdir=_memo_tmpdir("dedup_q_"))
+        eng.replay(
+            _documents(spark, sf_dir).select("doc_id", "text"),
+            docs_per_batch=100,
+        )
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # salting physical rewrite — identical results to cooccurrence_counts
     "cooccurrence_counts_salted": q_cooccurrence_counts_salted,
+    # streaming dedup engine (online exact + LSH near-dup): accumulated
+    # output logs equal the batch dedup operators — DuckDB parity runs the
+    # same oracle SQL as dedup_exact / minhash_lsh_dup_pairs
+    "streaming_dedup_exact": lambda s, d: _dedup_stream_engine(s, d).exact_log(),
+    "streaming_dedup_pairs": lambda s, d: _dedup_stream_engine(s, d).dup_pairs(),
     # continuous writeStream job — bit-identical to streaming_sampled_matrix
     "streaming_sampled_native": q_streaming_sampled_native,
     # grid-partitioned exact-KNN plan (no query-side broadcast)

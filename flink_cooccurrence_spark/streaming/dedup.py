@@ -54,91 +54,35 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_cooccurrence_spark.functions.hashing import (
-    hash32,
-    minhash_col,
-    minhash_params,
-)
 from flink_cooccurrence_spark.operators.dedup import (
-    MINHASH_SEED,
-    NUM_BANDS,
-    NUM_HASHES,
-    ROWS_PER_BAND,
-    doc_shingles,
+    est_jaccard,
+    minhash_sig_array,
+    sig_bands,
 )
 from flink_cooccurrence_spark.streaming.state import StateStore
 
 SEEN_HASHES_SCHEMA = "text_hash string, canonical_id long"
+#: signatures are BIGINT (``minhash_col`` is exact mod-p arithmetic on
+#: 64-bit values) — declaring int here crashed every state read-back, the
+#: bug the stream==batch gates in ``tests/test_streaming_dedup.py`` caught
 BAND_INDEX_SCHEMA = (
-    "band_idx int, band_key string, doc_id long, sig array<int>"
+    "band_idx int, band_key string, doc_id long, sig array<bigint>"
 )
 
-#: state hash buckets (see ``streaming/engine.py:STATE_BUCKETS`` for sizing)
+#: default state hash buckets (see ``streaming/engine.py:STATE_BUCKETS`` for
+#: sizing) — per-engine via the ``state_buckets`` constructor arg: this is
+#: the state-file-size / pruning knob at 100× (SCALING.md), not a constant
 DEDUP_STATE_BUCKETS = 16
 
 
-def _hash_bucket(col: str):
-    return F.pmod(F.hash(F.col(col)), F.lit(DEDUP_STATE_BUCKETS)).cast("int")
+def _hash_bucket(col: str, n: int):
+    return F.pmod(F.hash(F.col(col)), F.lit(n)).cast("int")
 
 
-def _band_bucket():
+def _band_bucket(n: int):
     return F.pmod(
-        F.hash(F.col("band_idx"), F.col("band_key")), F.lit(DEDUP_STATE_BUCKETS)
+        F.hash(F.col("band_idx"), F.col("band_key")), F.lit(n)
     ).cast("int")
-
-
-def _batch_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<int>) — all NUM_HASHES minhashes from ONE
-    aggregation over the shingle-hash stream (same pass as the batch
-    operator; ``operators/dedup.py:minhash_signatures``)."""
-    params = minhash_params(NUM_HASHES, MINHASH_SEED)
-    sh = doc_shingles(docs).select("doc_id", hash32(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
-    return wide.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig"),
-    )
-
-
-def _bands_of(sigs: DataFrame) -> DataFrame:
-    """Explode a signature table into its LSH band postings."""
-    return sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_idx"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[band * ROWS_PER_BAND + r]
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for band in range(NUM_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "sig", F.col("e.band_idx"), F.col("e.band_key"))
-
-
-def _est_jaccard(a: str = "sig_a", b: str = "sig_b"):
-    """Matching-minhash fraction of two signature arrays — the column-
-    expression form of the batch operator's 32-way when/sum."""
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    return F.round(matches / F.lit(NUM_HASHES), 6)
 
 
 class DedupStreamEngine:
@@ -149,13 +93,23 @@ class DedupStreamEngine:
         spark: SparkSession,
         workdir: str | None = None,
         threshold: float = 0.5,
+        state_buckets: int = DEDUP_STATE_BUCKETS,
     ) -> None:
         self.spark = spark
         self.threshold = threshold
+        self.state_buckets = state_buckets
         self.workdir = workdir or tempfile.mkdtemp(prefix="dedup_stream_")
         self.state = StateStore(spark, os.path.join(self.workdir, "state"))
         self._exact_dir = os.path.join(self.workdir, "exact_log")
         self._pairs_dir = os.path.join(self.workdir, "pairs_log")
+        # a restarted engine must keep the bucketing its state was written
+        # with — the persisted value wins over the constructor arg
+        persisted = self.state.get_scalar("state_buckets", 0)
+        if persisted:
+            self.state_buckets = persisted
+        else:
+            self.state.set_scalar("state_buckets", int(self.state_buckets))
+            self.state.commit()
 
     # ------------------------------------------------------------------ api
 
@@ -239,20 +193,22 @@ class DedupStreamEngine:
 
         # the batch's heavy pass (shingle explode → 32-way min agg) feeds
         # the stats action, the pair join, and the band MERGE — materialize
-        # once, executor-local (the durable copy is the band_index MERGE)
-        sigs = _batch_signatures(docs).localCheckpoint(eager=True)
-        batch_bands = _bands_of(sigs)
+        # once, executor-local (the durable copy is the band_index MERGE).
+        # Signature/band construction is the SAME code the batch operators
+        # run (operators/dedup.py) — stream==batch parity is structural.
+        sigs = minhash_sig_array(docs).localCheckpoint(eager=True)
+        batch_bands = sig_bands(sigs)
 
         # ONE auxiliary action: batch size + duplicate count + the changed-
         # bucket sets driving every partitioned state read and MERGE below
         stats = (
             hashed.agg(
                 F.count("*").alias("n_docs"),
-                F.collect_set(_hash_bucket("text_hash")).alias("hash_buckets"),
+                F.collect_set(_hash_bucket("text_hash", self.state_buckets)).alias("hash_buckets"),
             )
             .crossJoin(
                 batch_bands.agg(
-                    F.collect_set(_band_bucket()).alias("band_buckets")
+                    F.collect_set(_band_bucket(self.state_buckets)).alias("band_buckets")
                 )
             )
             .first()
@@ -296,7 +252,7 @@ class DedupStreamEngine:
             .unionByName(canon)
             .groupBy("text_hash")
             .agg(F.min("canonical_id").alias("canonical_id"))
-            .withColumn("_bucket", _hash_bucket("text_hash"))
+            .withColumn("_bucket", _hash_bucket("text_hash", self.state_buckets))
         )
         self.state.put_parts("seen_hashes", merged_hashes, hash_buckets)
 
@@ -337,7 +293,7 @@ class DedupStreamEngine:
         pairs = (
             within.unionByName(cross)
             .dropDuplicates(["doc_a", "doc_b"])
-            .select("doc_a", "doc_b", _est_jaccard().alias("est_jaccard"))
+            .select("doc_a", "doc_b", est_jaccard().alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= self.threshold)
         )
         pairs.write.mode("overwrite").parquet(
@@ -349,6 +305,6 @@ class DedupStreamEngine:
             .unionByName(
                 batch_bands.select("band_idx", "band_key", "doc_id", "sig")
             )
-            .withColumn("_bucket", _band_bucket())
+            .withColumn("_bucket", _band_bucket(self.state_buckets))
         )
         self.state.put_parts("band_index", merged_bands, band_buckets)

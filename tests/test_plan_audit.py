@@ -41,6 +41,8 @@ ENGINE_BACKED = {
     "streaming_final_topk",
     "streaming_sampled_matrix",
     "streaming_sampled_native",
+    "streaming_dedup_exact",
+    "streaming_dedup_pairs",
 }
 
 #: BroadcastNestedLoopJoin allowlist → the bound that keeps it safe.

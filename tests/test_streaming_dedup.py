@@ -1,0 +1,133 @@
+"""Verification gates for the streaming dedup engine (``streaming/dedup.py``)
+— the contracts its module docstring states:
+
+- ``exact_log()`` under doc_id-ordered replay is bit-identical to the batch
+  ``exact_duplicates``.
+- The union of per-batch ``dup_pairs()`` emissions equals
+  ``minhash_lsh_dup_pairs`` on the full corpus under ANY batch slicing.
+- Kill-restart resumes from the committed state, re-delivered batches are
+  skipped, and a failed batch rolls back cleanly (the
+  ``test_streaming.py`` / ``test_state_store.py`` patterns).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_dup_pairs,
+)
+from flink_cooccurrence_spark.sources import load_table
+from flink_cooccurrence_spark.streaming.dedup import DedupStreamEngine
+
+THRESHOLD = 0.5
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_exact_log_bit_identical_to_batch(spark, docs, tmp_path):
+    eng = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    eng.replay(docs, docs_per_batch=120)
+    assert eng.metrics()["batches"] >= 4  # multi-batch or the test proves nothing
+    assert eng.metrics()["documents"] == docs.count()
+    assert _rows(eng.exact_log()) == _rows(exact_duplicates(docs))
+
+
+def test_pair_union_invariant_under_slicings(spark, docs, tmp_path):
+    """A near-dup pair is discovered exactly once, in the batch where its
+    later document arrives — so the accumulated pair log is the same set
+    (values included) whether the corpus arrives as 1 batch or many."""
+    exp = _rows(minhash_lsh_dup_pairs(docs, THRESHOLD))
+    assert exp, "corpus has no near-dup pairs at the threshold — test proves nothing"
+    for i, per in enumerate((10**9, 90)):  # single-batch and 6-batch slicings
+        eng = DedupStreamEngine(
+            spark, workdir=str(tmp_path / f"slice{i}"), threshold=THRESHOLD
+        )
+        eng.replay(docs, docs_per_batch=per)
+        assert _rows(eng.dup_pairs()) == exp, f"slicing {per} diverged"
+
+
+def test_restart_and_redelivery_idempotent(spark, docs, tmp_path):
+    """Kill after half the batches, restart a NEW engine on the same workdir
+    (StateStore pointers + high-water mark come back from disk), re-deliver
+    an already-committed batch (must be skipped), feed the rest: both output
+    logs equal the batch operators."""
+    ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    per = len(ids) // 4 + 1
+    chunks = [ids[i : i + per] for i in range(0, len(ids), per)]
+    assert len(chunks) == 4
+
+    def batch_df(chunk):
+        return docs.filter(
+            (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
+        )
+
+    wd = str(tmp_path / "wd")
+    eng1 = DedupStreamEngine(spark, workdir=wd, threshold=THRESHOLD)
+    for b in (0, 1):
+        eng1.process_batch(batch_df(chunks[b]), b)
+    assert eng1.metrics()["batches"] == 2
+
+    eng2 = DedupStreamEngine(spark, workdir=wd, threshold=THRESHOLD)
+    eng2.process_batch(batch_df(chunks[1]), 1)  # re-delivery: must be skipped
+    assert eng2.metrics()["batches"] == 2
+    for b in (2, 3):
+        eng2.process_batch(batch_df(chunks[b]), b)
+
+    assert _rows(eng2.exact_log()) == _rows(exact_duplicates(docs))
+    assert _rows(eng2.dup_pairs()) == _rows(minhash_lsh_dup_pairs(docs, THRESHOLD))
+
+
+def test_failed_batch_rolls_back_and_retry_succeeds(spark, docs, tmp_path):
+    """A batch that dies mid-plan leaves the committed state untouched; the
+    retried batch (same id) then lands cleanly — the StateStore
+    commit/rollback transaction at engine level."""
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    first = docs.filter(F.col("doc_id") <= mid)
+    second = docs.filter(F.col("doc_id") > mid)
+
+    eng = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    eng.process_batch(first, 0)
+    committed = eng.state._committed_versions()
+
+    with pytest.raises(Exception):
+        eng.process_batch(second.drop("text"), 1)  # analysis failure mid-batch
+    assert eng.state._committed_versions() == committed
+    assert eng.metrics()["batches"] == 1
+
+    eng.process_batch(second, 1)  # retry with the fixed batch
+    assert _rows(eng.exact_log()) == _rows(exact_duplicates(docs))
+    assert _rows(eng.dup_pairs()) == _rows(minhash_lsh_dup_pairs(docs, THRESHOLD))
+
+
+def test_nondefault_bucket_count_roundtrips_restart(spark, docs, tmp_path):
+    """The state bucket count is a deployment knob (SCALING.md): a non-default
+    count must produce identical results and survive an engine restart on the
+    same workdir (the persisted value wins over the constructor arg)."""
+    sample = docs.filter(F.col("doc_id") % 2 == 0)
+    wd = str(tmp_path / "wd")
+    eng1 = DedupStreamEngine(spark, workdir=wd, threshold=THRESHOLD, state_buckets=5)
+    ids = sorted(r[0] for r in sample.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    eng1.process_batch(sample.filter(F.col("doc_id") <= mid), 0)
+
+    # restart with a DIFFERENT constructor arg: persisted bucketing wins
+    eng2 = DedupStreamEngine(spark, workdir=wd, threshold=THRESHOLD, state_buckets=64)
+    assert eng2.state_buckets == 5
+    eng2.process_batch(sample.filter(F.col("doc_id") > mid), 1)
+
+    assert _rows(eng2.exact_log()) == _rows(exact_duplicates(sample))
+    assert _rows(eng2.dup_pairs()) == _rows(minhash_lsh_dup_pairs(sample, THRESHOLD))
