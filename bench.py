@@ -23,35 +23,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from flink_cooccurrence_spark.registry import all_queries
+    from flink_cooccurrence_spark.registry import HEADLINE_QUERIES, all_queries
     from flink_cooccurrence_spark.session import get_spark
 
     QUERIES = all_queries()
-
-    #: headline queries: the flagship end-to-end pipeline plus the heaviest
-    #: operator families (windowed incremental path, full matrix scoring,
-    #: and — as they land — dedup / similarity / text extensions)
-    headline = [
-        "topk_similar",
-        "windowed_topk",
-        "llr_scores",
-        "windowed_item_row_deltas",
-        "cooccurrence_counts",
-        # scale levers under regression watch: salting rewrite, hot-shingle
-        # cut, LSH dedup + connected components
-        "cooccurrence_counts_salted",
-        "minhash_lsh_dup_pairs",
-        "ngram_jaccard_cut",
-        "dup_clusters",
-        "embedding_knn",
-        # ANN paths post de-broadcast (shuffled bucket/cell joins) — watched
-        # so the no-BroadcastExchange rewrite stays regression-free
-        "ann_lsh_topk",
-        "ivf_topk",
-        "text_stats",
-        "corpus_filter",
-    ]
-    headline = [q for q in headline if q in QUERIES]
+    headline = [q for q in HEADLINE_QUERIES if q in QUERIES]
 
     spark = get_spark(app_name="bench")
     # warm the JVM + file metadata outside the measured region

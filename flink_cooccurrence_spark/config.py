@@ -40,6 +40,14 @@ class CooccurrenceConfig:
     window_unit: str = "DAYS"
     seed: int = 42
     buffer_timeout_ms: int = 100  # latency knob; maps to trigger interval
+    #: engine-side knob (no reference CLI counterpart): hash buckets for the
+    #: partitioned streaming state tables (``StateStore.put_parts``). This is
+    #: the state-file-size / partition-pruning lever at scale (SCALING.md §
+    #: state sizing): high enough that a batch's key footprint misses most
+    #: buckets, low enough that each bucket is a healthy parquet file. An
+    #: engine restarted on existing state keeps the bucketing the state was
+    #: written with (the persisted value wins over this field).
+    state_buckets: int = 16
 
     @property
     def window_millis(self) -> int:

@@ -1,0 +1,53 @@
+"""Physical-plan shape fingerprints for bench noise attribution.
+
+Round 3's bench reported three headline queries 1.5-3× slower than round 2;
+controlled re-measurement showed identical plans and at-or-better timings —
+the delta was machine contention, and hours went into disproving a plan
+regression that never happened. The fix is to make plan identity a recorded
+fact: every BENCH json carries a fingerprint of each headline query's
+normalized physical-plan shape, so a round-over-round timing delta with an
+unchanged fingerprint is attributable to the environment by construction,
+and ``tests/test_plan_fingerprints.py`` pins the expected shapes so a plan
+change that lands without an explicit re-pin (the code-owner note in the
+commit) fails the suite.
+
+The fingerprint hashes the *shape*, not the instance: expression ids, plan
+ids, file paths, and every numeric literal (partition counts, statistics,
+sizes) are stripped, so the same logical plan compiled on a different
+session (local[4] tests vs local[32] bench), scale factor directory, or
+day produces the same fingerprint — only an operator/strategy change
+(join pick, added exchange, lost pushdown) moves it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame
+
+_NORMALIZERS = [
+    # expression ids: item#123L, exists#45
+    (re.compile(r"#\d+"), ""),
+    # absolute paths (data dirs, state/checkpoint temp dirs)
+    (re.compile(r"(file:)?/[^\s,\)\]]+"), "<path>"),
+    # every remaining numeric literal: partition counts, statistics, plan
+    # ids, limits — shape, not instance
+    (re.compile(r"\d+"), ""),
+    # tree-drawing + whitespace runs
+    (re.compile(r"[\s:+\-*]+"), " "),
+]
+
+
+def plan_shape(df: DataFrame) -> str:
+    """The normalized executed-plan string (pre-execution; with AQE this is
+    the initial physical plan, which is what static plan identity means)."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    for pat, rep in _NORMALIZERS:
+        s = pat.sub(rep, s)
+    return s.strip()
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """16-hex-char digest of the plan shape."""
+    return hashlib.sha256(plan_shape(df).encode()).hexdigest()[:16]

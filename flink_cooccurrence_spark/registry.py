@@ -532,3 +532,27 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
 def all_queries() -> dict[str, QueryFn]:
     """Driver surface + pytest-only twins (bench and pytest parity use this)."""
     return {**QUERIES, **PYTEST_ONLY_QUERIES}
+
+
+#: headline bench queries (``bench.py`` timings + plan fingerprints, and the
+#: pin set of ``tests/test_plan_fingerprints.py``): the flagship end-to-end
+#: pipeline plus the heaviest operator families — windowed incremental path,
+#: full matrix scoring, the scale levers under regression watch (salting,
+#: hot-shingle cut, LSH dedup + connected components), and the ANN paths
+#: post de-broadcast
+HEADLINE_QUERIES = [
+    "topk_similar",
+    "windowed_topk",
+    "llr_scores",
+    "windowed_item_row_deltas",
+    "cooccurrence_counts",
+    "cooccurrence_counts_salted",
+    "minhash_lsh_dup_pairs",
+    "ngram_jaccard_cut",
+    "dup_clusters",
+    "embedding_knn",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "text_stats",
+    "corpus_filter",
+]

@@ -29,6 +29,15 @@ Per micro-batch, in order:
    partitions where a batch rewrites only the buckets its changed items
    hash into (``StateStore.put_parts``; the parquet realization of a
    partition-pruned Delta/Iceberg MERGE) — and the scalar total.
+
+ALL six state tables are hash-bucketed this way (user-keyed:
+``user_counts``, ``user_histories``; item-keyed: ``item_counts``,
+``feedback``, ``item_rows``, ``row_sums``): an early 1-row action over the
+cached batch collects its user/item bucket footprint (``_early_stats``), so
+every state read is parquet-pruned to the batch's buckets, the reservoir
+processor sees only co-bucketed users, and every write rewrites only
+changed buckets — per-batch state I/O tracks the batch footprint, not the
+lifetime state size.
 6. **Rescore changed rows only** (op 13): the changed-item set joins its
    full cumulative rows against broadcast row sums + the scalar total, LLR
    (pure column expression), top-K per item (window rank), appended to the
@@ -71,17 +80,15 @@ TAGGED_SCHEMA = (
     "window_start long, history array<int>, total long"
 )
 
-#: hash buckets for the partitioned ``item_rows``/``row_sums`` state tables
+#: default hash-bucket count for ALL partitioned state tables
 #: (``StateStore.put_parts``): a batch merges and rewrites only the buckets
-#: containing items its delta touched, so per-batch state I/O is O(changed
-#: items' buckets), not O(|state|). Sized like a Delta/Iceberg partition
-#: count: high enough that a typical batch's changed items miss most
-#: buckets, low enough that each bucket is a healthy parquet file.
+#: its changed keys hash into, so per-batch state I/O is O(changed keys'
+#: buckets), not O(|state|). Sized like a Delta/Iceberg partition count:
+#: high enough that a typical batch's key footprint misses most buckets,
+#: low enough that each bucket is a healthy parquet file. Per-engine via
+#: ``CooccurrenceConfig.state_buckets``; a restart keeps the value the
+#: state was written with.
 STATE_BUCKETS = 16
-
-
-def _item_bucket(col: str = "item"):
-    return F.pmod(F.hash(F.col(col)), F.lit(STATE_BUCKETS)).cast("int")
 
 
 class CooccurrenceStreamEngine:
@@ -103,6 +110,16 @@ class CooccurrenceStreamEngine:
         self.workdir = workdir or tempfile.mkdtemp(prefix="cooc_stream_")
         self.state = StateStore(spark, os.path.join(self.workdir, "state"))
         self._topk_dir = os.path.join(self.workdir, "topk_updates")
+        # bucketing is a property of the written state, not the session: a
+        # restarted engine must hash keys the way the existing bucket dirs
+        # were laid out — the persisted value wins over the config field
+        self.state_buckets = getattr(self.config, "state_buckets", STATE_BUCKETS)
+        persisted = self.state.get_scalar("state_buckets", 0)
+        if persisted:
+            self.state_buckets = persisted
+        else:
+            self.state.set_scalar("state_buckets", int(self.state_buckets))
+            self.state.commit()
         # independent state/output writes of one batch overlap as concurrent
         # Spark jobs (the reference's operators all run concurrently in one
         # dataflow; foreachBatch would otherwise serialize them) — each put
@@ -114,6 +131,16 @@ class CooccurrenceStreamEngine:
         self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
         self._pending: list = []
         self._cached: list = []
+        #: stats riders: (1-row aggregate plan, callback) pairs cross-joined
+        #: into the batch's final combined stats action — lets a stage whose
+        #: changed-bucket set is only known post-shuffle (the feedback swap)
+        #: piggyback on the one delta-stats round trip instead of issuing
+        #: its own action
+        self._stat_riders: list = []
+
+    def _bucket(self, col: str):
+        """State hash bucket of a key column (user or item)."""
+        return F.pmod(F.hash(F.col(col)), F.lit(self.state_buckets)).cast("int")
 
     def _submit_write(self, fn) -> None:
         self._pending.append(self._write_pool.submit(fn))
@@ -144,6 +171,7 @@ class CooccurrenceStreamEngine:
         if batch_id <= self.state.get_scalar("last_batch_id", -1):
             return
         self._cached = []
+        self._stat_riders = []
         try:
             batch = self._ensure_seq(batch)
             # a true Structured Streaming micro-batch arrives materialized;
@@ -153,12 +181,12 @@ class CooccurrenceStreamEngine:
             # semantics (first action fills it; unpersisted in finally)
             batch = batch.persist()
             self._cached.append(batch)
-            batch, wm, late_stats = self._drop_late(batch)
+            batch, u_buckets, i_buckets = self._early_stats(batch)
             if self.config.skip_cuts:
-                delta, rs_delta = self._nonsampled_deltas(batch, batch_id)
+                delta, rs_delta = self._nonsampled_deltas(batch, u_buckets)
             else:
-                delta, rs_delta = self._sampled_deltas(batch, batch_id)
-            self._merge_and_score(delta, rs_delta, batch_id, wm, late_stats)
+                delta, rs_delta = self._sampled_deltas(batch, u_buckets, i_buckets)
+            self._merge_and_score(delta, rs_delta, batch_id)
             self._drain_writes()
         except BaseException:
             # settle every in-flight write before rolling back — a put that
@@ -220,6 +248,14 @@ class CooccurrenceStreamEngine:
     def row_sums(self) -> DataFrame:
         return self.state.get_parts("row_sums", ROW_SUMS_SCHEMA)
 
+    def user_histories(self) -> DataFrame:
+        """Per-user reservoir state (user, history array, lifetime total)."""
+        return self.state.get_parts("user_histories", USER_HIST_SCHEMA)
+
+    def item_counts(self) -> DataFrame:
+        """Lifetime admitted-interaction counts per item (op 6 state)."""
+        return self.state.get_parts("item_counts", ITEM_COUNTS_SCHEMA)
+
     def total_observed(self) -> int:
         return self.state.get_scalar("observed_cooccurrences")
 
@@ -268,34 +304,54 @@ class CooccurrenceStreamEngine:
 
         return global_seq(batch, ["ts_ms", "user", "item"])
 
-    def _drop_late(self, batch: DataFrame):
-        """Ascending watermark at micro-batch granularity: late iff ts_ms <
-        max event time of prior batches (``ts <= watermark`` with watermark =
-        maxTs − 1). Within a batch the watermark is frozen — the reference
-        advances it per element, so the engine drops *no more* than the
-        reference would.
+    def _early_stats(self, batch: DataFrame):
+        """Ascending watermark at micro-batch granularity (late iff ts_ms <
+        max event time of prior batches; within a batch the watermark is
+        frozen — the reference advances it per element, so the engine drops
+        *no more* than the reference would) PLUS the batch's state-bucket
+        footprint: the distinct hash buckets its on-time users and items
+        fall in.
 
-        Returns (filtered batch, prior watermark, late-stats *plan*): a
-        1-row aggregate over the batch that ``_merge_and_score`` folds into
-        the single combined per-batch stats action — round-1 issued a
-        synchronous ``.first()`` here, one of 3 separate per-batch driver
-        round-trips capping micro-batch throughput at scale.
+        This is the first of the batch's TWO auxiliary 1-row driver actions
+        (the second is the delta stats in ``_merge_and_score``; round 1 had
+        three). It runs on the cached batch — filling the cache the first
+        consumer needs anyway — and what it buys is the whole point of the
+        partitioned state layout: with the bucket footprint known up front,
+        EVERY state read below (``user_counts``, ``item_counts``,
+        ``user_histories``) is parquet-pruned to the batch's buckets, the
+        reservoir processor sees only the users co-bucketed with the batch
+        instead of the entire accumulated user population, and the state
+        writes rewrite only those buckets. Per-batch state I/O and Python
+        work then track the batch footprint, not the lifetime state size —
+        without this action each of those four tables is an O(|state|)
+        scan-and-rewrite per batch, which is exactly the flaw class that
+        capped round-2 throughput.
 
         (``Dataset.observe`` would let these stats ride the main pass for
         free, but observations are fulfilled by a query-execution listener
         that never fires for the nested actions inside a ``foreachBatch``
         callback on this Spark line — ``Observation.get`` deadlocks the
-        stream thread — so the engine keeps the stats as explicit plans
-        merged into one action.)"""
+        stream thread — so the engine keeps them as explicit tiny actions.)"""
         wm = self.state.get_scalar("watermark_ms", -(1 << 62))
-        stats = batch.agg(
-            F.count(F.when(F.col("ts_ms") < wm, 1)).alias("late"),
+        ontime = F.col("ts_ms") >= wm
+        row = batch.agg(
+            F.count(F.when(~ontime, 1)).alias("late"),
             F.max("ts_ms").alias("max_ts"),
+            F.collect_set(F.when(ontime, self._bucket("user"))).alias("u_buckets"),
+            F.collect_set(F.when(ontime, self._bucket("item"))).alias("i_buckets"),
+        ).first()
+        self.state.add_scalar("late_elements", int(row["late"] or 0))
+        self.state.add_scalar("batches", 1)
+        if row["max_ts"] is not None:
+            self.state.set_scalar("watermark_ms", max(wm, int(row["max_ts"])))
+        return (
+            batch.filter(ontime),
+            sorted(row["u_buckets"]),
+            sorted(row["i_buckets"]),
         )
-        return batch.filter(F.col("ts_ms") >= wm), wm, stats
 
     def _nonsampled_deltas(
-        self, batch: DataFrame, batch_id: int
+        self, batch: DataFrame, u_buckets: list[int]
     ) -> tuple[DataFrame, DataFrame | None]:
         """Op 8 incremental count-product form. With per-user lifetime item
         counts S(u,i,n) as state and batch counts B(u,i,m):
@@ -305,12 +361,18 @@ class CooccurrenceStreamEngine:
                  prior history, both directions)
 
         Both joins hash-partition on ``user`` — one shuffle each side, no
-        positional explosion, no Python. Row sums fall out of ΔC."""
+        positional explosion, no Python. Row sums fall out of ΔC.
+
+        The ``user_counts`` state is partitioned on user: the cross join
+        only needs the batch users' prior counts, so the read is pruned to
+        the batch's user buckets, and the merge rewrites exactly those
+        buckets (``put_parts``) — per-batch state I/O is O(batch users'
+        buckets) on both sides."""
         bc = (
             batch.groupBy("user", "item")
             .agg(F.count("*").cast("long").alias("m"))
         )
-        prior = self.state.get("user_counts", USER_COUNTS_SCHEMA)
+        prior = self.state.get_parts("user_counts", USER_COUNTS_SCHEMA, u_buckets)
 
         a, b = bc.alias("a"), bc.alias("b")
         within = (
@@ -371,23 +433,49 @@ class CooccurrenceStreamEngine:
             prior.unionByName(bc.withColumnRenamed("m", "n"))
             .groupBy("user", "item")
             .agg(F.sum("n").alias("n"))
+            .withColumn("_bucket", self._bucket("user"))
         )
         # nothing downstream of this batch reads user_counts (next batch
-        # does, after the drain barrier) — overlap the write with the
-        # stats action and the item_rows/row_sums merges
-        self._submit_write(lambda: self.state.put("user_counts", new_counts))
+        # does, after the drain barrier; the plan above is bound to the
+        # pre-put version dirs) — overlap the write with the stats action
+        # and the item_rows/row_sums merges
+        if u_buckets:
+            self._submit_write(
+                lambda: self.state.put_parts("user_counts", new_counts, u_buckets)
+            )
         return delta, None
 
     def _sampled_deltas(
-        self, batch: DataFrame, batch_id: int
+        self, batch: DataFrame, u_buckets: list[int], i_buckets: list[int]
     ) -> tuple[DataFrame, DataFrame]:
         """Ops 6+7+14: feedback-corrected item cut, then the stateful user
-        reservoir over a tagged union of batch rows + per-user state rows."""
+        reservoir over a tagged union of batch rows + per-user state rows.
+
+        All three state tables here are partitioned (``put_parts``):
+
+        - ``item_counts`` — the cut only needs the batch items' counts, so
+          its read is pruned to the batch's item buckets; the merge lists
+          those buckets plus the feedback table's current nonempty buckets
+          (feedback decrements items evicted from reservoirs — items that
+          need not appear in this batch).
+        - ``user_histories`` — read pruned to the batch's user buckets; all
+          users co-bucketed with the batch pass through the reservoir
+          processor (no-data users pass through unchanged), so the state
+          rows coming out are exactly the post-merge content of those
+          buckets and the write rewrites only them. Reservoir Python work
+          is O(users in touched buckets), not O(all users ever seen).
+        - ``feedback`` — swapped wholesale each batch (it is per-batch
+          transient, not cumulative); its new buckets are only known after
+          the reservoir shuffle, so they ride the final combined stats
+          action as a stats rider, and its stale buckets come free from the
+          state-store version pointers (``nonempty_buckets``).
+        """
         cfg = self.config
         # 1. apply batch N−1 feedback to item counts (op 14)
-        fb = self.state.get("feedback", FEEDBACK_SCHEMA)
-        ic = (
-            self.state.get("item_counts", ITEM_COUNTS_SCHEMA)
+        fb = self.state.get_parts("feedback", FEEDBACK_SCHEMA)
+        fb_prior_buckets = self.state.nonempty_buckets("feedback")
+        ic_cut = (
+            self.state.get_parts("item_counts", ITEM_COUNTS_SCHEMA, i_buckets)
             .unionByName(fb.selectExpr("item", "dec as cnt"))
             .groupBy("item")
             .agg(F.sum("cnt").alias("cnt"))
@@ -399,7 +487,7 @@ class CooccurrenceStreamEngine:
         # no forced broadcast: the item-count state is per-item and can be
         # arbitrarily wide at scale — AQE picks broadcast when it is small
         flagged = (
-            w.join(ic.withColumnRenamed("cnt", "prior"), on="item", how="left")
+            w.join(ic_cut.withColumnRenamed("cnt", "prior"), on="item", how="left")
             .fillna(0, subset=["prior"])
             .withColumn("sampled", (F.col("prior") + rn) <= cfg.item_cut)
         )
@@ -408,20 +496,27 @@ class CooccurrenceStreamEngine:
             .groupBy("item")
             .agg(F.count("*").cast("long").alias("cnt"))
         )
+        ic_listed = sorted(set(i_buckets) | set(fb_prior_buckets))
         new_ic = (
-            ic.unionByName(admitted)
+            self.state.get_parts("item_counts", ITEM_COUNTS_SCHEMA, ic_listed)
+            .unionByName(fb.selectExpr("item", "dec as cnt"))
+            .unionByName(admitted)
             .groupBy("item")
             .agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") != 0)
+            .withColumn("_bucket", self._bucket("item"))
         )
         # only the next batch reads item_counts — overlap this write with
         # the reservoir pass below (both sides recompute ``flagged``; they
         # now do so concurrently instead of back-to-back)
-        self._submit_write(lambda: self.state.put("item_counts", new_ic))
+        if ic_listed:
+            self._submit_write(
+                lambda: self.state.put_parts("item_counts", new_ic, ic_listed)
+            )
 
         # 3. reservoir with history state (op 7): tagged union — one state
         # row per user, so the ≤ kMax array shuffles once, not per row
-        hist = self.state.get("user_histories", USER_HIST_SCHEMA)
+        hist = self.state.get_parts("user_histories", USER_HIST_SCHEMA, u_buckets)
         data_rows = flagged.select(
             F.lit("data").alias("kind"),
             "user",
@@ -504,16 +599,39 @@ class CooccurrenceStreamEngine:
         # both tables are read only by the next batch; the plans read the
         # localCheckpointed ``tagged`` batch, so the writes are cheap narrow
         # jobs that overlap with the delta merges downstream
-        hist_df = tagged.filter(F.col("kind") == "state").select(
-            "user", "history", "total"
+        hist_df = (
+            tagged.filter(F.col("kind") == "state")
+            .select("user", "history", "total")
+            .withColumn("_bucket", self._bucket("user"))
         )
-        self._submit_write(lambda: self.state.put("user_histories", hist_df))
+        if u_buckets:
+            self._submit_write(
+                lambda: self.state.put_parts("user_histories", hist_df, u_buckets)
+            )
         fb_df = (
             tagged.filter(F.col("kind") == "feedback")
             .groupBy("item")
             .agg(F.sum("increment").alias("dec"))
         )
-        self._submit_write(lambda: self.state.put("feedback", fb_df))
+        # the feedback swap's bucket list = stale buckets (from the version
+        # pointers, no action) ∪ new buckets — the latter only exist after
+        # the reservoir shuffle, so they ride the final stats action
+        fb_stats = fb_df.agg(
+            F.collect_set(self._bucket("item")).alias("fb_buckets")
+        )
+
+        def _write_feedback(stats_row) -> None:
+            listed = sorted(set(fb_prior_buckets) | set(stats_row["fb_buckets"]))
+            if listed:
+                self._submit_write(
+                    lambda: self.state.put_parts(
+                        "feedback",
+                        fb_df.withColumn("_bucket", self._bucket("item")),
+                        listed,
+                    )
+                )
+
+        self._stat_riders.append((fb_stats, _write_feedback))
         delta = (
             tagged.filter(F.col("kind") == "cooc")
             .groupBy("item", "other_item")
@@ -533,45 +651,39 @@ class CooccurrenceStreamEngine:
         delta: DataFrame,
         rs_delta: DataFrame | None,
         batch_id: int,
-        wm: int,
-        late_stats: DataFrame,
     ) -> None:
         """Ops 10/11/13: merge ±deltas into cumulative state, then rescore
         only the rows that changed in this batch.
 
-        ALL per-batch statistics — late count, new watermark, total delta,
-        changed-item count — are one combined 1-row action (the cross-join
-        of three tiny aggregates). Round 1 issued three separate synchronous
-        jobs per batch (late ``.first()``, total ``.first()``,
-        ``changed.count()``), serializing 3 driver round-trips into every
-        micro-batch; in the sampled path the delta aggregates here read the
-        localCheckpointed ``tagged`` batch, so the combined action is a
-        narrow re-aggregation, not a pipeline re-run."""
+        All post-shuffle per-batch statistics — total delta, changed-item
+        count, the changed-bucket sets for the item-side MERGE, plus any
+        stage-registered stats riders (the feedback swap's bucket set) —
+        are one combined 1-row action; with ``_early_stats`` that makes two
+        tiny driver round-trips per batch total (round 1 had three, paying
+        an O(|state|) rewrite of four tables besides). In the sampled path
+        the aggregates here read the localCheckpointed ``tagged`` batch, so
+        the combined action is a narrow re-aggregation, not a pipeline
+        re-run."""
         if rs_delta is None:
             # RowSumAggregator semantics: each emitted pair adds to its row's
             # sum — derivable from the cell deltas, no second shuffle source
             rs_delta = delta.groupBy("item").agg(F.sum("delta").alias("d"))
 
-        stats = (
-            late_stats.crossJoin(
-                rs_delta.agg(
-                    F.sum("d").alias("total_delta"),
-                    F.collect_set(_item_bucket()).alias("rs_buckets"),
-                )
+        stats_plan = rs_delta.agg(
+            F.sum("d").alias("total_delta"),
+            F.collect_set(self._bucket("item")).alias("rs_buckets"),
+        ).crossJoin(
+            delta.agg(
+                F.count_distinct("item").alias("n_changed"),
+                F.collect_set(self._bucket("item")).alias("delta_buckets"),
             )
-            .crossJoin(
-                delta.agg(
-                    F.count_distinct("item").alias("n_changed"),
-                    F.collect_set(_item_bucket()).alias("delta_buckets"),
-                )
-            )
-            .first()
-        )  # <- the ONE auxiliary per-batch action (the changed-bucket sets
-        #    for the partitioned state MERGE ride along as collect_sets)
-        self.state.add_scalar("late_elements", int(stats["late"] or 0))
-        self.state.add_scalar("batches", 1)
-        if stats["max_ts"] is not None:
-            self.state.set_scalar("watermark_ms", max(wm, int(stats["max_ts"])))
+        )
+        for rider_plan, _cb in self._stat_riders:
+            stats_plan = stats_plan.crossJoin(rider_plan)
+        stats = stats_plan.first()  # <- the batch's second (and last)
+        #    auxiliary action: delta stats + changed-bucket sets + riders
+        for _plan, cb in self._stat_riders:
+            cb(stats)
         total = self.state.add_scalar(
             "observed_cooccurrences", int(stats["total_delta"] or 0)
         )
@@ -592,7 +704,7 @@ class CooccurrenceStreamEngine:
                 .groupBy("item", "other_item")
                 .agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") != 0)
-                .withColumn("_bucket", _item_bucket())
+                .withColumn("_bucket", self._bucket("item"))
             )
             merge_futs.append(
                 self._write_pool.submit(
@@ -606,7 +718,7 @@ class CooccurrenceStreamEngine:
                 .unionByName(rs_delta.selectExpr("item", "d as row_sum"))
                 .groupBy("item")
                 .agg(F.sum("row_sum").alias("row_sum"))
-                .withColumn("_bucket", _item_bucket())
+                .withColumn("_bucket", self._bucket("item"))
             )
             merge_futs.append(
                 self._write_pool.submit(

@@ -105,6 +105,16 @@ class StateStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def nonempty_buckets(self, name: str) -> list[int]:
+        """Buckets of a partitioned table currently holding rows — read off
+        the version pointer map, no Spark action. Lets a caller that fully
+        replaces a table (e.g. the per-batch ``feedback`` swap) list the
+        buckets to clear without scanning them."""
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict):
+            return []
+        return sorted(int(b) for b, v in ptr["buckets"].items() if v > 0)
+
     def put_parts(self, name: str, df: DataFrame, buckets: list[int]) -> None:
         """MERGE-write: materialize ``df`` (which must carry an int
         ``_bucket`` column and contain exactly the post-merge rows of the

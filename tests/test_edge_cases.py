@@ -53,7 +53,7 @@ def test_sampled_engine_all_rows_cut(spark, tmp_path):
         0,
     )
     assert eng.item_rows().count() == 0
-    hist = eng.state.get("user_histories", "user int, history array<int>, total long")
+    hist = eng.user_histories()
     assert hist.filter(F.size("history") > 0).count() == 0
 
 

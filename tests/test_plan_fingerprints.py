@@ -1,0 +1,52 @@
+"""Plan-fingerprint pins: a headline query's physical-plan shape may only
+change together with an explicit re-pin.
+
+Round 3's bench looked regressed purely from machine contention; the plan
+fingerprints in BENCH json (``planfp.py``) make timing noise attributable —
+but only if a fingerprint change is always a *deliberate* event. This test
+pins every headline query's shape in ``plan_fingerprints.json``: a commit
+that moves a plan without regenerating the pin file (the code-owner note)
+fails here.
+
+To re-pin after an intentional plan change:
+
+    REGEN_PLAN_FP=1 python -m pytest tests/test_plan_fingerprints.py -q
+
+and commit the updated ``tests/plan_fingerprints.json`` with a note on what
+moved and why.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from flink_cooccurrence_spark.planfp import plan_fingerprint
+from flink_cooccurrence_spark.registry import HEADLINE_QUERIES, all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+PIN_PATH = os.path.join(os.path.dirname(__file__), "plan_fingerprints.json")
+
+
+def test_headline_plan_fingerprints_pinned(spark):
+    qs = all_queries()
+    got = {
+        n: plan_fingerprint(qs[n](spark, SF_DIR))
+        for n in HEADLINE_QUERIES
+        if n in qs
+    }
+    if os.environ.get("REGEN_PLAN_FP"):
+        with open(PIN_PATH, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        pytest.skip("plan fingerprints regenerated — commit the json")
+    with open(PIN_PATH) as f:
+        pinned = json.load(f)
+    moved = sorted(
+        set(pinned) ^ set(got) | {n for n in got if n in pinned and pinned[n] != got[n]}
+    )
+    assert got == pinned, (
+        f"physical-plan shape moved for {moved} — if intentional, re-pin "
+        "with REGEN_PLAN_FP=1 and explain the plan change in the commit"
+    )

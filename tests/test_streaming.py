@@ -287,9 +287,7 @@ def sampled_engine(spark, inter, tmp_path_factory):
 
 
 def test_sampled_history_capacity(sampled_engine):
-    hist = sampled_engine.state.get(
-        "user_histories", "user int, history array<int>, total long"
-    )
+    hist = sampled_engine.user_histories()
     over = hist.filter(F.size("history") > 8).count()
     assert over == 0
     assert hist.filter(F.size("history") > 0).count() > 0
@@ -315,7 +313,7 @@ def test_sampled_row_sum_conservation(sampled_engine):
 def test_sampled_admission_bound(sampled_engine, inter):
     """Admitted-per-item ≤ fMax + feedback slack: lifetime item-count state
     never exceeds fMax (feedback can only free slots, never overfill)."""
-    ic = sampled_engine.state.get("item_counts", "item int, cnt long")
+    ic = sampled_engine.item_counts()
     assert ic.filter(F.col("cnt") > 40).count() == 0
 
 
@@ -357,6 +355,94 @@ def test_batch_reservoir_equals_streaming_reservoir(spark, inter, tmp_path):
         .filter(F.col("cnt") != 0)
     )
     assert_df_equal(eng.item_rows(), exp, "reservoir_batch_vs_stream")
+
+
+def test_user_state_writes_prune_to_touched_buckets(spark, tmp_path):
+    """The user-side state tables are hash-bucketed: a batch touching one
+    user rewrites only that user's bucket — every other bucket's version
+    pointer (and its parquet dir) is untouched. This is the put_parts MERGE
+    contract on ``user_histories``/``item_counts``, the round-3 full-rewrite
+    flaw class."""
+    cfg = _cfg(item_cut=1 << 30, user_cut=4, seed=1)
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "prune"))
+
+    def bucket_of(key: int, col: str = "user") -> str:
+        return str(
+            spark.createDataFrame([(key,)], f"{col} int")
+            .select(eng._bucket(col).alias("b"))
+            .first()["b"]
+        )
+
+    schema = "user int, item int, ts_ms long, seq long"
+    eng.process_batch(
+        spark.createDataFrame([(1, 10, 1000, 0), (1, 11, 2000, 1)], schema), 0
+    )
+    ptr0 = dict(eng.state._versions["user_histories"]["buckets"])
+    assert set(b for b, v in ptr0.items() if v > 0) == {bucket_of(1)}
+
+    # second batch: a user in a different bucket (hash buckets of 1 and u
+    # differ) — user 1's bucket pointer must not move
+    u2 = next(u for u in range(2, 200) if bucket_of(u) != bucket_of(1))
+    eng.process_batch(
+        spark.createDataFrame([(u2, 10, 3000, 2)], schema), 1
+    )
+    ptr1 = eng.state._versions["user_histories"]["buckets"]
+    assert ptr1[bucket_of(1)] == ptr0[bucket_of(1)]  # untouched bucket kept
+    assert ptr1[bucket_of(u2)] > ptr0.get(bucket_of(u2), 0)  # touched bumped
+
+    # item-side: only the batch items' buckets (plus feedback's, empty
+    # here) hold item_counts pointers
+    ic_ptr = eng.state._versions["item_counts"]["buckets"]
+    assert set(b for b, v in ic_ptr.items() if v > 0) <= {
+        bucket_of(10, "item"),
+        bucket_of(11, "item"),
+    }
+
+
+def test_nondefault_state_buckets_roundtrip_restart(spark, inter, tmp_path):
+    """A non-default bucket count is a property of the written state: an
+    engine restarted on that state with a DIFFERENT configured count keeps
+    the persisted one, and the resumed run is bit-identical to an
+    uninterrupted replay (bucketing is physical layout only)."""
+    sample = inter.filter(F.col("user") % 13 == 0)
+    cfg5 = _cfg(item_cut=40, user_cut=6, seed=42, state_buckets=5)
+    wd = str(tmp_path / "wd5")
+
+    from flink_cooccurrence_spark.operators.cooccurrence import with_window
+
+    wdf = with_window(sample, cfg5.window_millis)
+    windows = [
+        r[0]
+        for r in wdf.select("window_start").distinct().orderBy("window_start").collect()
+    ]
+    half = max(1, len(windows) // 2)
+
+    def feed(eng, wins, start_bid):
+        for bid, w0 in enumerate(wins, start=start_bid):
+            eng.process_batch(
+                wdf.filter(F.col("window_start") == w0).drop("window_start"), bid
+            )
+
+    eng1 = CooccurrenceStreamEngine(spark, cfg5, workdir=wd)
+    assert eng1.state_buckets == 5
+    feed(eng1, windows[:half], 0)
+
+    # restart with the DEFAULT config: persisted bucket count must win
+    eng2 = CooccurrenceStreamEngine(
+        spark, _cfg(item_cut=40, user_cut=6, seed=42), workdir=wd
+    )
+    assert eng2.state_buckets == 5
+    feed(eng2, windows[half:], half)
+
+    plain = CooccurrenceStreamEngine(
+        spark,
+        _cfg(item_cut=40, user_cut=6, seed=42),
+        workdir=str(tmp_path / "plain"),
+    )
+    plain.replay(sample, windows_per_batch=1)
+    assert_df_equal(eng2.item_rows(), plain.item_rows(), "buckets5_matrix")
+    assert_df_equal(eng2.row_sums(), plain.row_sums(), "buckets5_row_sums")
+    assert eng2.total_observed() == plain.total_observed()
 
 
 def test_salted_cooccurrence_equals_unsalted(spark, inter):
