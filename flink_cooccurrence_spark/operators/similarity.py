@@ -6,12 +6,16 @@ Two paths, both oracle-checkable:
   against the full corpus (one pass, no shuffle of the corpus side); the
   per-query top-k is a window rank. This is the exact baseline: at 100 TB
   you run it only for evaluation slices.
-- ``ann_lsh_topk`` — random-hyperplane LSH: ``NUM_PLANES`` (6) signed
+- ``ann_lsh_topk`` — random-hyperplane LSH: ``planes_used`` signed
   projections bucket each vector; neighbors are searched within the query's
   bucket (or its Hamming-1 neighborhood with ``multi_probe``). The
   hyperplanes are fixed literals (seeded, 6-decimal) shared with the oracle
-  SQL. This is the scale path: bucketing is map-side, the join is
-  bucket-local, and recall/latency trades via the number of planes.
+  SQL, and the plane COUNT is corpus-adaptive (``adaptive_lsh_buckets``):
+  the bucket space doubles each time the corpus doubles past the target
+  occupancy, so the bucket-local join cost stays flat as the corpus grows —
+  a fixed plane count (round 3's 6-plane/64-bucket space) meant occupancy,
+  and so the join, grew linearly with N. Bucketing is map-side; the join is
+  bucket-local.
 
 All arithmetic is double-precision dot products via ``zip_with`` +
 ``aggregate`` (sequential fold — bit-identical to DuckDB's
@@ -29,10 +33,6 @@ from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.functions.hashing import hash32
 
-#: LSH configuration (shared with oracle.py). 6 planes = 64 buckets: sized
-#: so buckets hold multiple vectors at test scale (recall needs bucket-mates;
-#: at corpus scale you'd raise planes with corpus size, or use multi-probe).
-NUM_PLANES = 6
 EMBED_DIM = 64
 LSH_SEED = 7
 
@@ -42,7 +42,7 @@ KNN_K = 5
 ANN_K = 3
 
 
-def hyperplanes(num_planes: int = NUM_PLANES) -> list[list[float]]:
+def hyperplanes(num_planes: int) -> list[list[float]]:
     """Deterministic literal hyperplanes (rounded so SQL literals are exact).
 
     Generation is prefix-stable: ``hyperplanes(n)`` is the first ``n`` rows
@@ -164,24 +164,7 @@ def embedding_knn(
     ).select("q_id", "rank", "n_id", "cosine")
 
 
-def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    """Random-hyperplane bucket per vector: (vec_id, bucket).
-
-    bucket = Σ_j 2^j · [dot(v, plane_j) ≥ 0] — ``NUM_PLANES`` literal-array
-    dot products, fully codegen'd, no shuffle.
-    """
-    v = _as_double(F.col("embedding"))
-    bucket = None
-    for j, plane in enumerate(hyperplanes()):
-        lit = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(v, lit) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return embeddings.select(
-        "vec_id", bucket.cast("long").alias("bucket"), "embedding"
-    )
-
-
-#: Adaptive-plane LSH (the near-dup scale path): the plane count derives
+#: Adaptive-plane LSH (the similarity/near-dup scale path): the plane count derives
 #: from the corpus size so the expected bucket occupancy stays near
 #: ``TARGET_BUCKET_SIZE`` as the corpus grows — a fixed plane count means
 #: bucket occupancy, and so the bucket-local join cost, grows linearly
@@ -247,18 +230,24 @@ def ann_lsh_topk(
     """Bucketed approximate top-k: (q_id, rank, n_id, cosine, bucket).
 
     Search is restricted to the query's LSH bucket — the join key is the
-    bucket id, so at scale each task only sees one bucket's vectors.
+    bucket id, so at scale each task only sees one bucket's vectors. The
+    bucketing is the corpus-adaptive plane family (``adaptive_lsh_buckets``,
+    shared with ``embedding_near_dup_pairs``): the bucket space doubles as
+    the corpus doubles, so bucket occupancy — and with it the bucket-local
+    join cost — stays in the O(TARGET_BUCKET_SIZE) band instead of growing
+    linearly with N (round 3's fixed 6-plane space degenerated exactly
+    that way at 100×; occupancy-bounded-under-doubling is pytest-pinned).
 
     ``multi_probe=True`` additionally probes every bucket at Hamming
-    distance 1 from the query's bucket (flip each of the NUM_PLANES sign
-    bits) — the standard multi-probe LSH recall lever: candidate volume
-    grows ×(NUM_PLANES+1) while the join stays bucket-local; the vectors
-    most likely to be missed by a single probe sit just across one
+    distance 1 from the query's bucket (flip each of the ``planes_used``
+    sign bits) — the standard multi-probe LSH recall lever: candidate
+    volume grows ×(planes_used+1) while the join stays bucket-local; the
+    vectors most likely to be missed by a single probe sit just across one
     hyperplane. Each neighbor lives in exactly one bucket, so probing
     distinct buckets never duplicates a candidate.
 
     The candidate join is a *shuffled* hash join on the bucket id — the
-    query side is an unbounded corpus slice (10% here, ×(NUM_PLANES+1)
+    query side is an unbounded corpus slice (10% here, ×(planes_used+1)
     under multi-probe), so broadcasting it would grow linearly with the
     corpus and blow the broadcast budget at scale (the round-2 flaw class
     fixed for ``embedding_knn``; plan-asserted broadcast-free in
@@ -266,21 +255,38 @@ def ann_lsh_topk(
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
-    bucketed = _with_norm(lsh_buckets(embeddings)).cache()
+    bucketed = _with_norm(adaptive_lsh_buckets(embeddings)).cache()
     queries = bucketed.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("bucket"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
+        F.col("planes_used"),
     )
     if multi_probe:
-        flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(NUM_PLANES)])
-        queries = queries.withColumn("_flip", F.explode(flips)).select(
-            "q_id",
-            F.col("bucket").bitwiseXOR(F.col("_flip")).cast("long").alias("bucket"),
-            "q_emb",
-            "q_norm",
+        # probe index −1 = the home bucket; 0..planes_used−1 flip one sign
+        # bit each. planes_used is a column, so the flip set is a filtered
+        # explode over the max plane range, not a fixed literal array.
+        probes = F.array(*[F.lit(j) for j in range(-1, MAX_ADAPTIVE_PLANES)])
+        queries = (
+            queries.withColumn("_j", F.explode(probes))
+            .filter(F.col("_j") < F.col("planes_used"))
+            .select(
+                "q_id",
+                F.when(F.col("_j") < 0, F.col("bucket"))
+                .otherwise(
+                    F.col("bucket").bitwiseXOR(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), _j)")
+                    )
+                )
+                .cast("long")
+                .alias("bucket"),
+                "q_emb",
+                "q_norm",
+            )
         )
+    else:
+        queries = queries.drop("planes_used")
     pairs = bucketed.join(queries.hint("shuffle_hash"), on="bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )

@@ -683,25 +683,37 @@ SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= {k}
     # the blocked plan is a physical-strategy change only — same result set
     o["embedding_knn_blocked"] = _knn_sql(sim.KNN_K)
 
-    plane_terms = []
-    for j, plane in enumerate(sim.hyperplanes()):
+    # adaptive-plane bucket expr (shared spec of ann_lsh_topk and
+    # embedding_near_dup_pairs): planes_used is the integer doubling count
+    # of the corpus size over the target bucket size — identical CASE-sum
+    # arithmetic to adaptive_num_planes, no floats
+    planes_cases = " + ".join(
+        f"(CASE WHEN _n > {sim.TARGET_BUCKET_SIZE << j} THEN 1 ELSE 0 END)"
+        for j in range(sim.MAX_ADAPTIVE_PLANES)
+    )
+    adaptive_terms = []
+    for j, plane in enumerate(sim.hyperplanes(sim.MAX_ADAPTIVE_PLANES)):
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
-        plane_terms.append(
-            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << j} ELSE 0 END)"
+        adaptive_terms.append(
+            f"(CASE WHEN {j} < planes_used AND list_dot_product(v, {arr}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
         )
-    bucket_expr = " + ".join(plane_terms)
-    flips = "[" + ", ".join(
-        str(x) for x in [0] + [1 << j for j in range(sim.NUM_PLANES)]
-    ) + "]"
+    adaptive_bucket_expr = " + ".join(adaptive_terms)
 
     def _lsh_sql(k: int, multi_probe: bool) -> str:
         if multi_probe:
+            # probe index −1 = home bucket; 0..planes_used−1 flip one sign
+            # bit each (mirrors the filtered-explode in ann_lsh_topk)
             qprobe = f"""
 qprobe AS (
-  SELECT q.vec_id AS q_id, CAST(xor(q.bucket, f.flip) AS BIGINT) AS bucket,
+  SELECT q.vec_id AS q_id,
+         CAST(CASE WHEN f.j < 0 THEN q.bucket
+              ELSE xor(q.bucket, (CAST(1 AS BIGINT) << f.j)) END AS BIGINT)
+           AS bucket,
          q.v, q.norm
-  FROM bucketed q CROSS JOIN (SELECT unnest({flips}) AS flip) f
-  WHERE q.vec_id % {sim.QUERY_MOD} = 0
+  FROM bucketed q
+  CROSS JOIN (SELECT unnest(range(-1, {sim.MAX_ADAPTIVE_PLANES})) AS j) f
+  WHERE q.vec_id % {sim.QUERY_MOD} = 0 AND f.j < q.planes_used
 )"""
         else:
             qprobe = f"""
@@ -713,10 +725,14 @@ qprobe AS (
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+planes AS (
+  SELECT GREATEST(1, {planes_cases}) AS planes_used
+  FROM (SELECT count(*) AS _n FROM base)
+),
 bucketed AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
-         CAST({bucket_expr} AS BIGINT) AS bucket
-  FROM base
+         CAST({adaptive_bucket_expr} AS BIGINT) AS bucket, planes_used
+  FROM base CROSS JOIN planes
 ),{qprobe},
 pairs AS (
   SELECT q.q_id, q.bucket AS bucket, n.vec_id AS n_id,
@@ -869,21 +885,8 @@ FROM frames
 WHERE i % 4 = 0
 """
 
-    # adaptive-plane bucket expr (embedding_near_dup_pairs): planes_used is
-    # the integer doubling count of the corpus size over the target bucket
-    # size — identical CASE-sum arithmetic to adaptive_num_planes, no floats
-    planes_cases = " + ".join(
-        f"(CASE WHEN _n > {sim.TARGET_BUCKET_SIZE << j} THEN 1 ELSE 0 END)"
-        for j in range(sim.MAX_ADAPTIVE_PLANES)
-    )
-    adaptive_terms = []
-    for j, plane in enumerate(sim.hyperplanes(sim.MAX_ADAPTIVE_PLANES)):
-        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
-        adaptive_terms.append(
-            f"(CASE WHEN {j} < planes_used AND list_dot_product(v, {arr}) >= 0"
-            f" THEN {1 << j} ELSE 0 END)"
-        )
-    adaptive_bucket_expr = " + ".join(adaptive_terms)
+    # embedding_near_dup_pairs shares the adaptive-plane bucket expr built
+    # above for the LSH top-k family (one spec, two queries)
     o["embedding_near_dup_pairs"] = f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

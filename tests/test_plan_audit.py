@@ -65,6 +65,8 @@ ALLOWED_BNLJ = {
     "ivf_topk_nprobe2": "fixed-K centroid set (corpus-independent)",
     # adaptive plane count rides as a 1-row scalar-subquery crossJoin
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
+    "ann_lsh_topk": "1-row corpus-count scalar subquery (adaptive planes)",
+    "ann_lsh_multiprobe": "1-row corpus-count scalar subquery (adaptive planes)",
     # recall meter: evaluation-only joins of 4 tiny per-variant top-k
     # slices against the exact-KNN baseline slice
     "ann_recall": "evaluation-only; per-variant top-k slices (≤ |Q|·k rows)",
@@ -78,6 +80,8 @@ ALLOWED_SINGLE_PARTITION = {
     "llr_scores": "1-row global-total aggregate feeding the crossJoin",
     "topk_similar": "1-row global-total aggregate feeding the crossJoin",
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
+    "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
+    "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
     "ann_recall": "4-row recall summary aggregate",
 }
 

@@ -65,16 +65,22 @@ def test_auto_knn_switches_to_blocked_over_limit(spark, emb):
 
 
 @pytest.mark.parametrize("multi_probe", [False, True])
-def test_ann_lsh_plan_has_no_broadcast(spark, emb, multi_probe):
+def test_ann_lsh_plan_has_no_unbounded_broadcast(spark, emb, multi_probe):
     """The LSH candidate join key is the bucket id and the query side is an
     unbounded corpus slice — it must move through the shuffle, never a
-    driver-collected broadcast (the round-2 scale flaw, fixed)."""
+    driver-collected broadcast (the round-2 scale flaw, fixed). The ONLY
+    broadcast in the plan is the adaptive bucketing's 1-row corpus-count
+    aggregate (a scalar crossJoin — corpus-independent by construction);
+    no BroadcastHashJoin may appear anywhere."""
     plan = (
         ann_lsh_topk(emb, multi_probe=multi_probe)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+    # every BNLJ is the 1-row count crossJoin: one per adaptive-bucketing
+    # pass (corpus side + query side share the cached pass → at most 2)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_ivf_plan_broadcasts_only_fixed_centroids(spark, emb):
@@ -126,6 +132,22 @@ def test_adaptive_lsh_occupancy_bounded_under_doubling(spark, emb):
     # spreading, since copies always share a bucket)
     assert m2 <= 1.5 * m1
     assert m2 <= 4 * TARGET_BUCKET_SIZE
+
+
+def test_multiprobe_probe_count_tracks_planes_used(spark, emb):
+    """Multi-probe probes at most planes_used+1 distinct buckets per query
+    (home + one Hamming-1 flip per *used* plane): the flip set generalizes
+    with the adaptive plane count — a fixed flip array over the max plane
+    range would probe 2^unused ghost buckets."""
+    p = adaptive_planes_for(emb.count())
+    probed = (
+        ann_lsh_topk(emb, k=10**6, multi_probe=True)
+        .select("q_id", "bucket")
+        .distinct()
+        .groupBy("q_id")
+        .count()
+    )
+    assert probed.agg(F.max("count")).first()[0] <= p + 1
 
 
 def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
