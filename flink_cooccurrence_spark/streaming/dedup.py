@@ -9,11 +9,10 @@ is the ``foreachBatch`` realization, built on the same partitioned
 copy-on-write state machinery as the cooccurrence engine
 (``streaming/state.py``):
 
-- ``seen_hashes`` state — (text_hash, canonical_id), hash-bucketed. Exact
-  dedup is an equi-join of the batch's content hashes against only the
-  state buckets those hashes fall in (``get_parts`` pruning), then a
-  partitioned MERGE of the new hashes — per-batch I/O tracks the batch
-  footprint, not corpus size.
+- ``seen_hashes`` state — (text_hash, canonical_id) postings, hash-
+  bucketed. Exact dedup is an equi-join of the batch's content hashes
+  against only the state buckets those hashes fall in (bucket pruning),
+  with the canonical id resolved as a min over a hash's postings.
 - ``band_index`` state — the LSH index: (band_idx, band_key, doc_id, sig),
   bucketed by band key. The signature rides IN the posting list
   (classic LSH-index denormalization): a cross-batch candidate pair comes
@@ -22,6 +21,19 @@ copy-on-write state machinery as the cooccurrence engine
   NUM_BANDS× the signature (8 × 32 ints/doc); the trade is documented and
   deliberate: it converts a random-access signature fetch into the same
   bucket-pruned equi-join as candidate generation.
+
+Both state tables are APPEND-ONLY — a document's postings never change
+once written — so they use the state store's LSM-style segment path
+(``append_parts``), not the copy-on-write MERGE: each batch writes one
+bucket-partitioned segment holding only its own rows, and per-batch write
+I/O is O(batch). A MERGE here would be the quadratic-over-time flaw class:
+band keys hash uniformly, so every batch touches every bucket and a
+copy-on-write rewrite copies the whole accumulated index per batch (this
+engine's round-3 design did exactly that). Reads union the live segments
+with the same bucket pruning as before; when the segment count passes
+``compact_threshold`` the batch folds them into one (``compact_append``,
+min-per-hash for ``seen_hashes``) — O(|state|) but amortized, so
+steady-state per-batch cost stays O(batch).
 
 Per micro-batch, in order: one eager checkpoint of the minhash pass (the
 batch's heavy lifting, consumed by four plans), ONE combined stats action
@@ -94,10 +106,16 @@ class DedupStreamEngine:
         workdir: str | None = None,
         threshold: float = 0.5,
         state_buckets: int = DEDUP_STATE_BUCKETS,
+        compact_threshold: int = 32,
     ) -> None:
         self.spark = spark
         self.threshold = threshold
         self.state_buckets = state_buckets
+        #: segment count at which a batch folds the append log into one
+        #: segment (LSM compaction) — the small-files / read-fan-in knob:
+        #: steady-state per-batch write stays O(batch), the O(|state|)
+        #: rewrite happens once per ``compact_threshold`` batches
+        self.compact_threshold = compact_threshold
         self.workdir = workdir or tempfile.mkdtemp(prefix="dedup_stream_")
         self.state = StateStore(spark, os.path.join(self.workdir, "state"))
         self._exact_dir = os.path.join(self.workdir, "exact_log")
@@ -220,8 +238,14 @@ class DedupStreamEngine:
         if not hash_buckets:
             return
 
-        # -- exact dedup (state join pruned to the batch's hash buckets) ----
-        seen = self.state.get_parts("seen_hashes", SEEN_HASHES_SCHEMA, hash_buckets)
+        # -- exact dedup (state join pruned to the batch's hash buckets;
+        # the append log may hold several postings per hash — min-reduce
+        # them before the join, it IS the canonical-id resolution) ----------
+        seen = (
+            self.state.get_append("seen_hashes", SEEN_HASHES_SCHEMA, hash_buckets)
+            .groupBy("text_hash")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+        )
         batch_min = hashed.groupBy("text_hash").agg(
             F.min("doc_id").alias("batch_min")
         )
@@ -247,17 +271,17 @@ class DedupStreamEngine:
         exact_out.write.mode("overwrite").parquet(
             os.path.join(self._exact_dir, f"batch-{batch_id}")
         )
-        merged_hashes = (
-            self.state.get_parts("seen_hashes", SEEN_HASHES_SCHEMA, hash_buckets)
-            .unionByName(canon)
-            .groupBy("text_hash")
-            .agg(F.min("canonical_id").alias("canonical_id"))
-            .withColumn("_bucket", _hash_bucket("text_hash", self.state_buckets))
+        # append ONLY the batch's own postings — O(batch) write; the old
+        # design re-read and rewrote every touched bucket's full content,
+        # and with uniformly-hashed keys that was the whole table per batch
+        self.state.append_parts(
+            "seen_hashes",
+            canon.withColumn("_bucket", _hash_bucket("text_hash", self.state_buckets)),
+            hash_buckets,
         )
-        self.state.put_parts("seen_hashes", merged_hashes, hash_buckets)
 
         # -- near-dup pairs (LSH index join pruned to the batch's bands) ----
-        state_bands = self.state.get_parts(
+        state_bands = self.state.get_append(
             "band_index", BAND_INDEX_SCHEMA, band_buckets
         )
         nb = batch_bands.select(
@@ -300,11 +324,23 @@ class DedupStreamEngine:
             os.path.join(self._pairs_dir, f"batch-{batch_id}")
         )
 
-        merged_bands = (
-            self.state.get_parts("band_index", BAND_INDEX_SCHEMA, band_buckets)
-            .unionByName(
-                batch_bands.select("band_idx", "band_key", "doc_id", "sig")
-            )
-            .withColumn("_bucket", _band_bucket(self.state_buckets))
+        self.state.append_parts(
+            "band_index",
+            batch_bands.select("band_idx", "band_key", "doc_id", "sig").withColumn(
+                "_bucket", _band_bucket(self.state_buckets)
+            ),
+            band_buckets,
         )
-        self.state.put_parts("band_index", merged_bands, band_buckets)
+
+        # amortized LSM compaction: bound the segment fan-in (file count and
+        # read-union width) without paying an O(|state|) rewrite per batch
+        if self.state.append_segment_count("band_index") >= self.compact_threshold:
+            self.state.compact_append("band_index", BAND_INDEX_SCHEMA)
+        if self.state.append_segment_count("seen_hashes") >= self.compact_threshold:
+            self.state.compact_append(
+                "seen_hashes",
+                SEEN_HASHES_SCHEMA,
+                reducer=lambda df: df.groupBy("text_hash").agg(
+                    F.min("canonical_id").alias("canonical_id")
+                ),
+            )

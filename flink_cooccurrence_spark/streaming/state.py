@@ -170,6 +170,121 @@ class StateStore:
                 return json.load(f)
         return {}
 
+    # -- append-log table state (LSM-style segments) ---------------------------
+
+    def append_parts(self, name: str, df: DataFrame, buckets: list[int]) -> None:
+        """Append-only alternative to ``put_parts`` for tables whose rows
+        never change once written (e.g. an LSH posting index: a document's
+        band postings are immutable). Each batch writes ONE new bucket-
+        partitioned segment dir containing only its own rows — per-batch
+        write I/O is O(batch), never O(|state|). A MERGE-rewrite of such a
+        table is the quadratic-over-time flaw class: with uniformly-hashed
+        keys every batch touches every bucket, so copy-on-write rewrites
+        the whole accumulated table per batch.
+
+        ``df`` must carry an int ``_bucket`` column; ``buckets`` lists the
+        buckets it may contain (a superset is fine). Readers union the
+        requested buckets across all live segments (``get_append``) — the
+        same partition-pruned equi-join shape as ``get_parts``. Segment
+        counts are bounded by ``compact_append``."""
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict) or "segments" not in ptr:
+            ptr = {"latest": 0, "segments": {}}
+        seg = ptr["latest"] + 1
+        path = self._path(name, seg)
+        df.repartition(max(len(buckets), 1), "_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(path)
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+        )
+        segments = dict(ptr["segments"])
+        segments[str(seg)] = written
+        self._versions[name] = {"latest": seg, "segments": segments}
+        self._gc_append(name)
+
+    def get_append(
+        self, name: str, schema: str, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Union read of an append table's live segments, pruned to
+        ``buckets`` when given (None reads all)."""
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict) or "segments" not in ptr:
+            return self.spark.createDataFrame([], schema)
+        want = None if buckets is None else set(buckets)
+        paths = [
+            os.path.join(self._path(name, int(seg)), f"_bucket={b}")
+            for seg, bs in ptr["segments"].items()
+            for b in bs
+            if want is None or b in want
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def append_segment_count(self, name: str) -> int:
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict) or "segments" not in ptr:
+            return 0
+        return len(ptr["segments"])
+
+    def compact_append(self, name: str, schema: str, reducer=None) -> None:
+        """Fold all live segments into one (the LSM compaction): read the
+        union, optionally apply ``reducer`` (a DataFrame→DataFrame merge,
+        e.g. min-per-key for tables where later postings subsume earlier
+        ones), rewrite as a single segment. O(|state|) — callers amortize
+        it by compacting only when the segment count passes a threshold,
+        so steady-state per-batch cost stays O(batch)."""
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict) or "segments" not in ptr:
+            return
+        all_buckets = sorted({b for bs in ptr["segments"].values() for b in bs})
+        from pyspark.sql import functions as F
+
+        # the bucket layout must survive compaction (readers prune on it):
+        # read per bucket, apply the reducer bucket-locally (keys co-locate
+        # within a bucket, so a per-key reducer is exact), write back
+        # partitioned — one job over the per-bucket union
+        parts = []
+        for b in all_buckets:
+            part = self.get_append(name, schema, [b])
+            if reducer is not None:
+                part = reducer(part)
+            parts.append(part.withColumn("_bucket", F.lit(b).cast("int")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        seg = ptr["latest"] + 1
+        path = self._path(name, seg)
+        out.repartition(max(len(all_buckets), 1), "_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(path)
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+        )
+        self._versions[name] = {"latest": seg, "segments": {str(seg): written}}
+        self._gc_append(name)
+
+    def _gc_append(self, name: str) -> None:
+        """Remove segment dirs referenced by neither the in-memory nor the
+        committed pointers (same retain policy as ``_gc_parts``)."""
+        live: set[int] = set()
+        for src in (self._versions, self._committed_versions()):
+            ptr = src.get(name)
+            if isinstance(ptr, dict) and "segments" in ptr:
+                live.add(ptr["latest"])
+                live.update(int(s) for s in ptr["segments"])
+        table_dir = os.path.join(self.root, name)
+        if not os.path.isdir(table_dir):
+            return
+        for d in os.listdir(table_dir):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+
     # -- batch transaction boundary ------------------------------------------
 
     def commit(self) -> None:

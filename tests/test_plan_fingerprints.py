@@ -31,6 +31,10 @@ PIN_PATH = os.path.join(os.path.dirname(__file__), "plan_fingerprints.json")
 
 
 def test_headline_plan_fingerprints_pinned(spark):
+    # cached subplans print their InMemoryRelation child tree inside the
+    # plan string, so a query built after another test cached a shared pass
+    # would fingerprint differently — compare cache-free, same as bench.py
+    spark.catalog.clearCache()
     qs = all_queries()
     got = {
         n: plan_fingerprint(qs[n](spark, SF_DIR))

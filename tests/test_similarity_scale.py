@@ -72,6 +72,9 @@ def test_ann_lsh_plan_has_no_unbounded_broadcast(spark, emb, multi_probe):
     broadcast in the plan is the adaptive bucketing's 1-row corpus-count
     aggregate (a scalar crossJoin — corpus-independent by construction);
     no BroadcastHashJoin may appear anywhere."""
+    # cache-free: a previously-cached bucketed pass prints its child tree
+    # inside the plan, double-counting the BNLJs
+    spark.catalog.clearCache()
     plan = (
         ann_lsh_topk(emb, multi_probe=multi_probe)
         ._jdf.queryExecution().executedPlan().toString()

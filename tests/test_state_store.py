@@ -117,3 +117,39 @@ def test_whole_table_and_partitioned_tables_coexist(spark, tmp_path):
     st.put_parts("parts", _bucketed(_df(spark, [(0, 10)])), [0])
     assert _rows(st.get("flat", SCHEMA)) == [(7, 70)]
     assert _rows(st.get_parts("parts", SCHEMA)) == [(0, 10)]
+
+
+def test_append_parts_segments_prune_compact_rollback(spark, tmp_path):
+    """The append-log path (LSM segments) for append-only tables: each
+    append is one new segment (O(batch) write), reads union live segments
+    with bucket pruning, compaction folds them into one without changing
+    the data, and rollback discards an uncommitted segment."""
+    st = StateStore(spark, str(tmp_path))
+    for i in range(3):
+        st.append_parts("log", _bucketed(_df(spark, [(i, i * 10), (i, 1)])), [i % 4])
+        st.commit()
+    assert st.append_segment_count("log") == 3
+    assert _rows(st.get_append("log", SCHEMA)) == [
+        (0, 0), (0, 1), (1, 1), (1, 10), (2, 1), (2, 20),
+    ]
+    # bucket pruning: only bucket 1's segment rows
+    assert _rows(st.get_append("log", SCHEMA, [1])) == [(1, 1), (1, 10)]
+
+    # compaction with a per-key reducer preserves semantics, folds segments
+    st.compact_append(
+        "log", SCHEMA,
+        reducer=lambda df: df.groupBy("item").agg(F.max("cnt").alias("cnt")),
+    )
+    st.commit()
+    assert st.append_segment_count("log") == 1
+    assert _rows(st.get_append("log", SCHEMA)) == [(0, 1), (1, 10), (2, 20)]
+    # bucket layout survives compaction (pruned reads still work)
+    assert _rows(st.get_append("log", SCHEMA, [1])) == [(1, 10)]
+
+    # an uncommitted append rolls back; the retried one lands cleanly
+    st.append_parts("log", _bucketed(_df(spark, [(3, 30)])), [3])
+    st.rollback()
+    assert _rows(st.get_append("log", SCHEMA)) == [(0, 1), (1, 10), (2, 20)]
+    st.append_parts("log", _bucketed(_df(spark, [(3, 31)])), [3])
+    st.commit()
+    assert _rows(st.get_append("log", SCHEMA, [3])) == [(3, 31)]

@@ -410,36 +410,41 @@ def test_nondefault_state_buckets_roundtrip_restart(spark, inter, tmp_path):
 
     from flink_cooccurrence_spark.operators.cooccurrence import with_window
 
-    wdf = with_window(sample, cfg5.window_millis)
+    wpb = 4  # windows per batch — final state is cadence-independent for
+    # in-order replay, so the interrupted and plain runs may both chunk
+    wdf = with_window(sample, cfg5.window_millis).persist()
     windows = [
         r[0]
         for r in wdf.select("window_start").distinct().orderBy("window_start").collect()
     ]
-    half = max(1, len(windows) // 2)
+    chunks = [windows[i : i + wpb] for i in range(0, len(windows), wpb)]
+    half = max(1, len(chunks) // 2)
 
-    def feed(eng, wins, start_bid):
-        for bid, w0 in enumerate(wins, start=start_bid):
+    def feed(eng, chs, start_bid):
+        for bid, ch in enumerate(chs, start=start_bid):
             eng.process_batch(
-                wdf.filter(F.col("window_start") == w0).drop("window_start"), bid
+                wdf.filter(F.col("window_start").isin(ch)).drop("window_start"),
+                bid,
             )
 
     eng1 = CooccurrenceStreamEngine(spark, cfg5, workdir=wd)
     assert eng1.state_buckets == 5
-    feed(eng1, windows[:half], 0)
+    feed(eng1, chunks[:half], 0)
 
     # restart with the DEFAULT config: persisted bucket count must win
     eng2 = CooccurrenceStreamEngine(
         spark, _cfg(item_cut=40, user_cut=6, seed=42), workdir=wd
     )
     assert eng2.state_buckets == 5
-    feed(eng2, windows[half:], half)
+    feed(eng2, chunks[half:], half)
 
     plain = CooccurrenceStreamEngine(
         spark,
         _cfg(item_cut=40, user_cut=6, seed=42),
         workdir=str(tmp_path / "plain"),
     )
-    plain.replay(sample, windows_per_batch=1)
+    plain.replay(sample, windows_per_batch=wpb)
+    wdf.unpersist(blocking=False)
     assert_df_equal(eng2.item_rows(), plain.item_rows(), "buckets5_matrix")
     assert_df_equal(eng2.row_sums(), plain.row_sums(), "buckets5_row_sums")
     assert eng2.total_observed() == plain.total_observed()

@@ -59,6 +59,57 @@ def test_pair_union_invariant_under_slicings(spark, docs, tmp_path):
         assert _rows(eng.dup_pairs()) == exp, f"slicing {per} diverged"
 
 
+def test_per_batch_state_write_is_batch_sized(spark, docs, tmp_path):
+    """The append-log layout's whole point: a batch writes ONE new segment
+    holding only its own postings — the newest band_index segment has
+    exactly |batch| × NUM_BANDS rows, regardless of how much state has
+    accumulated (a MERGE layout rewrites the whole index every batch once
+    the uniformly-hashed band keys touch every bucket)."""
+    from flink_cooccurrence_spark.operators.dedup import NUM_BANDS
+    from flink_cooccurrence_spark.streaming.dedup import BAND_INDEX_SCHEMA
+
+    eng = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    sub = docs.filter(F.col("doc_id") < 300)
+    eng.replay(sub, docs_per_batch=100)
+    ptr = eng.state._versions["band_index"]
+    assert len(ptr["segments"]) == eng.metrics()["batches"] >= 3
+    newest = str(ptr["latest"])
+    import os
+
+    seg_path = eng.state._path("band_index", int(newest))
+    paths = [
+        os.path.join(seg_path, d)
+        for d in os.listdir(seg_path)
+        if d.startswith("_bucket=")
+    ]
+    seg_rows = spark.read.schema(BAND_INDEX_SCHEMA).parquet(*paths).count()
+    last_batch_docs = sub.filter(F.col("doc_id") >= 200).count()
+    assert seg_rows == last_batch_docs * NUM_BANDS
+
+
+def test_compaction_bounds_segments_and_preserves_outputs(spark, docs, tmp_path):
+    """LSM compaction folds the append log into one segment when the count
+    passes the threshold — outputs (exact log + pair log + subsequent
+    batches' dedup decisions) are unchanged, and the segment fan-in stays
+    bounded however many batches run."""
+    sub = docs.filter(F.col("doc_id") < 360)
+    plain = DedupStreamEngine(
+        spark, workdir=str(tmp_path / "plain"), threshold=THRESHOLD
+    )
+    plain.replay(sub, docs_per_batch=60)
+    compacting = DedupStreamEngine(
+        spark,
+        workdir=str(tmp_path / "compact"),
+        threshold=THRESHOLD,
+        compact_threshold=3,
+    )
+    compacting.replay(sub, docs_per_batch=60)
+    assert _rows(compacting.exact_log()) == _rows(plain.exact_log())
+    assert _rows(compacting.dup_pairs()) == _rows(plain.dup_pairs())
+    for table in ("band_index", "seen_hashes"):
+        assert compacting.state.append_segment_count(table) <= 3
+
+
 def test_restart_and_redelivery_idempotent(spark, docs, tmp_path):
     """Kill after half the batches, restart a NEW engine on the same workdir
     (StateStore pointers + high-water mark come back from disk), re-deliver
