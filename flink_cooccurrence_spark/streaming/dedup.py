@@ -128,6 +128,31 @@ class DedupStreamEngine:
         else:
             self.state.set_scalar("state_buckets", int(self.state_buckets))
             self.state.commit()
+        # the batch's four writes (exact log, seen append, pairs log, band
+        # append) are mutually independent — each reads plans bound to the
+        # PRE-batch state segments and touches only its own dir/pointer —
+        # so they overlap as concurrent Spark jobs (same pattern and drain
+        # discipline as the cooccurrence engine's write pool)
+        import concurrent.futures
+
+        self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+        self._pending: list = []
+
+    def _submit_write(self, fn) -> None:
+        self._pending.append(self._write_pool.submit(fn))
+
+    def _drain_writes(self) -> None:
+        """Join all in-flight writes; re-raise the first failure after all
+        settle (a write finishing after rollback would resurrect a dead
+        pointer)."""
+        pending, self._pending = self._pending, []
+        first_err: BaseException | None = None
+        for f in pending:
+            err = f.exception()
+            if err is not None and first_err is None:
+                first_err = err
+        if first_err is not None:
+            raise first_err
 
     # ------------------------------------------------------------------ api
 
@@ -140,7 +165,12 @@ class DedupStreamEngine:
             return
         try:
             self._process(docs.select("doc_id", "text"), batch_id)
+            self._drain_writes()
         except BaseException:
+            try:
+                self._drain_writes()
+            except BaseException:
+                pass
             self.state.rollback()
             raise
         self.state.set_scalar("last_batch_id", int(batch_id))
@@ -268,16 +298,19 @@ class DedupStreamEngine:
                 (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
             )
         )
-        exact_out.write.mode("overwrite").parquet(
-            os.path.join(self._exact_dir, f"batch-{batch_id}")
+        self._submit_write(
+            lambda: exact_out.write.mode("overwrite").parquet(
+                os.path.join(self._exact_dir, f"batch-{batch_id}")
+            )
         )
         # append ONLY the batch's own postings — O(batch) write; the old
         # design re-read and rewrote every touched bucket's full content,
         # and with uniformly-hashed keys that was the whole table per batch
-        self.state.append_parts(
-            "seen_hashes",
-            canon.withColumn("_bucket", _hash_bucket("text_hash", self.state_buckets)),
-            hash_buckets,
+        seen_posting = canon.withColumn(
+            "_bucket", _hash_bucket("text_hash", self.state_buckets)
+        )
+        self._submit_write(
+            lambda: self.state.append_parts("seen_hashes", seen_posting, hash_buckets)
         )
 
         # -- near-dup pairs (LSH index join pruned to the batch's bands) ----
@@ -320,20 +353,30 @@ class DedupStreamEngine:
             .select("doc_a", "doc_b", est_jaccard().alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= self.threshold)
         )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(self._pairs_dir, f"batch-{batch_id}")
+        self._submit_write(
+            lambda: pairs.write.mode("overwrite").parquet(
+                os.path.join(self._pairs_dir, f"batch-{batch_id}")
+            )
         )
 
-        self.state.append_parts(
-            "band_index",
-            batch_bands.select("band_idx", "band_key", "doc_id", "sig").withColumn(
-                "_bucket", _band_bucket(self.state_buckets)
-            ),
-            band_buckets,
+        band_posting = batch_bands.select(
+            "band_idx", "band_key", "doc_id", "sig"
+        ).withColumn("_bucket", _band_bucket(self.state_buckets))
+        self._submit_write(
+            lambda: self.state.append_parts("band_index", band_posting, band_buckets)
         )
 
         # amortized LSM compaction: bound the segment fan-in (file count and
-        # read-union width) without paying an O(|state|) rewrite per batch
+        # read-union width) without paying an O(|state|) rewrite per batch.
+        # Compaction reads the tables' pointers, so the in-flight appends
+        # must settle first.
+        if (
+            self.state.append_segment_count("band_index") + 1 < self.compact_threshold
+            and self.state.append_segment_count("seen_hashes") + 1
+            < self.compact_threshold
+        ):
+            return
+        self._drain_writes()
         if self.state.append_segment_count("band_index") >= self.compact_threshold:
             self.state.compact_append("band_index", BAND_INDEX_SCHEMA)
         if self.state.append_segment_count("seen_hashes") >= self.compact_threshold:
