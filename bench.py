@@ -78,6 +78,25 @@ def main() -> None:
     times["streaming_replay"] = round(time.perf_counter() - t0, 3)
     runs["streaming_replay"] = 1
 
+    # the reference's flagship SAMPLED pipeline (feedback-corrected item
+    # cut + per-user reservoir + rescoring) through the same replay loop —
+    # a 1-in-5-users slice keeps the row within bench budget while still
+    # exercising cut/reservoir/feedback state per batch
+    from pyspark.sql import functions as F
+
+    seng = CooccurrenceStreamEngine(
+        spark,
+        CooccurrenceConfig(window_size=1, window_unit="DAYS", top_k=10),
+        workdir=tempfile.mkdtemp(prefix="bench_sampled_"),
+    )
+    t0 = time.perf_counter()
+    seng.replay(
+        _interactions(spark, sf_dir).filter(F.col("user") % 5 == 0),
+        windows_per_batch=8,
+    )
+    times["sampled_replay"] = round(time.perf_counter() - t0, 3)
+    runs["sampled_replay"] = 1
+
     # the streaming dedup engine end-to-end: replay the documents corpus
     # through the online exact + LSH near-dup state machinery (~9 batches at
     # sf0.1) — watches the per-batch MERGE budget of the second engine like

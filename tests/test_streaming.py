@@ -466,56 +466,73 @@ def test_item_cut_flags_admission_prefix(spark, inter):
 
 
 # ------------------------------------------- native continuous sampled job
+#
+# Both tests share one input-file spool and ONE ground-truth replay engine
+# (module fixtures): the uninterrupted-run and kill-restart tests compare
+# against the same deterministic replay, so the expensive pieces (window
+# file writing, the replayed engine) run once for the module.
 
-def test_native_sampled_stream_bit_identical_to_replay(spark, inter, tmp_path):
+NATIVE_CFG_KW = dict(item_cut=40, user_cut=6, seed=42)
+
+
+@pytest.fixture(scope="module")
+def native_inputs(spark, inter, tmp_path_factory):
+    """(sample, files_dir, n_files): window-ordered input spool for the
+    native writeStream runs."""
+    from flink_cooccurrence_spark.streaming.native import write_window_files
+
+    sample = inter.filter(F.col("user") % 4 == 0).cache()
+    cfg = _cfg(**NATIVE_CFG_KW)
+    files_dir = str(tmp_path_factory.mktemp("native_files"))
+    n_files = write_window_files(
+        sample, cfg.window_millis, files_dir, windows_per_file=2
+    )
+    assert n_files >= 4  # multi-batch runs or the tests prove nothing
+    return sample, files_dir, n_files
+
+
+@pytest.fixture(scope="module")
+def native_replayed(spark, native_inputs, tmp_path_factory):
+    """The deterministic ground-truth replay both native runs must equal."""
+    sample, _files, _n = native_inputs
+    eng = CooccurrenceStreamEngine(
+        spark, _cfg(**NATIVE_CFG_KW), workdir=str(tmp_path_factory.mktemp("replay_wd"))
+    )
+    eng.replay(sample, windows_per_batch=2)
+    return eng
+
+
+def test_native_sampled_stream_bit_identical_to_replay(
+    spark, native_inputs, native_replayed, tmp_path
+):
     """The full sampled DAG (feedback-corrected cut + reservoir) running as
     ONE writeStream job off the file source equals the deterministic replay
     bit-for-bit — matrix, row sums, and total (the counter-based draws make
     the comparison exact)."""
-    from flink_cooccurrence_spark.streaming.native import (
-        run_sampled_stream,
-        write_window_files,
-    )
+    from flink_cooccurrence_spark.streaming.native import run_sampled_stream
 
-    sample = inter.filter(F.col("user") % 5 == 0)
-    cfg = _cfg(item_cut=40, user_cut=6, seed=42)
-    n_files = write_window_files(
-        sample, cfg.window_millis, str(tmp_path / "files"), windows_per_file=2
-    )
-    assert n_files >= 3  # multi-batch run or the test proves nothing
-
+    _sample, files_dir, n_files = native_inputs
     native = run_sampled_stream(
-        spark, str(tmp_path / "files"), cfg, workdir=str(tmp_path / "native_wd")
+        spark, files_dir, _cfg(**NATIVE_CFG_KW), workdir=str(tmp_path / "native_wd")
     )
     assert native.metrics()["batches"] == n_files
-
-    replayed = CooccurrenceStreamEngine(
-        spark, cfg, workdir=str(tmp_path / "replay_wd")
-    )
-    replayed.replay(sample, windows_per_batch=2)
-
-    assert_df_equal(native.item_rows(), replayed.item_rows(), "native_matrix")
-    assert_df_equal(native.row_sums(), replayed.row_sums(), "native_row_sums")
-    assert native.total_observed() == replayed.total_observed()
+    assert_df_equal(native.item_rows(), native_replayed.item_rows(), "native_matrix")
+    assert_df_equal(native.row_sums(), native_replayed.row_sums(), "native_row_sums")
+    assert native.total_observed() == native_replayed.total_observed()
 
 
-def test_native_sampled_stream_restart_mid_stream(spark, inter, tmp_path):
+def test_native_sampled_stream_restart_mid_stream(
+    spark, native_inputs, native_replayed, tmp_path
+):
     """Kill the continuous sampled job mid-stream (half the files), restart
     from the checkpoint with a NEW engine instance, feed the rest: the final
     state is bit-identical to an uninterrupted replay — the reference's
     checkpoint-restore contract on its core pipeline."""
-    from flink_cooccurrence_spark.streaming.native import (
-        run_sampled_stream,
-        write_window_files,
-    )
+    from flink_cooccurrence_spark.streaming.native import run_sampled_stream
 
-    sample = inter.filter(F.col("user") % 4 == 0)
-    cfg = _cfg(item_cut=40, user_cut=6, seed=42)
-    all_dir, half_dir = str(tmp_path / "all"), str(tmp_path / "half")
-    n_files = write_window_files(
-        sample, cfg.window_millis, all_dir, windows_per_file=2
-    )
-    assert n_files >= 4
+    _sample, all_dir, n_files = native_inputs
+    cfg = _cfg(**NATIVE_CFG_KW)
+    half_dir = str(tmp_path / "half")
 
     # phase 1: only the first half of the files exist; the job processes
     # them and stops (the "kill" point — state + checkpoint are on disk)
@@ -536,10 +553,6 @@ def test_native_sampled_stream_restart_mid_stream(spark, inter, tmp_path):
     eng2 = run_sampled_stream(spark, half_dir, cfg, workdir=wd)
     assert eng2.metrics()["batches"] == n_files
 
-    replayed = CooccurrenceStreamEngine(
-        spark, cfg, workdir=str(tmp_path / "replay_wd")
-    )
-    replayed.replay(sample, windows_per_batch=2)
-    assert_df_equal(eng2.item_rows(), replayed.item_rows(), "restart_matrix")
-    assert_df_equal(eng2.row_sums(), replayed.row_sums(), "restart_row_sums")
-    assert eng2.total_observed() == replayed.total_observed()
+    assert_df_equal(eng2.item_rows(), native_replayed.item_rows(), "restart_matrix")
+    assert_df_equal(eng2.row_sums(), native_replayed.row_sums(), "restart_row_sums")
+    assert eng2.total_observed() == native_replayed.total_observed()
