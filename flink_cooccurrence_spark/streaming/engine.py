@@ -458,12 +458,16 @@ class CooccurrenceStreamEngine:
           those buckets plus the feedback table's current nonempty buckets
           (feedback decrements items evicted from reservoirs — items that
           need not appear in this batch).
-        - ``user_histories`` — read pruned to the batch's user buckets; all
-          users co-bucketed with the batch pass through the reservoir
-          processor (no-data users pass through unchanged), so the state
-          rows coming out are exactly the post-merge content of those
-          buckets and the write rewrites only them. Reservoir Python work
-          is O(users in touched buckets), not O(all users ever seen).
+        - ``user_histories`` — read pruned to the batch's user buckets,
+          then split: histories of users PRESENT in the batch (semi-join)
+          ride into the reservoir processor as state rows; histories of
+          users merely co-bucketed with them (anti-join) bypass Python
+          entirely and re-enter at the bucket rewrite, which needs the full
+          post-merge bucket content. Reservoir Python work is therefore
+          O(batch users) even when every bucket is touched — without the
+          split, saturated buckets (the steady state at scale) would push
+          the whole accumulated user population through per-group pandas
+          overhead every batch.
         - ``feedback`` — swapped wholesale each batch (it is per-batch
           transient, not cumulative); its new buckets are only known after
           the reservoir shuffle, so they ride the final combined stats
@@ -515,8 +519,13 @@ class CooccurrenceStreamEngine:
             )
 
         # 3. reservoir with history state (op 7): tagged union — one state
-        # row per user, so the ≤ kMax array shuffles once, not per row
+        # row per user, so the ≤ kMax array shuffles once, not per row.
+        # Only BATCH users' histories enter the processor; co-bucketed
+        # bystanders bypass Python and rejoin at the bucket rewrite below.
         hist = self.state.get_parts("user_histories", USER_HIST_SCHEMA, u_buckets)
+        batch_users = flagged.select("user").distinct()
+        hist_active = hist.join(batch_users, on="user", how="leftsemi")
+        hist_passive = hist.join(batch_users, on="user", how="left_anti")
         data_rows = flagged.select(
             F.lit("data").alias("kind"),
             "user",
@@ -527,7 +536,7 @@ class CooccurrenceStreamEngine:
             F.lit(None).cast("array<int>").alias("history"),
             F.lit(None).cast("long").alias("total"),
         )
-        state_rows = hist.select(
+        state_rows = hist_active.select(
             F.lit("state").alias("kind"),
             "user",
             F.lit(None).cast("int").alias("item"),
@@ -599,9 +608,12 @@ class CooccurrenceStreamEngine:
         # both tables are read only by the next batch; the plans read the
         # localCheckpointed ``tagged`` batch, so the writes are cheap narrow
         # jobs that overlap with the delta merges downstream
+        # post-merge content of the touched buckets = the processor's new
+        # state rows ∪ the bystanders that never left the JVM
         hist_df = (
             tagged.filter(F.col("kind") == "state")
             .select("user", "history", "total")
+            .unionByName(hist_passive)
             .withColumn("_bucket", self._bucket("user"))
         )
         if u_buckets:
