@@ -224,6 +224,33 @@ def adaptive_lsh_buckets(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def expand_multi_probe(queries: DataFrame) -> DataFrame:
+    """Hamming-1 probe expansion over the ADAPTIVE plane count: every input
+    row becomes exactly ``planes_used + 1`` rows — the home bucket (probe
+    index −1) plus one row per *used* plane with that sign bit flipped.
+    ``planes_used`` is a column, so the flip set is a filtered explode over
+    the max plane range, not a fixed literal array (which would emit
+    ``MAX_ADAPTIVE_PLANES + 1`` rows per query, probing 2^unused ghost
+    buckets — pinned exactly by ``test_multiprobe_probe_count_tracks_
+    planes_used`` on this function's pre-join output). All columns except
+    ``bucket`` and the consumed ``planes_used`` pass through."""
+    probes = F.array(*[F.lit(j) for j in range(-1, MAX_ADAPTIVE_PLANES)])
+    others = [c for c in queries.columns if c not in ("bucket", "planes_used")]
+    return (
+        queries.withColumn("_j", F.explode(probes))
+        .filter(F.col("_j") < F.col("planes_used"))
+        .select(
+            *others,
+            F.when(F.col("_j") < 0, F.col("bucket"))
+            .otherwise(
+                F.col("bucket").bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), _j)"))
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, k: int = ANN_K, multi_probe: bool = False
 ) -> DataFrame:
@@ -264,27 +291,7 @@ def ann_lsh_topk(
         F.col("planes_used"),
     )
     if multi_probe:
-        # probe index −1 = the home bucket; 0..planes_used−1 flip one sign
-        # bit each. planes_used is a column, so the flip set is a filtered
-        # explode over the max plane range, not a fixed literal array.
-        probes = F.array(*[F.lit(j) for j in range(-1, MAX_ADAPTIVE_PLANES)])
-        queries = (
-            queries.withColumn("_j", F.explode(probes))
-            .filter(F.col("_j") < F.col("planes_used"))
-            .select(
-                "q_id",
-                F.when(F.col("_j") < 0, F.col("bucket"))
-                .otherwise(
-                    F.col("bucket").bitwiseXOR(
-                        F.expr("shiftleft(CAST(1 AS BIGINT), _j)")
-                    )
-                )
-                .cast("long")
-                .alias("bucket"),
-                "q_emb",
-                "q_norm",
-            )
-        )
+        queries = expand_multi_probe(queries)
     else:
         queries = queries.drop("planes_used")
     pairs = bucketed.join(queries.hint("shuffle_hash"), on="bucket").filter(

@@ -41,8 +41,23 @@ _NORMALIZERS = [
 
 def plan_shape(df: DataFrame) -> str:
     """The normalized executed-plan string (pre-execution; with AQE this is
-    the initial physical plan, which is what static plan identity means)."""
-    s = df._jdf.queryExecution().executedPlan().toString()
+    the initial physical plan, which is what static plan identity means).
+
+    Scan metadata (DataFilters etc.) is truncated at
+    ``spark.sql.maxMetadataStringLength`` RAW characters — and the raw
+    length shifts with session-global generated-name widths (lambda
+    variables ``x_7`` vs ``x_12``), so at the 100-char default the
+    truncation point — and with it the normalized shape — wobbles between
+    constructions. Printing with the limit raised makes the string a pure
+    function of the plan; the conf is restored afterwards."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
     for pat, rep in _NORMALIZERS:
         s = pat.sub(rep, s)
     return s.strip()

@@ -137,6 +137,7 @@ class DedupStreamEngine:
 
         self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
         self._pending: list = []
+        self._cached: list = []
 
     def _submit_write(self, fn) -> None:
         self._pending.append(self._write_pool.submit(fn))
@@ -163,8 +164,14 @@ class DedupStreamEngine:
         mirroring the cooccurrence engine's contract."""
         if batch_id <= self.state.get_scalar("last_batch_id", -1):
             return
+        # replay-mode batches are lazy source slices; the stats action, the
+        # exact/pair writes, and both state appends would each re-scan and
+        # re-hash the source — cache for the batch's lifetime (first action
+        # fills it), same as the cooccurrence engine's batch cache
+        batch = docs.select("doc_id", "text").persist()
+        self._cached = [batch]
         try:
-            self._process(docs.select("doc_id", "text"), batch_id)
+            self._process(batch, batch_id)
             self._drain_writes()
         except BaseException:
             try:
@@ -173,6 +180,10 @@ class DedupStreamEngine:
                 pass
             self.state.rollback()
             raise
+        finally:
+            for df in self._cached:
+                df.unpersist(blocking=False)
+            self._cached = []
         self.state.set_scalar("last_batch_id", int(batch_id))
         self.state.commit()
 
@@ -288,7 +299,12 @@ class DedupStreamEngine:
                     F.coalesce(F.col("canonical_id"), F.col("batch_min")),
                 ).alias("canonical_id"),
             )
+            # two consumers (exact log join, seen-hash append) run
+            # concurrently on the write pool — cache so the state join
+            # computes once (lazy; the first consumer fills it)
+            .persist()
         )
+        self._cached.append(canon)
         exact_out = (
             hashed.join(canon, on="text_hash")
             .select(
@@ -359,12 +375,17 @@ class DedupStreamEngine:
             )
         )
 
-        band_posting = batch_bands.select(
-            "band_idx", "band_key", "doc_id", "sig"
-        ).withColumn("_bucket", _band_bucket(self.state_buckets))
-        self._submit_write(
-            lambda: self.state.append_parts("band_index", band_posting, band_buckets)
-        )
+        # a batch whose docs all shingle to nothing has no bands — skip the
+        # empty-segment append rather than accumulating no-op segments
+        if band_buckets:
+            band_posting = batch_bands.select(
+                "band_idx", "band_key", "doc_id", "sig"
+            ).withColumn("_bucket", _band_bucket(self.state_buckets))
+            self._submit_write(
+                lambda: self.state.append_parts(
+                    "band_index", band_posting, band_buckets
+                )
+            )
 
         # amortized LSM compaction: bound the segment fan-in (file count and
         # read-union width) without paying an O(|state|) rewrite per batch.
@@ -380,10 +401,12 @@ class DedupStreamEngine:
         if self.state.append_segment_count("band_index") >= self.compact_threshold:
             self.state.compact_append("band_index", BAND_INDEX_SCHEMA)
         if self.state.append_segment_count("seen_hashes") >= self.compact_threshold:
+            # reducer contract: receives and preserves _bucket (a hash's
+            # postings co-locate in one bucket, so grouping by it is exact)
             self.state.compact_append(
                 "seen_hashes",
                 SEEN_HASHES_SCHEMA,
-                reducer=lambda df: df.groupBy("text_hash").agg(
+                reducer=lambda df: df.groupBy("_bucket", "text_hash").agg(
                     F.min("canonical_id").alias("canonical_id")
                 ),
             )

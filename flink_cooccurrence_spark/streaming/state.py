@@ -61,8 +61,32 @@ class StateStore:
     def _path(self, name: str, version: int) -> str:
         return os.path.join(self.root, name, f"v{version}")
 
+    def _expect_layout(self, name: str, kind: str) -> None:
+        """Fail LOUDLY when a table's persisted pointer was written by a
+        different layout (whole-table int vs partitioned 'buckets' dict vs
+        append-log 'segments' dict). Reading a mismatched layout would
+        silently return an empty DataFrame — an engine restarted on a
+        workdir from an older build would then re-admit duplicates and
+        restart counts from zero with no error anywhere."""
+        ptr = self._versions.get(name)
+        if ptr is None:
+            return
+        actual = (
+            "whole"
+            if not isinstance(ptr, dict)
+            else ("parts" if "buckets" in ptr else "append")
+        )
+        if actual != kind:
+            raise ValueError(
+                f"state table {name!r} was persisted with the {actual!r} "
+                f"layout but is being read as {kind!r} — this workdir was "
+                "written by an incompatible engine version; migrate the "
+                "state or start from a fresh workdir"
+            )
+
     def get(self, name: str, schema: str) -> DataFrame:
         """Current version of a state table (empty DataFrame before first put)."""
+        self._expect_layout(name, "whole")
         v = self._versions.get(name, 0)
         if v == 0:
             return self.spark.createDataFrame([], schema)
@@ -91,6 +115,7 @@ class StateStore:
         versions — ``buckets=None`` reads all, an explicit list prunes the
         scan to just those bucket dirs (the read half of the MERGE: a batch
         reads only the buckets its delta touches)."""
+        self._expect_layout(name, "parts")
         ptr = self._versions.get(name)
         if not isinstance(ptr, dict):
             return self.spark.createDataFrame([], schema)
@@ -110,6 +135,7 @@ class StateStore:
         the version pointer map, no Spark action. Lets a caller that fully
         replaces a table (e.g. the per-batch ``feedback`` swap) list the
         buckets to clear without scanning them."""
+        self._expect_layout(name, "parts")
         ptr = self._versions.get(name)
         if not isinstance(ptr, dict):
             return []
@@ -125,6 +151,7 @@ class StateStore:
         proportional to the changed-key footprint. A changed bucket that
         ends up with zero rows gets pointer 0 (reads as empty) — its old
         dir is no longer referenced and is garbage-collected."""
+        self._expect_layout(name, "parts")
         ptr = self._versions.get(name)
         if not isinstance(ptr, dict):
             ptr = {"latest": 0, "buckets": {}}
@@ -187,6 +214,7 @@ class StateStore:
         requested buckets across all live segments (``get_append``) — the
         same partition-pruned equi-join shape as ``get_parts``. Segment
         counts are bounded by ``compact_append``."""
+        self._expect_layout(name, "append")
         ptr = self._versions.get(name)
         if not isinstance(ptr, dict) or "segments" not in ptr:
             ptr = {"latest": 0, "segments": {}}
@@ -205,24 +233,51 @@ class StateStore:
         self._versions[name] = {"latest": seg, "segments": segments}
         self._gc_append(name)
 
+    def _read_segments(
+        self, name: str, schema: str, buckets: list[int] | None
+    ) -> DataFrame | None:
+        """Read live segments with ``_bucket`` as a partition column — one
+        scan per SEGMENT (partition discovery is per-root; multiple roots
+        in one read raise CONFLICTING_DIRECTORY_STRUCTURES), unioned.
+        Plan width is O(segments) — bounded by the caller's compaction
+        threshold — never O(segments × buckets), which at the bucket
+        counts recommended at scale would make plan construction itself
+        the bottleneck. Bucket pruning is a partition filter, which Spark
+        turns into directory pruning inside each scan. Returns None when
+        nothing is live."""
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict) or "segments" not in ptr:
+            return None
+        roots = [
+            self._path(name, int(seg))
+            for seg, bs in ptr["segments"].items()
+            if bs  # segments with no bucket dirs have no files to read
+        ]
+        if not roots:
+            return None
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        scans = [
+            self.spark.read.schema(schema + ", _bucket int").parquet(r)
+            for r in roots
+        ]
+        df = reduce(lambda a, b: a.unionByName(b), scans)
+        if buckets is not None:
+            df = df.filter(F.col("_bucket").isin(list(buckets)))
+        return df
+
     def get_append(
         self, name: str, schema: str, buckets: list[int] | None = None
     ) -> DataFrame:
         """Union read of an append table's live segments, pruned to
         ``buckets`` when given (None reads all)."""
-        ptr = self._versions.get(name)
-        if not isinstance(ptr, dict) or "segments" not in ptr:
+        self._expect_layout(name, "append")
+        df = self._read_segments(name, schema, buckets)
+        if df is None:
             return self.spark.createDataFrame([], schema)
-        want = None if buckets is None else set(buckets)
-        paths = [
-            os.path.join(self._path(name, int(seg)), f"_bucket={b}")
-            for seg, bs in ptr["segments"].items()
-            for b in bs
-            if want is None or b in want
-        ]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        return df.drop("_bucket")
 
     def append_segment_count(self, name: str) -> int:
         ptr = self._versions.get(name)
@@ -231,34 +286,33 @@ class StateStore:
         return len(ptr["segments"])
 
     def compact_append(self, name: str, schema: str, reducer=None) -> None:
-        """Fold all live segments into one (the LSM compaction): read the
-        union, optionally apply ``reducer`` (a DataFrame→DataFrame merge,
-        e.g. min-per-key for tables where later postings subsume earlier
-        ones), rewrite as a single segment. O(|state|) — callers amortize
-        it by compacting only when the segment count passes a threshold,
-        so steady-state per-batch cost stays O(batch)."""
+        """Fold all live segments into one (the LSM compaction): one scan
+        of the segment roots with ``_bucket`` as a partition column,
+        optionally reduced by ``reducer`` (a DataFrame→DataFrame merge
+        that RECEIVES and MUST PRESERVE the ``_bucket`` column — e.g.
+        ``groupBy("_bucket", key).agg(min(...))`` where later postings
+        subsume earlier ones), written back as a single bucket-partitioned
+        segment. O(|state|) in data but constant in plan size — callers
+        amortize by compacting only when the segment count passes a
+        threshold, so steady-state per-batch cost stays O(batch)."""
+        self._expect_layout(name, "append")
         ptr = self._versions.get(name)
         if not isinstance(ptr, dict) or "segments" not in ptr:
             return
-        all_buckets = sorted({b for bs in ptr["segments"].values() for b in bs})
-        from pyspark.sql import functions as F
-
-        # the bucket layout must survive compaction (readers prune on it):
-        # read per bucket, apply the reducer bucket-locally (keys co-locate
-        # within a bucket, so a per-key reducer is exact), write back
-        # partitioned — one job over the per-bucket union
-        parts = []
-        for b in all_buckets:
-            part = self.get_append(name, schema, [b])
-            if reducer is not None:
-                part = reducer(part)
-            parts.append(part.withColumn("_bucket", F.lit(b).cast("int")))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
         seg = ptr["latest"] + 1
+        df = self._read_segments(name, schema, None)
+        if df is None:
+            # every live segment is empty — collapse the pointer so the
+            # segment count resets without a write job (an all-empty input
+            # previously crashed here and wedged the stream on retry)
+            self._versions[name] = {"latest": seg, "segments": {}}
+            self._gc_append(name)
+            return
+        if reducer is not None:
+            df = reducer(df)
+        all_buckets = sorted({b for bs in ptr["segments"].values() for b in bs})
         path = self._path(name, seg)
-        out.repartition(max(len(all_buckets), 1), "_bucket").write.mode(
+        df.repartition(max(len(all_buckets), 1), "_bucket").write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(path)
         written = sorted(

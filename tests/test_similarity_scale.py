@@ -138,19 +138,29 @@ def test_adaptive_lsh_occupancy_bounded_under_doubling(spark, emb):
 
 
 def test_multiprobe_probe_count_tracks_planes_used(spark, emb):
-    """Multi-probe probes at most planes_used+1 distinct buckets per query
-    (home + one Hamming-1 flip per *used* plane): the flip set generalizes
-    with the adaptive plane count — a fixed flip array over the max plane
-    range would probe 2^unused ghost buckets."""
-    p = adaptive_planes_for(emb.count())
-    probed = (
-        ann_lsh_topk(emb, k=10**6, multi_probe=True)
-        .select("q_id", "bucket")
-        .distinct()
-        .groupBy("q_id")
-        .count()
+    """Multi-probe emits EXACTLY planes_used+1 probe rows per query, all
+    distinct buckets (home + one Hamming-1 flip per *used* plane). Pinned
+    on the PRE-JOIN query side: ghost-bucket probes (a fixed flip array
+    over the max plane range) are structurally unpopulated, so they never
+    reach the join output — an output-side assertion cannot catch that
+    regression, this one fails it with 17 rows per query instead of p+1."""
+    from flink_cooccurrence_spark.operators.similarity import (
+        QUERY_MOD,
+        expand_multi_probe,
     )
-    assert probed.agg(F.max("count")).first()[0] <= p + 1
+
+    p = adaptive_planes_for(emb.count())
+    queries = (
+        adaptive_lsh_buckets(emb)
+        .filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .select(F.col("vec_id").alias("q_id"), "bucket", "planes_used")
+    )
+    per_q = expand_multi_probe(queries).groupBy("q_id").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("bucket").alias("n_distinct"),
+    )
+    assert per_q.filter(F.col("n") != p + 1).count() == 0
+    assert per_q.filter(F.col("n_distinct") != p + 1).count() == 0
 
 
 def test_multiprobe_superset_of_single_probe_candidates(spark, emb):

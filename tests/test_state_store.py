@@ -136,9 +136,12 @@ def test_append_parts_segments_prune_compact_rollback(spark, tmp_path):
     assert _rows(st.get_append("log", SCHEMA, [1])) == [(1, 1), (1, 10)]
 
     # compaction with a per-key reducer preserves semantics, folds segments
+    # (reducer contract: receives and must preserve the _bucket column)
     st.compact_append(
         "log", SCHEMA,
-        reducer=lambda df: df.groupBy("item").agg(F.max("cnt").alias("cnt")),
+        reducer=lambda df: df.groupBy("_bucket", "item").agg(
+            F.max("cnt").alias("cnt")
+        ),
     )
     st.commit()
     assert st.append_segment_count("log") == 1
@@ -153,3 +156,44 @@ def test_append_parts_segments_prune_compact_rollback(spark, tmp_path):
     st.append_parts("log", _bucketed(_df(spark, [(3, 31)])), [3])
     st.commit()
     assert _rows(st.get_append("log", SCHEMA, [3])) == [(3, 31)]
+
+
+def test_all_empty_segment_compaction_resets_without_crash(spark, tmp_path):
+    """Compacting an append table whose live segments are all empty must
+    reset the segment count cleanly — it previously raised IndexError,
+    which would wedge a streaming batch on every retry."""
+    st = StateStore(spark, str(tmp_path))
+    empty = _bucketed(_df(spark, []))
+    for _ in range(3):
+        st.append_parts("log", empty, [0])
+        st.commit()
+    assert st.append_segment_count("log") == 3
+    st.compact_append("log", SCHEMA)
+    st.commit()
+    assert st.append_segment_count("log") == 0
+    assert _rows(st.get_append("log", SCHEMA)) == []
+    # the table keeps working afterwards
+    st.append_parts("log", _bucketed(_df(spark, [(1, 10)])), [1])
+    st.commit()
+    assert _rows(st.get_append("log", SCHEMA)) == [(1, 10)]
+
+
+def test_layout_mismatch_fails_loudly(spark, tmp_path):
+    """A workdir written by a different state layout must raise, not read
+    as silently empty — silent emptiness on restart re-admits duplicates
+    and resets counts with no error anywhere."""
+    import pytest as _pytest
+
+    st = StateStore(spark, str(tmp_path))
+    st.put("w", _df(spark, [(1, 1)]))
+    st.put_parts("p", _bucketed(_df(spark, [(0, 1)])), [0])
+    st.append_parts("a", _bucketed(_df(spark, [(0, 1)])), [0])
+    st.commit()
+    for name, wrong_readers in (
+        ("w", (st.get_parts, st.get_append)),
+        ("p", (st.get, st.get_append)),
+        ("a", (st.get, st.get_parts)),
+    ):
+        for reader in wrong_readers:
+            with _pytest.raises(ValueError, match="layout"):
+                reader(name, SCHEMA)
