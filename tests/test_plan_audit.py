@@ -89,7 +89,11 @@ ALLOWED_SINGLE_PARTITION = {
 @pytest.fixture(scope="module")
 def plans(spark):
     """Compile every auditable query's physical plan once (no execution
-    beyond eager plan-time probes like embedding_knn's auto strategy)."""
+    beyond eager plan-time probes like embedding_knn's auto strategy).
+    Cache-free: a subplan cached by an earlier test module would print its
+    InMemoryRelation child tree inside these plan strings, so the audited
+    text would depend on test order."""
+    spark.catalog.clearCache()
     out: dict[str, str] = {}
     for name, fn in sorted(all_queries().items()):
         if name in ENGINE_BACKED:
