@@ -1,0 +1,138 @@
+"""Corpus composition operators — deterministic mixture sampling, stratified
+sampling, and training-order shuffle.
+
+An LLM pretraining pipeline composes its corpus from heterogeneous sources
+with per-domain mixture weights (upsample quality domains, downsample noisy
+crawl), draws fixed-size evaluation strata, and fixes a reproducible global
+shuffle order for training. All three are built on the portable md5-derived
+``hash32`` (``functions/hashing.py``) so admission/order decisions are a
+pure per-row function of the document id — bit-identical across engines,
+re-runs, partitionings, and cluster sizes (no RNG state; the same
+counter-based-draw philosophy as the reservoir spec, SURVEY §7).
+
+Scale shape: ``mixture_sample`` is a map-only filter (no shuffle at all);
+``stratified_sample`` is one window rank per stratum that Spark compiles to
+partial+final ``WindowGroupLimit`` (each map task forwards ≤ n rows per
+stratum); ``train_shuffle_order`` assigns the global order through the
+bucketed two-pass rank of ``operators/ordering.py`` — the shuffle hash is
+uniform, so range buckets are balanced by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+from flink_cooccurrence_spark.operators.ordering import global_seq
+
+#: per-language mixture rates (fractions of each language's documents kept).
+#: Chosen so every rate class occurs in the test corpora; a real pipeline
+#: passes its measured mixture weights.
+MIXTURE_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.75,
+    "fr": 0.75,
+    "es": 0.5,
+    "zh": 0.5,
+}
+
+#: admission rate for languages not in :data:`MIXTURE_RATES`.
+DEFAULT_MIXTURE_RATE = 0.25
+
+#: admission-hash resolution: rates are compared in millionths, so the
+#: admission predicate is exact integer arithmetic on both engines.
+RATE_DENOM = 1_000_000
+
+#: per-stratum sample size for :func:`stratified_sample`.
+STRATUM_SIZE = 20
+
+#: domain-separated salts: the three operators must draw INDEPENDENT hash
+#: coins (a doc's admission must not correlate with its shuffle position).
+MIX_SALT = "mix:"
+STRAT_SALT = "strat:"
+SHUFFLE_SALT = "shuf:"
+
+
+def _coin(salt: str) -> Column:
+    """Uniform per-document hash in [0, 2^32) from a salted doc_id."""
+    return hash32(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+
+
+def _coin_sql(salt: str) -> str:
+    """DuckDB text of :func:`_coin` (bit-identical)."""
+    return hash32_sql(f"('{salt}' || CAST(doc_id AS VARCHAR))")
+
+
+def _rate_micros(rates: dict[str, float], default_rate: float) -> Column:
+    expr = F.lit(int(round(default_rate * RATE_DENOM)))
+    for lang in sorted(rates, reverse=True):
+        expr = F.when(
+            F.col("lang") == lang, F.lit(int(round(rates[lang] * RATE_DENOM)))
+        ).otherwise(expr)
+    return expr
+
+
+def mixture_sample(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = DEFAULT_MIXTURE_RATE,
+) -> DataFrame:
+    """Deterministic weighted mixture draw: keep each document with its
+    language's rate, decided by a salted hash of the doc id.
+
+    Output (doc_id, lang, source, weight): ``weight`` is the inverse
+    admission rate — the Horvitz-Thompson factor that makes weighted
+    aggregates over the sample unbiased for the full corpus.
+
+    Map-only (a filter + projection): zero shuffles, admission decisions
+    identical under any partitioning or corpus growth.
+    """
+    rates = MIXTURE_RATES if rates is None else rates
+    micros = _rate_micros(rates, default_rate)
+    admit = (_coin(MIX_SALT) % F.lit(RATE_DENOM)) < micros
+    return documents.filter(admit).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(F.lit(float(RATE_DENOM)) / micros, 6).alias("weight"),
+    )
+
+
+def stratified_sample(
+    documents: DataFrame, n_per_stratum: int = STRATUM_SIZE, stratum_col: str = "lang"
+) -> DataFrame:
+    """Fixed-size per-stratum sample: the ``n_per_stratum`` documents with
+    the smallest salted hash in each stratum — a deterministic
+    without-replacement draw (every subset equally likely under the hash's
+    uniformity), the standard held-out/eval-split construction.
+
+    One window rank per stratum, ordered by the hash: Spark pushes the
+    ``row_number <= n`` filter into partial ``WindowGroupLimit``s, so each
+    map task forwards at most n rows per stratum to the rank shuffle —
+    per-stratum volume is O(n × tasks), not O(|stratum|).
+    """
+    h = _coin(STRAT_SALT)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        documents.select("doc_id", stratum_col, h.alias("_h"))
+        .withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= n_per_stratum)
+        .select("doc_id", stratum_col, "draw_rank")
+    )
+
+
+def train_shuffle_order(documents: DataFrame) -> DataFrame:
+    """Reproducible global training order: rank documents by a salted hash
+    of the doc id (ties by doc_id). A full random shuffle of the corpus —
+    the property pretraining needs — with no RNG state: position is a pure
+    function of the id, stable under re-partitioning and restarts.
+
+    The rank is the bucketed two-pass decomposition (``global_seq``), never
+    a single-task global sort; the hash is uniform, so the range buckets
+    are balanced by construction (no hot leading key).
+    """
+    d = documents.select("doc_id", _coin(SHUFFLE_SALT).alias("shuffle_h"))
+    return global_seq(d, ["shuffle_h", "doc_id"], out="train_seq").select(
+        "doc_id", F.col("train_seq").cast("long").alias("train_seq")
+    )

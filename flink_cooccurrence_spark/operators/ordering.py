@@ -91,6 +91,42 @@ def global_seq(
     )
 
 
+def running_sum_exclusive(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "prior_sum",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Append the sum of ``value_col`` over all *strictly prior* rows in
+    ``order_cols`` order (0 for the first row) — the distributed prefix sum
+    behind offset assignment (e.g. sequence packing's global token spans) —
+    without a global sort.
+
+    prior_sum = (sum within my bucket over prior rows) + (prefix sum of all
+    lower buckets' totals). Same decomposition as :func:`global_seq`; ties
+    on the full key get an arbitrary but consistent order, so callers that
+    need a total order must pass a tie-breaking column (e.g. a unique id).
+    """
+    d = _with_range_bucket(df, order_cols[0], num_buckets)
+    in_w = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_in_sum", F.coalesce(F.sum(value_col).over(in_w), F.lit(0)))
+    per_bucket = d.groupBy("_bucket").agg(F.sum(value_col).alias("_bsum"))
+    prev_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prev = per_bucket.select(
+        "_bucket", F.coalesce(F.sum("_bsum").over(prev_w), F.lit(0)).alias("_prev")
+    )
+    return (
+        d.join(F.broadcast(prev), on="_bucket")
+        .withColumn(out, (F.col("_in_sum") + F.col("_prev")).cast("long"))
+        .drop("_bucket", "_in_sum", "_prev")
+    )
+
+
 def running_max_exclusive(
     df: DataFrame,
     order_col: str,

@@ -1,0 +1,74 @@
+"""Sequence packing — concat-and-chunk documents into fixed-length training
+contexts.
+
+The standard LLM pretraining batch layout: tokenized documents are
+concatenated in a deterministic corpus order and the token stream is cut
+into fixed ``context_len`` windows ("packs"); a document that straddles a
+boundary contributes one chunk to each pack it overlaps. The operator emits
+the *pack plan* — (doc, pack, offsets, length) — which is what a
+distributed pipeline actually materializes (the token copy itself is an
+embarrassingly parallel gather per pack once the plan exists).
+
+Scale shape: the only ordered computation is the global token prefix sum,
+which runs as the bucketed two-pass decomposition of
+``operators/ordering.py`` (never a single-task global window); chunk
+emission is a per-row ``sequence``/``explode`` bounded by
+ceil(n_tokens / context_len) + 1 rows per document; there are no joins
+other than the broadcast bucket-offset table. Token counts are the
+whitespace tokenization of ``operators/textstats.py`` — rational integer
+arithmetic, bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.ordering import running_sum_exclusive
+
+#: tokens per training context. 64 at test scale so both multi-document
+#: packs and boundary-straddling documents occur in every test corpus; a
+#: real pipeline passes its model's context length (2k-128k).
+PACK_CONTEXT_LEN = 64
+
+
+def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> DataFrame:
+    """Pack plan for concat-and-chunk sequence packing.
+
+    Documents are concatenated in ``doc_id`` order; the token stream is cut
+    every ``context_len`` tokens. Output, one row per (document, pack)
+    overlap:
+
+    - ``doc_id``, ``pack_id`` — the document and the pack it feeds.
+    - ``doc_off`` — first token of the chunk, 0-based within the document.
+    - ``pack_off`` — position within the pack where the chunk lands.
+    - ``n_chunk_tokens`` — chunk length; per doc these sum to its token
+      count, and per pack (with ``pack_off`` ordering) chunks tile
+      [0, context_len) exactly, except the final partial pack.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    spans = running_sum_exclusive(toks, ["doc_id"], "n_tokens", out="start")
+    c = F.lit(int(context_len))
+    first = F.floor(F.col("start") / c)
+    # n_tokens >= 1 always (the whitespace split of an empty string is one
+    # empty token — same convention as textstats.token_counts), so the
+    # chunk range [start, start + n_tokens) is never empty
+    last = F.floor((F.col("start") + F.col("n_tokens") - 1) / c)
+    chunks = spans.select(
+        "doc_id",
+        "start",
+        "n_tokens",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("pack_id") * c)
+    hi = F.least(F.col("start") + F.col("n_tokens"), (F.col("pack_id") + 1) * c)
+    return chunks.select(
+        "doc_id",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (lo - F.col("start")).cast("int").alias("doc_off"),
+        (lo - F.col("pack_id") * c).cast("int").alias("pack_off"),
+        (hi - lo).cast("int").alias("n_chunk_tokens"),
+    )

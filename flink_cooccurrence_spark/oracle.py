@@ -1019,6 +1019,81 @@ JOIN lang l ON q.doc_id = l.doc_id
 WHERE q.n_tokens >= {cp.MIN_TOKENS} AND q.quality_score >= {cp.MIN_QUALITY}
 """
 
+    # --- corpus composition / sequence packing (operators/packing.py,
+    # operators/mixing.py) — admission/order coins are the portable hash32,
+    # so both engines compute identical integer decisions
+    from flink_cooccurrence_spark.operators import mixing as mx
+    from flink_cooccurrence_spark.operators import packing as pk
+
+    o["pack_chunks"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, st, n_tokens,
+         unnest(generate_series(st // {pk.PACK_CONTEXT_LEN},
+                                (st + n_tokens - 1) // {pk.PACK_CONTEXT_LEN}))
+           AS pack_id
+  FROM spans
+)
+SELECT doc_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(greatest(st, pack_id * {pk.PACK_CONTEXT_LEN}) - st AS INT) AS doc_off,
+       CAST(greatest(st, pack_id * {pk.PACK_CONTEXT_LEN})
+            - pack_id * {pk.PACK_CONTEXT_LEN} AS INT) AS pack_off,
+       CAST(least(st + n_tokens, (pack_id + 1) * {pk.PACK_CONTEXT_LEN})
+            - greatest(st, pack_id * {pk.PACK_CONTEXT_LEN}) AS INT) AS n_chunk_tokens
+FROM chunks
+"""
+
+    mix_cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(rate * mx.RATE_DENOM))}"
+        for lang, rate in sorted(mx.MIXTURE_RATES.items())
+    )
+    mix_micros = (
+        f"CASE lang {mix_cases} "
+        f"ELSE {int(round(mx.DEFAULT_MIXTURE_RATE * mx.RATE_DENOM))} END"
+    )
+    o["mixture_sample"] = f"""
+WITH coin AS (
+  SELECT doc_id, lang, source,
+         {mx._coin_sql(mx.MIX_SALT)} % {mx.RATE_DENOM} AS c,
+         {mix_micros} AS micros
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       round({float(mx.RATE_DENOM)} / micros, 6) AS weight
+FROM coin WHERE c < micros
+"""
+
+    o["stratified_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, {mx._coin_sql(mx.STRAT_SALT)} AS hc FROM documents
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY hc, doc_id) AS INT)
+         AS draw_rank
+FROM h
+QUALIFY draw_rank <= {mx.STRATUM_SIZE}
+"""
+
+    o["train_shuffle_order"] = f"""
+WITH h AS (
+  SELECT doc_id, {mx._coin_sql(mx.SHUFFLE_SALT)} AS sh FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY sh, doc_id) AS BIGINT) AS train_seq
+FROM h
+"""
+
     return o
 
 

@@ -526,6 +526,23 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "image_features": lambda s, d: _mm.image_features(_documents(s, d)).select(
         "doc_id", F.posexplode("features").alias("dim", "feature")
     ),
+    # corpus composition / sequence packing (operators/packing.py,
+    # operators/mixing.py): concat-and-chunk pack plan, weighted mixture
+    # draw, per-stratum fixed-size sample, reproducible training shuffle —
+    # all DuckDB-oracle-exact (portable hash coins), pytest-only because
+    # the driver surface is at its 50-query budget
+    "pack_chunks": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.packing", fromlist=["pack_chunks"]
+    ).pack_chunks(_documents(s, d)),
+    "mixture_sample": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.mixing", fromlist=["mixture_sample"]
+    ).mixture_sample(_documents(s, d)),
+    "stratified_sample": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.mixing", fromlist=["stratified_sample"]
+    ).stratified_sample(_documents(s, d)),
+    "train_shuffle_order": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.mixing", fromlist=["train_shuffle_order"]
+    ).train_shuffle_order(_documents(s, d)),
 }
 
 

@@ -1,0 +1,187 @@
+"""Semantic invariants of the corpus-composition operators
+(``operators/packing.py``, ``operators/mixing.py``) beyond the DuckDB
+parity gate in ``test_oracle_parity.py``: pack tiling/coverage, sampling
+determinism and Horvitz-Thompson weights, stratum sizes, permutation-ness
+of the training order, and the distributed prefix sum's equivalence to a
+single-pass cumsum.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.mixing import (
+    DEFAULT_MIXTURE_RATE,
+    MIXTURE_RATES,
+    RATE_DENOM,
+    STRATUM_SIZE,
+    mixture_sample,
+    stratified_sample,
+    train_shuffle_order,
+)
+from flink_cooccurrence_spark.operators.ordering import running_sum_exclusive
+from flink_cooccurrence_spark.operators.packing import (
+    PACK_CONTEXT_LEN,
+    pack_chunks,
+)
+from flink_cooccurrence_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------------ packing
+
+
+@pytest.fixture(scope="module")
+def packed(docs):
+    return pack_chunks(docs).toPandas()
+
+
+def test_pack_chunks_cover_each_document_exactly(docs, packed):
+    """Per document: chunks are doc_off-contiguous from 0 and their lengths
+    sum to the doc's token count — no token lost or duplicated."""
+    n_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    ).toPandas().set_index("doc_id")["n_tokens"]
+    for doc_id, grp in packed.groupby("doc_id"):
+        grp = grp.sort_values("pack_id")
+        assert grp["doc_off"].iloc[0] == 0
+        # consecutive chunks: next doc_off == prev doc_off + prev length
+        ends = (grp["doc_off"] + grp["n_chunk_tokens"]).to_numpy()
+        assert (grp["doc_off"].to_numpy()[1:] == ends[:-1]).all()
+        assert grp["n_chunk_tokens"].sum() == n_tokens[doc_id]
+
+
+def test_pack_chunks_tile_each_pack(packed):
+    """Per pack: chunks tile [0, context_len) contiguously with no overlap;
+    every pack except the last is exactly full."""
+    last_pack = packed["pack_id"].max()
+    for pack_id, grp in packed.groupby("pack_id"):
+        grp = grp.sort_values("pack_off")
+        assert grp["pack_off"].iloc[0] == 0
+        ends = (grp["pack_off"] + grp["n_chunk_tokens"]).to_numpy()
+        assert (grp["pack_off"].to_numpy()[1:] == ends[:-1]).all()
+        if pack_id < last_pack:
+            assert ends[-1] == PACK_CONTEXT_LEN
+        else:
+            assert 0 < ends[-1] <= PACK_CONTEXT_LEN
+
+
+def test_pack_ids_are_dense_from_zero(packed):
+    packs = sorted(packed["pack_id"].unique())
+    assert packs == list(range(len(packs)))
+
+
+# ------------------------------------------------------------------- mixing
+
+
+def test_mixture_sample_admits_by_rate(docs):
+    got = mixture_sample(docs).toPandas()
+    corpus = docs.select("doc_id", "lang").toPandas()
+    # rate-1.0 strata are kept wholesale; every admitted doc exists
+    en_total = (corpus["lang"] == "en").sum()
+    assert (got["lang"] == "en").sum() == en_total
+    assert set(got["doc_id"]).issubset(set(corpus["doc_id"]))
+    # admitted fraction of each stratum tracks its configured rate (the
+    # hash coin is uniform; 3σ binomial band keeps this deterministic-data
+    # test non-flaky across SFs)
+    for lang, grp in corpus.groupby("lang"):
+        rate = MIXTURE_RATES.get(lang, DEFAULT_MIXTURE_RATE)
+        n, kept = len(grp), (got["lang"] == lang).sum()
+        band = 3 * (n * rate * (1 - rate)) ** 0.5
+        assert abs(kept - n * rate) <= band + 1, (lang, kept, n, rate)
+    # Horvitz-Thompson weight is the inverse admission rate
+    for lang, grp in got.groupby("lang"):
+        rate = MIXTURE_RATES.get(lang, DEFAULT_MIXTURE_RATE)
+        expected = round(RATE_DENOM / int(round(rate * RATE_DENOM)), 6)
+        assert (grp["weight"] == expected).all()
+
+
+def test_mixture_sample_is_deterministic(docs):
+    a = mixture_sample(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        mixture_sample(docs.repartition(7))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stratified_sample_sizes_and_ranks(docs):
+    got = stratified_sample(docs).toPandas()
+    sizes = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, grp in got.groupby("lang"):
+        want = min(STRATUM_SIZE, int(sizes[lang]))
+        assert len(grp) == want
+        assert sorted(grp["draw_rank"]) == list(range(1, want + 1))
+
+
+def test_train_shuffle_order_is_permutation(docs):
+    got = train_shuffle_order(docs).toPandas()
+    n = docs.count()
+    assert sorted(got["train_seq"]) == list(range(1, n + 1))
+    assert got["doc_id"].nunique() == n
+    # and genuinely shuffled: the order must not be doc_id order
+    by_seq = got.sort_values("train_seq")["doc_id"].tolist()
+    assert by_seq != sorted(by_seq)
+
+
+def test_shuffle_order_stable_under_repartitioning(docs):
+    a = train_shuffle_order(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        train_shuffle_order(docs.repartition(13))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------- prefix-sum primitive
+
+
+def test_running_sum_exclusive_matches_pandas(spark):
+    rng = random.Random(7)
+    ids = list(range(1, 1201))
+    rng.shuffle(ids)
+    rows = [(i, rng.randrange(100)) for i in ids]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = (
+        running_sum_exclusive(df, ["id"], "v", out="prior", num_buckets=16)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(rows, columns=["id", "v"]).sort_values("id").reset_index(drop=True)
+    )
+    exp["prior"] = exp["v"].cumsum().shift(1, fill_value=0)
+    pd.testing.assert_series_equal(
+        got["prior"].astype("int64"), exp["prior"].astype("int64"), check_names=False
+    )
+
+
+def test_running_sum_windows_are_bucketed(spark):
+    """Same contract as global_seq: the only ordered window over the full
+    input is partitioned by the range bucket (never a 1-task global sort)."""
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "id long, v long")
+    plan = (
+        running_sum_exclusive(df, ["id"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert spec.startswith("_bucket"), f"unbucketed window: {line.strip()}"

@@ -70,6 +70,10 @@ ALLOWED_BNLJ = {
     # recall meter: evaluation-only joins of 4 tiny per-variant top-k
     # slices against the exact-KNN baseline slice
     "ann_recall": "evaluation-only; per-variant top-k slices (≤ |Q|·k rows)",
+    # distributed prefix-sum/rank (operators/ordering.py): the range-bucket
+    # min/max bounds ride as a broadcast 1-row aggregate crossJoin
+    "pack_chunks": "1-row min/max range-bucket bounds aggregate",
+    "train_shuffle_order": "1-row min/max range-bucket bounds aggregate",
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may
@@ -83,6 +87,8 @@ ALLOWED_SINGLE_PARTITION = {
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
     "ann_recall": "4-row recall summary aggregate",
+    "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
 }
 
 
