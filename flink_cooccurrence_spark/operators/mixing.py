@@ -40,9 +40,13 @@ MIXTURE_RATES: dict[str, float] = {
 #: admission rate for languages not in :data:`MIXTURE_RATES`.
 DEFAULT_MIXTURE_RATE = 0.25
 
-#: admission-hash resolution: rates are compared in millionths, so the
-#: admission predicate is exact integer arithmetic on both engines.
-RATE_DENOM = 1_000_000
+#: admission-hash resolution: the full 32-bit coin range. Comparing the
+#: raw coin against ``round(rate * 2^32)`` (no modulo) keeps the true
+#: inclusion probability within 2^-33 of the configured rate — a
+#: ``coin % smaller_denom`` residue would be non-uniform (2^32 is not a
+#: multiple of it), putting a systematic ~1e-5 bias on the
+#: Horvitz-Thompson weights. Exact integer arithmetic on both engines.
+RATE_DENOM = 1 << 32
 
 #: per-stratum sample size for :func:`stratified_sample`.
 STRATUM_SIZE = 20
@@ -64,7 +68,8 @@ def _coin_sql(salt: str) -> str:
     return hash32_sql(f"('{salt}' || CAST(doc_id AS VARCHAR))")
 
 
-def _rate_micros(rates: dict[str, float], default_rate: float) -> Column:
+def _rate_threshold(rates: dict[str, float], default_rate: float) -> Column:
+    """Per-language admission threshold ``round(rate * 2^32)`` as a column."""
     expr = F.lit(int(round(default_rate * RATE_DENOM)))
     for lang in sorted(rates, reverse=True):
         expr = F.when(
@@ -89,13 +94,13 @@ def mixture_sample(
     identical under any partitioning or corpus growth.
     """
     rates = MIXTURE_RATES if rates is None else rates
-    micros = _rate_micros(rates, default_rate)
-    admit = (_coin(MIX_SALT) % F.lit(RATE_DENOM)) < micros
+    threshold = _rate_threshold(rates, default_rate)
+    admit = _coin(MIX_SALT) < threshold
     return documents.filter(admit).select(
         "doc_id",
         "lang",
         "source",
-        F.round(F.lit(float(RATE_DENOM)) / micros, 6).alias("weight"),
+        F.round(F.lit(float(RATE_DENOM)) / threshold, 6).alias("weight"),
     )
 
 
@@ -112,10 +117,11 @@ def stratified_sample(
     map task forwards at most n rows per stratum to the rank shuffle —
     per-stratum volume is O(n × tasks), not O(|stratum|).
     """
-    h = _coin(STRAT_SALT)
-    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col("doc_id").asc())
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc()
+    )
     return (
-        documents.select("doc_id", stratum_col, h.alias("_h"))
+        documents.select("doc_id", stratum_col, _coin(STRAT_SALT).alias("_h"))
         .withColumn("draw_rank", F.row_number().over(w))
         .filter(F.col("draw_rank") <= n_per_stratum)
         .select("doc_id", stratum_col, "draw_rank")

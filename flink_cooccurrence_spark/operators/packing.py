@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.operators.ordering import running_sum_exclusive
+from flink_cooccurrence_spark.operators.textstats import _tokens
 
 #: tokens per training context. 64 at test scale so both multi-document
 #: packs and boundary-straddling documents occur in every test corpus; a
@@ -48,7 +49,7 @@ def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> Da
     """
     toks = documents.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
     spans = running_sum_exclusive(toks, ["doc_id"], "n_tokens", out="start")
     c = F.lit(int(context_len))

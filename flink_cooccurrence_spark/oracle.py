@@ -1058,20 +1058,20 @@ FROM chunks
         f"WHEN '{lang}' THEN {int(round(rate * mx.RATE_DENOM))}"
         for lang, rate in sorted(mx.MIXTURE_RATES.items())
     )
-    mix_micros = (
+    mix_threshold = (
         f"CASE lang {mix_cases} "
         f"ELSE {int(round(mx.DEFAULT_MIXTURE_RATE * mx.RATE_DENOM))} END"
     )
     o["mixture_sample"] = f"""
 WITH coin AS (
   SELECT doc_id, lang, source,
-         {mx._coin_sql(mx.MIX_SALT)} % {mx.RATE_DENOM} AS c,
-         {mix_micros} AS micros
+         {mx._coin_sql(mx.MIX_SALT)} AS c,
+         {mix_threshold} AS threshold
   FROM documents
 )
 SELECT doc_id, lang, source,
-       round({float(mx.RATE_DENOM)} / micros, 6) AS weight
-FROM coin WHERE c < micros
+       round({float(mx.RATE_DENOM)} / threshold, 6) AS weight
+FROM coin WHERE c < threshold
 """
 
     o["stratified_sample"] = f"""
