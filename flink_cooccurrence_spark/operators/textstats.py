@@ -103,6 +103,55 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Within-document repetition signals — the MassiveText/Gopher-style
+    repetition filters (Rae et al. 2021, §A1.1): heavily self-repeating
+    documents (boilerplate, listings, generation loops) are low-quality
+    pretraining data even when their token-level stats look fine.
+
+    Columns per doc: ``n_3grams`` (token 3-gram count, 0 for docs under 3
+    tokens), ``dup_3gram_frac`` (fraction of 3-gram occurrences that are
+    repeats of an earlier one), ``dup_token_frac`` (same at token level),
+    ``top_token_frac`` (share of the single most frequent token). Pure
+    column expressions; rational arithmetic over exact counts.
+    """
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    # guard: F.sequence(0, stop) DESCENDS when stop < 0 — docs under 3
+    # tokens must yield an empty 3-gram list, not a reversed index walk
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    dup_3gram = F.when(
+        n_grams > 0,
+        F.round(1 - F.size(F.array_distinct(grams)) / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+    dup_token = F.round(1 - F.size(F.array_distinct(toks)) / n, 6)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return documents.select(
+        "doc_id",
+        n_grams.alias("n_3grams"),
+        dup_3gram.alias("dup_3gram_frac"),
+        dup_token.alias("dup_token_frac"),
+        F.round(top_count / n, 6).alias("top_token_frac"),
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, min_shingle_hash): md5 of the
     whitespace-normalized lowercase text, plus the minimum 3-shingle hash

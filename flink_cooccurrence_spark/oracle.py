@@ -1085,6 +1085,30 @@ FROM h
 QUALIFY draw_rank <= {mx.STRATUM_SIZE}
 """
 
+    o["repetition_stats"] = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, toks, CAST(len(toks) AS INT) AS n,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+         ELSE [] END AS g3
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(g3) AS INT) AS n_3grams,
+       CASE WHEN len(g3) > 0
+         THEN round(1 - len(list_distinct(g3)) / len(g3), 6)
+         ELSE 0.0 END AS dup_3gram_frac,
+       round(1 - len(list_distinct(toks)) / n, 6) AS dup_token_frac,
+       round(list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) / n, 6)
+         AS top_token_frac
+FROM grams
+"""
+
     o["train_shuffle_order"] = f"""
 WITH h AS (
   SELECT doc_id, {mx._coin_sql(mx.SHUFFLE_SALT)} AS sh FROM documents

@@ -543,6 +543,8 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "train_shuffle_order": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.mixing", fromlist=["train_shuffle_order"]
     ).train_shuffle_order(_documents(s, d)),
+    # Gopher-style within-document repetition filters (textstats.py)
+    "repetition_stats": lambda s, d: _ts.repetition_stats(_documents(s, d)),
 }
 
 

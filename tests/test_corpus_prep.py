@@ -147,6 +147,52 @@ def test_shuffle_order_stable_under_repartitioning(docs):
     pd.testing.assert_frame_equal(a, b)
 
 
+# -------------------------------------------------- repetition filters
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed fixtures: a fully repetitive doc, a distinct doc, and
+    the under-3-token edge where the 3-gram list must be empty (the Spark
+    side guards F.sequence's descending-range behavior there)."""
+    from flink_cooccurrence_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a"),        # 4 3-grams all equal; one token
+            (2, "w x y z"),            # all distinct
+            (3, "hi there"),           # < 3 tokens: no 3-grams
+            (4, "a b a b a b"),        # grams cycle with period 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_3grams": 4, "dup_3gram_frac": 0.75,
+        "dup_token_frac": round(1 - 1 / 6, 6), "top_token_frac": 1.0,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_3grams": 2, "dup_3gram_frac": 0.0,
+        "dup_token_frac": 0.0, "top_token_frac": 0.25,
+    }
+    assert got[3]["n_3grams"] == 0 and got[3]["dup_3gram_frac"] == 0.0
+    # "a b a b a b": 4 3-grams, 2 distinct ("a b a", "b a b")
+    assert got[4]["n_3grams"] == 4 and got[4]["dup_3gram_frac"] == 0.5
+    assert got[4]["top_token_frac"] == 0.5
+
+
+def test_repetition_signal_fires_on_corpus(docs):
+    """The synthetic corpus contains genuinely repetitive docs — the filter
+    column must not be degenerate (all-zero) at test scale."""
+    from flink_cooccurrence_spark.operators.textstats import repetition_stats
+
+    stats = repetition_stats(docs).toPandas()
+    assert (stats["dup_3gram_frac"] > 0).any()
+    assert ((stats["top_token_frac"] > 0) & (stats["top_token_frac"] <= 1)).all()
+
+
 # ------------------------------------------------- prefix-sum primitive
 
 
