@@ -84,14 +84,18 @@ def main() -> None:
         )
         t0 = time.perf_counter()
         eng.replay(source_df, windows_per_batch=8)
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        eng.close()
+        return dt
 
     def _bench_dedup_replay() -> float:
         deng = DedupStreamEngine(spark, workdir=tempfile.mkdtemp(prefix="bench_dedup_"))
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         t0 = time.perf_counter()
         deng.replay(docs, docs_per_batch=600)
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        deng.close()
+        return dt
 
     replays = {
         # the full merge/score loop, non-sampled closed form

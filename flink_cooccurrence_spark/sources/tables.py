@@ -39,7 +39,15 @@ NANOS_TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of a driver testdata table (predicate/projection pushdown)."""
+    """Columnar scan of a driver testdata table (predicate/projection pushdown).
+
+    Side effect, by design: pins the SESSION's ``nanosAsLong`` and
+    ``session.timeZone=UTC`` confs (below). The engine's timestamp
+    semantics are UTC-instant throughout, and the confs apply at execution
+    time, so a set-and-restore around this lazy read would not stick —
+    callers embedding the engine in a session that needs a different
+    display timezone should use a separate SparkSession.
+    """
     # the driver tables use TIMESTAMP(NANOS), which vanilla Spark rejects;
     # set the (runtime-settable) legacy conf defensively so the engine works
     # under ANY caller session, not just flink_cooccurrence_spark.session

@@ -56,6 +56,13 @@ Emission semantics and batch parity:
   first-wins). Under doc_id-ordered arrival this is bit-identical to the
   batch ``exact_duplicates``; under reordering the dup *groups* are
   identical and only the representative can differ (pinned by tests).
+- Arrival contract: each doc_id arrives in exactly ONE batch (whole-batch
+  re-delivery is handled by the batch-id high-water mark). A source that
+  re-emits a doc_id in a LATER batch is out of contract: the doc gets a
+  second exact-log row and re-discovers its pairs (the self-pair it would
+  also produce is explicitly guarded out of the cross join). Sources with
+  at-least-once *document* delivery must dedupe upstream or slice by a
+  monotone key, as ``replay`` does.
 """
 
 from __future__ import annotations
@@ -179,6 +186,16 @@ class DedupStreamEngine:
             except BaseException:
                 pass
             self.state.rollback()
+            # the pool may have finished this batch's exact/pairs output
+            # dirs before a sibling write failed — remove them so an
+            # abandoned (never-retried) batch can't leave committed-looking
+            # log rows that disagree with the rolled-back state
+            import shutil
+
+            for d in (self._exact_dir, self._pairs_dir):
+                shutil.rmtree(
+                    os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
+                )
             raise
         finally:
             for df in self._cached:
@@ -186,6 +203,12 @@ class DedupStreamEngine:
             self._cached = []
         self.state.set_scalar("last_batch_id", int(batch_id))
         self.state.commit()
+
+    def close(self) -> None:
+        """Release the write pool (idle engines otherwise pin their worker
+        threads for process lifetime). Safe to call once processing is done;
+        the engine must not be reused afterwards."""
+        self._write_pool.shutdown(wait=True)
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):
         """Wire into a streaming DataFrame via foreachBatch."""
@@ -352,6 +375,13 @@ class DedupStreamEngine:
         )
         cross = (
             nb.join(state_bands, on=["band_idx", "band_key"])
+            # a doc_id re-delivered by the SOURCE in a later batch (the
+            # batch-id high-water mark only covers whole-batch re-delivery)
+            # collides with its own state postings here — without the guard
+            # it would emit a (X, X, 1.0) self-pair. Doc-unique arrival is
+            # the engine's contract (class docstring); this keeps the one
+            # absurd output impossible even when a source violates it.
+            .filter(F.col("n_id") != F.col("doc_id"))
             .select(
                 F.least(F.col("n_id"), F.col("doc_id")).alias("doc_a"),
                 F.greatest(F.col("n_id"), F.col("doc_id")).alias("doc_b"),

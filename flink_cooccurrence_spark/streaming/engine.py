@@ -196,6 +196,16 @@ class CooccurrenceStreamEngine:
             except BaseException:
                 pass
             self.state.rollback()
+            # the top-K output dir for this batch may have landed before a
+            # sibling write failed — remove it so an abandoned
+            # (never-retried) batch can't leave emissions that disagree
+            # with the rolled-back state
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self._topk_dir, f"batch-{batch_id}"),
+                ignore_errors=True,
+            )
             raise
         finally:
             for df in self._cached:
@@ -203,6 +213,12 @@ class CooccurrenceStreamEngine:
             self._cached = []
         self.state.set_scalar("last_batch_id", int(batch_id))
         self.state.commit()
+
+    def close(self) -> None:
+        """Release the write pool (idle engines otherwise pin their worker
+        threads for process lifetime). Call once processing is done; the
+        engine must not be reused afterwards."""
+        self._write_pool.shutdown(wait=True)
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):
         """Wire the engine into a streaming DataFrame via foreachBatch."""

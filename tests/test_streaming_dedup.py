@@ -182,3 +182,38 @@ def test_nondefault_bucket_count_roundtrips_restart(spark, docs, tmp_path):
 
     assert _rows(eng2.exact_log()) == _rows(exact_duplicates(sample))
     assert _rows(eng2.dup_pairs()) == _rows(minhash_lsh_dup_pairs(sample, THRESHOLD))
+
+
+def test_source_redelivered_doc_never_self_pairs(spark, docs, tmp_path):
+    """Doc-unique arrival is the engine's contract, but a source that
+    re-emits an already-indexed doc_id in a LATER batch (outside the
+    batch-id high-water mark's protection) must never produce the absurd
+    (X, X, 1.0) self-pair — the cross join guards n_id != doc_id."""
+    sample = docs.filter(F.col("doc_id") < 60)
+    eng = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    eng.process_batch(sample, 0)
+    # out-of-contract: the same docs arrive again under a NEW batch id
+    eng.process_batch(sample, 1)
+    pairs = eng.dup_pairs().toPandas()
+    assert (pairs["doc_a"] != pairs["doc_b"]).all()
+
+
+def test_failed_batch_leaves_no_orphan_output(spark, docs, tmp_path):
+    """If a batch fails after some of its overlapped output writes already
+    landed, the rollback path must remove this batch's output dirs — an
+    abandoned (never-retried) batch must not leave exact/pairs rows that
+    disagree with the committed state."""
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    first = docs.filter(F.col("doc_id") <= mid)
+    second = docs.filter(F.col("doc_id") > mid)
+
+    eng = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    eng.process_batch(first, 0)
+    with pytest.raises(Exception):
+        eng.process_batch(second.drop("text"), 1)
+    # the stream is abandoned here (no retry): accumulated outputs must
+    # equal exactly the committed batch's
+    assert _rows(eng.exact_log()) == _rows(exact_duplicates(first))
+    assert _rows(eng.dup_pairs()) == _rows(minhash_lsh_dup_pairs(first, THRESHOLD))
+    eng.close()
