@@ -574,4 +574,7 @@ HEADLINE_QUERIES = [
     "ivf_topk",
     "text_stats",
     "corpus_filter",
+    # corpus-prep flagship: the distributed-prefix-sum pack plan — the
+    # bucketed two-pass rank shape under bench + fingerprint watch
+    "pack_chunks",
 ]
