@@ -193,6 +193,44 @@ def test_repetition_signal_fires_on_corpus(docs):
     assert ((stats["top_token_frac"] > 0) & (stats["top_token_frac"] <= 1)).all()
 
 
+# ----------------------------------------------- pack plan property test
+
+
+def _reference_pack(token_counts: list[tuple[int, int]], c: int):
+    """Pure-Python concat-and-chunk reference: [(doc_id, n_tokens)] sorted
+    by doc_id → the exact expected chunk rows."""
+    rows = []
+    start = 0
+    for doc_id, n in sorted(token_counts):
+        for pack_id in range(start // c, (start + n - 1) // c + 1):
+            lo = max(start, pack_id * c)
+            hi = min(start + n, (pack_id + 1) * c)
+            rows.append((doc_id, pack_id, lo - start, lo - pack_id * c, hi - lo))
+        start += n
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("context_len", [1, 3, 64])
+def test_pack_chunks_matches_reference_model(spark, context_len):
+    """Randomized corpora (seeded) against the pure-Python reference model,
+    across degenerate context lengths: every-token-its-own-pack (c=1),
+    straddle-heavy (c=3), and the default."""
+    from flink_cooccurrence_spark.operators.packing import pack_chunks
+
+    rng = random.Random(context_len)
+    # token counts 1..2c+3 exercise sub-pack, exact-fit and multi-pack docs;
+    # empty text is n_tokens=1 by the split convention so n >= 1 always
+    counts = [(i * 7 % 97, rng.randrange(1, 2 * context_len + 4)) for i in range(60)]
+    docs = spark.createDataFrame(
+        [(doc_id, "w " * (n - 1) + "w") for doc_id, n in counts],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r) for r in pack_chunks(docs, context_len=context_len).collect()
+    )
+    assert got == _reference_pack(counts, context_len)
+
+
 # ------------------------------------------------- prefix-sum primitive
 
 
