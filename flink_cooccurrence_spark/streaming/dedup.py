@@ -180,6 +180,11 @@ class DedupStreamEngine:
         try:
             self._process(batch, batch_id)
             self._drain_writes()
+            # commit INSIDE the transaction scope (same contract as the
+            # cooccurrence engine): a failed manifest write must roll the
+            # high-water mark back so the retried batch is not skipped
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
         except BaseException:
             try:
                 self._drain_writes()
@@ -201,8 +206,6 @@ class DedupStreamEngine:
             for df in self._cached:
                 df.unpersist(blocking=False)
             self._cached = []
-        self.state.set_scalar("last_batch_id", int(batch_id))
-        self.state.commit()
 
     def close(self) -> None:
         """Release the write pool (idle engines otherwise pin their worker
@@ -212,6 +215,7 @@ class DedupStreamEngine:
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):
         """Wire into a streaming DataFrame via foreachBatch."""
+        self._guard_batch_domain(expect_checkpoint=True)
         writer = (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", os.path.join(self.workdir, "checkpoint"))
@@ -221,10 +225,31 @@ class DedupStreamEngine:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def _guard_batch_domain(self, expect_checkpoint: bool) -> None:
+        """Replay's counter and Spark's checkpointed epoch counter are
+        separate batch-id numbering domains; mixing them on one workdir
+        would let the high-water-mark skip guard silently drop a fresh
+        stream's first batches (same contract as the cooccurrence engine)."""
+        has_ckpt = os.path.isdir(os.path.join(self.workdir, "checkpoint"))
+        has_state = self.state.get_scalar("last_batch_id", -1) >= 0
+        if expect_checkpoint and has_state and not has_ckpt:
+            raise ValueError(
+                "this workdir's state was written by replay(); attaching a "
+                "stream would re-number batches from 0 below the replay "
+                "high-water mark — use a fresh workdir for the stream"
+            )
+        if not expect_checkpoint and has_ckpt:
+            raise ValueError(
+                "this workdir belongs to a checkpointed streaming query; "
+                "replay() would re-use its batch-id domain — use a fresh "
+                "workdir for the replay"
+            )
+
     def replay(self, documents: DataFrame, docs_per_batch: int = 200) -> None:
         """Deterministic replay in doc_id order, ``docs_per_batch`` at a
         time — doc_id-ordered arrival is what makes the exact-dedup output
         bit-identical to the batch operator (module docstring)."""
+        self._guard_batch_domain(expect_checkpoint=False)
         ids = [
             r[0]
             for r in documents.select("doc_id").orderBy("doc_id").collect()
@@ -241,23 +266,26 @@ class DedupStreamEngine:
     def exact_log(self) -> DataFrame:
         """(doc_id, text_hash, canonical_id, is_duplicate) — one row per
         processed document."""
-        try:
-            return self.spark.read.parquet(os.path.join(self._exact_dir, "batch-*"))
-        except Exception:
-            return self.spark.createDataFrame(
-                [],
-                "doc_id long, text_hash string, canonical_id long, is_duplicate boolean",
-            )
+        return self._read_log(
+            self._exact_dir,
+            "doc_id long, text_hash string, canonical_id long, is_duplicate boolean",
+        )
 
     def dup_pairs(self) -> DataFrame:
         """(doc_a, doc_b, est_jaccard) — near-dup pairs, each discovered in
         the batch where its later document arrived."""
-        try:
-            return self.spark.read.parquet(os.path.join(self._pairs_dir, "batch-*"))
-        except Exception:
-            return self.spark.createDataFrame(
-                [], "doc_a long, doc_b long, est_jaccard double"
-            )
+        return self._read_log(
+            self._pairs_dir, "doc_a long, doc_b long, est_jaccard double"
+        )
+
+    def _read_log(self, log_dir: str, schema: str) -> DataFrame:
+        """Empty only when NO batch has emitted yet — a real read failure
+        (corrupt file, permissions) must surface, not read as 'no output'."""
+        import glob
+
+        if not glob.glob(os.path.join(log_dir, "batch-*")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(os.path.join(log_dir, "batch-*"))
 
     def metrics(self) -> dict[str, int]:
         """Processed-document / batch counters (duplicate and pair counts

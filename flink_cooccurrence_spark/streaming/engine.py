@@ -188,6 +188,12 @@ class CooccurrenceStreamEngine:
                 delta, rs_delta = self._sampled_deltas(batch, u_buckets, i_buckets)
             self._merge_and_score(delta, rs_delta, batch_id)
             self._drain_writes()
+            # commit INSIDE the transaction scope: a commit failure (e.g.
+            # ENOSPC on the manifest) must roll the in-memory pointers and
+            # the high-water mark back, or the retried batch would be
+            # skipped as done with nothing durable on disk
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
         except BaseException:
             # settle every in-flight write before rolling back — a put that
             # completed after rollback would resurrect a dead pointer
@@ -211,8 +217,6 @@ class CooccurrenceStreamEngine:
             for df in self._cached:
                 df.unpersist(blocking=False)
             self._cached = []
-        self.state.set_scalar("last_batch_id", int(batch_id))
-        self.state.commit()
 
     def close(self) -> None:
         """Release the write pool (idle engines otherwise pin their worker
@@ -222,6 +226,7 @@ class CooccurrenceStreamEngine:
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):
         """Wire the engine into a streaming DataFrame via foreachBatch."""
+        self._guard_batch_domain(expect_checkpoint=True)
         writer = (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", os.path.join(self.workdir, "checkpoint"))
@@ -231,11 +236,35 @@ class CooccurrenceStreamEngine:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def _guard_batch_domain(self, expect_checkpoint: bool) -> None:
+        """The re-delivery skip guard compares batch ids, which only means
+        anything within ONE numbering domain: Spark's checkpointed epoch
+        counter (``attach``) or the replay loop's own counter (``replay``).
+        Mixing them on one workdir silently drops data — a fresh stream
+        numbers from 0, so its first batches would sit at or below a
+        replay's high-water mark and be skipped. Fail loudly instead."""
+        has_ckpt = os.path.isdir(os.path.join(self.workdir, "checkpoint"))
+        has_state = self.state.get_scalar("last_batch_id", -1) >= 0
+        if expect_checkpoint and has_state and not has_ckpt:
+            raise ValueError(
+                "this workdir's state was written by replay(); attaching a "
+                "stream would re-number batches from 0 below the replay "
+                "high-water mark and silently skip them — use a fresh "
+                "workdir for the stream"
+            )
+        if not expect_checkpoint and has_ckpt:
+            raise ValueError(
+                "this workdir belongs to a checkpointed streaming query; "
+                "replay() would re-use its batch-id domain — use a fresh "
+                "workdir for the replay"
+            )
+
     def replay(self, interactions: DataFrame, windows_per_batch: int = 1) -> None:
         """Deterministic batch-mode replay: feed tumbling windows in event-time
         order, ``windows_per_batch`` at a time — the batch equivalent of the
         watermark-driven window fire (one window per batch ≡ the reference's
         cadence; SURVEY §3.3)."""
+        self._guard_batch_domain(expect_checkpoint=False)
         # the replay source is scanned once and cached (the windows-listing
         # action fills it): window_start is computed from ts_ms, so the
         # per-batch filters can't push down to the scan — without the cache
@@ -286,12 +315,15 @@ class CooccurrenceStreamEngine:
 
     def topk_updates(self) -> DataFrame:
         """Per-batch top-K emission log (batch_id, item, rank, other_item, cnt, score)."""
-        try:
-            return self.spark.read.parquet(os.path.join(self._topk_dir, "batch-*"))
-        except Exception:
+        import glob
+
+        # empty only when NO batch has emitted yet — a real read failure
+        # (corrupt file, permissions) must surface, not read as 'no output'
+        if not glob.glob(os.path.join(self._topk_dir, "batch-*")):
             return self.spark.createDataFrame(
                 [], "batch_id long, item int, rank int, other_item int, cnt long, score double"
             )
+        return self.spark.read.parquet(os.path.join(self._topk_dir, "batch-*"))
 
     def final_topk(self, round_digits: int | None = 3) -> DataFrame:
         """Top-K per item over the *final* state — converges to the batch
@@ -725,6 +757,17 @@ class CooccurrenceStreamEngine:
         # existing version dirs, so per-batch state I/O tracks the batch's
         # changed-item footprint instead of the lifetime state size
         merge_futs = []
+
+        def _merge(fn) -> None:
+            # track merge futures in _pending TOO: if one merge fails, the
+            # exception path's _drain_writes must wait for its sibling —
+            # a put_parts completing after rollback would write its version
+            # pointer into the rolled-back dict (the resurrected-pointer
+            # hazard), and the retried batch would double-merge
+            fut = self._write_pool.submit(fn)
+            merge_futs.append(fut)
+            self._pending.append(fut)
+
         if delta_buckets:
             new_rows = (
                 self.state.get_parts("item_rows", ITEM_ROWS_SCHEMA, delta_buckets)
@@ -734,11 +777,7 @@ class CooccurrenceStreamEngine:
                 .filter(F.col("cnt") != 0)
                 .withColumn("_bucket", self._bucket("item"))
             )
-            merge_futs.append(
-                self._write_pool.submit(
-                    self.state.put_parts, "item_rows", new_rows, delta_buckets
-                )
-            )
+            _merge(lambda: self.state.put_parts("item_rows", new_rows, delta_buckets))
 
         if rs_buckets:
             new_sums = (
@@ -748,13 +787,11 @@ class CooccurrenceStreamEngine:
                 .agg(F.sum("row_sum").alias("row_sum"))
                 .withColumn("_bucket", self._bucket("item"))
             )
-            merge_futs.append(
-                self._write_pool.submit(
-                    self.state.put_parts, "row_sums", new_sums, rs_buckets
-                )
-            )
+            _merge(lambda: self.state.put_parts("row_sums", new_sums, rs_buckets))
         # the two merges are independent of each other but the rescore below
-        # reads both tables back — join them here (errors re-raise)
+        # reads both tables back — join them here (errors re-raise; the
+        # settled futures stay in _pending, where the final drain's
+        # f.exception() on a done future is a no-op)
         for f in merge_futs:
             f.result()
 

@@ -33,9 +33,10 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: versions kept per table (current + previous, for debugging/failed-batch
-#: recovery; a real deployment would vacuum on checkpoint commit)
-RETAIN_VERSIONS = 2
+#: retention policy (all three layouts): a version dir stays on disk while
+#: either the in-memory pointer or the last-committed pointer references it
+#: — current + rollback target, nothing else (a real deployment would
+#: vacuum on checkpoint commit)
 
 
 class StateStore:
@@ -43,18 +44,34 @@ class StateStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._scalars_path = os.path.join(root, "scalars.json")
-        self._versions_path = os.path.join(root, "versions.json")
+        #: ONE manifest holds both the table pointers and the scalars —
+        #: commit() must be a single atomic rename. The earlier two-file
+        #: layout (versions.json + scalars.json, two os.replace calls) had
+        #: a crash window between the renames that persisted batch N's
+        #: table pointers with batch N−1's last_batch_id: the re-delivered
+        #: batch then passed the skip guard and double-merged its deltas.
+        self._meta_path = os.path.join(root, "meta.json")
         self.scalars: dict[str, int] = {}
         self._versions: dict[str, int] = {}
         # restart support: a new engine on an existing workdir (checkpoint
         # recovery) must resume from the persisted pointers, not version 0
-        if os.path.exists(self._scalars_path):
-            with open(self._scalars_path) as f:
-                self.scalars = json.load(f)
-        if os.path.exists(self._versions_path):
-            with open(self._versions_path) as f:
-                self._versions = json.load(f)
+        meta = self._committed_meta()
+        self.scalars = dict(meta["scalars"])
+        self._versions = dict(meta["versions"])
+
+    def _committed_meta(self) -> dict:
+        """Last durably committed {versions, scalars} (legacy two-file
+        layout read for workdirs written by older builds)."""
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        legacy = {"versions": {}, "scalars": {}}
+        for key, fname in (("versions", "versions.json"), ("scalars", "scalars.json")):
+            path = os.path.join(self.root, fname)
+            if os.path.exists(path):
+                with open(path) as f:
+                    legacy[key] = json.load(f)
+        return legacy
 
     # -- table state ---------------------------------------------------------
 
@@ -102,9 +119,17 @@ class StateStore:
         v = self._versions.get(name, 0) + 1
         df.write.mode("overwrite").parquet(self._path(name, v))
         self._versions[name] = v
-        stale = v - RETAIN_VERSIONS
-        if stale > 0:
-            shutil.rmtree(self._path(name, stale), ignore_errors=True)
+        # GC keeps the in-memory pointer AND the committed (rollback-target)
+        # pointer live — a blind v−RETAIN delete would destroy the rollback
+        # target when a batch puts the same table more than once
+        live = {v}
+        committed = self._committed_versions().get(name)
+        if isinstance(committed, int):
+            live.add(committed)
+        table_dir = os.path.join(self.root, name)
+        for d in os.listdir(table_dir):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
 
     # -- partitioned table state (hash-bucketed MERGE) ------------------------
 
@@ -192,10 +217,7 @@ class StateStore:
                 shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
 
     def _committed_versions(self) -> dict:
-        if os.path.exists(self._versions_path):
-            with open(self._versions_path) as f:
-                return json.load(f)
-        return {}
+        return self._committed_meta()["versions"]
 
     # -- append-log table state (LSM-style segments) ---------------------------
 
@@ -343,28 +365,28 @@ class StateStore:
 
     def commit(self) -> None:
         """Durably publish all puts + scalar updates of the current batch in
-        one step (write-then-rename): the multi-table batch update is
+        ONE write-then-rename of the single manifest: the multi-table batch
+        update (pointers AND the batch-id/watermark scalars guarding it) is
         all-or-nothing from a restart's point of view."""
-        for path, payload in (
-            (self._versions_path, self._versions),
-            (self._scalars_path, self.scalars),
-        ):
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(payload, f)
-            os.replace(tmp, path)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": self._versions, "scalars": self.scalars}, f)
+        os.replace(tmp, self._meta_path)
+        # the manifest supersedes the legacy two-file layout — drop stale
+        # copies so a crash can never resurrect older pointers through the
+        # legacy read path
+        for fname in ("versions.json", "scalars.json"):
+            try:
+                os.remove(os.path.join(self.root, fname))
+            except FileNotFoundError:
+                pass
 
     def rollback(self) -> None:
         """Discard in-memory state back to the last commit (for retrying a
         failed batch in the same process)."""
-        self.scalars = {}
-        self._versions = {}
-        if os.path.exists(self._scalars_path):
-            with open(self._scalars_path) as f:
-                self.scalars = json.load(f)
-        if os.path.exists(self._versions_path):
-            with open(self._versions_path) as f:
-                self._versions = json.load(f)
+        meta = self._committed_meta()
+        self.scalars = dict(meta["scalars"])
+        self._versions = dict(meta["versions"])
 
     # -- scalar state (watermark, running total, metric counters) ------------
 

@@ -93,7 +93,7 @@ def test_gc_removes_unreferenced_versions_only(spark, tmp_path):
     live = {d for d in os.listdir(table_dir) if d.startswith("v")}
     # GC runs at put time, where the previous committed version must be
     # retained as the rollback target — so the steady state is current +
-    # prior (the flat path's RETAIN_VERSIONS=2), never unbounded growth
+    # prior — the same policy as the whole-table path, never unbounded growth
     assert live == {"v3", "v4"}
     assert _rows(st.get_parts("t", SCHEMA)) == [(0, 3)]
 
@@ -197,3 +197,52 @@ def test_layout_mismatch_fails_loudly(spark, tmp_path):
         for reader in wrong_readers:
             with _pytest.raises(ValueError, match="layout"):
                 reader(name, SCHEMA)
+
+
+def test_commit_is_one_atomic_manifest(spark, tmp_path):
+    """Pointers and scalars (incl. the batch high-water mark) publish via
+    ONE rename — the old two-file commit had a crash window that persisted
+    new pointers with the old last_batch_id, double-applying the batch."""
+    st = StateStore(spark, str(tmp_path))
+    st.put("t", _df(spark, [(0, 10)]))
+    st.set_scalar("last_batch_id", 0)
+    st.commit()
+    files = {f for f in os.listdir(str(tmp_path)) if f.endswith(".json")}
+    assert files == {"meta.json"}
+
+
+def test_legacy_two_file_layout_still_loads(spark, tmp_path):
+    """A workdir committed by the older two-file build must resume; the
+    next commit migrates it to the single manifest."""
+    import json
+
+    st = StateStore(spark, str(tmp_path))
+    st.put("t", _df(spark, [(0, 10)]))
+    versions, scalars = dict(st._versions), {"last_batch_id": 4}
+    os.remove(os.path.join(str(tmp_path), "meta.json")) if os.path.exists(
+        os.path.join(str(tmp_path), "meta.json")
+    ) else None
+    with open(os.path.join(str(tmp_path), "versions.json"), "w") as f:
+        json.dump(versions, f)
+    with open(os.path.join(str(tmp_path), "scalars.json"), "w") as f:
+        json.dump(scalars, f)
+
+    st2 = StateStore(spark, str(tmp_path))
+    assert st2.get_scalar("last_batch_id") == 4
+    assert _rows(st2.get("t", SCHEMA)) == [(0, 10)]
+    st2.commit()
+    files = {f for f in os.listdir(str(tmp_path)) if f.endswith(".json")}
+    assert files == {"meta.json"}
+
+
+def test_double_put_in_one_batch_keeps_rollback_target(spark, tmp_path):
+    """put() GC must retain the COMMITTED version, not blindly delete
+    v−retain: two puts to one table in a single failed batch previously
+    destroyed the rollback target dir."""
+    st = StateStore(spark, str(tmp_path))
+    st.put("t", _df(spark, [(0, 1)]))
+    st.commit()
+    st.put("t", _df(spark, [(0, 2)]))
+    st.put("t", _df(spark, [(0, 3)]))  # second put, same uncommitted batch
+    st.rollback()
+    assert _rows(st.get("t", SCHEMA)) == [(0, 1)]  # dir must still exist

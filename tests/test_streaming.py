@@ -556,3 +556,46 @@ def test_native_sampled_stream_restart_mid_stream(
     assert_df_equal(eng2.item_rows(), native_replayed.item_rows(), "restart_matrix")
     assert_df_equal(eng2.row_sums(), native_replayed.row_sums(), "restart_row_sums")
     assert eng2.total_observed() == native_replayed.total_observed()
+
+
+def test_commit_failure_rolls_back_high_water_mark(spark, tmp_path):
+    """A commit() failure (e.g. ENOSPC on the manifest) must roll the
+    in-memory high-water mark back too — the retried batch would otherwise
+    be skipped as already done with nothing durable on disk."""
+    cfg = _cfg(skip_cuts=True, window_size=1, window_unit="SECONDS")
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "cf"))
+    b0 = spark.createDataFrame(
+        [(1, 10, 1000, 0), (1, 11, 2000, 1)], "user int, item int, ts_ms long, seq long"
+    )
+    real_commit = eng.state.commit
+
+    def boom():
+        raise OSError("injected manifest-write failure")
+
+    eng.state.commit = boom
+    with pytest.raises(OSError):
+        eng.process_batch(b0, 0)
+    eng.state.commit = real_commit
+    assert eng.state.get_scalar("last_batch_id", -1) == -1  # rolled back
+
+    eng.process_batch(b0, 0)  # retry must NOT be skipped
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(b0), "retried_after_commit_fail")
+
+
+def test_replay_then_attach_same_workdir_fails_loudly(spark, tmp_path):
+    """Replay's counter and Spark's checkpointed epoch counter are separate
+    batch-id domains: attaching a stream to a replay-written workdir would
+    silently skip the stream's first batches — it must raise instead."""
+    cfg = _cfg(skip_cuts=True, window_size=1, window_unit="SECONDS")
+    wd = str(tmp_path / "mix")
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=wd)
+    b0 = spark.createDataFrame(
+        [(1, 10, 1000, 0), (1, 11, 2000, 1)], "user int, item int, ts_ms long, seq long"
+    )
+    eng.replay(b0, windows_per_batch=8)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("1 as user", "2 as item", "0 as ts_ms", "0 as seq")
+    )
+    with pytest.raises(ValueError, match="fresh workdir"):
+        eng.attach(stream)
