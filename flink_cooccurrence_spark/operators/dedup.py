@@ -90,7 +90,7 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     """
     hashed = documents.select("doc_id", F.md5("text").alias("text_hash"))
     groups = hashed.groupBy("text_hash").agg(
-        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs")
+        F.min("doc_id").alias("canonical_id")
     )
     return (
         hashed.join(groups, on="text_hash")
@@ -144,9 +144,13 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # NO forced broadcast: the per-doc size table has one row per document
+    # — unbounded at corpus scale, and F.broadcast() would override the
+    # size threshold unconditionally (the 8 GB broadcast hard limit at
+    # 100×). AQE broadcasts it when it is actually small.
     jac = (
-        inter.join(F.broadcast(sa), on="doc_a")
-        .join(F.broadcast(sb), on="doc_b")
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -455,7 +459,11 @@ def dup_clusters(
         edges.union(edges.select("doc_b", "doc_a")).toDF("src", "dst").cache()
     )
     labels = documents.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(max_iter):
+    # max_iter bounds the component DIAMETER; confirming the fixpoint takes
+    # one extra no-change round, so the loop budget is max_iter + 1 — with
+    # exactly max_iter rounds, a diameter-max_iter chain converged in its
+    # final round but still raised 'did not converge'
+    for _ in range(max_iter + 1):
         nbr_min = (
             sym.join(labels, on=sym.dst == labels.doc_id)
             .groupBy("src")

@@ -297,13 +297,11 @@ def ann_lsh_topk(
     pairs = bucketed.join(queries.hint("shuffle_hash"), on="bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = F.round(
-        dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
-        / (F.col("q_norm") * F.col("norm")),
-        6,
-    )
     scored = pairs.select(
-        "q_id", "bucket", F.col("vec_id").alias("n_id"), cos.alias("cosine")
+        "q_id",
+        "bucket",
+        F.col("vec_id").alias("n_id"),
+        _knn_cosine().alias("cosine"),
     )
     return top_k_per_group(
         scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
@@ -408,16 +406,11 @@ def ivf_topk(
         )
         .join(q_cells.hint("shuffle_hash"), on="q_id")
     )
-    cos = F.round(
-        dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
-        / (F.col("q_norm") * F.col("norm")),
-        6,
-    )
     pairs = corpus.join(queries.hint("shuffle_hash"), on="cell").filter(
         F.col("vec_id") != F.col("q_id")
     )
     scored = pairs.select(
-        "q_id", "cell", F.col("vec_id").alias("n_id"), cos.alias("cosine")
+        "q_id", "cell", F.col("vec_id").alias("n_id"), _knn_cosine().alias("cosine")
     )
     return top_k_per_group(
         scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
