@@ -47,8 +47,13 @@ def with_window(interactions: DataFrame, window_millis: int) -> DataFrame:
     than ``F.window`` so window_start stays a plain joinable LONG.
     """
     w = F.lit(window_millis).cast("long")
+    # floor-mod, not %: Spark's % keeps the dividend's sign, which for a
+    # pre-epoch (negative) ts_ms would assign a window STARTING AFTER the
+    # event; ((ts % w) + w) % w matches Flink's getWindowStartWithOffset
+    # floor semantics for all signs (identical to plain % for ts >= 0)
     return interactions.withColumn(
-        "window_start", (F.col("ts_ms") - (F.col("ts_ms") % w))
+        "window_start",
+        F.col("ts_ms") - ((F.col("ts_ms") % w) + w) % w,
     )
 
 
@@ -100,8 +105,13 @@ def cooccurrence_counts(
         joined.select(
             F.col("a.item").alias("item"),
             F.col("b.item").alias("other_item"),
+            # null-safe diagonal test: a NULL item (possible when a source
+            # row lacks the item field) must take the n·(n−1) branch like
+            # any other self-group — plain == yields NULL for null==null
+            # and would fall through to n·n, inflating the row-sum/total
+            # conservation identity
             F.when(
-                F.col("a.item") == F.col("b.item"),
+                F.col("a.item").eqNullSafe(F.col("b.item")),
                 F.col("a.n").cast("long") * (F.col("a.n") - 1),
             )
             .otherwise(F.col("a.n").cast("long") * F.col("b.n"))

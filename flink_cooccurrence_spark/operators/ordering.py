@@ -29,7 +29,7 @@ columns instead — SURVEY §7).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default bucket count — sized so the offsets table is trivially small while
@@ -107,6 +107,8 @@ def running_sum_exclusive(
     lower buckets' totals). Same decomposition as :func:`global_seq`; ties
     on the full key get an arbitrary but consistent order, so callers that
     need a total order must pass a tie-breaking column (e.g. a unique id).
+    The output column keeps Spark's sum type for ``value_col`` (long for
+    integral inputs, double for fractional).
     """
     d = _with_range_bucket(df, order_cols[0], num_buckets)
     in_w = (
@@ -122,7 +124,9 @@ def running_sum_exclusive(
     )
     return (
         d.join(F.broadcast(prev), on="_bucket")
-        .withColumn(out, (F.col("_in_sum") + F.col("_prev")).cast("long"))
+        # no cast: truncating a fractional value column to long here would
+        # silently floor every running sum
+        .withColumn(out, F.col("_in_sum") + F.col("_prev"))
         .drop("_bucket", "_in_sum", "_prev")
     )
 
@@ -156,9 +160,9 @@ def running_max_exclusive(
     prev = per_bucket.select(
         "_bucket", F.max("_bmax").over(prev_w).alias("_prev_max")
     )
-    combined = F.when(
-        F.col("_in_max").isNull(), F.col("_prev_max")
-    ).otherwise(F.greatest(F.col("_in_max"), F.coalesce(F.col("_prev_max"), F.col("_in_max"))))
+    # greatest() skips nulls (null only when BOTH are) — exactly the
+    # combine semantics the two-part decomposition needs
+    combined = F.greatest(F.col("_in_max"), F.col("_prev_max"))
     return (
         d.join(F.broadcast(prev), on="_bucket")
         .withColumn(out, combined)

@@ -42,7 +42,7 @@ inter AS (
 
 WINTER_CTE = f"""
 winter AS (
-  SELECT *, ts_ms - ts_ms % {WINDOW_MILLIS} AS window_start FROM inter
+  SELECT *, ts_ms - ((ts_ms % {WINDOW_MILLIS}) + {WINDOW_MILLIS}) % {WINDOW_MILLIS} AS window_start FROM inter
 )
 """.strip()
 
@@ -72,7 +72,8 @@ ut  AS (SELECT user, CAST(sum(n) AS BIGINT) AS n_u FROM uic GROUP BY 1)
 COUNTS_CTE = """
 pair_products AS (
   SELECT a.item AS item, b.item AS other_item,
-         CASE WHEN a.item = b.item THEN a.n * (a.n - 1) ELSE a.n * b.n END AS p
+         CASE WHEN a.item IS NOT DISTINCT FROM b.item
+              THEN a.n * (a.n - 1) ELSE a.n * b.n END AS p
   FROM uic a JOIN uic b ON a.user = b.user
 ),
 counts AS (
@@ -346,7 +347,7 @@ _WEEK = 7 * _DAY
 ORACLES["rollup_cascade"] = f"""
 WITH {INTER_CTE},
 daily AS (
-  SELECT ts_ms - ts_ms % {_DAY} AS window_start, item,
+  SELECT ts_ms - ((ts_ms % {_DAY}) + {_DAY}) % {_DAY} AS window_start, item,
          CAST(count(*) AS BIGINT) AS cnt
   FROM inter GROUP BY 1, 2
 ),

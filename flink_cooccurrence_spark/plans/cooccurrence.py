@@ -21,11 +21,8 @@ from pyspark.sql import functions as F
 from flink_cooccurrence_spark.functions.llr import llr
 from flink_cooccurrence_spark.operators.cooccurrence import (
     cooccurrence_counts,
-    row_sums,
     scored_rows,
-    total_observed,
     windowed_item_row_deltas,
-    windowed_row_sum_deltas,
 )
 from flink_cooccurrence_spark.operators.topk import top_k_per_group
 

@@ -429,8 +429,9 @@ class CooccurrenceStreamEngine:
             .select(
                 F.col("a.item").alias("item"),
                 F.col("b.item").alias("other_item"),
+                # null-safe, matching the batch closed form's diagonal
                 F.when(
-                    F.col("a.item") == F.col("b.item"),
+                    F.col("a.item").eqNullSafe(F.col("b.item")),
                     F.col("a.m") * (F.col("a.m") - 1),
                 )
                 .otherwise(F.col("a.m") * F.col("b.m"))

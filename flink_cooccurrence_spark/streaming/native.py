@@ -70,8 +70,11 @@ def write_window_files(
         .select("user", "item", "ts_ms", "seq", "window_start")
         .orderBy("window_start", "seq")
         .toPandas()
+        # nullable Int32/Int64, not int32/int64: a null user/item (source
+        # row missing a field) round-trips as parquet null instead of
+        # crashing the spool on NaN→int conversion
         .astype(
-            {"user": "int32", "item": "int32", "ts_ms": "int64", "seq": "int64"}
+            {"user": "Int32", "item": "Int32", "ts_ms": "Int64", "seq": "Int64"}
         )
     )
     windows = sorted(pdf["window_start"].unique())
@@ -106,5 +109,12 @@ def run_sampled_stream(
     eng = CooccurrenceStreamEngine(spark, config, workdir=workdir)
     stream = interactions_parquet_stream(spark, files_dir, max_files_per_trigger=1)
     query = eng.attach(stream, available_now=True)
-    query.awaitTermination(timeout_sec)
+    if not query.awaitTermination(timeout_sec):
+        # returning the engine here would hand back PARTIAL state with the
+        # query still mutating it in the background — stop it and fail
+        query.stop()
+        raise TimeoutError(
+            f"sampled stream did not drain within {timeout_sec}s; state at "
+            f"{eng.workdir} is a resumable checkpoint, not the final state"
+        )
     return eng

@@ -94,3 +94,18 @@ def test_csv_reader_roundtrip(spark, tmp_path):
         (1, 10, 1000),
         (2, 20, 2000),
     ]
+
+
+def test_with_window_floor_semantics_for_negative_timestamps(spark):
+    """Flink's getWindowStartWithOffset floor-mods: a pre-epoch event must
+    land in the window CONTAINING it, not one starting after it (plain %
+    keeps the dividend's sign and produced window [0, w) for ts = -5)."""
+    df = spark.createDataFrame(
+        [(1, 1, -5, 0), (1, 1, -10, 1), (1, 1, 0, 2), (1, 1, 7, 3)],
+        "user int, item int, ts_ms long, seq long",
+    )
+    got = {
+        r["ts_ms"]: r["window_start"]
+        for r in with_window(df, 10).select("ts_ms", "window_start").collect()
+    }
+    assert got == {-5: -10, -10: -10, 0: 0, 7: 0}
