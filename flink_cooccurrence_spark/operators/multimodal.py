@@ -47,16 +47,20 @@ def _h32(data: bytes) -> int:
     return int(hashlib.md5(data).hexdigest()[:8], 16)
 
 
+def _fake_decode_image(payload: bytes) -> tuple[int, int, int, str]:
+    """The ONE fake-decode geometry, shared by ``image_metadata`` and
+    ``image_resize`` (and mirrored in the oracle SQL) — a drift in one
+    caller's inline copy would desynchronize dims for the same doc."""
+    h = _h32(payload)
+    return (64 + h % 1024, 64 + (h // 1024) % 1024, 3, "fake")
+
+
 def image_metadata(documents: DataFrame) -> DataFrame:
     """Fake image decode via mapInPandas: (doc_id, width, height, channels, format).
 
     STUB: a real deployment replaces `_fake_decode_image` with an actual
     codec (PIL.Image.open over io.BytesIO); schema and plumbing are final.
     """
-
-    def _fake_decode_image(payload: bytes) -> tuple[int, int, int, str]:
-        h = _h32(payload)
-        return (64 + h % 1024, 64 + (h // 1024) % 1024, 3, "fake")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,14 +147,28 @@ def image_resize(documents: DataFrame) -> DataFrame:
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h = _h32(bytes(payload))
-                w, ht = 64 + h % 1024, 64 + (h // 1024) % 1024
+                w, ht, _, _ = _fake_decode_image(bytes(payload))
                 scale = min(1.0, RESIZE_MAX_EDGE / max(w, ht))
+                # half-up rounding via floor(x + 0.5): truncation left the
+                # clamped longer edge at 255 for ~9% of edge values
+                # (edge * (256/edge) lands just under 256 in binary fp);
+                # floor(+0.5) is also bit-portable to the oracle, unlike
+                # Python's banker's round vs DuckDB's half-away round,
+                # which disagree on exact .5 (e.g. 65·256/512 = 32.5)
                 rows.append(
-                    (doc_id, w, ht, int(w * scale), int(ht * scale), round(scale, 6))
+                    (
+                        doc_id,
+                        w,
+                        ht,
+                        int(math.floor(w * scale + 0.5)),
+                        int(math.floor(ht * scale + 0.5)),
+                        round(scale, 6),
+                    )
                 )
             yield pd.DataFrame(
                 rows,

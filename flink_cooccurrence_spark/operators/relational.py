@@ -46,7 +46,12 @@ def distinct_users_per_item(interactions: DataFrame) -> DataFrame:
 def interaction_rollup(interactions: DataFrame, window_millis: int) -> DataFrame:
     """ROLLUP (item, window_start) interaction counts with −1 as the
     all-marker (portable: Spark and SQL engines both emit NULL for rolled-up
-    levels; the sentinel keeps the driver's value-hash well-defined)."""
+    levels; the sentinel keeps the driver's value-hash well-defined).
+
+    Caveat: the sentinel conflates a rolled-up level with a genuinely NULL
+    data value — callers whose item column can be NULL should filter or
+    fill it upstream (or switch to ``F.grouping`` flag columns); the
+    engine's interaction stream carries non-null items by contract."""
     w = with_window(interactions, window_millis)
     return (
         w.rollup("item", "window_start")
@@ -73,13 +78,17 @@ def as_of_join(
     ``right_ts < left_ts`` (``strict=False``: ≤), per key.
 
     Realized with the scalable union trick rather than a range join: tag
-    both sides, union, and take ``last(value, ignorenulls)`` over a
+    both sides, union, and take ``last(struct, ignorenulls)`` over a
     (key)-partitioned window ordered by (ts, side) — one shuffle on the
     key, a single sort, no per-row range probe (a range join here plans as
-    a broadcast-nested-loop / cartesian at worst). Ties on ts between left
-    and right are resolved by the side order (strict ⇒ the right row is
-    not yet visible at its own timestamp); ties *within* the right side
-    are undefined — pass a composite timestamp if that matters.
+    a broadcast-nested-loop / cartesian at worst). The value columns ride
+    in ONE struct so the latest right ROW is taken atomically — per-column
+    ``last(ignorenulls)`` would mix values from different right rows
+    whenever the latest row holds a NULL in one column (a torn row).
+    Ties on ts between left and right are resolved by the side order
+    (strict ⇒ the right row is not yet visible at its own timestamp); ties
+    *within* the right side are undefined — pass a composite timestamp if
+    that matters.
     """
     side_left, side_right = (0, 1) if strict else (1, 0)
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
@@ -90,7 +99,10 @@ def as_of_join(
         F.col(right_ts).alias("__ts"),
         F.lit(side_right).alias("__side"),
         F.lit(False).alias("__is_left"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        # never null for a right row, even when every member is — the
+        # window's ignorenulls skips only MISSING rows (left rows), not
+        # legitimately-NULL as-of values
+        F.struct(*[F.col(v) for v in value_cols]).alias("__vals"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -99,32 +111,34 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(f"__v_{v}", ignorenulls=True).over(w).alias(f"{prefix}{v}")
-            for v in value_cols
-        ],
+        "*", F.last("__vals", ignorenulls=True).over(w).alias("__asof")
     )
-    return filled.filter(F.col("__is_left")).drop(
-        "__ts", "__side", "__is_left", *[f"__v_{v}" for v in value_cols]
+    return (
+        filled.filter(F.col("__is_left"))
+        .select(
+            "*",
+            *[F.col(f"__asof.{v}").alias(f"{prefix}{v}") for v in value_cols],
+        )
+        .drop("__ts", "__side", "__is_left", "__vals", "__asof")
     )
 
 
 def semi_join_active(dim: DataFrame, fact: DataFrame, dim_key: str, fact_key: str) -> DataFrame:
-    """LEFT SEMI join: dimension rows with at least one matching fact row."""
+    """LEFT SEMI join: dimension rows with at least one matching fact row.
+
+    No pre-``distinct`` on the fact side: semi/anti joins dedup matches by
+    definition, so a distinct only adds a full extra aggregation pass over
+    the (large) fact table.
+    """
     return dim.join(
-        fact.select(F.col(fact_key).alias(dim_key)).distinct(),
-        on=dim_key,
-        how="left_semi",
+        fact.select(F.col(fact_key).alias(dim_key)), on=dim_key, how="left_semi"
     )
 
 
 def anti_join_inactive(dim: DataFrame, fact: DataFrame, dim_key: str, fact_key: str) -> DataFrame:
     """LEFT ANTI join: dimension rows with no matching fact row."""
     return dim.join(
-        fact.select(F.col(fact_key).alias(dim_key)).distinct(),
-        on=dim_key,
-        how="left_anti",
+        fact.select(F.col(fact_key).alias(dim_key)), on=dim_key, how="left_anti"
     )
 
 
@@ -141,15 +155,17 @@ def rollup_cascade_counts(interactions: DataFrame) -> DataFrame:
     aggregate is the only pass over raw data; every coarser resolution
     reads the one below it (cheap, pre-aggregated input).
     """
-    day = F.lit(DAY_MILLIS).cast("long")
+    # with_window's floor-mod assignment — NOT a re-inlined %, which keeps
+    # the dividend's sign and would diverge from the oracle pre-epoch
     daily = (
-        interactions.withColumn("window_start", F.col("ts_ms") - F.col("ts_ms") % day)
+        with_window(interactions, DAY_MILLIS)
         .groupBy("window_start", "item")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     week = F.lit(WEEK_MILLIS).cast("long")
+    wk = F.col("window_start") - ((F.col("window_start") % week) + week) % week
     weekly = (
-        daily.withColumn("wk", F.col("window_start") - F.col("window_start") % week)
+        daily.withColumn("wk", wk)
         .groupBy(F.col("wk").alias("window_start"), F.col("item"))
         .agg(F.sum("cnt").alias("cnt"))
     )

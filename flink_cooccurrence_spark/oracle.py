@@ -352,7 +352,8 @@ daily AS (
   FROM inter GROUP BY 1, 2
 ),
 weekly AS (
-  SELECT window_start - window_start % {_WEEK} AS window_start, item,
+  SELECT window_start - ((window_start % {_WEEK}) + {_WEEK}) % {_WEEK}
+           AS window_start, item,
          CAST(sum(cnt) AS BIGINT) AS cnt
   FROM daily GROUP BY 1, 2
 )
@@ -837,8 +838,8 @@ scaled AS (
   FROM dims
 )
 SELECT doc_id, width, height,
-       CAST(floor(width * s) AS INT) AS out_width,
-       CAST(floor(height * s) AS INT) AS out_height,
+       CAST(floor(width * s + 0.5) AS INT) AS out_width,
+       CAST(floor(height * s + 0.5) AS INT) AS out_height,
        round(s, 6) AS scale
 FROM scaled
 """

@@ -62,8 +62,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             continue
         dtype = dict(df.dtypes)[c]
         if dtype == "bigint":
-            # integer DIV — float division loses ns precision beyond 2^53
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # exact integer FLOOR-division (div truncates toward zero, which
+            # would round a pre-epoch nano value 1µs late; float division
+            # loses ns precision beyond 2^53)
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(
+                    F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
+                ),
+            )
         elif dtype == "timestamp_ntz":
             # micros parquet with isAdjustedToUTC=false reads as NTZ; the
             # session timezone is pinned to UTC above, so the cast maps wall
@@ -112,14 +119,19 @@ def read_interactions_csv(spark: SparkSession, path: str) -> DataFrame:
 
     Mirrors ``InteractionLineSplitter`` (``FlinkCooccurrences.java:207-219``):
     positional schema, ints + epoch-ms long, hard failure on malformed rows
-    (mode FAILFAST — the reference throws on bad input too). ``seq`` is
-    synthesized as a monotonically increasing id per the determinism spec —
-    for reference-shaped time-sorted files ordering by (ts_ms, seq) matches
-    the reference's file order.
+    (mode FAILFAST — the reference throws on bad input too). ``seq`` is the
+    engine determinism spec's rank by (ts_ms, user, item) — the same rule
+    ``engine._ensure_seq`` applies to seq-less streaming batches — NOT a
+    partition id: Spark orders file splits by size (bin-packed), not by
+    path or mod-time, so ``monotonically_increasing_id`` does not follow
+    file order for multi-file input and would make order-sensitive
+    operators (cut admission, reservoir) partitioning-dependent.
     """
+    from flink_cooccurrence_spark.operators.ordering import global_seq
+
     df = spark.read.csv(
         path,
         schema="user INT, item INT, ts_ms LONG",
         mode="FAILFAST",
     )
-    return df.withColumn("seq", F.monotonically_increasing_id())
+    return global_seq(df, ["ts_ms", "user", "item"])

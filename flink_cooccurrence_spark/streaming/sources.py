@@ -31,11 +31,15 @@ def interactions_csv_stream(
 
     One file per trigger (default) reproduces the reference's
     file-at-a-time split forwarding; files are processed oldest-first.
+    FAILFAST like the batch twin (``read_interactions_csv``) and the
+    reference itself: a malformed line must kill the query, not
+    PERMISSIVE-parse into a null-keyed row that silently corrupts counts.
     """
     return (
         spark.readStream.schema(INTERACTION_CSV_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("latestFirst", "false")
+        .option("mode", "FAILFAST")
         .csv(path)
     )
 

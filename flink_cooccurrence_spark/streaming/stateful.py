@@ -58,8 +58,23 @@ def _item_cut_fn(f_max: int):
     return fn
 
 
+def _require_seq(stream: DataFrame, op: str) -> None:
+    """Fail at COMPOSITION time, not with a KeyError inside the first
+    micro-batch's Python worker: these operators' determinism spec orders
+    by (ts_ms, seq), so a seq-less source (e.g. the raw CSV stream) must
+    synthesize one upstream — the engine's ``_ensure_seq`` rank, or the
+    parquet stream which carries seq natively."""
+    if "seq" not in stream.columns:
+        raise ValueError(
+            f"{op} requires a 'seq' column for (ts_ms, seq)-deterministic "
+            "ordering; synthesize one upstream (see engine._ensure_seq / "
+            "operators.ordering.global_seq) or use the parquet stream"
+        )
+
+
 def item_cut_stream(interactions_stream: DataFrame, f_max: int) -> DataFrame:
     """Keyed stateful item cut over a streaming interactions DataFrame."""
+    _require_seq(interactions_stream, "item_cut_stream")
     return interactions_stream.groupBy("item").applyInPandasWithState(
         _item_cut_fn(f_max),
         outputStructType=ITEM_CUT_OUTPUT,
@@ -93,6 +108,7 @@ def _history_deltas_fn(
 
 def user_history_deltas_stream(interactions_stream: DataFrame) -> DataFrame:
     """Keyed stateful non-sampled delta generator over a streaming DataFrame."""
+    _require_seq(interactions_stream, "user_history_deltas_stream")
     return interactions_stream.groupBy("user").applyInPandasWithState(
         _history_deltas_fn,
         outputStructType=DELTA_OUTPUT,
