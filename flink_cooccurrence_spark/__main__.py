@@ -19,29 +19,20 @@ reference does (``FlinkCooccurrences.java:173-181``).
 
 from __future__ import annotations
 
-import argparse
 import json
 import sys
 import time
 
-from flink_cooccurrence_spark.config import WINDOW_UNITS, CooccurrenceConfig
+from flink_cooccurrence_spark.config import CooccurrenceConfig, build_parser
 from flink_cooccurrence_spark.session import get_spark
+
+#: engine-side flags layered on the shared reference parser (the reference
+#: flag surface itself lives ONLY in config.build_parser — one definition)
+ENGINE_FLAGS = ("mode", "follow", "output", "workdir")
 
 
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="flink_cooccurrence_spark")
-    p.add_argument("--input", dest="input_path", required=True)
-    p.add_argument("--skip-cuts", dest="skip_cuts", action="store_true")
-    p.add_argument("--item-cut", dest="item_cut", type=int, default=500)
-    p.add_argument("--user-cut", dest="user_cut", type=int, default=500)
-    p.add_argument("--top-k", dest="top_k", type=int, default=10)
-    p.add_argument("--window-size", dest="window_size", type=int, required=True)
-    p.add_argument(
-        "--window-unit", dest="window_unit", default="MILLISECONDS",
-        choices=sorted(WINDOW_UNITS),
-    )
-    p.add_argument("--seed", dest="seed", type=lambda s: int(s, 0), default=42)
-    p.add_argument("--buffer-timeout", dest="buffer_timeout_ms", type=int, default=100)
+    p = build_parser()
     p.add_argument("--mode", choices=["streaming", "batch"], default="streaming")
     p.add_argument(
         "--follow",
@@ -55,15 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     ns = p.parse_args(argv)
 
     cfg = CooccurrenceConfig(
-        input_path=ns.input_path,
-        skip_cuts=ns.skip_cuts,
-        item_cut=ns.item_cut,
-        user_cut=ns.user_cut,
-        top_k=ns.top_k,
-        window_size=ns.window_size,
-        window_unit=ns.window_unit,
-        seed=ns.seed,
-        buffer_timeout_ms=ns.buffer_timeout_ms,
+        **{k: v for k, v in vars(ns).items() if k not in ENGINE_FLAGS}
     )
     spark = get_spark(app_name="flink_cooccurrence_spark")
     t0 = time.perf_counter()
@@ -74,15 +57,14 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = CooccurrenceStreamEngine(spark, cfg, workdir=ns.workdir)
         stream = interactions_csv_stream(spark, cfg.input_path)
+        # BOTH modes go through eng.attach — it owns the checkpoint wiring
+        # AND the batch-id-domain guard (a replay-written workdir must fail
+        # loudly, not silently skip the stream's first batches)
         if ns.follow:
-            query = (
-                stream.writeStream.foreachBatch(eng.process_batch)
-                .option(
-                    "checkpointLocation",
-                    (ns.workdir or eng.workdir) + "/checkpoint",
-                )
-                .trigger(processingTime=f"{cfg.buffer_timeout_ms} milliseconds")
-                .start()
+            query = eng.attach(
+                stream,
+                available_now=False,
+                trigger_interval_ms=cfg.buffer_timeout_ms,
             )
             query.awaitTermination()  # runs until interrupted
         else:
@@ -106,9 +88,13 @@ def main(argv: list[str] | None = None) -> int:
             deltas = reservoir_sample_user_histories(
                 flagged, cfg.user_cut, cfg.window_millis, cfg.seed, sampled_col="sampled"
             )
-            # score the sampled matrix via the shared scoring tail
+            # score the sampled matrix via the shared scoring tail —
+            # sums/total come from the one conservation-identity helper
             from flink_cooccurrence_spark.operators.cooccurrence import scored_rows
             from flink_cooccurrence_spark.operators.topk import top_k_per_group
+            from flink_cooccurrence_spark.plans.cooccurrence import (
+                sums_and_total_from_counts,
+            )
 
             counts = (
                 deltas.filter(F.col("kind") == "cooc")
@@ -116,10 +102,9 @@ def main(argv: list[str] | None = None) -> int:
                 .agg(F.sum("increment").cast("long").alias("cnt"))
                 .filter(F.col("cnt") != 0)
             ).cache()
-            sums = counts.groupBy("item").agg(F.sum("cnt").alias("row_sum"))
-            total = counts.agg(F.sum("cnt").cast("long").alias("total"))
             result = top_k_per_group(
-                scored_rows(counts, sums, total), ["item"], "score", cfg.top_k,
+                scored_rows(counts, *sums_and_total_from_counts(counts)),
+                ["item"], "score", cfg.top_k,
                 tie_breakers=["other_item"],
             ).select("item", "rank", "other_item", "cnt", "score")
         else:

@@ -37,7 +37,10 @@ class CooccurrenceConfig:
     user_cut: int = 500  # kMax: per-user reservoir (history) capacity
     top_k: int = 10
     window_size: int = 1
-    window_unit: str = "DAYS"
+    # reference default (Configuration.java:157: TimeUnit.MILLISECONDS when
+    # --window-unit is absent) — a "DAYS" dataclass default here once
+    # diverged from the CLI default by a factor of 86,400,000
+    window_unit: str = "MILLISECONDS"
     seed: int = 42
     buffer_timeout_ms: int = 100  # latency knob; maps to trigger interval
     #: engine-side knob (no reference CLI counterpart): hash buckets for the
@@ -55,21 +58,31 @@ class CooccurrenceConfig:
 
     @staticmethod
     def from_args(argv: list[str] | None = None) -> "CooccurrenceConfig":
-        """CLI parse with the reference's flag names (``Configuration.java:56-105``)."""
-        p = argparse.ArgumentParser(prog="flink_cooccurrence_spark")
-        p.add_argument("--input", dest="input_path", required=False)
-        p.add_argument("--skip-cuts", dest="skip_cuts", action="store_true")
-        p.add_argument("--item-cut", dest="item_cut", type=int, default=500)
-        p.add_argument("--user-cut", dest="user_cut", type=int, default=500)
-        p.add_argument("--top-k", dest="top_k", type=int, default=10)
-        p.add_argument("--window-size", dest="window_size", type=int, default=1)
-        p.add_argument(
-            "--window-unit",
-            dest="window_unit",
-            default="MILLISECONDS",
-            choices=sorted(WINDOW_UNITS),
-        )
-        p.add_argument("--seed", dest="seed", type=lambda s: int(s, 0), default=42)
-        p.add_argument("--buffer-timeout", dest="buffer_timeout_ms", type=int, default=100)
-        ns = p.parse_args(argv)
+        """CLI parse with the reference's flag names and requiredness
+        (``Configuration.java:56-105``: --input and --window-size are
+        required, everything else defaulted)."""
+        ns = build_parser().parse_args(argv)
         return CooccurrenceConfig(**vars(ns))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """The ONE argparse definition of the reference flag surface — shared by
+    :meth:`CooccurrenceConfig.from_args` and the ``__main__`` CLI (which
+    adds its engine-side flags on top) so the two cannot drift."""
+    p = argparse.ArgumentParser(prog="flink_cooccurrence_spark")
+    p.add_argument("--input", dest="input_path", required=True)
+    p.add_argument("--skip-cuts", dest="skip_cuts", action="store_true")
+    p.add_argument("--item-cut", dest="item_cut", type=int, default=500)
+    p.add_argument("--user-cut", dest="user_cut", type=int, default=500)
+    p.add_argument("--top-k", dest="top_k", type=int, default=10)
+    p.add_argument("--window-size", dest="window_size", type=int, required=True)
+    p.add_argument(
+        "--window-unit",
+        dest="window_unit",
+        default="MILLISECONDS",
+        choices=sorted(WINDOW_UNITS),
+    )
+    # hex-capable seed (Configuration.java:181 accepts any long literal)
+    p.add_argument("--seed", dest="seed", type=lambda s: int(s, 0), default=42)
+    p.add_argument("--buffer-timeout", dest="buffer_timeout_ms", type=int, default=100)
+    return p

@@ -1,3 +1,3 @@
-from flink_cooccurrence_spark.functions.llr import llr, llr_pandas_udf, x_log_x
+from flink_cooccurrence_spark.functions.llr import llr, x_log_x
 
-__all__ = ["llr", "llr_pandas_udf", "x_log_x"]
+__all__ = ["llr", "x_log_x"]

@@ -9,7 +9,7 @@ round-off guard clamping negative results to 0
 
 Implemented as a **pure Spark SQL column expression** — it stays inside
 whole-stage codegen, no UDF, no Python in the hot path (SURVEY §2 op 15).
-A pandas UDF variant exists only for parity testing.
+A pandas UDF parity variant lives in functions/udx.py (llr_pandas).
 """
 
 from __future__ import annotations
@@ -60,32 +60,3 @@ def llr_sql(k11: str, k12: str, k21: str, k22: str) -> str:
     )
 
 
-def llr_pandas_udf():
-    """Arrow-vectorized parity implementation (tests only — the column
-    expression above is the production path)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    # no type hints: `from __future__ import annotations` stringifies them and
-    # pyspark's hint resolver can't see the function-local `pd` import
-    @pandas_udf("double")
-    def _llr(k11, k12, k21, k22):
-        def xlx(x):
-            x = x.astype("float64")
-            out = np.zeros_like(x)
-            pos = x > 0
-            out[pos] = x[pos] * np.log(x[pos])
-            return out
-
-        k11k12 = k11 + k12
-        k21k22 = k21 + k22
-        all_ = xlx(k11k12 + k21k22)
-        row = all_ - xlx(k11k12) - xlx(k21k22)
-        column = all_ - xlx(k11 + k21) - xlx(k12 + k22)
-        matrix = all_ - xlx(k11) - xlx(k12) - xlx(k21) - xlx(k22)
-        res = 2.0 * (row + column - matrix)
-        res[row + column < matrix] = 0.0
-        return pd.Series(res)
-
-    return _llr

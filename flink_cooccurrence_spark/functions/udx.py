@@ -16,7 +16,6 @@ row-at-a-time).
 
 from __future__ import annotations
 
-import math
 
 import pandas as pd
 
@@ -26,22 +25,27 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 @pandas_udf("double")
 def llr_pandas(k11: pd.Series, k12: pd.Series, k21: pd.Series, k22: pd.Series) -> pd.Series:
-    """Row-parity pandas UDF of the LLR expression (tests only — the hot
-    path is the codegen'd column expression in ``functions/llr.py``)."""
+    """Arrow-vectorized parity pandas UDF of the LLR expression — the ONE
+    UDF realization (tests only; the hot path is the codegen'd column
+    expression in ``functions/llr.py``). numpy over the whole Arrow batch,
+    not a per-row Python loop."""
+    import numpy as np
 
-    def x_log_x(x: float) -> float:
-        return 0.0 if x <= 0 else x * math.log(x)
+    def xlx(x):
+        x = x.to_numpy(dtype="float64") if hasattr(x, "to_numpy") else x
+        out = np.zeros_like(x, dtype="float64")
+        pos = x > 0
+        out[pos] = x[pos] * np.log(x[pos])
+        return out
 
-    def one(a: float, b: float, c: float, d: float) -> float:
-        def ent(*xs: float) -> float:
-            return x_log_x(sum(xs)) - sum(x_log_x(x) for x in xs)
-
-        row, col, mat = ent(a + b, c + d), ent(a + c, b + d), ent(a, b, c, d)
-        return 0.0 if row + col < mat else 2.0 * (row + col - mat)
-
-    return pd.Series(
-        [one(a, b, c, d) for a, b, c, d in zip(k11, k12, k21, k22)]
-    )
+    a, b, c, d = (s.to_numpy(dtype="float64") for s in (k11, k12, k21, k22))
+    all_ = xlx(a + b + c + d)
+    row = all_ - xlx(a + b) - xlx(c + d)
+    column = all_ - xlx(a + c) - xlx(b + d)
+    matrix = all_ - xlx(a) - xlx(b) - xlx(c) - xlx(d)
+    res = 2.0 * (row + column - matrix)
+    res[row + column < matrix] = 0.0
+    return pd.Series(res)
 
 
 @pandas_udf("double")

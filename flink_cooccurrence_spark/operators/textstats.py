@@ -49,6 +49,33 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def text_stats_columns() -> list[Column]:
+    """The quality-feature expressions as aliased columns over ``text`` —
+    exposed so composers (``plans/corpus.py``) can merge them with other
+    row-local features in ONE select instead of joining frames on doc_id."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = _count_in(toks, QUALITY_STOPWORDS)
+    quality = F.round(
+        0.4 * F.least(n_tokens, F.lit(100)) / 100.0
+        + 0.4 * (n_distinct / n_tokens)
+        + 0.2 * (1 - n_stop / n_tokens),
+        6,
+    )
+    return [
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(sum_len / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_distinct / n_tokens, 6).alias("distinct_ratio"),
+        quality.alias("quality_score"),
+    ]
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Quality-scoring features + composite score per doc.
 
@@ -57,39 +84,12 @@ def text_stats(documents: DataFrame) -> DataFrame:
     100 tokens), lexical diversity, and penalizes stopword density —
     a standard shape for pretraining-data quality filters.
     """
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
-    )
-    n_stop = _count_in(toks, QUALITY_STOPWORDS)
-    avg_len = F.round(sum_len / n_tokens, 6)
-    stop_ratio = F.round(n_stop / n_tokens, 6)
-    distinct_ratio = F.round(n_distinct / n_tokens, 6)
-    quality = F.round(
-        0.4 * F.least(n_tokens, F.lit(100)) / 100.0
-        + 0.4 * (n_distinct / n_tokens)
-        + 0.2 * (1 - n_stop / n_tokens),
-        6,
-    )
-    return documents.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
-        avg_len.alias("avg_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        distinct_ratio.alias("distinct_ratio"),
-        quality.alias("quality_score"),
-    )
+    return documents.select("doc_id", *text_stats_columns())
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Stopword-marker language heuristic: (doc_id, lang_pred, lang_hits).
-
-    Picks the language whose marker set hits the most tokens (ties broken
-    by language code ascending, 'und' if no marker hits at all).
-    """
+def lang_id_columns() -> list[Column]:
+    """The language-heuristic expressions as aliased columns over ``text``
+    (see :func:`text_stats_columns` for why these are exposed)."""
     toks = _tokens(F.col("text"))
     hits = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
     best_hits = F.greatest(*hits.values())
@@ -98,9 +98,16 @@ def lang_id(documents: DataFrame) -> DataFrame:
     for lang in sorted(hits, reverse=True):
         pred = F.when(hits[lang] == best_hits, F.lit(lang)).otherwise(pred)
     pred = F.when(best_hits == 0, F.lit("und")).otherwise(pred)
-    return documents.select(
-        "doc_id", pred.alias("lang_pred"), best_hits.alias("lang_hits")
-    )
+    return [pred.alias("lang_pred"), best_hits.alias("lang_hits")]
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-marker language heuristic: (doc_id, lang_pred, lang_hits).
+
+    Picks the language whose marker set hits the most tokens (ties broken
+    by language code ascending, 'und' if no marker hits at all).
+    """
+    return documents.select("doc_id", *lang_id_columns())
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:

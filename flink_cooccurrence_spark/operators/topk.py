@@ -27,7 +27,18 @@ def top_k_per_group(
     rank_col: str = "rank",
 ) -> DataFrame:
     """Keep the top ``k`` rows per group, ranked by ``order_col`` descending,
-    ties broken ascending by ``tie_breakers`` (deterministic)."""
+    ties broken ascending by ``tie_breakers`` (deterministic).
+
+    ``tie_breakers`` is required non-empty: without one, ``row_number`` over
+    tied order values assigns ranks in shuffle-delivery order, so which row
+    survives the boundary is partitioning-dependent — silently violating the
+    determinism spec (FIXTURES.md F3) this operator exists to implement.
+    """
+    if not tie_breakers:
+        raise ValueError(
+            "top_k_per_group requires at least one tie_breaker column for "
+            "deterministic rank assignment on tied scores"
+        )
     order = F.col(order_col) if isinstance(order_col, str) else order_col
     w = Window.partitionBy(*group_cols).orderBy(
         order.desc(), *[F.col(t).asc() for t in tie_breakers]

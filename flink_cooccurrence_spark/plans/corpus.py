@@ -2,12 +2,13 @@
 operators exist for (SURVEY §2.1 ★ / BASELINE.json north star): exact dedup
 → text quality features → language ID → filter, in one declarative plan.
 
-All stages are pure column expressions over one ``documents`` scan; Catalyst
-collapses the three feature joins into co-partitioned hash joins on
-``doc_id`` (or broadcasts at small scale), and every feature computation is
-codegen'd — no Python in the data path, so the plan scales linearly with
-corpus bytes at 100 TB (one shuffle per join key, no skew: doc_id is
-unique).
+The quality features and language ID are ROW-LOCAL projections of the same
+document row, so they are computed in ONE select over ONE ``documents``
+scan — joining two separately-built feature frames back on the (unique)
+``doc_id`` would pay two full-corpus shuffles for data that never needed to
+leave its row. The only genuine shuffle is the exact-dedup canonical set,
+applied as a semi-join. Every feature is a codegen'd column expression —
+no Python in the data path.
 """
 
 from __future__ import annotations
@@ -16,7 +17,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.operators.dedup import exact_duplicates
-from flink_cooccurrence_spark.operators.textstats import lang_id, text_stats
+from flink_cooccurrence_spark.operators.textstats import (
+    lang_id_columns,
+    text_stats_columns,
+)
 
 #: defaults chosen to be selective-but-nonempty on the driver corpus
 MIN_TOKENS = 30
@@ -35,12 +39,14 @@ def corpus_filter(
     ``min_quality``.
     """
     canonical = exact_duplicates(documents).filter(~F.col("is_duplicate"))
-    stats = text_stats(documents)
-    lang = lang_id(documents)
+    # ONE row-local projection for both feature families — no self-joins of
+    # per-doc frames back on doc_id (each such join is a full-corpus
+    # shuffle for data that never needed to leave its row)
+    features = documents.select(
+        "doc_id", *text_stats_columns(), *lang_id_columns()
+    )
     return (
-        canonical.select("doc_id")
-        .join(stats, on="doc_id")
-        .join(lang.select("doc_id", "lang_pred"), on="doc_id")
+        features.join(canonical.select("doc_id"), on="doc_id", how="leftsemi")
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("quality_score") >= min_quality)

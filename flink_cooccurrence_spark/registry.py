@@ -425,8 +425,11 @@ def _q_median_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cooccurrence_spark.functions.udx import median_udaf
 
     docs = _documents(spark, sf_dir)
-    joined = _ts.text_stats(docs).join(
-        _ts.lang_id(docs).select("doc_id", "lang_pred"), on="doc_id"
+    # one row-local projection for both feature families — a join of the
+    # two per-doc frames on doc_id would shuffle the corpus twice for
+    # columns that never needed to leave their row
+    joined = docs.select(
+        "doc_id", *_ts.text_stats_columns(), *_ts.lang_id_columns()
     )
     return joined.groupBy("lang_pred").agg(
         F.round(median_udaf("quality_score"), 6).alias("median_quality")

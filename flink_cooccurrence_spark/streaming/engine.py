@@ -224,8 +224,18 @@ class CooccurrenceStreamEngine:
         engine must not be reused afterwards."""
         self._write_pool.shutdown(wait=True)
 
-    def attach(self, stream_df: DataFrame, available_now: bool = True):
-        """Wire the engine into a streaming DataFrame via foreachBatch."""
+    def attach(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = True,
+        trigger_interval_ms: int | None = None,
+    ):
+        """Wire the engine into a streaming DataFrame via foreachBatch.
+
+        ``available_now=True`` drains available input and stops (the
+        PROCESS_ONCE analog); ``available_now=False`` runs continuously,
+        with ``trigger_interval_ms`` as the micro-batch cadence (the
+        reference's buffer-timeout latency knob) when given."""
         self._guard_batch_domain(expect_checkpoint=True)
         writer = (
             stream_df.writeStream.foreachBatch(self.process_batch)
@@ -234,6 +244,10 @@ class CooccurrenceStreamEngine:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif trigger_interval_ms is not None:
+            writer = writer.trigger(
+                processingTime=f"{trigger_interval_ms} milliseconds"
+            )
         return writer.start()
 
     def _guard_batch_domain(self, expect_checkpoint: bool) -> None:

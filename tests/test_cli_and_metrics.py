@@ -80,8 +80,12 @@ def test_config_defaults_match_reference():
     cfg = CooccurrenceConfig()
     assert (cfg.item_cut, cfg.user_cut, cfg.top_k) == (500, 500, 10)
     assert cfg.buffer_timeout_ms == 100
+    # Configuration.java:157: MILLISECONDS when --window-unit is absent —
+    # the dataclass and CLI defaults must agree
+    assert cfg.window_unit == "MILLISECONDS"
     cfg2 = CooccurrenceConfig.from_args(
-        ["--window-size", "5", "--window-unit", "MINUTES", "--seed", "0xC0FFEE"]
+        ["--input", "/tmp/in", "--window-size", "5",
+         "--window-unit", "MINUTES", "--seed", "0xC0FFEE"]
     )
     assert cfg2.window_millis == 5 * 60 * 1000
     assert cfg2.seed == 0xC0FFEE  # hex-capable seed (Configuration.java:181)

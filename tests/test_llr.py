@@ -14,7 +14,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from flink_cooccurrence_spark.functions.llr import llr, llr_pandas_udf, llr_sql
+from flink_cooccurrence_spark.functions.llr import llr, llr_sql
 
 
 GOLDEN = [
@@ -75,12 +75,16 @@ def test_python_reference_formula(spark):
 
 
 def test_pandas_udf_parity(spark):
+    # the ONE pandas-UDF parity variant lives in functions/udx.py
+    from flink_cooccurrence_spark.functions.udx import llr_pandas
+
     rows = [(a, b, c, d) for a, b, c, d, _ in GOLDEN] + [(0, 0, 0, 0), (1, 0, 0, 1)]
     df = spark.createDataFrame(rows, "k11 long, k12 long, k21 long, k22 long")
-    udf = llr_pandas_udf()
     out = df.select(
         llr(F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")).alias("expr"),
-        udf(F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")).alias("udf"),
+        llr_pandas(
+            F.col("k11"), F.col("k12"), F.col("k21"), F.col("k22")
+        ).alias("udf"),
     ).collect()
     for r in out:
         assert r.expr == pytest.approx(r.udf, rel=1e-12)
