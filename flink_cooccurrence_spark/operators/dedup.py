@@ -491,7 +491,7 @@ def dup_clusters(
             break
     else:
         raise RuntimeError(
-            f"dup_clusters did not converge in {max_iter} rounds — "
+            f"dup_clusters did not converge in {max_iter + 1} rounds — "
             "component diameter exceeds max_iter; raise it or switch to "
             "the large-star/small-star variant"
         )

@@ -144,11 +144,26 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         F.round(1 - F.size(F.array_distinct(grams)) / n_grams, 6),
     ).otherwise(F.lit(0.0))
     dup_token = F.round(1 - F.size(F.array_distinct(toks)) / n, 6)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    # top-token count as the longest run in the SORTED token array —
+    # O(n log n) per doc via one fold, not the O(distinct × n) ≈ O(n²)
+    # per-distinct-token rescan (quadratic on exactly the long repetitive
+    # documents this filter exists to catch)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _run_step(acc, t):
+        run = F.when(acc["prev"].eqNullSafe(t), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_count = F.aggregate(
+        F.array_sort(toks), acc0, _run_step, lambda acc: acc["best"]
     )
     return documents.select(
         "doc_id",

@@ -1098,17 +1098,22 @@ grams AS (
              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
          ELSE [] END AS g3
   FROM base
+),
+topc AS (
+  SELECT doc_id, max(c) AS top_cnt FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT g.doc_id,
        CAST(len(g3) AS INT) AS n_3grams,
        CASE WHEN len(g3) > 0
          THEN round(1 - len(list_distinct(g3)) / len(g3), 6)
          ELSE 0.0 END AS dup_3gram_frac,
        round(1 - len(list_distinct(toks)) / n, 6) AS dup_token_frac,
-       round(list_max(list_transform(list_distinct(toks),
-               t -> len(list_filter(toks, x -> x = t)))) / n, 6)
-         AS top_token_frac
-FROM grams
+       round(t.top_cnt / n, 6) AS top_token_frac
+FROM grams g JOIN topc t ON g.doc_id = t.doc_id
 """
 
     o["train_shuffle_order"] = f"""

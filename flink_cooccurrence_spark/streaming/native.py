@@ -113,6 +113,7 @@ def run_sampled_stream(
         # returning the engine here would hand back PARTIAL state with the
         # query still mutating it in the background — stop it and fail
         query.stop()
+        eng.close()
         raise TimeoutError(
             f"sampled stream did not drain within {timeout_sec}s; state at "
             f"{eng.workdir} is a resumable checkpoint, not the final state"

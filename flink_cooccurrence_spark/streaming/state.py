@@ -374,11 +374,16 @@ class StateStore:
         os.replace(tmp, self._meta_path)
         # the manifest supersedes the legacy two-file layout — drop stale
         # copies so a crash can never resurrect older pointers through the
-        # legacy read path
+        # legacy read path. Best-effort ONLY: the os.replace above already
+        # durably published the commit, so a cleanup failure here must not
+        # report the commit as failed (the engines' exception paths would
+        # then delete output dirs of a batch whose state commit succeeded —
+        # permanently losing its emissions, since the retry is skipped by
+        # the high-water mark). The read path prefers meta.json regardless.
         for fname in ("versions.json", "scalars.json"):
             try:
                 os.remove(os.path.join(self.root, fname))
-            except FileNotFoundError:
+            except OSError:
                 pass
 
     def rollback(self) -> None:
