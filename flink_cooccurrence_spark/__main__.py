@@ -56,22 +56,27 @@ def main(argv: list[str] | None = None) -> int:
         from flink_cooccurrence_spark.streaming.sources import interactions_csv_stream
 
         eng = CooccurrenceStreamEngine(spark, cfg, workdir=ns.workdir)
-        stream = interactions_csv_stream(spark, cfg.input_path)
-        # BOTH modes go through eng.attach — it owns the checkpoint wiring
-        # AND the batch-id-domain guard (a replay-written workdir must fail
-        # loudly, not silently skip the stream's first batches)
-        if ns.follow:
-            query = eng.attach(
-                stream,
-                available_now=False,
-                trigger_interval_ms=cfg.buffer_timeout_ms,
-            )
-            query.awaitTermination()  # runs until interrupted
-        else:
-            query = eng.attach(stream, available_now=True)
-            query.awaitTermination()
-        result = eng.final_topk()
-        metrics = eng.metrics()
+        try:
+            stream = interactions_csv_stream(spark, cfg.input_path)
+            # BOTH modes go through eng.attach — it owns the checkpoint
+            # wiring AND the batch-id-domain guard (a replay-written workdir
+            # must fail loudly, not silently skip the stream's first batches)
+            if ns.follow:
+                query = eng.attach(
+                    stream,
+                    available_now=False,
+                    trigger_interval_ms=cfg.buffer_timeout_ms,
+                )
+                query.awaitTermination()  # runs until interrupted
+            else:
+                query = eng.attach(stream, available_now=True)
+                query.awaitTermination()
+            result = eng.final_topk()
+            metrics = eng.metrics()
+        finally:
+            # release the foreachBatch write pool's worker threads — the
+            # engine's close() contract, not just a process-exit courtesy
+            eng.close()
     else:
         from flink_cooccurrence_spark.plans.cooccurrence import topk_similar_items
         from flink_cooccurrence_spark.sources.tables import read_interactions_csv

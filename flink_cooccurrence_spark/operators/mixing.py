@@ -94,6 +94,14 @@ def mixture_sample(
     identical under any partitioning or corpus growth.
     """
     rates = MIXTURE_RATES if rates is None else rates
+    # a rate > 1 would admit everything while emitting a Horvitz-Thompson
+    # weight < 1 (silently biased weighted aggregates); a rate <= 0 makes
+    # the weight expression divide by zero — reject both at call time.
+    for lang, rate in [*rates.items(), ("<default>", default_rate)]:
+        if not (0.0 < rate <= 1.0):
+            raise ValueError(
+                f"mixture rate for {lang!r} must be in (0, 1], got {rate}"
+            )
     threshold = _rate_threshold(rates, default_rate)
     admit = _coin(MIX_SALT) < threshold
     return documents.filter(admit).select(

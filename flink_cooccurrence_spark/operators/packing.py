@@ -47,17 +47,29 @@ def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> Da
       count, and per pack (with ``pack_off`` ordering) chunks tile
       [0, context_len) exactly, except the final partial pack.
     """
+    # NULL text is folded to '' so the n_tokens >= 1 contract below is
+    # enforced (a whitespace split of '' is one empty token), not assumed —
+    # otherwise the NULL propagates through size() and explode() silently
+    # drops the document from the plan.
     toks = documents.select(
         "doc_id",
-        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     spans = running_sum_exclusive(toks, ["doc_id"], "n_tokens", out="start")
-    c = F.lit(int(context_len))
-    first = F.floor(F.col("start") / c)
-    # n_tokens >= 1 always (the whitespace split of an empty string is one
-    # empty token — same convention as textstats.token_counts), so the
+    ci = int(context_len)
+    if ci <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    c = F.lit(ci)
+    # exact integer floor division (`div`): start is a long prefix sum that
+    # exceeds 2^53 at the 100-TB corpus scale, where double-precision
+    # `floor(start / c)` would mis-assign pack ids. Both operands are
+    # non-negative, so `div` == mathematical floor division.
+    first = F.expr(f"start div {ci}")
+    # n_tokens >= 1 always (enforced by the coalesce above), so the
     # chunk range [start, start + n_tokens) is never empty
-    last = F.floor((F.col("start") + F.col("n_tokens") - 1) / c)
+    last = F.expr(f"(start + n_tokens - 1) div {ci}")
     chunks = spans.select(
         "doc_id",
         "start",

@@ -1030,7 +1030,8 @@ WHERE q.n_tokens >= {cp.MIN_TOKENS} AND q.quality_score >= {cp.MIN_QUALITY}
     o["pack_chunks"] = rf"""
 WITH toks AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT)
+           AS n_tokens
   FROM documents
 ),
 spans AS (

@@ -248,8 +248,15 @@ class DedupStreamEngine:
     def replay(self, documents: DataFrame, docs_per_batch: int = 200) -> None:
         """Deterministic replay in doc_id order, ``docs_per_batch`` at a
         time — doc_id-ordered arrival is what makes the exact-dedup output
-        bit-identical to the batch operator (module docstring)."""
+        bit-identical to the batch operator (module docstring).
+
+        Batch numbering continues from the workdir's high-water mark, so a
+        second ``replay()`` on the same workdir processes its input as NEW
+        documents (state accumulates) instead of silently no-oping at or
+        below the first replay's ``last_batch_id``. Crash-retry belongs on
+        a fresh workdir (``attach``'s checkpoint owns exactly-once resume)."""
         self._guard_batch_domain(expect_checkpoint=False)
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
         ids = [
             r[0]
             for r in documents.select("doc_id").orderBy("doc_id").collect()
@@ -259,7 +266,7 @@ class DedupStreamEngine:
             batch = documents.filter(
                 (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
             )
-            self.process_batch(batch, b)
+            self.process_batch(batch, base + b)
 
     # accessors --------------------------------------------------------------
 

@@ -277,8 +277,16 @@ class CooccurrenceStreamEngine:
         """Deterministic batch-mode replay: feed tumbling windows in event-time
         order, ``windows_per_batch`` at a time — the batch equivalent of the
         watermark-driven window fire (one window per batch ≡ the reference's
-        cadence; SURVEY §3.3)."""
+        cadence; SURVEY §3.3).
+
+        Batch numbering continues from the workdir's high-water mark, so a
+        second ``replay()`` on the same workdir processes its input as NEW
+        data (state accumulates) instead of silently no-oping at or below
+        the first replay's ``last_batch_id``. Corollary: replay is
+        append-only — a crash-retry belongs on a fresh workdir (``attach``
+        with its checkpoint owns exactly-once resume)."""
         self._guard_batch_domain(expect_checkpoint=False)
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
         # the replay source is scanned once and cached (the windows-listing
         # action fills it): window_start is computed from ts_ms, so the
         # per-batch filters can't push down to the scan — without the cache
@@ -293,7 +301,7 @@ class CooccurrenceStreamEngine:
                 batch = wdf.filter(
                     (F.col("window_start") >= chunk[0]) & (F.col("window_start") <= chunk[-1])
                 ).drop("window_start")
-                self.process_batch(batch, i // windows_per_batch)
+                self.process_batch(batch, base + i // windows_per_batch)
         finally:
             wdf.unpersist(blocking=False)
 

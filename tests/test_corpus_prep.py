@@ -269,3 +269,35 @@ def test_running_sum_windows_are_bucketed(spark):
         if "windowspecdefinition(" in line:
             spec = line.split("windowspecdefinition(", 1)[1]
             assert spec.startswith("_bucket"), f"unbucketed window: {line.strip()}"
+
+
+# ------------------------------------------------- round-5 contract hardening
+
+
+def test_mixture_sample_rejects_out_of_range_rates(docs):
+    """rate > 1 would admit everything with a biased HT weight < 1; rate <= 0
+    divides by zero in the weight — both must raise at call time."""
+    with pytest.raises(ValueError, match="mixture rate"):
+        mixture_sample(docs, rates={"en": 1.5})
+    with pytest.raises(ValueError, match="mixture rate"):
+        mixture_sample(docs, rates={"en": 0.0})
+    with pytest.raises(ValueError, match="mixture rate"):
+        mixture_sample(docs, rates={"en": 0.5}, default_rate=-0.1)
+
+
+def test_pack_chunks_keeps_null_text_doc(spark):
+    """NULL text folds to '' (one empty whitespace token), so the document
+    stays in the pack plan with n_tokens == 1 instead of vanishing."""
+    rows = [(1, "a b c"), (2, None), (3, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pack_chunks(df, context_len=4).toPandas()
+    assert set(got["doc_id"]) == {1, 2, 3}
+    null_doc = got[got["doc_id"] == 2]
+    assert len(null_doc) == 1
+    assert int(null_doc["n_chunk_tokens"].iloc[0]) == 1
+
+
+def test_pack_chunks_rejects_nonpositive_context_len(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="context_len"):
+        pack_chunks(df, context_len=0)

@@ -599,3 +599,24 @@ def test_replay_then_attach_same_workdir_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="fresh workdir"):
         eng.attach(stream)
+
+
+def test_replay_after_replay_accumulates_not_noops(spark, inter, tmp_path):
+    """A second replay() on the same workdir continues batch numbering from
+    the high-water mark, so its input is processed as new data — state equals
+    one replay over the concatenation, never a silent no-op."""
+    cfg = _cfg(skip_cuts=True)
+    # split by event time on a window boundary (not by key): the engine's
+    # ascending watermark carries across replays, so a continuation's events
+    # must be later — earlier ones would be correctly dropped as late
+    mid = inter.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    mid = (int(mid) // cfg.window_millis) * cfg.window_millis
+    half = inter.filter(F.col("ts_ms") < mid)
+    rest = inter.filter(F.col("ts_ms") >= mid)
+
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "twice"))
+    eng.replay(half, windows_per_batch=4)
+    eng.replay(rest, windows_per_batch=4)
+
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(inter), "replay_twice_matrix")
+    assert eng.total_observed() == total_observed(inter).first()[0]
