@@ -181,11 +181,13 @@ class CooccurrenceStreamEngine:
             # semantics (first action fills it; unpersisted in finally)
             batch = batch.persist()
             self._cached.append(batch)
-            batch, u_buckets, i_buckets = self._early_stats(batch)
+            batch, u_buckets, i_buckets, max_user_rows = self._early_stats(batch)
             if self.config.skip_cuts:
                 delta, rs_delta = self._nonsampled_deltas(batch, u_buckets)
             else:
-                delta, rs_delta = self._sampled_deltas(batch, u_buckets, i_buckets)
+                delta, rs_delta = self._sampled_deltas(
+                    batch, u_buckets, i_buckets, max_user_rows
+                )
             self._merge_and_score(delta, rs_delta, batch_id)
             self._drain_writes()
             # commit INSIDE the transaction scope: a commit failure (e.g.
@@ -333,6 +335,9 @@ class CooccurrenceStreamEngine:
             "observed_cooccurrences": self.state.get_scalar("observed_cooccurrences"),
             "rescored_items": self.state.get_scalar("rescored_items"),
             "batches": self.state.get_scalar("batches"),
+            # engine-local observability (not a reference accumulator):
+            # batches that took the below-capacity reservoir fast path
+            "fast_path_batches": self.state.get_scalar("fast_path_batches"),
         }
 
     def topk_updates(self) -> DataFrame:
@@ -401,15 +406,40 @@ class CooccurrenceStreamEngine:
         free, but observations are fulfilled by a query-execution listener
         that never fires for the nested actions inside a ``foreachBatch``
         callback on this Spark line — ``Observation.get`` deadlocks the
-        stream thread — so the engine keeps them as explicit tiny actions.)"""
+        stream thread — so the engine keeps them as explicit tiny actions.)
+
+        The sampled path additionally needs the batch's max per-user row
+        count (the reservoir fast-path eligibility test, ``_sampled_deltas``),
+        so its stats run as groupBy(user) → 1-row rollup — same single
+        action, one extra small shuffle the reservoir pass repartitions on
+        anyway. The non-sampled path keeps the flat two-stage agg."""
         wm = self.state.get_scalar("watermark_ms", -(1 << 62))
         ontime = F.col("ts_ms") >= wm
-        row = batch.agg(
-            F.count(F.when(~ontime, 1)).alias("late"),
-            F.max("ts_ms").alias("max_ts"),
-            F.collect_set(F.when(ontime, self._bucket("user"))).alias("u_buckets"),
-            F.collect_set(F.when(ontime, self._bucket("item"))).alias("i_buckets"),
-        ).first()
+        if self.config.skip_cuts:
+            row = batch.agg(
+                F.count(F.when(~ontime, 1)).alias("late"),
+                F.max("ts_ms").alias("max_ts"),
+                F.collect_set(F.when(ontime, self._bucket("user"))).alias("u_buckets"),
+                F.collect_set(F.when(ontime, self._bucket("item"))).alias("i_buckets"),
+            ).first()
+            max_user_rows = None
+        else:
+            per_user = batch.groupBy("user").agg(
+                F.count(F.when(~ontime, 1)).alias("late"),
+                F.max("ts_ms").alias("max_ts"),
+                F.count(F.when(ontime, 1)).alias("n_on"),
+                F.collect_set(F.when(ontime, self._bucket("item"))).alias("ib"),
+            )
+            row = per_user.agg(
+                F.sum("late").alias("late"),
+                F.max("max_ts").alias("max_ts"),
+                F.collect_set(
+                    F.when(F.col("n_on") > 0, self._bucket("user"))
+                ).alias("u_buckets"),
+                F.array_distinct(F.flatten(F.collect_list("ib"))).alias("i_buckets"),
+                F.max("n_on").alias("max_user_rows"),
+            ).first()
+            max_user_rows = int(row["max_user_rows"] or 0)
         self.state.add_scalar("late_elements", int(row["late"] or 0))
         self.state.add_scalar("batches", 1)
         if row["max_ts"] is not None:
@@ -418,32 +448,23 @@ class CooccurrenceStreamEngine:
             batch.filter(ontime),
             sorted(row["u_buckets"]),
             sorted(row["i_buckets"]),
+            max_user_rows,
         )
 
-    def _nonsampled_deltas(
-        self, batch: DataFrame, u_buckets: list[int]
-    ) -> tuple[DataFrame, DataFrame | None]:
-        """Op 8 incremental count-product form. With per-user lifetime item
-        counts S(u,i,n) as state and batch counts B(u,i,m):
+    def _count_product_delta(self, bc: DataFrame, prior: DataFrame) -> DataFrame:
+        """Aggregated cooccurrence delta in count-product closed form, shared
+        by the non-sampled path and the reservoir's below-capacity fast path.
 
-            ΔC = within-batch pairs (count product over B)
-               + cross pairs B×S (every new interaction pairs against all
-                 prior history, both directions)
+        With per-user prior counts ``prior(user, item, n)`` and batch counts
+        ``bc(user, item, m)``:
+
+            ΔC = within-batch pairs (count product over bc, diagonal
+                 m·(m−1) — every ordered pair of batch rows, both directions)
+               + cross pairs bc×prior (every new interaction pairs against
+                 all prior history, both directions)
 
         Both joins hash-partition on ``user`` — one shuffle each side, no
-        positional explosion, no Python. Row sums fall out of ΔC.
-
-        The ``user_counts`` state is partitioned on user: the cross join
-        only needs the batch users' prior counts, so the read is pruned to
-        the batch's user buckets, and the merge rewrites exactly those
-        buckets (``put_parts``) — per-batch state I/O is O(batch users'
-        buckets) on both sides."""
-        bc = (
-            batch.groupBy("user", "item")
-            .agg(F.count("*").cast("long").alias("m"))
-        )
-        prior = self.state.get_parts("user_counts", USER_COUNTS_SCHEMA, u_buckets)
-
+        positional explosion, no Python."""
         a, b = bc.alias("a"), bc.alias("b")
         within = (
             a.hint("shuffle_hash")
@@ -481,11 +502,39 @@ class CooccurrenceStreamEngine:
             )
             .select(F.col("p.item").alias("item"), F.col("p.other_item").alias("other_item"), "d")
         )
-        delta = (
+        return (
             within.unionByName(cross)
             .filter(F.col("d") != 0)
             .groupBy("item", "other_item")
             .agg(F.sum("d").alias("delta"))
+        )
+
+    def _nonsampled_deltas(
+        self, batch: DataFrame, u_buckets: list[int]
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Op 8 incremental count-product form. With per-user lifetime item
+        counts S(u,i,n) as state and batch counts B(u,i,m):
+
+            ΔC = within-batch pairs (count product over B)
+               + cross pairs B×S (every new interaction pairs against all
+                 prior history, both directions)
+
+        Both joins hash-partition on ``user`` — one shuffle each side, no
+        positional explosion, no Python. Row sums fall out of ΔC.
+
+        The ``user_counts`` state is partitioned on user: the cross join
+        only needs the batch users' prior counts, so the read is pruned to
+        the batch's user buckets, and the merge rewrites exactly those
+        buckets (``put_parts``) — per-batch state I/O is O(batch users'
+        buckets) on both sides."""
+        bc = (
+            batch.groupBy("user", "item")
+            .agg(F.count("*").cast("long").alias("m"))
+        )
+        prior = self.state.get_parts("user_counts", USER_COUNTS_SCHEMA, u_buckets)
+
+        delta = (
+            self._count_product_delta(bc, prior)
             # materialize once: the delta feeds the stats action, both state
             # merges, and the changed-set rescore — without this each
             # consumer re-runs the within+cross joins against the batch and
@@ -516,11 +565,149 @@ class CooccurrenceStreamEngine:
             )
         return delta, None
 
+    def _max_hist_len(self) -> int:
+        """Running max reservoir length over ALL users — histories never
+        shrink (admit appends, replace keeps length, reject is a no-op), so
+        ``max(prev, max over rewritten buckets)`` maintained as a stats rider
+        is exact with no extra driver action. A workdir whose state predates
+        the scalar (or a fresh one) initializes it with a one-time scan."""
+        mh = self.state.get_scalar("max_hist_len", -1)
+        if mh < 0:
+            if self.state.nonempty_buckets("user_histories"):
+                row = (
+                    self.state.get_parts("user_histories", USER_HIST_SCHEMA)
+                    .agg(F.max(F.size("history")).alias("mh"))
+                    .first()
+                )
+                mh = int(row["mh"] or 0)
+            else:
+                mh = 0
+            self.state.set_scalar("max_hist_len", mh)
+        return mh
+
+    def _track_max_hist(self, hist_df: DataFrame, prev: int) -> None:
+        """Ride the new histories' max length on the batch's combined stats
+        action (``_merge_and_score``) and fold it into the scalar."""
+        plan = hist_df.agg(F.max(F.size("history")).alias("_mh"))
+
+        def cb(stats_row) -> None:
+            self.state.set_scalar(
+                "max_hist_len", max(prev, int(stats_row["_mh"] or 0))
+            )
+
+        self._stat_riders.append((plan, cb))
+
+    def _sampled_fast_deltas(
+        self,
+        flagged: DataFrame,
+        hist_active: DataFrame,
+        hist_passive: DataFrame,
+        u_buckets: list[int],
+        fb_prior_buckets: list[int],
+        prev_max_hist: int,
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Below-capacity reservoir fast path — no Python, no applyInPandas.
+
+        Eligibility (checked by the caller): ``max_hist_len`` + the batch's
+        max per-user row count ≤ kMax, i.e. NO user can reach capacity
+        within this batch. Then every sampled row is admitted
+        unconditionally (``reservoir_step``'s admit branch only), and the
+        batch's *aggregated* delta — the only thing the engine consumes
+        (``_merge_and_score`` groups deltas by (item, other_item); row sums
+        are the row-wise fold of the cell deltas by the conservation
+        identity) — collapses to the same count-product closed form as the
+        non-sampled path, with admitted batch counts × prior-HISTORY counts:
+
+        - within: admitted rows pair against earlier admitted batch rows,
+          both directions → count product with diagonal m·(m−1);
+        - cross: admitted rows pair against the user's full prior history
+          (a multiset → per-(user, item) counts via one ``explode``).
+
+        State updates stay exact: new history = old ++ admitted items in
+        (window_start, seq) order (a JVM ``array_sort``/``transform``, no
+        Python); ``total`` advances by ALL on-time rows (un-sampled rows
+        bump the draw denominator,
+        ``UserInteractionCounterOneInputStreamOperator.java:158``); no
+        evictions ⇒ this batch's feedback table is empty.
+
+        At corpus scale this is the steady-state batch shape (a user's
+        lifetime rarely crosses kMax mid-batch), so the per-batch cost is
+        the non-sampled path's two hash joins instead of an Arrow
+        round-trip through the per-user processor."""
+        self.state.add_scalar("fast_path_batches", 1)
+        adm = flagged.filter("sampled")
+        bc = adm.groupBy("user", "item").agg(F.count("*").cast("long").alias("m"))
+        prior = (
+            hist_active.select("user", F.explode("history").alias("item"))
+            .groupBy("user", "item")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        # lazy persist, same rationale as _nonsampled_deltas: the combined
+        # stats action fills it before the concurrent consumers read it
+        delta = self._count_product_delta(bc, prior).persist()
+        self._cached.append(delta)
+
+        new_hist = (
+            flagged.groupBy("user")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("sampled"),
+                                F.struct("window_start", "seq", "item"),
+                            )
+                        )
+                    ),
+                    lambda s: s["item"],
+                ).alias("new_items"),
+            )
+            .join(hist_active, on="user", how="left")
+            .select(
+                "user",
+                F.concat(
+                    F.coalesce(F.col("history"), F.expr("CAST(array() AS ARRAY<INT>)")),
+                    F.col("new_items"),
+                ).alias("history"),
+                (F.coalesce(F.col("total"), F.lit(0)) + F.col("n_rows"))
+                .cast("long")
+                .alias("total"),
+            )
+        )
+        hist_df = (
+            new_hist.unionByName(hist_passive)
+            .withColumn("_bucket", self._bucket("user"))
+            .persist()
+        )
+        self._cached.append(hist_df)
+        if u_buckets:
+            self._submit_write(
+                lambda: self.state.put_parts("user_histories", hist_df, u_buckets)
+            )
+        self._track_max_hist(hist_df, prev_max_hist)
+        # no evictions below capacity ⇒ no feedback from this batch; the
+        # previous batch's (already consumed into item_counts) swaps out
+        if fb_prior_buckets:
+            empty_fb = self.spark.createDataFrame([], FEEDBACK_SCHEMA).withColumn(
+                "_bucket", self._bucket("item")
+            )
+            self._submit_write(
+                lambda: self.state.put_parts("feedback", empty_fb, fb_prior_buckets)
+            )
+        return delta, None
+
     def _sampled_deltas(
-        self, batch: DataFrame, u_buckets: list[int], i_buckets: list[int]
-    ) -> tuple[DataFrame, DataFrame]:
+        self,
+        batch: DataFrame,
+        u_buckets: list[int],
+        i_buckets: list[int],
+        max_user_rows: int | None,
+    ) -> tuple[DataFrame, DataFrame | None]:
         """Ops 6+7+14: feedback-corrected item cut, then the stateful user
         reservoir over a tagged union of batch rows + per-user state rows.
+        Batches provably unable to reach any user's capacity take
+        ``_sampled_fast_deltas`` instead (bit-identical aggregate output).
 
         All three state tables here are partitioned (``put_parts``):
 
@@ -565,7 +752,12 @@ class CooccurrenceStreamEngine:
             w.join(ic_cut.withColumnRenamed("cnt", "prior"), on="item", how="left")
             .fillna(0, subset=["prior"])
             .withColumn("sampled", (F.col("prior") + rn) <= cfg.item_cut)
+            # ≥4 consumers below (admitted counts, batch users, reservoir
+            # input, history maintenance) — persist so the row_number
+            # shuffle + state join runs once per batch, not per consumer
+            .persist()
         )
+        self._cached.append(flagged)
         admitted = (
             flagged.filter("sampled")
             .groupBy("item")
@@ -597,6 +789,17 @@ class CooccurrenceStreamEngine:
         batch_users = flagged.select("user").distinct()
         hist_active = hist.join(batch_users, on="user", how="leftsemi")
         hist_passive = hist.join(batch_users, on="user", how="left_anti")
+
+        # below-capacity fast path: if no user can reach kMax within this
+        # batch, the reservoir degenerates to unconditional admission and
+        # the whole Arrow round-trip is skipped (see _sampled_fast_deltas)
+        max_hist = self._max_hist_len()
+        if max_user_rows is not None and max_hist + max_user_rows <= cfg.user_cut:
+            return self._sampled_fast_deltas(
+                flagged, hist_active, hist_passive,
+                u_buckets, fb_prior_buckets, max_hist,
+            )
+
         data_rows = flagged.select(
             F.lit("data").alias("kind"),
             "user",
@@ -691,6 +894,7 @@ class CooccurrenceStreamEngine:
             self._submit_write(
                 lambda: self.state.put_parts("user_histories", hist_df, u_buckets)
             )
+        self._track_max_hist(hist_df, max_hist)
         fb_df = (
             tagged.filter(F.col("kind") == "feedback")
             .groupBy("item")

@@ -357,6 +357,44 @@ def test_batch_reservoir_equals_streaming_reservoir(spark, inter, tmp_path):
     assert_df_equal(eng.item_rows(), exp, "reservoir_batch_vs_stream")
 
 
+def test_fast_path_bit_identical_to_forced_slow_path(spark, inter, tmp_path):
+    """The below-capacity reservoir fast path (``_sampled_fast_deltas``) is
+    a pure physical rewrite: a replay where it fires on some batches equals
+    the identical replay with the fast path disabled — matrix, row sums,
+    total, final top-K, AND the persisted user histories — bit for bit.
+
+    The config is chosen for a MIXED regime: early batches are below
+    capacity (fast path fires), later ones cross kMax (Arrow processor),
+    so the handoff boundary itself is under test."""
+    sample = inter.filter(F.col("user") % 11 == 0)
+    kw = dict(item_cut=40, user_cut=6, seed=42)
+
+    fast = CooccurrenceStreamEngine(spark, _cfg(**kw), workdir=str(tmp_path / "f"))
+    fast.replay(sample, windows_per_batch=2)
+
+    slow = CooccurrenceStreamEngine(spark, _cfg(**kw), workdir=str(tmp_path / "s"))
+    # an absurd prior max-history defeats eligibility on every batch;
+    # instance attribute shadows the method for THIS engine only
+    slow._max_hist_len = lambda: 1 << 60
+    slow.replay(sample, windows_per_batch=2)
+
+    mf, ms = fast.metrics(), slow.metrics()
+    assert ms["fast_path_batches"] == 0
+    assert 0 < mf["fast_path_batches"] < mf["batches"], mf  # mixed regime
+
+    assert_df_equal(fast.item_rows(), slow.item_rows(), "fastpath_matrix")
+    assert_df_equal(fast.row_sums(), slow.row_sums(), "fastpath_row_sums")
+    assert fast.total_observed() == slow.total_observed()
+    assert_df_equal(fast.final_topk(), slow.final_topk(), "fastpath_topk")
+    # array column is unhashable for the pandas sort — compare as text
+    def _h(e):
+        return e.user_histories().select(
+            "user", F.col("history").cast("string").alias("history"), "total"
+        )
+
+    assert_df_equal(_h(fast), _h(slow), "fastpath_histories")
+
+
 def test_user_state_writes_prune_to_touched_buckets(spark, tmp_path):
     """The user-side state tables are hash-bucketed: a batch touching one
     user rewrites only that user's bucket — every other bucket's version
