@@ -164,6 +164,74 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def decontaminate_ngram(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    max_train_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share n-gram
+    content with a held-out / evaluation corpus (the GPT-3 appendix-C /
+    PaLM-style n-gram overlap check).
+
+    Two-table form of the ``ngram_jaccard_pairs`` inverted-index plan: the
+    join key is the shingle, so only (train, eval) pairs sharing at least
+    one n-gram ever meet. Output, one row per overlapping pair with
+    ``n_shared`` ≥ ``min_shared`` distinct shared shingles:
+
+    - ``train_doc_id``, ``eval_doc_id`` — the contaminated pair.
+    - ``n_shared`` — distinct n-gram shingles in both documents.
+    - ``containment`` — ``n_shared / |eval shingles|``: the fraction of the
+      eval document's n-gram set leaked into the training document (the
+      decontamination decision metric — 1.0 means the eval doc's content is
+      entirely contained).
+
+    Scale shape: the eval corpus is benchmarks — thousands of docs against
+    a 100 TB train side — so its shingle index is the small join side and
+    AQE broadcasts it (no forced ``F.broadcast``: eval corpora are small by
+    convention, not by contract). The shuffle-explosion risk is a shingle
+    hot on BOTH sides; per-shingle join fan-out is (train df) × (eval df),
+    and ``max_train_freq`` cuts shingles hot on the train side from the
+    index — the same hot-shingle lever as ``ngram_jaccard_pairs``, with the
+    same honesty contract: the cut result is a recall lower bound (misses
+    pairs whose overlap is exclusively hot shingles), default off so the
+    operator stays exact and oracle-checked. Eval-side denominators always
+    use full shingle sets.
+    """
+    tr = doc_shingles(train, n).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    ev = doc_shingles(eval_docs, n)
+    ev_sizes = ev.groupBy("doc_id").agg(F.count("*").alias("n_ev"))
+    if max_train_freq is not None:
+        rare = (
+            tr.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_train_freq)
+            .select("shingle")
+        )
+        tr = tr.join(rare, on="shingle")
+    shared = (
+        tr.join(
+            ev.select(F.col("doc_id").alias("eval_doc_id"), "shingle"),
+            on="shingle",
+        )
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(
+        ev_sizes.select(F.col("doc_id").alias("eval_doc_id"), "n_ev"),
+        on="eval_doc_id",
+    ).select(
+        "train_doc_id",
+        "eval_doc_id",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_ev"), 6).alias("containment"),
+    )
+
+
 def minhash_sig_array(documents: DataFrame) -> DataFrame:
     """Per-doc minhash signature, array form: (doc_id, sig array<int>).
 

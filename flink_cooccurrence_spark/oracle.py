@@ -459,6 +459,26 @@ jac AS (
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.05
 """
 
+    # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
+    # (the registry query's deterministic split); pairs sharing >= 2
+    # distinct shingles, containment relative to the EVAL shingle set
+    o["decontaminate_ngram"] = f"""
+WITH {words_cte}, {shingles_cte},
+tr AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 13 != 0),
+ev AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 13 = 0),
+ev_sizes AS (SELECT doc_id, count(*) AS n_ev FROM ev GROUP BY 1),
+shared AS (
+  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+         count(*) AS n_shared
+  FROM tr t JOIN ev e ON t.shingle = e.shingle
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT train_doc_id, eval_doc_id, n_shared,
+       round(n_shared / s.n_ev, 6) AS containment
+FROM shared JOIN ev_sizes s ON s.doc_id = eval_doc_id
+"""
+
     # hot-shingle cut variant: shingles with df > 5 leave the inverted
     # index; denominators use full shingle sets (operators/dedup.py contract)
     o["ngram_jaccard_cut"] = f"""

@@ -548,6 +548,14 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     ).train_shuffle_order(_documents(s, d)),
     # Gopher-style within-document repetition filters (textstats.py)
     "repetition_stats": lambda s, d: _ts.repetition_stats(_documents(s, d)),
+    # benchmark decontamination (operators/dedup.py): train docs sharing
+    # ≥2 n-gram shingles with a held-out corpus. The eval slice is a
+    # deterministic 1/13th of documents so the split is SQL-expressible
+    # and the parity gate runs the full two-table inverted-index plan.
+    "decontaminate_ngram": lambda s, d: _dedup.decontaminate_ngram(
+        _documents(s, d).filter(F.col("doc_id") % 13 != 0),
+        _documents(s, d).filter(F.col("doc_id") % 13 == 0),
+    ),
 }
 
 

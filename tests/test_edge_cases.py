@@ -72,6 +72,50 @@ def test_ngram_df_cut_is_conservative(spark, sf_dir):
         assert r.jaccard <= exact_map[(r.doc_a, r.doc_b)] + 1e-9
 
 
+def test_decontaminate_ngram_known_corpus(spark):
+    """Hand-built train/eval corpus: exact shared-shingle counts,
+    eval-relative containment, the min_shared floor, and the
+    train-frequency cut's recall-lower-bound contract."""
+    from flink_cooccurrence_spark.operators.dedup import decontaminate_ngram
+
+    # eval doc 100: 6 tokens -> 4 shingles ("a b c", "b c d", "c d e",
+    # "d e f"). train 1 copies it wholesale (containment 1.0); train 2
+    # shares exactly 2 shingles via its "a b c d" prefix; train 3 shares
+    # only 1 ("d e f" suffix) -> below min_shared; train 4 is disjoint.
+    train = spark.createDataFrame(
+        [
+            (1, "x a b c d e f y"),
+            (2, "a b c d q r s"),
+            (3, "q q d e f"),
+            (4, "u v w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "a b c d e f")], "doc_id long, text string")
+
+    got = {
+        (r.train_doc_id, r.eval_doc_id): (r.n_shared, r.containment)
+        for r in decontaminate_ngram(train, ev).collect()
+    }
+    assert got == {(1, 100): (4, 1.0), (2, 100): (2, 0.5)}
+
+    # min_shared=1 admits the single-shingle overlap too
+    low = decontaminate_ngram(train, ev, min_shared=1)
+    assert {r.train_doc_id for r in low.collect()} == {1, 2, 3}
+
+    # of the eval shingles, "a b c"/"b c d" live in train docs {1,2} and
+    # "d e f" in {1,3} — a train-frequency cut at 1 leaves only "c d e"
+    # (doc 1) in the index: the cut result is a strict recall lower bound,
+    # never a new pair or a higher count
+    cut = {
+        r.train_doc_id: r.n_shared
+        for r in decontaminate_ngram(
+            train, ev, min_shared=1, max_train_freq=1
+        ).collect()
+    }
+    assert cut == {1: 1}
+
+
 def test_reservoir_user_cut_one(spark):
     """kMax=1: every admitted interaction after the first replaces-or-rejects
     a single slot; matrix cells stay within ±1 transitions (non-negative)."""
