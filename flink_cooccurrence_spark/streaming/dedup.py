@@ -31,9 +31,11 @@ band keys hash uniformly, so every batch touches every bucket and a
 copy-on-write rewrite copies the whole accumulated index per batch (this
 engine's round-3 design did exactly that). Reads union the live segments
 with the same bucket pruning as before; when the segment count passes
-``compact_threshold`` the batch folds them into one (``compact_append``,
-min-per-hash for ``seen_hashes``) — O(|state|) but amortized, so
-steady-state per-batch cost stays O(batch).
+``compact_threshold`` the segments fold into one (min-per-hash for
+``seen_hashes``) on a BACKGROUND worker overlapped with subsequent batches
+(``_maybe_compact``/``_harvest_compactions`` around the two-phase
+``begin_compact_append``) — O(|state|) but amortized AND off the batch
+latency path: no micro-batch ever stalls behind the index rewrite.
 
 Per micro-batch, in order: one eager checkpoint of the minhash pass (the
 batch's heavy lifting, consumed by four plans), ONE combined stats action
@@ -118,10 +120,11 @@ class DedupStreamEngine:
         self.spark = spark
         self.threshold = threshold
         self.state_buckets = state_buckets
-        #: segment count at which a batch folds the append log into one
-        #: segment (LSM compaction) — the small-files / read-fan-in knob:
-        #: steady-state per-batch write stays O(batch), the O(|state|)
-        #: rewrite happens once per ``compact_threshold`` batches
+        #: segment count at which the append log folds into one segment
+        #: (LSM compaction, run on the background worker) — the
+        #: small-files / read-fan-in knob: steady-state per-batch write
+        #: stays O(batch), the O(|state|) rewrite happens once per
+        #: ~``compact_threshold`` batches and never blocks one
         self.compact_threshold = compact_threshold
         self.workdir = workdir or tempfile.mkdtemp(prefix="dedup_stream_")
         self.state = StateStore(spark, os.path.join(self.workdir, "state"))
@@ -145,6 +148,12 @@ class DedupStreamEngine:
         self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
         self._pending: list = []
         self._cached: list = []
+        # in-flight background compactions: table name -> (future, finish).
+        # One worker — compactions are already amortized; running two
+        # tables' O(|state|) rewrites concurrently would just contend with
+        # the live batch for cluster capacity.
+        self._compact_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._compacting: dict = {}
 
     def _submit_write(self, fn) -> None:
         self._pending.append(self._write_pool.submit(fn))
@@ -178,6 +187,9 @@ class DedupStreamEngine:
         batch = docs.select("doc_id", "text").persist()
         self._cached = [batch]
         try:
+            # fold any compaction that finished while previous batches ran
+            # into the pointer now — the swap rides this batch's commit
+            self._harvest_compactions()
             self._process(batch, batch_id)
             self._drain_writes()
             # commit INSIDE the transaction scope (same contract as the
@@ -185,6 +197,11 @@ class DedupStreamEngine:
             # high-water mark back so the retried batch is not skipped
             self.state.set_scalar("last_batch_id", int(batch_id))
             self.state.commit()
+            # kick off (never wait for) compaction of any table whose
+            # segment count passed the threshold — it overlaps the NEXT
+            # batch; the triggering batch never serializes behind the
+            # O(|state|) rewrite
+            self._maybe_compact()
         except BaseException:
             try:
                 self._drain_writes()
@@ -208,10 +225,74 @@ class DedupStreamEngine:
             self._cached = []
 
     def close(self) -> None:
-        """Release the write pool (idle engines otherwise pin their worker
-        threads for process lifetime). Safe to call once processing is done;
-        the engine must not be reused afterwards."""
-        self._write_pool.shutdown(wait=True)
+        """Drain any in-flight compaction (committing its pointer swap) and
+        release both pools (idle engines otherwise pin their worker threads
+        for process lifetime). Safe to call once processing is done; the
+        engine must not be reused afterwards."""
+        try:
+            if self._compacting:
+                self._harvest_compactions(wait=True)
+                self.state.commit()
+        finally:
+            self._compact_pool.shutdown(wait=True)
+            self._write_pool.shutdown(wait=True)
+
+    # ------------------------------------------------- background compaction
+
+    #: (table, schema, optional segment reducer) for the two append tables;
+    #: seen_hashes postings for one text_hash co-locate in one bucket, so a
+    #: grouped min over (_bucket, text_hash) is the exact canonical-id fold
+    _COMPACT_SPECS = (
+        ("band_index", BAND_INDEX_SCHEMA, None),
+        (
+            "seen_hashes",
+            SEEN_HASHES_SCHEMA,
+            lambda df: df.groupBy("_bucket", "text_hash").agg(
+                F.min("canonical_id").alias("canonical_id")
+            ),
+        ),
+    )
+
+    def _maybe_compact(self) -> None:
+        """Start (not run) LSM compaction for any append table at or past
+        ``compact_threshold``, unless one is already in flight for it.
+
+        Called AFTER the batch's commit, with its appends drained: phase 1
+        (``begin_compact_append``) snapshots the committed segment set and
+        reserves the output id, a second commit makes the reservation
+        durable (a later batch's rollback must not hand the reserved id
+        back to ``append_parts`` while the background write is using it),
+        and the O(|state|) scan+write runs on its own worker overlapped
+        with subsequent batches — readers keep seeing the snapshot
+        segments via the copy-on-write pointer until ``finish`` swaps them
+        out at a later batch's start."""
+        began = False
+        for name, schema, reducer in self._COMPACT_SPECS:
+            if name in self._compacting:
+                continue
+            if self.state.append_segment_count(name) < self.compact_threshold:
+                continue
+            started = self.state.begin_compact_append(name, schema, reducer)
+            if started is None:
+                continue
+            run, finish = started
+            began = True
+            self._compacting[name] = (self._compact_pool.submit(run), finish)
+        if began:
+            self.state.commit()  # durable reservation (tiny manifest write)
+
+    def _harvest_compactions(self, wait: bool = False) -> None:
+        """Fold finished background compactions into the live pointer (the
+        swap becomes durable at the caller's next commit). Never blocks
+        unless ``wait``; a failed run raises here, with the entry dropped
+        so a later ``_maybe_compact`` can retry under a fresh reservation
+        (the burned output dir is unreferenced and GC'd)."""
+        for name in list(self._compacting):
+            fut, finish = self._compacting[name]
+            if not (wait or fut.done()):
+                continue
+            del self._compacting[name]
+            finish(fut.result())
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):
         """Wire into a streaming DataFrame via foreachBatch."""
@@ -452,26 +533,7 @@ class DedupStreamEngine:
                 )
             )
 
-        # amortized LSM compaction: bound the segment fan-in (file count and
-        # read-union width) without paying an O(|state|) rewrite per batch.
-        # Compaction reads the tables' pointers, so the in-flight appends
-        # must settle first.
-        if (
-            self.state.append_segment_count("band_index") + 1 < self.compact_threshold
-            and self.state.append_segment_count("seen_hashes") + 1
-            < self.compact_threshold
-        ):
-            return
-        self._drain_writes()
-        if self.state.append_segment_count("band_index") >= self.compact_threshold:
-            self.state.compact_append("band_index", BAND_INDEX_SCHEMA)
-        if self.state.append_segment_count("seen_hashes") >= self.compact_threshold:
-            # reducer contract: receives and preserves _bucket (a hash's
-            # postings co-locate in one bucket, so grouping by it is exact)
-            self.state.compact_append(
-                "seen_hashes",
-                SEEN_HASHES_SCHEMA,
-                reducer=lambda df: df.groupBy("_bucket", "text_hash").agg(
-                    F.min("canonical_id").alias("canonical_id")
-                ),
-            )
+        # LSM compaction is NOT run here: the threshold check happens after
+        # this batch commits (``_maybe_compact``) and the O(|state|) scan+
+        # rewrite runs on a background worker overlapped with subsequent
+        # batches — the triggering batch's latency stays O(batch).

@@ -55,6 +55,21 @@ def interactions_parquet_stream(
     )
 
 
+def documents_parquet_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Monitor ``path`` for document parquet files — the ingest feed of the
+    streaming dedup engine (``streaming/dedup.py``). Oldest-first,
+    file-at-a-time by default, checkpointed progress; the arrival contract
+    (each doc_id in exactly one file) is the engine's, not the source's."""
+    return (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+
+
 def rate_interactions_stream(
     spark: SparkSession,
     rows_per_second: int = 1000,

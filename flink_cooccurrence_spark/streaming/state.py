@@ -308,42 +308,99 @@ class StateStore:
         return len(ptr["segments"])
 
     def compact_append(self, name: str, schema: str, reducer=None) -> None:
-        """Fold all live segments into one (the LSM compaction): one scan
-        of the segment roots with ``_bucket`` as a partition column,
-        optionally reduced by ``reducer`` (a DataFrame→DataFrame merge
-        that RECEIVES and MUST PRESERVE the ``_bucket`` column — e.g.
-        ``groupBy("_bucket", key).agg(min(...))`` where later postings
-        subsume earlier ones), written back as a single bucket-partitioned
-        segment. O(|state|) in data but constant in plan size — callers
-        amortize by compacting only when the segment count passes a
-        threshold, so steady-state per-batch cost stays O(batch)."""
+        """Fold all live segments into one (the LSM compaction),
+        synchronously: one scan of the segment roots with ``_bucket`` as a
+        partition column, optionally reduced by ``reducer`` (a
+        DataFrame→DataFrame merge that RECEIVES and MUST PRESERVE the
+        ``_bucket`` column — e.g. ``groupBy("_bucket", key).agg(min(...))``
+        where later postings subsume earlier ones), written back as a
+        single bucket-partitioned segment. O(|state|) in data but constant
+        in plan size. The two-phase form below lets callers overlap the
+        heavy middle with other work; this wrapper runs all three phases
+        inline."""
+        started = self.begin_compact_append(name, schema, reducer)
+        if started is None:
+            return
+        run, finish = started
+        finish(run())
+
+    def begin_compact_append(self, name: str, schema: str, reducer=None):
+        """Two-phase (non-blocking) LSM compaction. Returns ``None`` when
+        there is nothing to compact, else ``(run, finish)``:
+
+        - *Phase 1 — here, caller thread*: snapshot the live segment set
+          and RESERVE the output segment id by bumping ``latest``. The
+          reservation makes the in-progress output dir invisible to
+          readers (``_read_segments`` iterates the segments map, which
+          does not gain the new id until ``finish``) yet safe from
+          ``_gc_append`` (``latest`` is always live), and concurrent
+          ``append_parts`` calls pick ids ABOVE it. Snapshot segments stay
+          in the pointer, so reads during the compaction still see every
+          row — the copy-on-write layout is what permits the overlap.
+        - ``run()`` — any thread: the O(|state|) scan+reduce+write of the
+          SNAPSHOT segments into the reserved dir. Touches no shared
+          mutable state (plans are built from the snapshot paths, not the
+          live pointer); returns the written bucket list.
+        - ``finish(run())`` — caller thread, after ``run`` settles: swap
+          the pointer — snapshot segments out, compacted segment in,
+          segments appended since the snapshot retained — and GC. Durable
+          at the caller's next ``commit()``.
+
+        Crash safety: until the post-``finish`` commit, the committed
+        manifest still references the snapshot segments (whose dirs GC
+        retains), so a restart reads the pre-compaction state; the
+        orphaned output dir is removed by a later GC. Callers must commit
+        the reservation (phase 1) before a batch that could roll back runs
+        concurrently — rollback to a pre-reservation manifest would hand
+        the reserved id back to ``append_parts`` while ``run`` writes it."""
         self._expect_layout(name, "append")
         ptr = self._versions.get(name)
         if not isinstance(ptr, dict) or "segments" not in ptr:
-            return
+            return None
+        snap = dict(ptr["segments"])
+        if not snap:
+            return None
         seg = ptr["latest"] + 1
-        df = self._read_segments(name, schema, None)
-        if df is None:
-            # every live segment is empty — collapse the pointer so the
-            # segment count resets without a write job (an all-empty input
-            # previously crashed here and wedged the stream on retry)
-            self._versions[name] = {"latest": seg, "segments": {}}
-            self._gc_append(name)
-            return
-        if reducer is not None:
-            df = reducer(df)
-        all_buckets = sorted({b for bs in ptr["segments"].values() for b in bs})
+        self._versions[name] = {"latest": seg, "segments": snap}
+        roots = [self._path(name, int(s)) for s, bs in snap.items() if bs]
+        all_buckets = sorted({b for bs in snap.values() for b in bs})
         path = self._path(name, seg)
-        df.repartition(max(len(all_buckets), 1), "_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(path)
-        written = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(path)
-            if d.startswith("_bucket=")
-        )
-        self._versions[name] = {"latest": seg, "segments": {str(seg): written}}
-        self._gc_append(name)
+
+        def run() -> list[int]:
+            if not roots:
+                # every snapshot segment is empty — nothing to write; the
+                # pointer still collapses in finish (an all-empty input
+                # previously crashed here and wedged the stream on retry)
+                return []
+            from functools import reduce
+
+            scans = [
+                self.spark.read.schema(schema + ", _bucket int").parquet(r)
+                for r in roots
+            ]
+            df = reduce(lambda a, b: a.unionByName(b), scans)
+            if reducer is not None:
+                df = reducer(df)
+            df.repartition(max(len(all_buckets), 1), "_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(path)
+            return sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("_bucket=")
+            )
+
+        def finish(written: list[int]) -> None:
+            cur = self._versions.get(name)
+            segments = {
+                s: bs for s, bs in cur["segments"].items() if s not in snap
+            }
+            if written:
+                segments[str(seg)] = written
+            self._versions[name] = {"latest": cur["latest"], "segments": segments}
+            self._gc_append(name)
+
+        return run, finish
 
     def _gc_append(self, name: str) -> None:
         """Remove segment dirs referenced by neither the in-memory nor the
