@@ -151,13 +151,19 @@ def windowed_topk_similar_items(
         F.col("item").alias("o"),
         F.col("row_sum").alias("row_sum_other"),
     )
+    # rs_item/rs_other are |items|·|windows| rows — bounded at reference
+    # cardinalities but growing linearly with stream lifetime (window
+    # count), so NO forced broadcast: the joins are co-partitioned equi-
+    # joins on (window_start, item) and AQE still broadcasts them when
+    # they are actually small. total_at stays broadcast — one row per
+    # window (|items|× smaller), the op-12 row-sum-broadcast shape.
     scored = (
         row_at.join(
-            F.broadcast(rs_item),
+            rs_item,
             on=[row_at.window_start == rs_item.ws, row_at.item == rs_item.i],
         )
         .join(
-            F.broadcast(rs_other),
+            rs_other,
             on=[
                 row_at.window_start == rs_other.ws,
                 row_at.other_item == rs_other.o,

@@ -4,9 +4,13 @@ change together with an explicit re-pin.
 Round 3's bench looked regressed purely from machine contention; the plan
 fingerprints in BENCH json (``planfp.py``) make timing noise attributable —
 but only if a fingerprint change is always a *deliberate* event. This test
-pins every headline query's shape in ``plan_fingerprints.json``: a commit
-that moves a plan without regenerating the pin file (the code-owner note)
-fails here.
+pins every headline query's shape in ``plan_fingerprints.json``, at BOTH
+the test scale factor (sf0.001) and the bench scale factor (sf0.1): Spark's
+size-statistics-driven strategy picks (broadcast thresholds) legitimately
+differ across scale, so a BENCH fingerprint is only diffable against a pin
+generated at the same sf — round 4 had 3/15 queries whose sf0.1 shape had
+no committed pin to compare to. A commit that moves a plan at either scale
+without regenerating the pin file (the code-owner note) fails here.
 
 To re-pin after an intentional plan change:
 
@@ -26,31 +30,43 @@ import pytest
 from flink_cooccurrence_spark.planfp import plan_fingerprint
 from flink_cooccurrence_spark.registry import HEADLINE_QUERIES, all_queries
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+BENCH_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PIN_PATH = os.path.join(os.path.dirname(__file__), "plan_fingerprints.json")
+
+
+def _sf_key(path: str) -> str:
+    return os.path.basename(os.path.normpath(path))
 
 
 def test_headline_plan_fingerprints_pinned(spark):
     # cached subplans print their InMemoryRelation child tree inside the
     # plan string, so a query built after another test cached a shared pass
     # would fingerprint differently — compare cache-free, same as bench.py
-    spark.catalog.clearCache()
     qs = all_queries()
-    got = {
-        n: plan_fingerprint(qs[n](spark, SF_DIR))
-        for n in HEADLINE_QUERIES
-        if n in qs
-    }
+    got: dict[str, dict[str, str]] = {}
+    for sf_dir in (TEST_SF_DIR, BENCH_SF_DIR):
+        spark.catalog.clearCache()
+        got[_sf_key(sf_dir)] = {
+            n: plan_fingerprint(qs[n](spark, sf_dir))
+            for n in HEADLINE_QUERIES
+            if n in qs
+        }
     if os.environ.get("REGEN_PLAN_FP"):
         with open(PIN_PATH, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)
         pytest.skip("plan fingerprints regenerated — commit the json")
     with open(PIN_PATH) as f:
         pinned = json.load(f)
-    moved = sorted(
-        set(pinned) ^ set(got) | {n for n in got if n in pinned and pinned[n] != got[n]}
-    )
+    moved = {
+        sf: sorted(
+            set(pinned.get(sf, {})) ^ set(fps)
+            | {n for n, v in fps.items() if pinned.get(sf, {}).get(n, v) != v}
+        )
+        for sf, fps in got.items()
+    }
     assert got == pinned, (
-        f"physical-plan shape moved for {moved} — if intentional, re-pin "
-        "with REGEN_PLAN_FP=1 and explain the plan change in the commit"
+        f"physical-plan shape moved: { {k: v for k, v in moved.items() if v} } "
+        "— if intentional, re-pin with REGEN_PLAN_FP=1 and explain the plan "
+        "change in the commit"
     )
