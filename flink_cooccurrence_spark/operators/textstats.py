@@ -2,7 +2,9 @@
 fingerprinting) — pure column expressions, no Python in the data path.
 
 Every formula is rational arithmetic over exact integers (token counts,
-lengths) so results are bit-identical across engines; no libm calls.
+lengths) so results are bit-identical across engines; no libm calls —
+one documented exception: ``tfidf_topk_terms`` uses ``ln`` with the same
+round-before-compare remedy as ``functions/llr.py``.
 """
 
 from __future__ import annotations
@@ -191,3 +193,81 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         .agg(F.min("h").alias("min_shingle_hash"))
     )
     return base.join(min_sh, on="doc_id", how="left")
+
+
+def token_frequency(documents: DataFrame) -> DataFrame:
+    """Corpus vocabulary statistics: (token, tf, df, rank) — total term
+    frequency, document frequency, and the global frequency rank
+    (1 = most common; ties broken by token ascending).
+
+    The input to BPE/vocab training prep, stopword derivation, and Zipf
+    sanity plots. Scale shape: one explode (map-side) feeding a two-level
+    aggregation (partial per-task combine, one shuffle on the token) —
+    output is O(|vocab|), not O(corpus) — and the global rank is the
+    bucketed two-pass decomposition (``operators/ordering.py:global_seq``),
+    never a single-task sort.
+    """
+    from flink_cooccurrence_spark.operators.ordering import global_seq
+
+    vocab = (
+        documents.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )
+    ranked = global_seq(
+        vocab.withColumn("_neg_tf", -F.col("tf")),
+        ["_neg_tf", "token"],
+        out="rank",
+    )
+    return ranked.select("token", "tf", "df", "rank")
+
+
+def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: the top ``k`` terms by tf-idf —
+    (doc_id, rank, token, tf_doc, df, tfidf).
+
+    tfidf = tf_doc · ln(N / df), rounded to 6 decimals BEFORE ranking so
+    the sort key is identical across engines (the module's no-libm rule
+    has this one documented exception; the ``ln`` ulp story and rounding
+    remedy are the same as ``functions/llr.py``). Ties break by token
+    ascending (deterministic, FIXTURES.md F3 style).
+
+    Scale shape: per-doc term counts shuffle once on (doc_id, token); the
+    document-frequency side is O(|vocab|) and joins on the token; the
+    corpus size N folds in as a broadcast 1-row aggregate (no driver
+    action); ranking is ``top_k_per_group`` (WindowGroupLimit pushdown).
+    """
+    from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+    tf = (
+        documents.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf_doc",
+            "df",
+            F.round(
+                F.col("tf_doc")
+                * F.log(F.col("_n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["doc_id"], "tfidf", k, tie_breakers=["token"]
+    ).select("doc_id", "rank", "token", "tf_doc", "df", "tfidf")

@@ -459,6 +459,44 @@ jac AS (
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.05
 """
 
+    # corpus vocabulary stats: tf/df + global frequency rank (Zipf order)
+    o["token_frequency"] = f"""
+WITH {words_cte},
+vocab AS (
+  SELECT w AS token, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words GROUP BY 1
+)
+SELECT token, tf, df,
+       CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank
+FROM vocab
+"""
+
+    # per-doc tf-idf keyword extraction; tfidf rounded to 6 BEFORE ranking
+    # so the sort key is engine-identical (ln ulp remedy, functions/llr.py)
+    o["tfidf_topk_terms"] = f"""
+WITH {words_cte},
+tf AS (
+  SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS tf_doc
+  FROM words GROUP BY 1, 2
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf_doc, df,
+         round(tf_doc * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, token
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
+"""
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

@@ -556,6 +556,10 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         _documents(s, d).filter(F.col("doc_id") % 13 != 0),
         _documents(s, d).filter(F.col("doc_id") % 13 == 0),
     ),
+    # corpus vocabulary stats (Zipf rank via the bucketed two-pass rank)
+    # and per-doc tf-idf keyword extraction (textstats.py)
+    "token_frequency": lambda s, d: _ts.token_frequency(_documents(s, d)),
+    "tfidf_topk_terms": lambda s, d: _ts.tfidf_topk_terms(_documents(s, d)),
 }
 
 

@@ -74,6 +74,9 @@ ALLOWED_BNLJ = {
     # min/max bounds ride as a broadcast 1-row aggregate crossJoin
     "pack_chunks": "1-row min/max range-bucket bounds aggregate",
     "train_shuffle_order": "1-row min/max range-bucket bounds aggregate",
+    "token_frequency": "1-row min/max range-bucket bounds aggregate (vocab rank)",
+    # corpus size N folds in as a broadcast 1-row count (the idf numerator)
+    "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may
@@ -89,6 +92,8 @@ ALLOWED_SINGLE_PARTITION = {
     "ann_recall": "4-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "token_frequency": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
 }
 
 
