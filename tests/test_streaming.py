@@ -363,20 +363,24 @@ def test_fast_path_bit_identical_to_forced_slow_path(spark, inter, tmp_path):
     the identical replay with the fast path disabled — matrix, row sums,
     total, final top-K, AND the persisted user histories — bit for bit.
 
-    The config is chosen for a MIXED regime: early batches are below
-    capacity (fast path fires), later ones cross kMax (Arrow processor),
-    so the handoff boundary itself is under test."""
+    The config is chosen for a MIXED regime: the opening batch(es) are
+    below capacity (fast path fires), later ones cross kMax (Arrow
+    processor), so the handoff boundary itself is under test. (The
+    corpus's heavy users cross early whatever the cut, so raising
+    user_cut past ~10 buys no extra fast batches — probed; wpb=4/uc=10
+    keeps the same 1-fast/7-slow handoff as the original wpb=2/uc=6 at a
+    third of the wall-clock.)"""
     sample = inter.filter(F.col("user") % 11 == 0)
-    kw = dict(item_cut=40, user_cut=6, seed=42)
+    kw = dict(item_cut=40, user_cut=10, seed=42)
 
     fast = CooccurrenceStreamEngine(spark, _cfg(**kw), workdir=str(tmp_path / "f"))
-    fast.replay(sample, windows_per_batch=2)
+    fast.replay(sample, windows_per_batch=4)
 
     slow = CooccurrenceStreamEngine(spark, _cfg(**kw), workdir=str(tmp_path / "s"))
     # an absurd prior max-history defeats eligibility on every batch;
     # instance attribute shadows the method for THIS engine only
     slow._max_hist_len = lambda: 1 << 60
-    slow.replay(sample, windows_per_batch=2)
+    slow.replay(sample, windows_per_batch=4)
 
     mf, ms = fast.metrics(), slow.metrics()
     assert ms["fast_path_batches"] == 0
