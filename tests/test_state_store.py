@@ -246,3 +246,87 @@ def test_double_put_in_one_batch_keeps_rollback_target(spark, tmp_path):
     st.put("t", _df(spark, [(0, 3)]))  # second put, same uncommitted batch
     st.rollback()
     assert _rows(st.get("t", SCHEMA)) == [(0, 1)]  # dir must still exist
+
+
+def test_two_phase_compaction_pointer_algebra_model(spark, tmp_path):
+    """Model-based randomized check of the append-log pointer algebra under
+    interleaved append / begin-compact / finish / commit / rollback — the
+    exact sequences the background-compaction engine generates. The model
+    is two multisets (live, committed); after EVERY op the store's full
+    read must equal the live model, and a cold restart must equal the
+    committed model. Per the ``begin_compact_append`` contract, a begin is
+    immediately committed (the reservation), mirroring the engine; the
+    heavy ``run`` executes at finish time, which is equivalent to running
+    overlapped (segment dirs are immutable once written) and lets the
+    schedule interleave appends between snapshot and swap."""
+    import random
+
+    rng = random.Random(20260814)
+    root = str(tmp_path / "st")
+    st = StateStore(spark, root)
+    A_SCHEMA = "k long, v long"
+
+    def bucketed(rows):
+        df = spark.createDataFrame(rows, A_SCHEMA)
+        return df.withColumn("_bucket", F.pmod(F.col("k"), F.lit(4)).cast("int"))
+
+    def read_all(store):
+        return sorted((r["k"], r["v"]) for r in store.get_append("t", A_SCHEMA).collect())
+
+    live: list = []
+    committed: list = []
+    in_flight = None  # (run, finish)
+    next_v = 0
+
+    for step in range(16):
+        op = rng.choice(["append", "append", "begin", "finish", "commit", "rollback"])
+        if op == "append":
+            rows = [(rng.randrange(8), next_v + i) for i in range(rng.randrange(1, 4))]
+            next_v += len(rows)
+            st.append_parts("t", bucketed(rows), sorted({k % 4 for k, _ in rows}))
+            live.extend(rows)
+        elif op == "begin" and in_flight is None:
+            started = st.begin_compact_append("t", A_SCHEMA)
+            if started is not None:
+                in_flight = started
+                st.commit()  # the engine's durable reservation
+                committed = list(live)
+        elif op == "finish" and in_flight is not None:
+            run, finish = in_flight
+            finish(run())
+            in_flight = None
+        elif op == "commit":
+            st.commit()
+            committed = list(live)
+        elif op == "rollback":
+            st.rollback()
+            live = list(committed)
+            # a rolled-back swap leaves the snapshot segments live; the
+            # in-flight pair stays valid (engine: entry removed only on
+            # harvest) — drop it here to keep the schedule simple, since
+            # finishing against rolled-back pointers is exercised by the
+            # separate ordered case below
+            in_flight = None
+        assert sorted(live) == read_all(st), f"step {step} ({op}) diverged"
+
+    if in_flight is not None:
+        run, finish = in_flight
+        finish(run())
+    assert sorted(live) == read_all(st)
+    st.commit()
+    assert sorted(live) == read_all(StateStore(spark, root))
+
+    # ordered case: begin -> append -> ROLLBACK (to the reservation) ->
+    # finish. The swap must keep the post-rollback content: snapshot
+    # segments out, compacted segment in, no resurrected appends.
+    st2 = StateStore(spark, str(tmp_path / "st2"))
+    st2.append_parts("t", bucketed([(0, 100), (1, 101)]), [0, 1])
+    st2.commit()
+    started = st2.begin_compact_append("t", A_SCHEMA)
+    st2.commit()
+    st2.append_parts("t", bucketed([(2, 102)]), [2])  # uncommitted
+    st2.rollback()
+    run, finish = started
+    finish(run())
+    got = sorted((r["k"], r["v"]) for r in st2.get_append("t", A_SCHEMA).collect())
+    assert got == [(0, 100), (1, 101)]
