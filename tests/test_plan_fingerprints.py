@@ -41,17 +41,20 @@ def _sf_key(path: str) -> str:
 
 def test_headline_plan_fingerprints_pinned(spark):
     # cached subplans print their InMemoryRelation child tree inside the
-    # plan string, so a query built after another test cached a shared pass
-    # would fingerprint differently — compare cache-free, same as bench.py
+    # plan string, so a query built after another query cache()-marked a
+    # shared pass would fingerprint differently — clear before EVERY
+    # construction, exactly as bench.py does between its measured runs
+    # (one clear per sf pass left earlier queries' marks inside later
+    # plans and pinned shapes bench can never reproduce)
     qs = all_queries()
     got: dict[str, dict[str, str]] = {}
     for sf_dir in (TEST_SF_DIR, BENCH_SF_DIR):
-        spark.catalog.clearCache()
-        got[_sf_key(sf_dir)] = {
-            n: plan_fingerprint(qs[n](spark, sf_dir))
-            for n in HEADLINE_QUERIES
-            if n in qs
-        }
+        fps = {}
+        for n in HEADLINE_QUERIES:
+            if n in qs:
+                spark.catalog.clearCache()
+                fps[n] = plan_fingerprint(qs[n](spark, sf_dir))
+        got[_sf_key(sf_dir)] = fps
     if os.environ.get("REGEN_PLAN_FP"):
         with open(PIN_PATH, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)
