@@ -76,7 +76,9 @@ def main() -> None:
     from flink_cooccurrence_spark.streaming.dedup import DedupStreamEngine
     from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
 
-    def _bench_cooc_replay(source_df, **cfg_kw) -> float:
+    replay_meta: dict[str, dict[str, int]] = {}
+
+    def _bench_cooc_replay(source_df, meta_key=None, **cfg_kw) -> float:
         eng = CooccurrenceStreamEngine(
             spark,
             CooccurrenceConfig(window_size=1, window_unit="DAYS", top_k=10, **cfg_kw),
@@ -85,6 +87,15 @@ def main() -> None:
         t0 = time.perf_counter()
         eng.replay(source_df, windows_per_batch=8)
         dt = time.perf_counter() - t0
+        if meta_key:
+            m = eng.metrics()
+            # which physical path the sampled batches took — a silent
+            # fall-back to the Arrow slow path would read as a pure
+            # timing regression without this
+            replay_meta[meta_key] = {
+                "batches": m["batches"],
+                "fast_path_batches": m["fast_path_batches"],
+            }
         eng.close()
         return dt
 
@@ -107,7 +118,8 @@ def main() -> None:
         # slice keeps the row within bench budget while still exercising
         # cut/reservoir/feedback state per batch
         "sampled_replay": lambda: _bench_cooc_replay(
-            _interactions(spark, sf_dir).filter(F.col("user") % 5 == 0)
+            _interactions(spark, sf_dir).filter(F.col("user") % 5 == 0),
+            meta_key="sampled_replay",
         ),
         # the streaming dedup engine: online exact + LSH near-dup state
         # machinery over the documents corpus (~9 batches at sf0.1)
@@ -156,6 +168,9 @@ def main() -> None:
                 # fingerprints across rounds ⇒ timing deltas are noise
                 "plan_fingerprints": fingerprints,
                 "counters": counters,
+                # replay-row path metadata (e.g. how many sampled batches
+                # took the below-capacity fast path vs the Arrow processor)
+                "replay_meta": replay_meta,
                 "sf": sf,
             }
         )
