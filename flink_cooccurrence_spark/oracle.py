@@ -1194,3 +1194,7 @@ ORACLES.update(_ext_oracles())
 # pytest-only twins run the identical DuckDB parity gate against the same SQL
 ORACLES["streaming_dedup_exact"] = ORACLES["dedup_exact"]
 ORACLES["streaming_dedup_pairs"] = ORACLES["minhash_lsh_dup_pairs"]
+
+# the large-star/small-star variant is a physical rewrite of dup_clusters —
+# identical (doc_id, cluster_id) contract, same recursive-CTE oracle
+ORACLES["dup_clusters_star"] = ORACLES["dup_clusters"]

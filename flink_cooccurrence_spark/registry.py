@@ -556,6 +556,9 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         _documents(s, d).filter(F.col("doc_id") % 13 != 0),
         _documents(s, d).filter(F.col("doc_id") % 13 == 0),
     ),
+    # large-star/small-star components — physical variant of dup_clusters
+    # whose round count is O(log² n), not O(component diameter)
+    "dup_clusters_star": lambda s, d: _dedup.dup_clusters_star(_documents(s, d)),
     # corpus vocabulary stats (Zipf rank via the bucketed two-pass rank)
     # and per-doc tf-idf keyword extraction (textstats.py)
     "token_frequency": lambda s, d: _ts.token_frequency(_documents(s, d)),

@@ -128,3 +128,69 @@ def test_reservoir_user_cut_one(spark):
         .agg(F.sum("increment").alias("cnt"))
     )
     assert matrix.filter(F.col("cnt") < 0).count() == 0
+
+
+def test_star_components_deep_chain_and_random_graph(spark):
+    """The large-star/small-star components converge on a long PATH graph
+    — the exact shape where min-label propagation needs O(diameter)
+    rounds — and agree with a pure-Python union-find on a random graph."""
+    from flink_cooccurrence_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # 80-node path: diameter 79 >> the 25-round default budget; the star
+    # algorithm's O(log² n) bound must land it comfortably
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(79)], "a long, b long"
+    )
+    got = {
+        (r["node"], r["root"])
+        for r in connected_components_star(path_edges).collect()
+    }
+    assert got == {(i, 0) for i in range(1, 80)}
+
+    # random graph vs union-find ground truth (seeded, multi-component)
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # ground truth: node -> component min, for nodes touched by any edge
+    touched = {x for e in edges for x in e if e[0] != e[1]}
+    exp = {
+        (x, find(x)) for x in touched if find(x) != x
+    }
+    e_df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r["node"], r["root"])
+        for r in connected_components_star(e_df).collect()
+    }
+    assert got == exp
+
+
+def test_dup_clusters_star_equals_propagation(spark, sf_dir):
+    """The star variant is a pure physical rewrite: identical
+    (doc_id, cluster_id) output to the min-label propagation operator on
+    the corpus."""
+    from flink_cooccurrence_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_star,
+    )
+    from flink_cooccurrence_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(tuple(r) for r in dup_clusters(docs).collect())
+    b = sorted(tuple(r) for r in dup_clusters_star(docs).collect())
+    assert a == b
