@@ -85,3 +85,45 @@ def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> Da
         (lo - F.col("pack_id") * c).cast("int").alias("pack_off"),
         (hi - lo).cast("int").alias("n_chunk_tokens"),
     )
+
+
+def pack_token_stream(
+    documents: DataFrame, context_len: int = PACK_CONTEXT_LEN
+) -> DataFrame:
+    """The materialized form of the pack plan: (pack_id, pack_off, token) —
+    every token of the concatenated corpus placed at its position inside
+    its fixed-length training context.
+
+    The gather is join-free: a token's global position is its document's
+    exclusive token prefix sum (the same bucketed two-pass
+    ``running_sum_exclusive`` as :func:`pack_chunks`) plus its position
+    within the document (``posexplode``), and the pack assignment is pure
+    integer arithmetic on that position — one explode, one broadcast-bounds
+    pass, no shuffle beyond the prefix-sum decomposition. At 100 TB this
+    is the embarrassingly-parallel copy step the pack *plan* exists to
+    license; emitting it as an operator makes the whole packing family
+    runnable end-to-end (plan → bytes) instead of plan-only.
+    """
+    ci = int(context_len)
+    if ci <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    toks = documents.select(
+        "doc_id",
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    spans = running_sum_exclusive(toks, ["doc_id"], "n_tokens", out="start")
+    exploded = documents.select(
+        "doc_id",
+        F.posexplode(_tokens(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "pos", "token"
+        ),
+    )
+    g = exploded.join(spans.select("doc_id", "start"), on="doc_id")
+    gpos = F.col("start") + F.col("pos")
+    return g.select(
+        F.expr(f"(start + pos) div {ci}").alias("pack_id"),
+        F.pmod(gpos, F.lit(ci)).cast("int").alias("pack_off"),
+        "token",
+    )

@@ -1115,6 +1115,35 @@ SELECT doc_id,
 FROM chunks
 """
 
+    # the materialized token stream: token global position = the document's
+    # exclusive prefix sum + its in-document position (1-based subscripts
+    # in DuckDB → -1); pack assignment is integer arithmetic on it
+    o["pack_token_stream"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM toks
+),
+tok_rows AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS token,
+         generate_subscripts(string_split_regex(trim(COALESCE(text, '')), '\s+'), 1) - 1
+           AS pos
+  FROM documents
+)
+SELECT CAST((st + pos) // {pk.PACK_CONTEXT_LEN} AS BIGINT) AS pack_id,
+       CAST((st + pos) % {pk.PACK_CONTEXT_LEN} AS INT) AS pack_off,
+       token
+FROM tok_rows JOIN spans USING (doc_id)
+"""
+
     mix_cases = " ".join(
         f"WHEN '{lang}' THEN {int(round(rate * mx.RATE_DENOM))}"
         for lang, rate in sorted(mx.MIXTURE_RATES.items())

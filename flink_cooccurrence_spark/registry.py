@@ -537,6 +537,10 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "pack_chunks": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.packing", fromlist=["pack_chunks"]
     ).pack_chunks(_documents(s, d)),
+    # the plan's materialized twin: every token placed in its context
+    "pack_token_stream": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.packing", fromlist=["pack_token_stream"]
+    ).pack_token_stream(_documents(s, d)),
     "mixture_sample": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.mixing", fromlist=["mixture_sample"]
     ).mixture_sample(_documents(s, d)),

@@ -301,3 +301,35 @@ def test_pack_chunks_rejects_nonpositive_context_len(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="context_len"):
         pack_chunks(df, context_len=0)
+
+
+def test_pack_token_stream_consistent_with_plan(docs, packed):
+    """The materialized token stream is the pack plan executed: per pack it
+    has exactly the tokens the plan's chunks promise (count AND offsets —
+    each pack's pack_off values tile the union of its chunks' ranges), and
+    the tokens at each document's chunk positions are that document's own
+    tokens in order."""
+    from flink_cooccurrence_spark.operators.packing import pack_token_stream
+
+    stream = pack_token_stream(docs).toPandas()
+    # per-pack token counts match the plan's chunk sums
+    got_counts = stream.groupby("pack_id").size().to_dict()
+    exp_counts = packed.groupby("pack_id")["n_chunk_tokens"].sum().to_dict()
+    assert got_counts == exp_counts
+    # offsets within each pack are exactly 0..n-1 of the occupied prefix
+    for pack_id, grp in stream.groupby("pack_id"):
+        offs = sorted(grp["pack_off"].tolist())
+        assert offs == list(range(len(offs))), f"pack {pack_id} offsets not dense"
+    # spot-check content: reconstruct one multi-chunk document from the
+    # stream via its plan rows and compare to its actual tokens
+    multi = packed.groupby("doc_id").size()
+    doc_id = int(multi[multi > 1].index[0])
+    doc_text = docs.filter(F.col("doc_id") == doc_id).first()["text"]
+    exp_tokens = doc_text.strip().split()
+    plan_rows = packed[packed.doc_id == doc_id].sort_values("doc_off")
+    rebuilt = []
+    by_pack = {p: g.set_index("pack_off")["token"] for p, g in stream.groupby("pack_id")}
+    for r in plan_rows.itertuples():
+        seq = by_pack[r.pack_id]
+        rebuilt.extend(seq[r.pack_off + i] for i in range(r.n_chunk_tokens))
+    assert rebuilt == exp_tokens

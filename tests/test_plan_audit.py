@@ -75,6 +75,7 @@ ALLOWED_BNLJ = {
     "pack_chunks": "1-row min/max range-bucket bounds aggregate",
     "train_shuffle_order": "1-row min/max range-bucket bounds aggregate",
     "token_frequency": "1-row min/max range-bucket bounds aggregate (vocab rank)",
+    "pack_token_stream": "1-row min/max range-bucket bounds aggregate",
     # corpus size N folds in as a broadcast 1-row count (the idf numerator)
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
 }
@@ -93,6 +94,7 @@ ALLOWED_SINGLE_PARTITION = {
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "token_frequency": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "pack_token_stream": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
 }
 
