@@ -507,6 +507,23 @@ def embedding_near_dup_pairs(
     )
 
 
+def dedup_keep_canonical(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """The near-dedup pipeline's OUTPUT: the corpus with every near-dup
+    cluster collapsed to its canonical representative (the cluster-min
+    doc_id — reference-style first-wins). All input columns pass through;
+    the only addition to ``dup_clusters`` is one semi-join, so the plan is
+    cluster labels + a corpus-partitioned filter — this is the table a
+    training pipeline actually writes after dedup."""
+    keep = (
+        dup_clusters(documents, threshold)
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    return documents.join(keep, on="doc_id", how="leftsemi")
+
+
 def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """(node, root) for every non-root node reachable through ``edges``
     (two columns, any orientation), root = component minimum — the

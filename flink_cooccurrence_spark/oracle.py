@@ -1227,3 +1227,11 @@ ORACLES["streaming_dedup_pairs"] = ORACLES["minhash_lsh_dup_pairs"]
 # the large-star/small-star variant is a physical rewrite of dup_clusters —
 # identical (doc_id, cluster_id) contract, same recursive-CTE oracle
 ORACLES["dup_clusters_star"] = ORACLES["dup_clusters"]
+
+# the dedup output table: cluster canonicals (cluster_id == doc_id) joined
+# back to the full document rows — composes the dup_clusters oracle
+ORACLES["dedup_corpus_near"] = f"""
+SELECT d.* FROM documents d
+JOIN ({ORACLES["dup_clusters"]}) c
+  ON d.doc_id = c.doc_id AND c.cluster_id = c.doc_id
+"""

@@ -563,6 +563,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # large-star/small-star components — physical variant of dup_clusters
     # whose round count is O(log² n), not O(component diameter)
     "dup_clusters_star": lambda s, d: _dedup.dup_clusters_star(_documents(s, d)),
+    # the dedup pipeline's output table: near-dup clusters collapsed to
+    # their canonical representative, all columns passed through
+    "dedup_corpus_near": lambda s, d: _dedup.dedup_keep_canonical(
+        _documents(s, d)
+    ),
     # corpus vocabulary stats (Zipf rank via the bucketed two-pass rank)
     # and per-doc tf-idf keyword extraction (textstats.py)
     "token_frequency": lambda s, d: _ts.token_frequency(_documents(s, d)),
