@@ -1,7 +1,11 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, all shuffle-partitioned and oracle-checkable (the hashing
-primitives are portable to DuckDB — ``functions/hashing.py``):
+Four sketch families, all shuffle-partitioned and oracle-checkable (the
+hashing primitives are portable to DuckDB — ``functions/hashing.py``),
+plus the downstream consumers: benchmark decontamination
+(``decontaminate_ngram``), cluster labeling (``dup_clusters`` /
+``dup_clusters_star``), and the deduplicated-corpus output
+(``dedup_keep_canonical``):
 
 - **exact**: content-hash groupBy (md5 of raw text).
 - **n-gram Jaccard**: word 3-shingles → inverted-index self-join → exact
