@@ -1213,6 +1213,30 @@ SELECT doc_id,
 FROM h
 """
 
+    # the end-to-end corpus-prep manifest (plans/corpus.py:training_manifest):
+    # quality/dedup gate ∘ decontamination ∘ mixture admission ∘ shuffle
+    # rank — composed from the component oracles above, so a divergence
+    # localizes to the composition, not the parts
+    o["training_manifest"] = f"""
+WITH cf AS ({o["corpus_filter"]}),
+contaminated AS (
+  SELECT DISTINCT train_doc_id AS doc_id FROM ({o["decontaminate_ngram"]})
+),
+mixed AS (SELECT * FROM ({o["mixture_sample"]})),
+surv AS (
+  SELECT cf.doc_id, cf.lang_pred, cf.n_tokens, cf.quality_score,
+         m.lang, m.weight
+  FROM cf JOIN mixed m ON cf.doc_id = m.doc_id
+  WHERE cf.doc_id % 13 != 0
+    AND cf.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY {mx._coin_sql(mx.SHUFFLE_SALT)}, doc_id
+       ) AS BIGINT) AS train_seq,
+       doc_id, lang, lang_pred, n_tokens, quality_score, weight
+FROM surv
+"""
+
     return o
 
 

@@ -53,3 +53,60 @@ def corpus_filter(
         )
         .select("doc_id", "lang_pred", "n_tokens", "quality_score")
     )
+
+
+def training_manifest(
+    documents: DataFrame, eval_mod: int = 13, min_shared: int = 2
+) -> DataFrame:
+    """The END-TO-END corpus-prep pipeline as ONE declarative plan — the
+    composition every operator family in this package exists for:
+
+    1. **dedup + quality gate** — :func:`corpus_filter` survivors (exact-
+       canonical copy, ≥ MIN_TOKENS, quality ≥ MIN_QUALITY);
+    2. **decontamination** — drop survivors sharing ≥ ``min_shared``
+       n-gram shingles with the held-out slice (``doc_id % eval_mod == 0``,
+       which is itself excluded from the training side);
+    3. **mixture admission** — per-language hash-coin draw with the
+       Horvitz-Thompson ``weight`` (map-only);
+    4. **training order** — the reproducible global shuffle rank over the
+       final survivors (bucketed two-pass rank, dense 1..N).
+
+    Output: (train_seq, doc_id, lang, lang_pred, n_tokens, quality_score,
+    weight) — the manifest a training job consumes. Everything is a pure
+    function of document content and id: bit-identical across re-runs,
+    partitionings, and engines (the DuckDB oracle runs the same pipeline).
+
+    Scale shape: one corpus scan feeds the row-local features; the only
+    corpus-sized shuffles are the exact-dedup canonical set, the shingle
+    inverted-index join against the (benchmarks-sized, AQE-broadcast) eval
+    side, and the final rank's bucket decomposition — no step materializes
+    more than O(corpus) rows and nothing collects to the driver.
+    """
+    from flink_cooccurrence_spark.operators.dedup import decontaminate_ngram
+    from flink_cooccurrence_spark.operators.mixing import (
+        mixture_sample,
+        train_shuffle_order,
+    )
+
+    kept = corpus_filter(documents).filter(F.col("doc_id") % eval_mod != 0)
+    contaminated = (
+        decontaminate_ngram(
+            documents.filter(F.col("doc_id") % eval_mod != 0),
+            documents.filter(F.col("doc_id") % eval_mod == 0),
+            min_shared=min_shared,
+        )
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = kept.join(contaminated, on="doc_id", how="left_anti")
+    survivors = clean.join(mixture_sample(documents), on="doc_id")
+    order = train_shuffle_order(survivors)
+    return survivors.join(order, on="doc_id").select(
+        "train_seq",
+        "doc_id",
+        "lang",
+        "lang_pred",
+        "n_tokens",
+        "quality_score",
+        "weight",
+    )

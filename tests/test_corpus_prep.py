@@ -333,3 +333,34 @@ def test_pack_token_stream_consistent_with_plan(docs, packed):
         seq = by_pack[r.pack_id]
         rebuilt.extend(seq[r.pack_off + i] for i in range(r.n_chunk_tokens))
     assert rebuilt == exp_tokens
+
+
+def test_training_manifest_invariants(docs):
+    """The capstone pipeline's semantic contract (beyond value parity):
+    dense 1..N training order, the held-out slice excluded, no document
+    sharing ≥2 shingles with it, and Horvitz-Thompson weights equal to
+    the language's inverse admission rate."""
+    from flink_cooccurrence_spark.operators.dedup import decontaminate_ngram
+    from flink_cooccurrence_spark.operators.mixing import (
+        DEFAULT_MIXTURE_RATE,
+        MIXTURE_RATES,
+        RATE_DENOM,
+    )
+    from flink_cooccurrence_spark.plans.corpus import training_manifest
+
+    pdf = training_manifest(docs).toPandas()
+    assert len(pdf) > 0
+    assert sorted(pdf["train_seq"]) == list(range(1, len(pdf) + 1))
+    assert (pdf["doc_id"] % 13 != 0).all()
+    contaminated = {
+        r["train_doc_id"]
+        for r in decontaminate_ngram(
+            docs.filter(F.col("doc_id") % 13 != 0),
+            docs.filter(F.col("doc_id") % 13 == 0),
+        ).collect()
+    }
+    assert not (set(pdf["doc_id"]) & contaminated)
+    for lang, grp in pdf.groupby("lang"):
+        rate = MIXTURE_RATES.get(lang, DEFAULT_MIXTURE_RATE)
+        exp_w = round(RATE_DENOM / round(rate * RATE_DENOM), 6)
+        assert (grp["weight"] == exp_w).all(), lang

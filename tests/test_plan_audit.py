@@ -76,6 +76,7 @@ ALLOWED_BNLJ = {
     "train_shuffle_order": "1-row min/max range-bucket bounds aggregate",
     "token_frequency": "1-row min/max range-bucket bounds aggregate (vocab rank)",
     "pack_token_stream": "1-row min/max range-bucket bounds aggregate",
+    "training_manifest": "1-row min/max range-bucket bounds aggregate (shuffle rank)",
     # corpus size N folds in as a broadcast 1-row count (the idf numerator)
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
 }
@@ -95,6 +96,7 @@ ALLOWED_SINGLE_PARTITION = {
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "token_frequency": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_token_stream": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "training_manifest": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
 }
 
