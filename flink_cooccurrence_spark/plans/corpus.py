@@ -89,9 +89,14 @@ def training_manifest(
     )
 
     kept = corpus_filter(documents).filter(F.col("doc_id") % eval_mod != 0)
+    # decontaminate only the quality SURVIVORS: contamination is consumed
+    # as an anti-join against `kept`, so restricting the train-side shingle
+    # index to survivors gives the identical result (contaminated ∩ kept is
+    # unchanged) while shrinking the inverted index to the kept fraction —
+    # the oracle runs the unrestricted form, pinning the equivalence
     contaminated = (
         decontaminate_ngram(
-            documents.filter(F.col("doc_id") % eval_mod != 0),
+            documents.join(kept.select("doc_id"), on="doc_id", how="leftsemi"),
             documents.filter(F.col("doc_id") % eval_mod == 0),
             min_shared=min_shared,
         )

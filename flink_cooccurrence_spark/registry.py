@@ -609,4 +609,7 @@ HEADLINE_QUERIES = [
     # corpus-prep flagship: the distributed-prefix-sum pack plan — the
     # bucketed two-pass rank shape under bench + fingerprint watch
     "pack_chunks",
+    # the capstone end-to-end corpus-prep manifest (quality gate ∘
+    # decontamination ∘ mixture ∘ shuffle rank in one plan)
+    "training_manifest",
 ]
