@@ -197,11 +197,6 @@ class DedupStreamEngine:
             # high-water mark back so the retried batch is not skipped
             self.state.set_scalar("last_batch_id", int(batch_id))
             self.state.commit()
-            # kick off (never wait for) compaction of any table whose
-            # segment count passed the threshold — it overlaps the NEXT
-            # batch; the triggering batch never serializes behind the
-            # O(|state|) rewrite
-            self._maybe_compact()
         except BaseException:
             try:
                 self._drain_writes()
@@ -223,6 +218,19 @@ class DedupStreamEngine:
             for df in self._cached:
                 df.unpersist(blocking=False)
             self._cached = []
+        # kick off (never wait for) compaction of any table whose segment
+        # count passed the threshold — it overlaps the NEXT batch; the
+        # triggering batch never serializes behind the O(|state|) rewrite.
+        # OUTSIDE the transaction scope: the batch is durably committed by
+        # now, so a reservation-commit failure here must NOT run the
+        # rollback path above (it deletes output dirs of a batch the
+        # high-water mark says is done — permanently losing emissions);
+        # discard only the in-memory reservation and re-raise.
+        try:
+            self._maybe_compact()
+        except BaseException:
+            self.state.rollback()
+            raise
 
     def close(self) -> None:
         """Drain any in-flight compaction (committing its pointer swap) and
@@ -266,20 +274,26 @@ class DedupStreamEngine:
         with subsequent batches — readers keep seeing the snapshot
         segments via the copy-on-write pointer until ``finish`` swaps them
         out at a later batch's start."""
-        began = False
+        began = []
         for name, schema, reducer in self._COMPACT_SPECS:
             if name in self._compacting:
                 continue
             if self.state.append_segment_count(name) < self.compact_threshold:
                 continue
             started = self.state.begin_compact_append(name, schema, reducer)
-            if started is None:
-                continue
-            run, finish = started
-            began = True
+            if started is not None:
+                began.append((name, started))
+        if not began:
+            return
+        # COMMIT the reservation BEFORE submitting any run: if this commit
+        # fails, the exception propagates with nothing in flight and the
+        # caller's rollback discards the in-memory reservation — whereas a
+        # run submitted first would keep writing the reserved dir while a
+        # rollback handed its id back to append_parts (clobber + a stale
+        # finish() could drop an appended batch from the pointer)
+        self.state.commit()  # durable reservation (tiny manifest write)
+        for name, (run, finish) in began:
             self._compacting[name] = (self._compact_pool.submit(run), finish)
-        if began:
-            self.state.commit()  # durable reservation (tiny manifest write)
 
     def _harvest_compactions(self, wait: bool = False) -> None:
         """Fold finished background compactions into the live pointer (the

@@ -410,9 +410,12 @@ class CooccurrenceStreamEngine:
 
         The sampled path additionally needs the batch's max per-user row
         count (the reservoir fast-path eligibility test, ``_sampled_deltas``),
-        so its stats run as groupBy(user) → 1-row rollup — same single
-        action, one extra small shuffle the reservoir pass repartitions on
-        anyway. The non-sampled path keeps the flat two-stage agg."""
+        so its stats run as groupBy(user) → 1-row rollup crossJoined with a
+        flat item-bucket aggregate — same single action, one extra small
+        shuffle the reservoir pass repartitions on anyway; every collected
+        set stays bounded by the bucket-value domain (never per-user
+        arrays through the rollup). The non-sampled path keeps the flat
+        two-stage agg."""
         wm = self.state.get_scalar("watermark_ms", -(1 << 62))
         ontime = F.col("ts_ms") >= wm
         if self.config.skip_cuts:
@@ -428,17 +431,29 @@ class CooccurrenceStreamEngine:
                 F.count(F.when(~ontime, 1)).alias("late"),
                 F.max("ts_ms").alias("max_ts"),
                 F.count(F.when(ontime, 1)).alias("n_on"),
-                F.collect_set(F.when(ontime, self._bucket("item"))).alias("ib"),
             )
-            row = per_user.agg(
-                F.sum("late").alias("late"),
-                F.max("max_ts").alias("max_ts"),
+            # item buckets come from a SEPARATE flat aggregate crossJoined
+            # into the same 1-row plan (still one action): collect_set
+            # partials are bounded by the ≤ state_buckets-value domain,
+            # where collecting per-user bucket ARRAYS through the rollup
+            # would buffer O(batch users × arrays) in the final agg task
+            flat_items = batch.agg(
                 F.collect_set(
-                    F.when(F.col("n_on") > 0, self._bucket("user"))
-                ).alias("u_buckets"),
-                F.array_distinct(F.flatten(F.collect_list("ib"))).alias("i_buckets"),
-                F.max("n_on").alias("max_user_rows"),
-            ).first()
+                    F.when(ontime, self._bucket("item"))
+                ).alias("i_buckets")
+            )
+            row = (
+                per_user.agg(
+                    F.sum("late").alias("late"),
+                    F.max("max_ts").alias("max_ts"),
+                    F.collect_set(
+                        F.when(F.col("n_on") > 0, self._bucket("user"))
+                    ).alias("u_buckets"),
+                    F.max("n_on").alias("max_user_rows"),
+                )
+                .crossJoin(flat_items)
+                .first()
+            )
             max_user_rows = int(row["max_user_rows"] or 0)
         self.state.add_scalar("late_elements", int(row["late"] or 0))
         self.state.add_scalar("batches", 1)

@@ -255,6 +255,21 @@ class StateStore:
         self._versions[name] = {"latest": seg, "segments": segments}
         self._gc_append(name)
 
+    def _scan_roots(self, roots: list[str], schema: str) -> DataFrame | None:
+        """One schema'd scan per segment root, unioned — THE segment read
+        convention, shared by live reads (``_read_segments``) and
+        compaction's snapshot read so a change to it cannot silently apply
+        to one and not the other. Returns None when there are no roots."""
+        if not roots:
+            return None
+        from functools import reduce
+
+        scans = [
+            self.spark.read.schema(schema + ", _bucket int").parquet(r)
+            for r in roots
+        ]
+        return reduce(lambda a, b: a.unionByName(b), scans)
+
     def _read_segments(
         self, name: str, schema: str, buckets: list[int] | None
     ) -> DataFrame | None:
@@ -275,18 +290,12 @@ class StateStore:
             for seg, bs in ptr["segments"].items()
             if bs  # segments with no bucket dirs have no files to read
         ]
-        if not roots:
+        df = self._scan_roots(roots, schema)
+        if df is None:
             return None
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
-        scans = [
-            self.spark.read.schema(schema + ", _bucket int").parquet(r)
-            for r in roots
-        ]
-        df = reduce(lambda a, b: a.unionByName(b), scans)
         if buckets is not None:
+            from pyspark.sql import functions as F
+
             df = df.filter(F.col("_bucket").isin(list(buckets)))
         return df
 
@@ -367,18 +376,12 @@ class StateStore:
         path = self._path(name, seg)
 
         def run() -> list[int]:
-            if not roots:
+            df = self._scan_roots(roots, schema)
+            if df is None:
                 # every snapshot segment is empty — nothing to write; the
                 # pointer still collapses in finish (an all-empty input
                 # previously crashed here and wedged the stream on retry)
                 return []
-            from functools import reduce
-
-            scans = [
-                self.spark.read.schema(schema + ", _bucket int").parquet(r)
-                for r in roots
-            ]
-            df = reduce(lambda a, b: a.unionByName(b), scans)
             if reducer is not None:
                 df = reducer(df)
             df.repartition(max(len(all_buckets), 1), "_bucket").write.mode(

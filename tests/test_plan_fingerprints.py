@@ -46,6 +46,10 @@ def test_headline_plan_fingerprints_pinned(spark):
     # construction, exactly as bench.py does between its measured runs
     # (one clear per sf pass left earlier queries' marks inside later
     # plans and pinned shapes bench can never reproduce)
+    if not os.path.isdir(BENCH_SF_DIR):
+        pytest.skip(
+            f"bench-scale data {BENCH_SF_DIR} absent — two-scale pins need it"
+        )
     qs = all_queries()
     got: dict[str, dict[str, str]] = {}
     for sf_dir in (TEST_SF_DIR, BENCH_SF_DIR):
