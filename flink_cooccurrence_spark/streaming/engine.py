@@ -410,12 +410,14 @@ class CooccurrenceStreamEngine:
 
         The sampled path additionally needs the batch's max per-user row
         count (the reservoir fast-path eligibility test, ``_sampled_deltas``),
-        so its stats run as groupBy(user) → 1-row rollup crossJoined with a
-        flat item-bucket aggregate — same single action, one extra small
-        shuffle the reservoir pass repartitions on anyway; every collected
-        set stays bounded by the bucket-value domain (never per-user
-        arrays through the rollup). The non-sampled path keeps the flat
-        two-stage agg."""
+        so its stats run as groupBy(user) → 1-row rollup — same single
+        action, one extra small shuffle the reservoir pass repartitions on
+        anyway. Everything riding the rollup is constant-width per row
+        (counts, maxes, an item-bucket BIT MASK bit_or-folded; the user
+        buckets a collect_set whose partials are bounded by the
+        bucket-value domain) — never per-user arrays, which would buffer
+        O(batch users) in the final 1-row task. The non-sampled path keeps
+        the flat two-stage agg."""
         wm = self.state.get_scalar("watermark_ms", -(1 << 62))
         ontime = F.col("ts_ms") >= wm
         if self.config.skip_cuts:
@@ -426,35 +428,55 @@ class CooccurrenceStreamEngine:
                 F.collect_set(F.when(ontime, self._bucket("item"))).alias("i_buckets"),
             ).first()
             max_user_rows = None
+            i_buckets = sorted(row["i_buckets"])
         else:
+            # item buckets ride the rollup as a BIT MASK (bucket b → bit b,
+            # bit_or-folded): constant-width per row at every aggregation
+            # level — collecting per-user bucket ARRAYS here would buffer
+            # O(batch users × arrays) in the final 1-row agg task. The
+            # mask needs state_buckets ≤ 64; a wider deployment falls back
+            # to a flat collect_set crossJoined into the same plan (its
+            # partials are bounded by the bucket-value domain).
+            use_mask = self.state_buckets <= 64
+            i_mask = F.when(
+                ontime,
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"pmod(hash(item), {int(self.state_buckets)}))"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
             per_user = batch.groupBy("user").agg(
                 F.count(F.when(~ontime, 1)).alias("late"),
                 F.max("ts_ms").alias("max_ts"),
                 F.count(F.when(ontime, 1)).alias("n_on"),
+                F.bit_or(i_mask if use_mask else F.lit(0)).alias("ib_mask"),
             )
-            # item buckets come from a SEPARATE flat aggregate crossJoined
-            # into the same 1-row plan (still one action): collect_set
-            # partials are bounded by the ≤ state_buckets-value domain,
-            # where collecting per-user bucket ARRAYS through the rollup
-            # would buffer O(batch users × arrays) in the final agg task
-            flat_items = batch.agg(
+            rollup = per_user.agg(
+                F.sum("late").alias("late"),
+                F.max("max_ts").alias("max_ts"),
                 F.collect_set(
-                    F.when(ontime, self._bucket("item"))
-                ).alias("i_buckets")
+                    F.when(F.col("n_on") > 0, self._bucket("user"))
+                ).alias("u_buckets"),
+                F.max("n_on").alias("max_user_rows"),
+                F.bit_or("ib_mask").alias("i_mask"),
             )
-            row = (
-                per_user.agg(
-                    F.sum("late").alias("late"),
-                    F.max("max_ts").alias("max_ts"),
-                    F.collect_set(
-                        F.when(F.col("n_on") > 0, self._bucket("user"))
-                    ).alias("u_buckets"),
-                    F.max("n_on").alias("max_user_rows"),
+            if not use_mask:
+                rollup = rollup.crossJoin(
+                    batch.agg(
+                        F.collect_set(
+                            F.when(ontime, self._bucket("item"))
+                        ).alias("i_buckets")
+                    )
                 )
-                .crossJoin(flat_items)
-                .first()
-            )
+            row = rollup.first()
             max_user_rows = int(row["max_user_rows"] or 0)
+            if use_mask:
+                mask = int(row["i_mask"] or 0)
+                i_buckets = [
+                    b for b in range(self.state_buckets) if (mask >> b) & 1
+                ]
+            else:
+                i_buckets = sorted(row["i_buckets"])
         self.state.add_scalar("late_elements", int(row["late"] or 0))
         self.state.add_scalar("batches", 1)
         if row["max_ts"] is not None:
@@ -462,7 +484,7 @@ class CooccurrenceStreamEngine:
         return (
             batch.filter(ontime),
             sorted(row["u_buckets"]),
-            sorted(row["i_buckets"]),
+            i_buckets,
             max_user_rows,
         )
 
