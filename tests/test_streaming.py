@@ -492,6 +492,26 @@ def test_nondefault_state_buckets_roundtrip_restart(spark, inter, tmp_path):
     assert eng2.total_observed() == plain.total_observed()
 
 
+def test_wide_state_buckets_fallback_bit_identical(spark, inter, tmp_path):
+    """state_buckets > 64 exceeds the early-stats item-bucket bit mask
+    (one bit per bucket in a long) and must take the flat collect_set
+    fallback. The fallback sits in the sampled-path stats rollup, which
+    runs identically whatever the cut values — so cuts=∞ exercises it
+    while letting the output be checked against the exact batch matrix
+    in ONE replay (bucketing is physical layout only)."""
+    big = 1 << 30
+    sample = inter.filter(F.col("user") % 13 == 0)
+    eng = CooccurrenceStreamEngine(
+        spark,
+        _cfg(item_cut=big, user_cut=big, seed=42, state_buckets=80),
+        workdir=str(tmp_path / "wd80"),
+    )
+    assert eng.state_buckets == 80
+    eng.replay(sample, windows_per_batch=4)
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(sample), "buckets80_matrix")
+    assert eng.total_observed() == total_observed(sample).first()[0]
+
+
 def test_salted_cooccurrence_equals_unsalted(spark, inter):
     """Skew-salted expanding self-join is a pure physical rewrite."""
     plain = cooccurrence_counts(inter)
