@@ -108,6 +108,25 @@ def main() -> None:
         deng.close()
         return dt
 
+    # one-time engine warmup, UNTIMED: the first engine replay of a session
+    # pays code-path initialization (state-store write jobs, codegen for the
+    # merge pipeline — observed as a +12s spike at sf0.1 that hit BOTH
+    # min-of-2 runs of the first replay row while isolated re-runs of the
+    # same code sat at steady state). A small replay over a 1-in-50-user
+    # slice absorbs it so the timed rows below measure the engine, not the
+    # session's first-touch costs — same role as the topk_similar warmup
+    # for the batch queries above.
+    _warm = CooccurrenceStreamEngine(
+        spark,
+        CooccurrenceConfig(window_size=1, window_unit="DAYS", top_k=10, skip_cuts=True),
+        workdir=tempfile.mkdtemp(prefix="bench_warm_"),
+    )
+    _warm.replay(
+        _interactions(spark, sf_dir).filter(F.col("user") % 50 == 0),
+        windows_per_batch=8,
+    )
+    _warm.close()
+
     replays = {
         # the full merge/score loop, non-sampled closed form
         "streaming_replay": lambda: _bench_cooc_replay(
