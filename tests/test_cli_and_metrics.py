@@ -31,48 +31,68 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("mode", ["streaming", "batch"])
-def test_cli_end_to_end(tmp_path, mode):
-    csv = str(tmp_path / "in" / "part-0000.csv")
-    _write_csv(csv, ROWS)
-    out = str(tmp_path / "out")
+#: the three CLI end-to-end cases run sequentially inside ONE subprocess:
+#: each JVM cold start costs ~15s and the Py4J gateway survives
+#: ``spark.stop()``, so cases 2-3 pay only a SparkContext restart. Each
+#: case is still the real ``main()`` entry (the ``-m`` shim is one
+#: ``sys.exit(main())`` line) with its own input dir, flags, and output.
+_CLI_RUNNER = """\
+import json, sys
+from flink_cooccurrence_spark.__main__ import main
+for argv_json in sys.argv[1:]:
+    rc = main(json.loads(argv_json))
+    assert rc == 0, rc
+"""
+
+
+@pytest.fixture(scope="module")
+def cli_reports(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    cases: dict[str, list[str]] = {}
+
+    def case(name, rows, extra):
+        d = base / name
+        _write_csv(str(d / "in" / "part-0000.csv"), rows)
+        cases[name] = [
+            "--input", str(d / "in"),
+            "--window-size", "1", "--window-unit", "SECONDS",
+            "--output", str(d / "out"), *extra,
+        ]
+
+    case("streaming", ROWS, ["--skip-cuts", "--mode", "streaming",
+                             "--workdir", str(base / "wd")])
+    case("batch", ROWS, ["--skip-cuts", "--mode", "batch"])
+    case("sampled_batch", ROWS * 3,
+         ["--item-cut", "4", "--user-cut", "2", "--seed", "0xC0FFEE",
+          "--mode", "batch"])
+
     env = dict(os.environ, SPARK_GRAFT_CPUS="2", SPARK_GRAFT_DRIVER_MEM="2g")
     proc = subprocess.run(
-        [
-            sys.executable, "-m", "flink_cooccurrence_spark",
-            "--input", str(tmp_path / "in"),
-            "--window-size", "1", "--window-unit", "SECONDS",
-            "--skip-cuts", "--mode", mode, "--output", out,
-            "--workdir", str(tmp_path / "wd"),
-        ],
-        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+        [sys.executable, "-c", _CLI_RUNNER,
+         *(json.dumps(argv) for argv in cases.values())],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    reports = [
+        json.loads(line)
+        for line in proc.stdout.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(reports) == len(cases), proc.stdout[-2000:]
+    return dict(zip(cases, reports))
+
+
+@pytest.mark.parametrize("mode", ["streaming", "batch"])
+def test_cli_end_to_end(cli_reports, mode):
+    report = cli_reports[mode]
     assert report["result_rows"] > 0
     assert report["duration_ms"] > 0
     if mode == "streaming":
         assert report["accumulators"]["observed_cooccurrences"] > 0
 
 
-def test_cli_sampled_batch(tmp_path):
-    csv = str(tmp_path / "in" / "part-0000.csv")
-    _write_csv(csv, ROWS * 3)
-    out = str(tmp_path / "out")
-    env = dict(os.environ, SPARK_GRAFT_CPUS="2", SPARK_GRAFT_DRIVER_MEM="2g")
-    proc = subprocess.run(
-        [
-            sys.executable, "-m", "flink_cooccurrence_spark",
-            "--input", str(tmp_path / "in"),
-            "--window-size", "1", "--window-unit", "SECONDS",
-            "--item-cut", "4", "--user-cut", "2", "--seed", "0xC0FFEE",
-            "--mode", "batch", "--output", out,
-        ],
-        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
-    )
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    report = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert report["result_rows"] >= 0
+def test_cli_sampled_batch(cli_reports):
+    assert cli_reports["sampled_batch"]["result_rows"] >= 0
 
 
 def test_config_defaults_match_reference():

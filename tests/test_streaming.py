@@ -63,6 +63,23 @@ def inter(spark):
     return _interactions(spark, SF_DIR).cache()
 
 
+@pytest.fixture(scope="module")
+def inter_short(spark, inter):
+    """First 12 of the corpus's 30 daily windows. The pairwise replay tests
+    compare two engine runs (or an engine run vs the batch closed form) on
+    the SAME input, so a shorter event horizon preserves their bit-identity
+    contracts exactly while cutting replayed micro-batches ~60% — replay
+    wall-clock is per-batch fixed cost, not data volume, at this scale.
+    12 windows still spans every protocol transition the long horizon has:
+    cold start, multi-batch state accumulation, feedback correction at
+    batch N+1, and the reservoir fast/slow handoff. The two flagship
+    module engines (``nonsampled_engine``, ``sampled_engine``) stay on the
+    full corpus — they are the engine==batch gates the driver's oracle
+    checks mirror."""
+    lo = inter.agg(F.min("ts_ms")).first()[0]
+    return inter.filter(F.col("ts_ms") < lo + 12 * WINDOW_MILLIS)
+
+
 # ---------------------------------------------------------------- M3 gates
 
 @pytest.fixture(scope="module")
@@ -107,7 +124,7 @@ def test_topk_update_log_covers_changed_items(nonsampled_engine):
     assert nonsampled_engine.metrics()["rescored_items"] > 0
 
 
-def test_per_window_emission_log_matches_batch_protocol(spark, inter, tmp_path):
+def test_per_window_emission_log_matches_batch_protocol(spark, inter_short, tmp_path):
     """One window per micro-batch ⇒ the engine's top-K emission log equals
     the batch windowed rescorer output exactly — same changed-rows-only
     scoping, same sums-before-scores ordering, same cumulative state
@@ -116,7 +133,7 @@ def test_per_window_emission_log_matches_batch_protocol(spark, inter, tmp_path):
         windowed_topk_similar_items,
     )
 
-    sample = inter.filter(F.col("user") % 5 == 0)
+    sample = inter_short.filter(F.col("user") % 5 == 0)
     eng = CooccurrenceStreamEngine(
         spark, _cfg(skip_cuts=True), workdir=str(tmp_path / "emit")
     )
@@ -321,11 +338,11 @@ def test_sampled_matrix_entries_nonnegative(sampled_engine):
     assert sampled_engine.item_rows().filter(F.col("cnt") < 0).count() == 0
 
 
-def test_infinite_cuts_equal_nonsampled(spark, inter, tmp_path):
+def test_infinite_cuts_equal_nonsampled(spark, inter_short, tmp_path):
     """cuts=∞ ⇒ the sampled machinery (reservoir + item cut + feedback)
     degenerates to the exact non-sampled matrix (SURVEY §5)."""
     big = 1 << 30
-    sample = inter.filter(F.col("user") % 17 == 0)
+    sample = inter_short.filter(F.col("user") % 17 == 0)
     eng = CooccurrenceStreamEngine(
         spark,
         _cfg(item_cut=big, user_cut=big),
@@ -337,10 +354,10 @@ def test_infinite_cuts_equal_nonsampled(spark, inter, tmp_path):
     assert got_total == total_observed(sample).first()[0]
 
 
-def test_batch_reservoir_equals_streaming_reservoir(spark, inter, tmp_path):
+def test_batch_reservoir_equals_streaming_reservoir(spark, inter_short, tmp_path):
     """The counter-based draw makes the batch applyInPandas reservoir and the
     per-micro-batch stateful reservoir produce the identical final matrix."""
-    sample = inter.filter(F.col("user") % 11 == 0)
+    sample = inter_short.filter(F.col("user") % 11 == 0)
     cfg = _cfg(item_cut=1 << 30, user_cut=5, seed=7)
     eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "resv"))
     eng.replay(sample, windows_per_batch=2)
@@ -357,7 +374,7 @@ def test_batch_reservoir_equals_streaming_reservoir(spark, inter, tmp_path):
     assert_df_equal(eng.item_rows(), exp, "reservoir_batch_vs_stream")
 
 
-def test_fast_path_bit_identical_to_forced_slow_path(spark, inter, tmp_path):
+def test_fast_path_bit_identical_to_forced_slow_path(spark, inter_short, tmp_path):
     """The below-capacity reservoir fast path (``_sampled_fast_deltas``) is
     a pure physical rewrite: a replay where it fires on some batches equals
     the identical replay with the fast path disabled — matrix, row sums,
@@ -370,7 +387,7 @@ def test_fast_path_bit_identical_to_forced_slow_path(spark, inter, tmp_path):
     user_cut past ~10 buys no extra fast batches — probed; wpb=4/uc=10
     keeps the same 1-fast/7-slow handoff as the original wpb=2/uc=6 at a
     third of the wall-clock.)"""
-    sample = inter.filter(F.col("user") % 11 == 0)
+    sample = inter_short.filter(F.col("user") % 11 == 0)
     kw = dict(item_cut=40, user_cut=10, seed=42)
 
     fast = CooccurrenceStreamEngine(spark, _cfg(**kw), workdir=str(tmp_path / "f"))
@@ -441,12 +458,12 @@ def test_user_state_writes_prune_to_touched_buckets(spark, tmp_path):
     }
 
 
-def test_nondefault_state_buckets_roundtrip_restart(spark, inter, tmp_path):
+def test_nondefault_state_buckets_roundtrip_restart(spark, inter_short, tmp_path):
     """A non-default bucket count is a property of the written state: an
     engine restarted on that state with a DIFFERENT configured count keeps
     the persisted one, and the resumed run is bit-identical to an
     uninterrupted replay (bucketing is physical layout only)."""
-    sample = inter.filter(F.col("user") % 13 == 0)
+    sample = inter_short.filter(F.col("user") % 13 == 0)
     cfg5 = _cfg(item_cut=40, user_cut=6, seed=42, state_buckets=5)
     wd = str(tmp_path / "wd5")
 
@@ -492,7 +509,7 @@ def test_nondefault_state_buckets_roundtrip_restart(spark, inter, tmp_path):
     assert eng2.total_observed() == plain.total_observed()
 
 
-def test_wide_state_buckets_fallback_bit_identical(spark, inter, tmp_path):
+def test_wide_state_buckets_fallback_bit_identical(spark, inter_short, tmp_path):
     """state_buckets > 64 exceeds the early-stats item-bucket bit mask
     (one bit per bucket in a long) and must take the flat collect_set
     fallback. The fallback sits in the sampled-path stats rollup, which
@@ -500,7 +517,7 @@ def test_wide_state_buckets_fallback_bit_identical(spark, inter, tmp_path):
     while letting the output be checked against the exact batch matrix
     in ONE replay (bucketing is physical layout only)."""
     big = 1 << 30
-    sample = inter.filter(F.col("user") % 13 == 0)
+    sample = inter_short.filter(F.col("user") % 13 == 0)
     eng = CooccurrenceStreamEngine(
         spark,
         _cfg(item_cut=big, user_cut=big, seed=42, state_buckets=80),
@@ -538,12 +555,15 @@ NATIVE_CFG_KW = dict(item_cut=40, user_cut=6, seed=42)
 
 
 @pytest.fixture(scope="module")
-def native_inputs(spark, inter, tmp_path_factory):
+def native_inputs(spark, inter_short, tmp_path_factory):
     """(sample, files_dir, n_files): window-ordered input spool for the
-    native writeStream runs."""
+    native writeStream runs. Rides ``inter_short`` (12 windows → 6 files →
+    6 micro-batches per run): both native runs compare against a replay of
+    the SAME slice, and the kill-restart still lands mid-stream with 3
+    committed + 3 resumed batches."""
     from flink_cooccurrence_spark.streaming.native import write_window_files
 
-    sample = inter.filter(F.col("user") % 4 == 0).cache()
+    sample = inter_short.filter(F.col("user") % 4 == 0).cache()
     cfg = _cfg(**NATIVE_CFG_KW)
     files_dir = str(tmp_path_factory.mktemp("native_files"))
     n_files = write_window_files(
@@ -663,7 +683,7 @@ def test_replay_then_attach_same_workdir_fails_loudly(spark, tmp_path):
         eng.attach(stream)
 
 
-def test_replay_after_replay_accumulates_not_noops(spark, inter, tmp_path):
+def test_replay_after_replay_accumulates_not_noops(spark, inter_short, tmp_path):
     """A second replay() on the same workdir continues batch numbering from
     the high-water mark, so its input is processed as new data — state equals
     one replay over the concatenation, never a silent no-op."""
@@ -671,14 +691,14 @@ def test_replay_after_replay_accumulates_not_noops(spark, inter, tmp_path):
     # split by event time on a window boundary (not by key): the engine's
     # ascending watermark carries across replays, so a continuation's events
     # must be later — earlier ones would be correctly dropped as late
-    mid = inter.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    mid = inter_short.approxQuantile("ts_ms", [0.5], 0.0)[0]
     mid = (int(mid) // cfg.window_millis) * cfg.window_millis
-    half = inter.filter(F.col("ts_ms") < mid)
-    rest = inter.filter(F.col("ts_ms") >= mid)
+    half = inter_short.filter(F.col("ts_ms") < mid)
+    rest = inter_short.filter(F.col("ts_ms") >= mid)
 
     eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "twice"))
     eng.replay(half, windows_per_batch=4)
     eng.replay(rest, windows_per_batch=4)
 
-    assert_df_equal(eng.item_rows(), cooccurrence_counts(inter), "replay_twice_matrix")
-    assert eng.total_observed() == total_observed(inter).first()[0]
+    assert_df_equal(eng.item_rows(), cooccurrence_counts(inter_short), "replay_twice_matrix")
+    assert eng.total_observed() == total_observed(inter_short).first()[0]
