@@ -76,9 +76,20 @@ def main() -> None:
     from flink_cooccurrence_spark.streaming.dedup import DedupStreamEngine
     from flink_cooccurrence_spark.streaming.engine import CooccurrenceStreamEngine
 
-    replay_meta: dict[str, dict[str, int]] = {}
+    replay_meta: dict[str, dict] = {}
 
-    def _bench_cooc_replay(source_df, meta_key=None, **cfg_kw) -> float:
+    def _batch_stats(eng) -> dict:
+        # totals hide single-batch latency SPIKES — the failure mode of
+        # per-batch state machinery (e.g. a batch serializing behind an
+        # O(|state|) compaction rewrite). Max vs mean makes one visible.
+        bt = eng.replay_batch_seconds
+        return {
+            "batches": len(bt),
+            "batch_seconds_max": round(max(bt), 3) if bt else 0.0,
+            "batch_seconds_mean": round(sum(bt) / len(bt), 3) if bt else 0.0,
+        }
+
+    def _bench_cooc_replay(source_df, meta_key=None, **cfg_kw):
         eng = CooccurrenceStreamEngine(
             spark,
             CooccurrenceConfig(window_size=1, window_unit="DAYS", top_k=10, **cfg_kw),
@@ -87,26 +98,24 @@ def main() -> None:
         t0 = time.perf_counter()
         eng.replay(source_df, windows_per_batch=8)
         dt = time.perf_counter() - t0
+        meta = _batch_stats(eng)
         if meta_key:
-            m = eng.metrics()
             # which physical path the sampled batches took — a silent
             # fall-back to the Arrow slow path would read as a pure
             # timing regression without this
-            replay_meta[meta_key] = {
-                "batches": m["batches"],
-                "fast_path_batches": m["fast_path_batches"],
-            }
+            meta["fast_path_batches"] = eng.metrics()["fast_path_batches"]
         eng.close()
-        return dt
+        return dt, meta
 
-    def _bench_dedup_replay() -> float:
+    def _bench_dedup_replay():
         deng = DedupStreamEngine(spark, workdir=tempfile.mkdtemp(prefix="bench_dedup_"))
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         t0 = time.perf_counter()
         deng.replay(docs, docs_per_batch=600)
         dt = time.perf_counter() - t0
+        meta = _batch_stats(deng)
         deng.close()
-        return dt
+        return dt, meta
 
     # one-time engine warmup, UNTIMED: the first engine replay of a session
     # pays code-path initialization (state-store write jobs, codegen for the
@@ -145,7 +154,11 @@ def main() -> None:
         "dedup_replay": _bench_dedup_replay,
     }
     for name, run in replays.items():
-        times[name] = round(min(run(), run()), 3)
+        # per-batch meta rides from the MIN run — the one the headline
+        # number reports, so spike stats and total describe the same run
+        (t1, m1), (t2, m2) = run(), run()
+        times[name] = round(min(t1, t2), 3)
+        replay_meta[name] = m1 if t1 <= t2 else m2
         runs[name] = 2
 
     # the reference's accumulator dump alongside the wall clock

@@ -148,6 +148,11 @@ class DedupStreamEngine:
         self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
         self._pending: list = []
         self._cached: list = []
+        #: per-batch wall clock, appended by replay() (harness observability;
+        #: bench reports max/mean — the direct evidence that a batch landing
+        #: on the compaction threshold does NOT stall behind the O(|state|)
+        #: rewrite now that compaction runs on the background worker)
+        self.replay_batch_seconds: list[float] = []
         # in-flight background compactions: table name -> (future, finish).
         # One worker — compactions are already amortized; running two
         # tables' O(|state|) rewrites concurrently would just contend with
@@ -350,6 +355,8 @@ class DedupStreamEngine:
         documents (state accumulates) instead of silently no-oping at or
         below the first replay's ``last_batch_id``. Crash-retry belongs on
         a fresh workdir (``attach``'s checkpoint owns exactly-once resume)."""
+        import time
+
         self._guard_batch_domain(expect_checkpoint=False)
         base = int(self.state.get_scalar("last_batch_id", -1)) + 1
         ids = [
@@ -361,7 +368,9 @@ class DedupStreamEngine:
             batch = documents.filter(
                 (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
             )
+            t0 = time.perf_counter()
             self.process_batch(batch, base + b)
+            self.replay_batch_seconds.append(time.perf_counter() - t0)
 
     # accessors --------------------------------------------------------------
 

@@ -131,6 +131,9 @@ class CooccurrenceStreamEngine:
         self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
         self._pending: list = []
         self._cached: list = []
+        #: per-batch wall clock, appended by replay() (harness observability;
+        #: bench reports max/mean so single-batch latency spikes are visible)
+        self.replay_batch_seconds: list[float] = []
         #: stats riders: (1-row aggregate plan, callback) pairs cross-joined
         #: into the batch's final combined stats action — lets a stage whose
         #: changed-bucket set is only known post-shuffle (the feedback swap)
@@ -287,6 +290,8 @@ class CooccurrenceStreamEngine:
         the first replay's ``last_batch_id``. Corollary: replay is
         append-only — a crash-retry belongs on a fresh workdir (``attach``
         with its checkpoint owns exactly-once resume)."""
+        import time
+
         self._guard_batch_domain(expect_checkpoint=False)
         base = int(self.state.get_scalar("last_batch_id", -1)) + 1
         # the replay source is scanned once and cached (the windows-listing
@@ -303,7 +308,14 @@ class CooccurrenceStreamEngine:
                 batch = wdf.filter(
                     (F.col("window_start") >= chunk[0]) & (F.col("window_start") <= chunk[-1])
                 ).drop("window_start")
+                t0 = time.perf_counter()
                 self.process_batch(batch, base + i // windows_per_batch)
+                # per-batch wall clock, harness-side observability only (no
+                # engine behavior reads it): bench reports max/mean so a
+                # latency SPIKE on one micro-batch — the failure mode totals
+                # hide, e.g. a batch serializing behind an O(|state|)
+                # rewrite — is visible round-over-round
+                self.replay_batch_seconds.append(time.perf_counter() - t0)
         finally:
             wdf.unpersist(blocking=False)
 
