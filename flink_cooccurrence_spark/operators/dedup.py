@@ -528,6 +528,50 @@ def dedup_keep_canonical(
     return documents.join(keep, on="doc_id", how="leftsemi")
 
 
+#: admission-hash resolution for the cluster coin (see mixing.RATE_DENOM
+#: for the no-modulo-bias rationale; same construction).
+_SPLIT_DENOM = 1 << 32
+
+#: default eval fraction — shared with the oracle SQL so the two engines
+#: can never disagree on the threshold.
+SPLIT_EVAL_RATE = 0.2
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    eval_rate: float = SPLIT_EVAL_RATE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup-aware train/eval split: every document is assigned a split
+    by a hash coin of its near-dup CLUSTER id, never its own id — so two
+    near-duplicate documents can never land on opposite sides of the
+    split. A per-document split (the naive construction) leaks eval
+    content into training through near-dup pairs, quietly inflating eval
+    scores; splitting by connected component is the standard fix.
+
+    Output (doc_id, cluster_id, split ∈ {'train', 'eval'}): cluster_id is
+    the :func:`dup_clusters` label, and the coin is a salted portable hash
+    of it — deterministic across engines, partitionings, and re-runs, and
+    independent of the mixture/stratified/shuffle coins (distinct salt
+    domain). Singleton documents (their own cluster) draw i.i.d., so the
+    realized eval fraction concentrates at ``eval_rate``.
+
+    Scale shape: cluster labels + one map-only projection — the split
+    decision adds ZERO shuffles on top of the components computation.
+    """
+    if not (0.0 < eval_rate < 1.0):
+        raise ValueError(f"eval_rate must be in (0, 1), got {eval_rate}")
+    cut = F.lit(int(round(eval_rate * _SPLIT_DENOM)))
+    coin = hash32(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+    )
+    return dup_clusters(documents, threshold).select(
+        "doc_id",
+        "cluster_id",
+        F.when(coin < cut, F.lit("eval")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """(node, root) for every non-root node reachable through ``edges``
     (two columns, any orientation), root = component minimum — the

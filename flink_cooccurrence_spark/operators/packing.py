@@ -87,6 +87,76 @@ def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> Da
     )
 
 
+#: sliding-window chunk defaults: stride < chunk_tokens so chunks overlap
+#: (the retrieval-prep norm — boundary-straddling content appears whole in
+#: at least one chunk); both occur in every test corpus at these sizes.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunks(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Per-document overlapping token windows — the retrieval/embedding
+    prep counterpart of :func:`pack_chunks` (which cuts the *concatenated*
+    corpus for training, while this cuts each document independently for
+    indexing: chunk k covers tokens [k·stride, k·stride + chunk_tokens)).
+
+    Output, one row per (document, window):
+
+    - ``doc_id``, ``chunk_idx`` — the document and its k-th window.
+    - ``start_tok`` — first token of the chunk, 0-based in the document.
+    - ``n_chunk_tokens`` — actual length (the final chunk may be short).
+    - ``chunk_text`` — the space-joined token slice (what an embedding
+      model consumes).
+
+    Scale shape: map-only — one projection, a bounded per-row explode
+    (ceil(n_tokens / stride) rows per document), zero joins and zero
+    shuffles; chunking decisions are per-row functions of the text, so the
+    plan is embarrassingly parallel at any corpus size. Tokenization is
+    the shared whitespace splitter (``textstats._tokens``), bit-identical
+    to the DuckDB oracle.
+    """
+    ci, si = int(chunk_tokens), int(stride)
+    if ci <= 0 or si <= 0:
+        raise ValueError(
+            f"chunk_tokens and stride must be positive, got {chunk_tokens}, {stride}"
+        )
+    if si > ci:
+        # a stride beyond the chunk length silently DROPS the tokens in
+        # each (chunk_end, next_start) gap from every chunk — never what a
+        # retrieval pipeline wants; fail at call time
+        raise ValueError(f"stride {stride} > chunk_tokens {chunk_tokens} would skip tokens")
+    toks = documents.select(
+        "doc_id",
+        _tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    )
+    # n_tokens >= 1 always (the coalesce makes '' one empty token), so
+    # sequence(0, n-1, stride) is never empty and every doc emits >= 1 chunk
+    ex = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(si))
+        ).alias("start_tok"),
+    )
+    return ex.select(
+        "doc_id",
+        # start_tok is an exact multiple of stride — integer div, not
+        # double-precision `/` (same 2^53 concern as pack_chunks)
+        F.expr(f"start_tok div {si}").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.least(F.lit(ci), F.size("toks") - F.col("start_tok"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok") + 1, ci), " "
+        ).alias("chunk_text"),
+    )
+
+
 def pack_token_stream(
     documents: DataFrame, context_len: int = PACK_CONTEXT_LEN
 ) -> DataFrame:

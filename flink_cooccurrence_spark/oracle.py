@@ -1259,3 +1259,58 @@ SELECT d.* FROM documents d
 JOIN ({ORACLES["dup_clusters"]}) c
   ON d.doc_id = c.doc_id AND c.cluster_id = c.doc_id
 """
+
+# per-document overlapping token windows (operators/packing.py:doc_chunks):
+# chunk k covers tokens [k*stride, k*stride + chunk_tokens) of each doc —
+# the same whitespace tokenizer as every text oracle, map-only both sides
+def _doc_chunks_oracle() -> str:
+    from flink_cooccurrence_spark.operators.packing import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(COALESCE(text, '')), '\s+') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, len(toks), {CHUNK_STRIDE})) AS BIGINT) AS start_tok
+  FROM base
+)
+SELECT doc_id,
+       CAST(start_tok // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, len(toks) - start_tok) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM st
+"""
+
+
+ORACLES["doc_chunks"] = _doc_chunks_oracle()
+
+
+# near-dup-cluster-aware train/eval split (operators/dedup.py:
+# leakage_safe_split) — composes the dup_clusters recursive-CTE oracle with
+# the same portable hash coin on the CLUSTER id, so the no-pair-straddles
+# guarantee is checked end-to-end, not just asserted
+def _leakage_safe_split_oracle() -> str:
+    from flink_cooccurrence_spark.functions.hashing import hash32_sql
+    from flink_cooccurrence_spark.operators.dedup import (
+        _SPLIT_DENOM,
+        SPLIT_EVAL_RATE,
+    )
+
+    cut = int(round(SPLIT_EVAL_RATE * _SPLIT_DENOM))
+    coin = hash32_sql("('split:' || CAST(cluster_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN {coin} < {cut} THEN 'eval' ELSE 'train' END AS split
+FROM ({ORACLES["dup_clusters"]})
+"""
+
+
+ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle()

@@ -577,6 +577,16 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "training_manifest": lambda s, d: __import__(
         "flink_cooccurrence_spark.plans.corpus", fromlist=["training_manifest"]
     ).training_manifest(_documents(s, d)),
+    # per-document overlapping token windows (retrieval/embedding prep —
+    # the per-doc counterpart of pack_chunks' corpus concat)
+    "doc_chunks": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.packing", fromlist=["doc_chunks"]
+    ).doc_chunks(_documents(s, d)),
+    # near-dup-cluster-aware train/eval split: the coin is drawn on the
+    # CLUSTER id, so no near-dup pair ever straddles the split
+    "leakage_safe_split": lambda s, d: _dedup.leakage_safe_split(
+        _documents(s, d)
+    ),
 }
 
 

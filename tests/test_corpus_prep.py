@@ -364,3 +364,105 @@ def test_training_manifest_invariants(docs):
         rate = MIXTURE_RATES.get(lang, DEFAULT_MIXTURE_RATE)
         exp_w = round(RATE_DENOM / round(rate * RATE_DENOM), 6)
         assert (grp["weight"] == exp_w).all(), lang
+
+
+# ------------------------------------------------- doc_chunks / split safety
+
+def test_doc_chunks_cover_every_token_with_overlap(docs):
+    """Chunk windows tile each document: starts are 0, stride, 2·stride, …
+    (ceil(n/stride) of them), every token index lands in ≥1 chunk (stride ≤
+    chunk_tokens makes gaps impossible), and chunk_text really holds
+    n_chunk_tokens tokens."""
+    from flink_cooccurrence_spark.operators.packing import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+    )
+    from flink_cooccurrence_spark.operators.textstats import _tokens
+
+    ch = doc_chunks(docs).toPandas()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for doc_id, g in ch.groupby("doc_id"):
+        n = n_tok[doc_id]
+        starts = sorted(g["start_tok"])
+        assert starts == list(range(0, n, CHUNK_STRIDE))
+        covered = set()
+        for _, r in g.iterrows():
+            assert r["n_chunk_tokens"] == min(CHUNK_TOKENS, n - r["start_tok"])
+            # chunk_text holds exactly the tokens it claims
+            assert len(r["chunk_text"].split(" ")) == r["n_chunk_tokens"]
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+        assert covered == set(range(n)), f"doc {doc_id} has uncovered tokens"
+
+
+def test_doc_chunks_rejects_token_skipping_stride(docs):
+    from flink_cooccurrence_spark.operators.packing import doc_chunks
+
+    with pytest.raises(ValueError, match="skip tokens"):
+        doc_chunks(docs, chunk_tokens=8, stride=9)
+    with pytest.raises(ValueError, match="positive"):
+        doc_chunks(docs, chunk_tokens=0, stride=1)
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(docs):
+    """The operator's reason to exist: no near-dup pair crosses the
+    train/eval boundary (the naive per-document coin DOES straddle —
+    verified as the negative control), and the realized eval fraction is
+    in a sane band around the configured rate."""
+    from flink_cooccurrence_spark.functions.hashing import hash32
+    from flink_cooccurrence_spark.operators.dedup import (
+        SPLIT_EVAL_RATE,
+        _SPLIT_DENOM,
+        leakage_safe_split,
+        minhash_lsh_dup_pairs,
+    )
+
+    split = leakage_safe_split(docs).cache()
+    pairs = minhash_lsh_dup_pairs(docs, 0.5).select("doc_a", "doc_b")
+    assert pairs.count() > 0, "no near-dup pairs — the gate proves nothing"
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    straddling = (
+        pairs.join(sa, on="doc_a").join(sb, on="doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+
+    # negative control: the SAME coin drawn per-document (not per-cluster)
+    # does straddle pairs on this corpus — the invariant above is earned by
+    # the cluster construction, not vacuously true
+    cut = int(round(SPLIT_EVAL_RATE * _SPLIT_DENOM))
+    naive = docs.select(
+        "doc_id",
+        F.when(
+            hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) < cut,
+            F.lit("eval"),
+        ).otherwise(F.lit("train")).alias("split"),
+    )
+    na = naive.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    nb = naive.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    naive_straddling = (
+        pairs.join(na, on="doc_a").join(nb, on="doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert naive_straddling > 0, "corpus can't distinguish cluster vs naive split"
+
+    total = split.count()
+    frac = split.filter(F.col("split") == "eval").count() / total
+    assert 0.5 * SPLIT_EVAL_RATE < frac < 2.0 * SPLIT_EVAL_RATE
+    split.unpersist()
+
+
+def test_leakage_safe_split_rejects_degenerate_rates(docs):
+    from flink_cooccurrence_spark.operators.dedup import leakage_safe_split
+
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="eval_rate"):
+            leakage_safe_split(docs, eval_rate=bad)
