@@ -472,3 +472,31 @@ def test_reservation_commit_failure_preserves_batch_outputs(spark, docs, tmp_pat
     eng.close()
     assert _rows(eng.exact_log()) == _rows(exact_duplicates(sub))
     assert _rows(eng.dup_pairs()) == _rows(minhash_lsh_dup_pairs(sub, THRESHOLD))
+
+
+def test_replay_after_replay_accumulates_not_noops(spark, docs, tmp_path):
+    """A second replay() on the same workdir continues batch numbering from
+    the high-water mark, so its documents are processed as NEW arrivals
+    against the accumulated state — outputs equal one replay over the
+    concatenation, never a silent no-op (the doc_id-ordered slices keep
+    the exact-canonical first-wins contract intact across the boundary)."""
+    sub = docs.filter(F.col("doc_id") < 240)
+    lo = sub.filter(F.col("doc_id") < 120)
+    hi = sub.filter(F.col("doc_id") >= 120)
+
+    twice = DedupStreamEngine(
+        spark, workdir=str(tmp_path / "twice"), threshold=THRESHOLD
+    )
+    twice.replay(lo, docs_per_batch=60)
+    twice.replay(hi, docs_per_batch=60)
+
+    once = DedupStreamEngine(
+        spark, workdir=str(tmp_path / "once"), threshold=THRESHOLD
+    )
+    once.replay(sub, docs_per_batch=60)
+
+    assert twice.metrics()["documents"] == once.metrics()["documents"]
+    assert _rows(twice.exact_log()) == _rows(once.exact_log())
+    assert _rows(twice.dup_pairs()) == _rows(once.dup_pairs())
+    twice.close()
+    once.close()
