@@ -53,6 +53,17 @@ class StateStore:
         self._meta_path = os.path.join(root, "meta.json")
         self.scalars: dict[str, int] = {}
         self._versions: dict[str, int] = {}
+        #: segment ids reserved by an in-flight two-phase compaction
+        #: (``begin_compact_append`` adds, ``finish`` discards). GC must
+        #: treat them as live: once a LATER batch appends and commits, the
+        #: reserved id is referenced by neither the in-memory nor the
+        #: committed pointer — without this set, that batch's GC deletes
+        #: the compaction's output dir out from under the background
+        #: ``run()``, and ``finish`` then swaps the WHOLE pre-snapshot
+        #: state for a missing dir. In-memory only is correct: a crash
+        #: kills the run with it, the orphan dir is unreferenced garbage,
+        #: and the restart's GC may remove it.
+        self._reserved: dict[str, set[int]] = {}
         # restart support: a new engine on an existing workdir (checkpoint
         # recovery) must resume from the persisted pointers, not version 0
         meta = self._committed_meta()
@@ -371,6 +382,10 @@ class StateStore:
             return None
         seg = ptr["latest"] + 1
         self._versions[name] = {"latest": seg, "segments": snap}
+        # pin the reserved id against GC for the compaction's lifetime —
+        # `latest` alone stops protecting it as soon as a later batch
+        # appends (its id supersedes `latest` in both live sets)
+        self._reserved.setdefault(name, set()).add(seg)
         roots = [self._path(name, int(s)) for s, bs in snap.items() if bs]
         all_buckets = sorted({b for bs in snap.values() for b in bs})
         path = self._path(name, seg)
@@ -401,14 +416,20 @@ class StateStore:
             if written:
                 segments[str(seg)] = written
             self._versions[name] = {"latest": cur["latest"], "segments": segments}
+            # the swap above makes seg live through `segments` (or, when
+            # nothing was written, legitimately dead) — the pin comes off
+            # before GC so an empty compaction's dir is collected normally
+            self._reserved.get(name, set()).discard(seg)
             self._gc_append(name)
 
         return run, finish
 
     def _gc_append(self, name: str) -> None:
         """Remove segment dirs referenced by neither the in-memory nor the
-        committed pointers (same retain policy as ``_gc_parts``)."""
-        live: set[int] = set()
+        committed pointers (same retain policy as ``_gc_parts``), nor
+        reserved by an in-flight compaction (whose output dir appears in no
+        pointer until its ``finish``)."""
+        live: set[int] = set(self._reserved.get(name, ()))
         for src in (self._versions, self._committed_versions()):
             ptr = src.get(name)
             if isinstance(ptr, dict) and "segments" in ptr:

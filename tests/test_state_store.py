@@ -330,3 +330,34 @@ def test_two_phase_compaction_pointer_algebra_model(spark, tmp_path):
     finish(run())
     got = sorted((r["k"], r["v"]) for r in st2.get_append("t", A_SCHEMA).collect())
     assert got == [(0, 100), (1, 101)]
+
+
+def test_gc_never_deletes_reserved_compaction_output(spark, tmp_path):
+    """Regression (round-5 async-compaction bug): once a LATER batch
+    appends and commits, the reserved compaction segment id is referenced
+    by neither the in-memory nor the committed pointer — GC's two-source
+    live set alone then deletes the background run's output dir mid-
+    flight, and ``finish`` swaps the whole pre-snapshot state for a
+    missing dir (observed as PATH_NOT_FOUND on the next read, i.e. total
+    loss of the compacted state). The reserved-id pin must keep the dir
+    alive across any number of interleaved append+commit cycles."""
+    st = StateStore(spark, str(tmp_path))
+    for i in range(3):
+        st.append_parts("log", _bucketed(_df(spark, [(i, i)])), [i % 4])
+        st.commit()
+    run, finish = st.begin_compact_append("log", SCHEMA)
+    st.commit()  # durable reservation (engine protocol)
+    written = run()  # background write completes; dir on disk, in no pointer
+    reserved_dir = os.path.join(str(tmp_path), "log", "v4")
+    assert os.path.isdir(reserved_dir)
+    # two interleaved batches move BOTH live sets past the reserved id
+    for i in range(3, 5):
+        st.append_parts("log", _bucketed(_df(spark, [(i, i)])), [i % 4])
+        st.commit()
+    assert os.path.isdir(reserved_dir), "GC deleted the in-flight compaction output"
+    finish(written)
+    st.commit()
+    assert _rows(st.get_append("log", SCHEMA)) == [(i, i) for i in range(5)]
+    # and the pin comes off at finish: the swap makes the dir live through
+    # the segments map instead (compacted + the two later appends)
+    assert st.append_segment_count("log") == 3
