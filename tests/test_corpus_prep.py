@@ -466,3 +466,32 @@ def test_leakage_safe_split_rejects_degenerate_rates(docs):
     for bad in (0.0, 1.0, -0.1, 1.5):
         with pytest.raises(ValueError, match="eval_rate"):
             leakage_safe_split(docs, eval_rate=bad)
+
+
+@pytest.mark.parametrize("chunk,stride", [(1, 1), (4, 3), (5, 5), (32, 24)])
+def test_doc_chunks_matches_reference_model(spark, chunk, stride):
+    """Randomized per-doc token counts (seeded) against a pure-Python
+    model, across degenerate geometries: token-per-chunk (1,1),
+    straddle-heavy (4,3), non-overlapping exact tiling (5,5), defaults."""
+    from flink_cooccurrence_spark.operators.packing import doc_chunks
+
+    rng = random.Random(chunk * 100 + stride)
+    counts = [(i * 11 % 89, rng.randrange(1, 3 * chunk + 2)) for i in range(50)]
+    docs = spark.createDataFrame(
+        [(doc_id, "w " * (n - 1) + "w") for doc_id, n in counts],
+        "doc_id long, text string",
+    )
+
+    def model():
+        out = []
+        for doc_id, n in counts:
+            for k, start in enumerate(range(0, n, stride)):
+                m = min(chunk, n - start)
+                out.append((doc_id, k, start, m, " ".join(["w"] * m)))
+        return sorted(out)
+
+    got = sorted(
+        tuple(r)
+        for r in doc_chunks(docs, chunk_tokens=chunk, stride=stride).collect()
+    )
+    assert got == model()
