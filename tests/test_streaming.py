@@ -702,3 +702,34 @@ def test_replay_after_replay_accumulates_not_noops(spark, inter_short, tmp_path)
 
     assert_df_equal(eng.item_rows(), cooccurrence_counts(inter_short), "replay_twice_matrix")
     assert eng.total_observed() == total_observed(inter_short).first()[0]
+
+
+@pytest.mark.parametrize("skip_cuts", [True, False])
+def test_empty_and_all_late_batches_are_inert(spark, tmp_path, skip_cuts):
+    """A real stream delivers empty triggers (idle source) and batches
+    whose every row is late — both must advance the batch counter, count
+    the drops, touch no state, and leave the engine processing normally
+    afterwards, on BOTH the non-sampled and the sampled path (the sampled
+    stats rollup aggregates an empty frame to one all-NULL row)."""
+    cfg = _cfg(
+        window_size=1, window_unit="SECONDS", skip_cuts=skip_cuts,
+        **({} if skip_cuts else dict(item_cut=40, user_cut=5, seed=1)),
+    )
+    eng = CooccurrenceStreamEngine(spark, cfg, workdir=str(tmp_path / "wd"))
+    S = "user int, item int, ts_ms long, seq long"
+    eng.process_batch(
+        spark.createDataFrame([(1, 10, 5000, 0), (1, 11, 6000, 1)], S), 0
+    )
+    eng.process_batch(spark.createDataFrame([], S), 1)  # idle trigger
+    eng.process_batch(  # every row below the 6000 watermark
+        spark.createDataFrame([(2, 12, 100, 2), (2, 13, 200, 3)], S), 2
+    )
+    eng.process_batch(spark.createDataFrame([(1, 12, 9000, 4)], S), 3)
+    m = eng.metrics()
+    assert m["batches"] == 4
+    assert m["late_elements"] == 2
+    # the late user-2 rows contributed nothing; user 1's {10,11,12} pair
+    # fully: 3·2 cells (cuts admit everything at these sizes)
+    assert eng.item_rows().count() == 6
+    assert eng.total_observed() == 6
+    eng.close()
