@@ -91,8 +91,15 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup mapping: (doc_id, text_hash, canonical_id, is_duplicate).
 
     canonical = min doc_id per content hash; one shuffle on the hash.
+    NULL text folds to '' so the one-row-per-document contract is enforced
+    rather than assumed — ``md5(NULL)`` is NULL and the null-unsafe hash
+    join would silently drop the document from the mapping (same
+    convention as ``packing.pack_chunks``; a no-content doc dedups with
+    the empty-content group).
     """
-    hashed = documents.select("doc_id", F.md5("text").alias("text_hash"))
+    hashed = documents.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
+    )
     groups = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("canonical_id")
     )

@@ -434,7 +434,7 @@ shingles AS (
 """.strip()
 
     o["dedup_exact"] = """
-WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+WITH hashed AS (SELECT doc_id, md5(COALESCE(text, '')) AS text_hash FROM documents),
 groups AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY 1)
 SELECT h.doc_id, h.text_hash, g.canonical_id,
        h.doc_id != g.canonical_id AS is_duplicate
@@ -1038,7 +1038,7 @@ FROM parts WHERE trim(p) != ''
     from flink_cooccurrence_spark.plans import corpus as cp
 
     o["corpus_filter"] = rf"""
-WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+WITH hashed AS (SELECT doc_id, md5(COALESCE(text, '')) AS text_hash FROM documents),
 groups AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY 1),
 canonical AS (
   SELECT h.doc_id FROM hashed h JOIN groups g USING (text_hash)

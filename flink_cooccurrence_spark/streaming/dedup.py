@@ -410,7 +410,14 @@ class DedupStreamEngine:
     # --------------------------------------------------------------- stages
 
     def _process(self, docs: DataFrame, batch_id: int) -> None:
-        hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+        # NULL text folds to '' (the batch operator's convention): md5(NULL)
+        # is NULL, and the null-unsafe hash join below would silently drop
+        # the document from the exact log despite "one row per processed
+        # document" — parity with exact_duplicates is structural only if
+        # both fold the same way
+        hashed = docs.select(
+            "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
+        )
 
         # the batch's heavy pass (shingle explode → 32-way min agg) feeds
         # the stats action, the pair join, and the band MERGE — materialize

@@ -500,3 +500,23 @@ def test_replay_after_replay_accumulates_not_noops(spark, docs, tmp_path):
     assert _rows(twice.dup_pairs()) == _rows(once.dup_pairs())
     twice.close()
     once.close()
+
+
+def test_null_text_doc_keeps_one_row_per_document(spark, tmp_path):
+    """NULL text folds to '' on both the batch operator and the engine:
+    md5(NULL) is NULL and the null-unsafe hash join silently dropped the
+    document from the exact log despite the one-row-per-document contract
+    (the advisor-flagged silent-disappearance class, pack_chunks
+    precedent). A NULL-text doc now dedups with the empty-content group."""
+    from flink_cooccurrence_spark.operators.dedup import exact_duplicates
+
+    S = "doc_id long, text string"
+    docs = spark.createDataFrame([(1, "a b c"), (3, None), (4, "")], S)
+    batch = sorted(tuple(r) for r in exact_duplicates(docs).collect())
+    assert [r[0] for r in batch] == [1, 3, 4]   # nobody disappears
+    assert batch[1][2] == 3 and batch[2][2] == 3  # 4 dups against 3 ('' group)
+
+    eng = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    eng.replay(docs, docs_per_batch=2)
+    assert _rows(eng.exact_log()) == batch  # stream == batch, bit for bit
+    eng.close()
