@@ -495,3 +495,15 @@ def test_doc_chunks_matches_reference_model(spark, chunk, stride):
         for r in doc_chunks(docs, chunk_tokens=chunk, stride=stride).collect()
     )
     assert got == model()
+
+
+def test_doc_chunks_keeps_null_text_doc(spark):
+    """NULL text folds to '' (one empty token ⇒ exactly one chunk) — the
+    document appears in the chunk plan instead of silently vanishing."""
+    from flink_cooccurrence_spark.operators.packing import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in doc_chunks(docs).collect())
+    assert got == [(1, 0, 0, 2, "a b"), (2, 0, 0, 1, "")]
