@@ -520,3 +520,28 @@ def test_null_text_doc_keeps_one_row_per_document(spark, tmp_path):
     eng.replay(docs, docs_per_batch=2)
     assert _rows(eng.exact_log()) == batch  # stream == batch, bit for bit
     eng.close()
+
+
+def test_compaction_churn_every_batch_stays_bit_identical(spark, docs, tmp_path):
+    """Maximum background-compaction churn: compact_threshold=1 re-triggers
+    the two-phase cycle (reserve → off-thread run → harvest-swap at a later
+    batch) after essentially EVERY batch, with a single state bucket so all
+    postings collide — 10 batches of interleaved appends, reservations,
+    pointer swaps, and reservation-pinned GC. Outputs must equal the batch
+    operators bit-for-bit and the segment count must stay bounded at
+    quiescence. (This is the schedule that exposed the reserved-dir GC
+    race: every batch moves both live sets past an in-flight output id.)"""
+    sub = docs.filter(F.col("doc_id") < 300)
+    eng = DedupStreamEngine(
+        spark,
+        workdir=str(tmp_path),
+        threshold=THRESHOLD,
+        state_buckets=1,
+        compact_threshold=1,
+    )
+    eng.replay(sub, docs_per_batch=30)
+    eng.close()
+    assert _rows(eng.exact_log()) == _rows(exact_duplicates(sub))
+    assert _rows(eng.dup_pairs()) == _rows(minhash_lsh_dup_pairs(sub, THRESHOLD))
+    for table in ("band_index", "seen_hashes"):
+        assert eng.state.append_segment_count(table) <= 2
