@@ -507,3 +507,18 @@ def test_doc_chunks_keeps_null_text_doc(spark):
     )
     got = sorted(tuple(r) for r in doc_chunks(docs).collect())
     assert got == [(1, 0, 0, 2, "a b"), (2, 0, 0, 1, "")]
+
+
+def test_leakage_safe_split_stable_under_repartitioning(spark, docs):
+    """The split is a pure function of document content/ids (cluster label
+    = deterministic min-label fixpoint; coin = hash of the label) — the
+    docstring's stability claim, pinned against an adversarial
+    repartitioning."""
+    from flink_cooccurrence_spark.operators.dedup import leakage_safe_split
+
+    a = sorted(tuple(r) for r in leakage_safe_split(docs).collect())
+    b = sorted(
+        tuple(r)
+        for r in leakage_safe_split(docs.repartition(17, "lang")).collect()
+    )
+    assert a == b
