@@ -182,31 +182,47 @@ def main() -> None:
     }
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                # per-query run counts: batch queries report min-of-3
-                # steady state; the three replay rows are min-of-2
-                # end-to-end runs (fresh state per run) — a flat
-                # runs_per_query:3 would mis-describe them to regression
-                # tooling
-                "runs_per_query": runs,
-                "aggregation": "min",
-                # plan-shape hash per headline query (planfp.py): equal
-                # fingerprints across rounds ⇒ timing deltas are noise
-                "plan_fingerprints": fingerprints,
-                "counters": counters,
-                # replay-row path metadata (e.g. how many sampled batches
-                # took the below-capacity fast path vs the Arrow processor)
-                "replay_meta": replay_meta,
-                "sf": sf,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "aggregation": "min",
+        "sf": sf,
+    }
+    detail = {
+        **headline,
+        # per-query run counts: batch queries report min-of-3 steady
+        # state; the three replay rows are min-of-2 end-to-end runs
+        # (fresh state per run) — a flat runs_per_query:3 would
+        # mis-describe them to regression tooling
+        "runs_per_query": runs,
+        # plan-shape hash per headline query (planfp.py): equal
+        # fingerprints across rounds ⇒ timing deltas are noise
+        "plan_fingerprints": fingerprints,
+        "counters": counters,
+        # replay-row path metadata (e.g. how many sampled batches
+        # took the below-capacity fast path vs the Arrow processor)
+        "replay_meta": replay_meta,
+    }
+    # Output contract (BENCH_r05 postmortem): the driver keeps only the
+    # LAST ~2.4 KB of stdout and parses the final line. The full detail
+    # record outgrew that window in round 5 ("parsed": null), so it now
+    # goes to a file (bench_detail_latest.json, for the judge /
+    # fingerprint archaeology) plus a first stdout line (survives when
+    # the window is large), while the LAST line is the compact headline —
+    # small enough that tail truncation can never eat it again.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail_latest.json"), "w"
+        ) as fh:
+            json.dump(detail, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout lines still carry everything
+    print(json.dumps(detail), flush=True)
+    print(json.dumps(headline), flush=True)
     spark.stop()
 
 

@@ -33,6 +33,47 @@ from flink_cooccurrence_spark.operators.textstats import _tokens
 PACK_CONTEXT_LEN = 64
 
 
+def chunks_from_spans(
+    spans: DataFrame, context_len: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The concat-and-chunk arithmetic shared by :func:`pack_chunks` and
+    the manifest-ordered ``plans/corpus.pack_manifest``: given per-document
+    spans (``start`` = exclusive token prefix sum in the chosen corpus
+    order, ``n_tokens`` >= 1), cut the concatenated token stream every
+    ``context_len`` tokens and emit one row per (document, pack) overlap.
+    Pure integer expressions — a bounded per-row explode, zero shuffles.
+    ``extra_cols`` pass through (e.g. the manifest's ``train_seq``)."""
+    ci = int(context_len)
+    if ci <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    c = F.lit(ci)
+    # exact integer floor division (`div`): start is a long prefix sum that
+    # exceeds 2^53 at the 100-TB corpus scale, where double-precision
+    # `floor(start / c)` would mis-assign pack ids. Both operands are
+    # non-negative, so `div` == mathematical floor division.
+    first = F.expr(f"start div {ci}")
+    # n_tokens >= 1 always (callers enforce it), so the chunk range
+    # [start, start + n_tokens) is never empty
+    last = F.expr(f"(start + n_tokens - 1) div {ci}")
+    chunks = spans.select(
+        "doc_id",
+        *extra_cols,
+        "start",
+        "n_tokens",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("pack_id") * c)
+    hi = F.least(F.col("start") + F.col("n_tokens"), (F.col("pack_id") + 1) * c)
+    return chunks.select(
+        "doc_id",
+        *extra_cols,
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (lo - F.col("start")).cast("int").alias("doc_off"),
+        (lo - F.col("pack_id") * c).cast("int").alias("pack_off"),
+        (hi - lo).cast("int").alias("n_chunk_tokens"),
+    )
+
+
 def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> DataFrame:
     """Pack plan for concat-and-chunk sequence packing.
 
@@ -58,33 +99,7 @@ def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> Da
         .alias("n_tokens"),
     )
     spans = running_sum_exclusive(toks, ["doc_id"], "n_tokens", out="start")
-    ci = int(context_len)
-    if ci <= 0:
-        raise ValueError(f"context_len must be positive, got {context_len}")
-    c = F.lit(ci)
-    # exact integer floor division (`div`): start is a long prefix sum that
-    # exceeds 2^53 at the 100-TB corpus scale, where double-precision
-    # `floor(start / c)` would mis-assign pack ids. Both operands are
-    # non-negative, so `div` == mathematical floor division.
-    first = F.expr(f"start div {ci}")
-    # n_tokens >= 1 always (enforced by the coalesce above), so the
-    # chunk range [start, start + n_tokens) is never empty
-    last = F.expr(f"(start + n_tokens - 1) div {ci}")
-    chunks = spans.select(
-        "doc_id",
-        "start",
-        "n_tokens",
-        F.explode(F.sequence(first, last)).alias("pack_id"),
-    )
-    lo = F.greatest(F.col("start"), F.col("pack_id") * c)
-    hi = F.least(F.col("start") + F.col("n_tokens"), (F.col("pack_id") + 1) * c)
-    return chunks.select(
-        "doc_id",
-        F.col("pack_id").cast("long").alias("pack_id"),
-        (lo - F.col("start")).cast("int").alias("doc_off"),
-        (lo - F.col("pack_id") * c).cast("int").alias("pack_off"),
-        (hi - lo).cast("int").alias("n_chunk_tokens"),
-    )
+    return chunks_from_spans(spans, context_len)
 
 
 #: sliding-window chunk defaults: stride < chunk_tokens so chunks overlap
@@ -164,12 +179,15 @@ def pack_token_stream(
     every token of the concatenated corpus placed at its position inside
     its fixed-length training context.
 
-    The gather is join-free: a token's global position is its document's
-    exclusive token prefix sum (the same bucketed two-pass
-    ``running_sum_exclusive`` as :func:`pack_chunks`) plus its position
-    within the document (``posexplode``), and the pack assignment is pure
-    integer arithmetic on that position — one explode, one broadcast-bounds
-    pass, no shuffle beyond the prefix-sum decomposition. At 100 TB this
+    A token's global position is its document's exclusive token prefix sum
+    (the same bucketed two-pass ``running_sum_exclusive`` as
+    :func:`pack_chunks`) plus its position within the document
+    (``posexplode``), and the pack assignment is pure integer arithmetic on
+    that position. The one real data movement beyond the prefix-sum
+    decomposition is the ``doc_id`` equi-join of the exploded tokens
+    against the O(n_docs) spans table — at 100 TB the spans side is not
+    broadcastable, so this is a genuine (but single, narrow-key) shuffle
+    co-partitioned on ``doc_id``. At 100 TB this
     is the embarrassingly-parallel copy step the pack *plan* exists to
     license; emitting it as an operator makes the whole packing family
     runnable end-to-end (plan → bytes) instead of plan-only.

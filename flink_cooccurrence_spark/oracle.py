@@ -1237,6 +1237,34 @@ SELECT CAST(row_number() OVER (
 FROM surv
 """
 
+    # pack the SHUFFLED manifest (plans/corpus.py:pack_manifest): the
+    # pack_chunks concat-and-chunk arithmetic with the prefix sum ordered
+    # by train_seq instead of doc_id, over the manifest's own n_tokens
+    o["pack_manifest"] = f"""
+WITH m AS ({o["training_manifest"]}),
+spans AS (
+  SELECT doc_id, train_seq, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY train_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM m
+),
+chunks AS (
+  SELECT doc_id, train_seq, st, n_tokens,
+         unnest(generate_series(st // {pk.PACK_CONTEXT_LEN},
+                                (st + n_tokens - 1) // {pk.PACK_CONTEXT_LEN}))
+           AS pack_id
+  FROM spans
+)
+SELECT doc_id, train_seq,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(greatest(st, pack_id * {pk.PACK_CONTEXT_LEN}) - st AS INT) AS doc_off,
+       CAST(greatest(st, pack_id * {pk.PACK_CONTEXT_LEN})
+            - pack_id * {pk.PACK_CONTEXT_LEN} AS INT) AS pack_off,
+       CAST(least(st + n_tokens, (pack_id + 1) * {pk.PACK_CONTEXT_LEN})
+            - greatest(st, pack_id * {pk.PACK_CONTEXT_LEN}) AS INT) AS n_chunk_tokens
+FROM chunks
+"""
+
     return o
 
 

@@ -115,3 +115,46 @@ def training_manifest(
         "quality_score",
         "weight",
     )
+
+
+def pack_manifest(
+    documents: DataFrame, eval_mod: int = 13, min_shared: int = 2,
+    context_len: int | None = None,
+) -> DataFrame:
+    """Pack the *shuffled, deduped, decontaminated* training stream — the
+    composition a real pretraining job materializes: documents are
+    concatenated in :func:`training_manifest`'s ``train_seq`` order (not
+    raw ``doc_id`` order, which is what ``operators/packing.pack_chunks``
+    cuts) and the token stream is chunked into fixed ``context_len``
+    training contexts.
+
+    Output, one row per (document, pack) overlap: (doc_id, train_seq,
+    pack_id, doc_off, pack_off, n_chunk_tokens) — the pack-plan columns of
+    ``pack_chunks`` plus the manifest position for attribution.
+
+    Scale shape: the manifest already carries each survivor's ``n_tokens``
+    (the same whitespace count the packer would recompute — survivors have
+    non-null text by construction, so the packer's NULL→'' fold is a
+    no-op), so packing adds NO extra corpus scan: one bucketed two-pass
+    prefix sum over ``train_seq`` (``running_sum_exclusive`` — uniform by
+    construction since train_seq is the dense shuffle rank 1..N) plus the
+    map-only chunk arithmetic (``chunks_from_spans``). The only shuffles
+    are the manifest's own.
+    """
+    from flink_cooccurrence_spark.operators.ordering import running_sum_exclusive
+    from flink_cooccurrence_spark.operators.packing import (
+        PACK_CONTEXT_LEN,
+        chunks_from_spans,
+    )
+
+    manifest = training_manifest(documents, eval_mod=eval_mod, min_shared=min_shared)
+    spans = running_sum_exclusive(
+        manifest.select(
+            "train_seq", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+        ),
+        ["train_seq"],
+        "n_tokens",
+        out="start",
+    )
+    ci = PACK_CONTEXT_LEN if context_len is None else context_len
+    return chunks_from_spans(spans, ci, extra_cols=("train_seq",))

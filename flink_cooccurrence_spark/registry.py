@@ -577,6 +577,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "training_manifest": lambda s, d: __import__(
         "flink_cooccurrence_spark.plans.corpus", fromlist=["training_manifest"]
     ).training_manifest(_documents(s, d)),
+    # the capstone-of-the-capstone: pack the SHUFFLED manifest — documents
+    # concatenated in train_seq (not doc_id) order, then cut into fixed
+    # training contexts; what a real pretraining job materializes
+    "pack_manifest": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["pack_manifest"]
+    ).pack_manifest(_documents(s, d)),
     # per-document overlapping token windows (retrieval/embedding prep —
     # the per-doc counterpart of pack_chunks' corpus concat)
     "doc_chunks": lambda s, d: __import__(

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # stdout hygiene: the console progress bar writes CR-spam that
+        # consumed the driver's bench stdout-tail capture in round 5
+        # (BENCH_r05 "parsed": null) — logs/progress belong on stderr only
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata is written with TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long nanos and normalize in sources.load_table

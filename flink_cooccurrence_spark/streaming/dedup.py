@@ -291,12 +291,20 @@ class DedupStreamEngine:
         if not began:
             return
         # COMMIT the reservation BEFORE submitting any run: if this commit
-        # fails, the exception propagates with nothing in flight and the
-        # caller's rollback discards the in-memory reservation — whereas a
-        # run submitted first would keep writing the reserved dir while a
-        # rollback handed its id back to append_parts (clobber + a stale
-        # finish() could drop an appended batch from the pointer)
-        self.state.commit()  # durable reservation (tiny manifest write)
+        # fails, the exception propagates with nothing in flight — the
+        # caller's rollback restores the pointers, and the abort below
+        # (`finish(None)`) drops each in-memory reservation pin, which
+        # rollback alone does NOT touch (a pin left behind keeps its id —
+        # and orphan dir — retained for process lifetime). A run submitted
+        # first would keep writing the reserved dir while a rollback handed
+        # its id back to append_parts (clobber + a stale finish() could
+        # drop an appended batch from the pointer).
+        try:
+            self.state.commit()  # durable reservation (tiny manifest write)
+        except BaseException:
+            for _name, (_run, finish) in began:
+                finish(None)
+            raise
         for name, (run, finish) in began:
             self._compacting[name] = (self._compact_pool.submit(run), finish)
 
@@ -304,14 +312,20 @@ class DedupStreamEngine:
         """Fold finished background compactions into the live pointer (the
         swap becomes durable at the caller's next commit). Never blocks
         unless ``wait``; a failed run raises here, with the entry dropped
-        so a later ``_maybe_compact`` can retry under a fresh reservation
-        (the burned output dir is unreferenced and GC'd)."""
+        and its reservation aborted (``finish(None)`` unpins the reserved
+        id and GCs the burned output dir) so a later ``_maybe_compact``
+        can retry under a fresh reservation."""
         for name in list(self._compacting):
             fut, finish = self._compacting[name]
             if not (wait or fut.done()):
                 continue
             del self._compacting[name]
-            finish(fut.result())
+            try:
+                written = fut.result()
+            except BaseException:
+                finish(None)
+                raise
+            finish(written)
 
     def attach(self, stream_df: DataFrame, available_now: bool = True):
         """Wire into a streaming DataFrame via foreachBatch."""

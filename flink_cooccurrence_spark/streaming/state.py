@@ -342,7 +342,12 @@ class StateStore:
         if started is None:
             return
         run, finish = started
-        finish(run())
+        try:
+            written = run()
+        except BaseException:
+            finish(None)  # abort: unpin the reserved id, GC the partial dir
+            raise
+        finish(written)
 
     def begin_compact_append(self, name: str, schema: str, reducer=None):
         """Two-phase (non-blocking) LSM compaction. Returns ``None`` when
@@ -364,7 +369,12 @@ class StateStore:
         - ``finish(run())`` — caller thread, after ``run`` settles: swap
           the pointer — snapshot segments out, compacted segment in,
           segments appended since the snapshot retained — and GC. Durable
-          at the caller's next ``commit()``.
+          at the caller's next ``commit()``. ``finish(None)`` is the ABORT
+          path for a failed/abandoned ``run``: the pointer keeps the
+          snapshot segments, the reservation pin comes off, and GC removes
+          the partial output dir — without it the reserved id stays pinned
+          for process lifetime and the burned dir survives every
+          in-process GC.
 
         Crash safety: until the post-``finish`` commit, the committed
         manifest still references the snapshot segments (whose dirs GC
@@ -408,7 +418,15 @@ class StateStore:
                 if d.startswith("_bucket=")
             )
 
-        def finish(written: list[int]) -> None:
+        def finish(written: list[int] | None) -> None:
+            if written is None:
+                # aborted compaction: keep the snapshot pointer as-is; the
+                # only cleanup owed is the reservation pin (else the id —
+                # and any partially-written output dir — is retained for
+                # process lifetime) and a GC of that now-unreferenced dir
+                self._reserved.get(name, set()).discard(seg)
+                self._gc_append(name)
+                return
             cur = self._versions.get(name)
             segments = {
                 s: bs for s, bs in cur["segments"].items() if s not in snap

@@ -522,3 +522,37 @@ def test_leakage_safe_split_stable_under_repartitioning(spark, docs):
         for r in leakage_safe_split(docs.repartition(17, "lang")).collect()
     )
     assert a == b
+
+
+def test_pack_manifest_packs_the_shuffled_survivor_stream(docs):
+    """pack_manifest = pack_chunks arithmetic over training_manifest's
+    train_seq order: (a) exactly the manifest's documents appear, (b) each
+    doc's chunks sum to its manifest n_tokens, (c) packs tile contiguously
+    in train_seq-concatenation order — i.e. chunk at pack position p of
+    pack k covers global tokens [k*C + p, ...), and the doc owning the
+    global position sequence is non-decreasing in train_seq."""
+    from flink_cooccurrence_spark.plans.corpus import pack_manifest, training_manifest
+
+    manifest = training_manifest(docs).toPandas().set_index("doc_id")
+    pm = pack_manifest(docs).toPandas()
+    assert set(pm["doc_id"]) == set(manifest.index)
+    sums = pm.groupby("doc_id")["n_chunk_tokens"].sum()
+    assert (sums == manifest["n_tokens"].loc[sums.index]).all()
+    # train_seq rides through correctly
+    assert (
+        pm.set_index("doc_id")["train_seq"]
+        == manifest["train_seq"].loc[pm["doc_id"]].set_axis(pm["doc_id"])
+    ).all()
+    # global positions: sorting chunks by (pack_id, pack_off) must walk the
+    # manifest in train_seq order (concat order == shuffle order)
+    walk = pm.sort_values(["pack_id", "pack_off"])
+    seqs = walk["train_seq"].to_numpy()
+    assert (seqs[1:] >= seqs[:-1]).all()
+    # packs tile [0, C) with no gaps; all but the last are full
+    last_pack = pm["pack_id"].max()
+    for pack_id, grp in pm.groupby("pack_id"):
+        grp = grp.sort_values("pack_off")
+        assert grp["pack_off"].iloc[0] == 0
+        ends = (grp["pack_off"] + grp["n_chunk_tokens"]).to_numpy()
+        assert (grp["pack_off"].to_numpy()[1:] == ends[:-1]).all()
+        assert ends[-1] == PACK_CONTEXT_LEN or pack_id == last_pack

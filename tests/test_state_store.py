@@ -361,3 +361,58 @@ def test_gc_never_deletes_reserved_compaction_output(spark, tmp_path):
     # and the pin comes off at finish: the swap makes the dir live through
     # the segments map instead (compacted + the two later appends)
     assert st.append_segment_count("log") == 3
+
+
+def test_aborted_compaction_unpins_reservation_and_gcs_partial_dir(spark, tmp_path):
+    """Regression (round-5 ADVICE): a failed compaction run left its
+    reserved segment id in ``_reserved`` forever — the orphan output dir
+    then survived every in-process GC, contradicting the documented
+    'unreferenced and GC'd' contract. ``finish(None)`` is the abort path:
+    pointer keeps the snapshot, the pin comes off, the partial dir goes."""
+    st = StateStore(spark, str(tmp_path))
+    for i in range(3):
+        st.append_parts("log", _bucketed(_df(spark, [(i, i)])), [i % 4])
+        st.commit()
+    run, finish = st.begin_compact_append("log", SCHEMA)
+    st.commit()
+    reserved_dir = os.path.join(str(tmp_path), "log", "v4")
+    # simulate a failed run that got far enough to create the output dir
+    os.makedirs(reserved_dir, exist_ok=True)
+    finish(None)  # abort
+    assert st._reserved.get("log", set()) == set(), "reservation pin leaked"
+    # state is untouched — snapshot segments still serve every row
+    assert _rows(st.get_append("log", SCHEMA)) == [(i, i) for i in range(3)]
+    # the dir stays only while `latest` still references the id; two
+    # append+commit cycles supersede it in both live sets (GC runs at
+    # append time, against the previous commit) and normal GC collects it
+    # — the pre-fix behavior retained it for PROCESS LIFETIME via the pin
+    for i in (3, 4):
+        st.append_parts("log", _bucketed(_df(spark, [(i, i)])), [i % 4])
+        st.commit()
+    assert not os.path.isdir(reserved_dir), "partial output dir survived GC"
+    # and a fresh compaction can retry under a NEW reservation
+    run2, finish2 = st.begin_compact_append("log", SCHEMA)
+    st.commit()
+    finish2(run2())
+    st.commit()
+    assert _rows(st.get_append("log", SCHEMA)) == [(i, i) for i in range(5)]
+    assert st.append_segment_count("log") == 1
+
+
+def test_sync_compact_append_aborts_reservation_on_failed_run(spark, tmp_path):
+    """The synchronous wrapper takes the same abort path when its run
+    raises (e.g. a reducer bug): reservation unpinned, state intact."""
+    import pytest
+
+    st = StateStore(spark, str(tmp_path))
+    for i in range(2):
+        st.append_parts("log", _bucketed(_df(spark, [(i, i)])), [i % 4])
+        st.commit()
+
+    def bad_reducer(df):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        st.compact_append("log", SCHEMA, bad_reducer)
+    assert st._reserved.get("log", set()) == set()
+    assert _rows(st.get_append("log", SCHEMA)) == [(0, 0), (1, 1)]
