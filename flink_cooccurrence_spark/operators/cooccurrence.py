@@ -152,7 +152,10 @@ def total_observed(interactions: DataFrame) -> DataFrame:
 
 
 def scored_rows(
-    counts: DataFrame, sums: DataFrame, total: DataFrame, round_digits: int | None = 3
+    counts: DataFrame,
+    sums: DataFrame,
+    total: DataFrame | int,
+    round_digits: int | None = 3,
 ) -> DataFrame:
     """LLR-score every cell of the cooccurrence matrix.
 
@@ -171,11 +174,16 @@ def scored_rows(
     rs_other = sums.select(
         F.col("item").alias("other_item"), F.col("row_sum").alias("row_sum_other")
     )
-    scored = (
-        counts.join(F.broadcast(rs_item), on="item")
-        .join(F.broadcast(rs_other), on="other_item")
-        .crossJoin(F.broadcast(total))
+    scored = counts.join(F.broadcast(rs_item), on="item").join(
+        F.broadcast(rs_other), on="other_item"
     )
+    if isinstance(total, int):
+        # a caller that already holds the scalar (the streaming engine's
+        # committed running total) skips the 1-row crossJoin broadcast —
+        # one fewer broadcast-build job on the per-batch critical tail
+        scored = scored.withColumn("total", F.lit(total).cast("long"))
+    else:
+        scored = scored.crossJoin(F.broadcast(total))
     k11 = F.col("cnt")
     k12 = F.col("row_sum_item") - k11
     k21 = F.col("row_sum_other") - k11

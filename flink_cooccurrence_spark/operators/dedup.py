@@ -519,16 +519,17 @@ def embedding_near_dup_pairs(
 
 
 def dedup_keep_canonical(
-    documents: DataFrame, threshold: float = 0.5
+    documents: DataFrame, threshold: float = 0.5, backend: str = "propagation"
 ) -> DataFrame:
     """The near-dedup pipeline's OUTPUT: the corpus with every near-dup
     cluster collapsed to its canonical representative (the cluster-min
     doc_id — reference-style first-wins). All input columns pass through;
     the only addition to ``dup_clusters`` is one semi-join, so the plan is
     cluster labels + a corpus-partitioned filter — this is the table a
-    training pipeline actually writes after dedup."""
+    training pipeline actually writes after dedup. ``backend`` selects the
+    components algorithm (see :func:`dup_clusters`)."""
     keep = (
-        dup_clusters(documents, threshold)
+        dup_clusters(documents, threshold, backend=backend)
         .filter(F.col("cluster_id") == F.col("doc_id"))
         .select("doc_id")
     )
@@ -548,6 +549,7 @@ def leakage_safe_split(
     documents: DataFrame,
     eval_rate: float = SPLIT_EVAL_RATE,
     threshold: float = 0.5,
+    backend: str = "propagation",
 ) -> DataFrame:
     """Near-dup-aware train/eval split: every document is assigned a split
     by a hash coin of its near-dup CLUSTER id, never its own id — so two
@@ -565,6 +567,7 @@ def leakage_safe_split(
 
     Scale shape: cluster labels + one map-only projection — the split
     decision adds ZERO shuffles on top of the components computation.
+    ``backend`` selects the components algorithm (see :func:`dup_clusters`).
     """
     if not (0.0 < eval_rate < 1.0):
         raise ValueError(f"eval_rate must be in (0, 1), got {eval_rate}")
@@ -572,7 +575,7 @@ def leakage_safe_split(
     coin = hash32(
         F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
     )
-    return dup_clusters(documents, threshold).select(
+    return dup_clusters(documents, threshold, backend=backend).select(
         "doc_id",
         "cluster_id",
         F.when(coin < cut, F.lit("eval")).otherwise(F.lit("train")).alias("split"),
@@ -597,8 +600,13 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame
     - *small-star*: every node folds its smaller-or-equal neighbors (and
       itself) onto their minimum.
 
-    ``localCheckpoint`` truncates the per-round lineage; the fixpoint test
-    (edge set unchanged) is the loop's one driver action pair per round.
+    ``localCheckpoint`` truncates the per-round lineage. Driver-action
+    budget per round (the fixpoint probes are full jobs at scale): one
+    checkpoint materialization + one COUNT on the already-materialized
+    result; the set-equality probe (``exceptAll``) is gated behind count
+    equality, so it runs only in the round(s) where the edge count stops
+    shrinking — near fixpoint — instead of every round, and the leading
+    empty-input probe runs once, not per round.
     """
     e = (
         edges.toDF("u", "v")
@@ -606,9 +614,10 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame
         .distinct()
         .localCheckpoint()
     )
+    e_count = e.count()
+    if e_count == 0:
+        return e.toDF("node", "root")
     for _ in range(max_iter):
-        if e.isEmpty():
-            return e.toDF("node", "root")
         # large-star
         sym = e.union(e.select("v", "u"))
         mins = (
@@ -634,9 +643,13 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame
             .toDF("u", "v")
             .localCheckpoint()
         )
-        if new_e.count() == e.count() and new_e.exceptAll(e).isEmpty():
+        new_count = new_e.count()  # cheap: scans the materialized checkpoint
+        # unequal counts prove the set changed; only equal counts need the
+        # (full-job) set-equality confirmation, which in practice fires in
+        # the final round(s) where the edge count stops moving
+        if new_count == e_count and new_e.exceptAll(e).isEmpty():
             return new_e.toDF("node", "root")
-        e = new_e
+        e, e_count = new_e, new_count
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds "
         "— raise max_iter (the bound is O(log² n) rounds, so this "
@@ -650,7 +663,8 @@ def dup_clusters_star(
     """``dup_clusters`` computed by the large-star/small-star components
     (same output contract: (doc_id, cluster_id), cluster_id = component
     min, singletons cluster with themselves) — the physical variant whose
-    round count does not grow with component diameter."""
+    round count does not grow with component diameter: the 100-TB-scale
+    backend (``dup_clusters(backend='star')`` routes here)."""
     edges = minhash_lsh_dup_pairs(documents, threshold).select("doc_a", "doc_b")
     comp = connected_components_star(edges, max_iter).toDF("doc_id", "root")
     return (
@@ -664,20 +678,40 @@ def dup_clusters_star(
 
 
 def dup_clusters(
-    documents: DataFrame, threshold: float = 0.5, max_iter: int = 20
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    backend: str = "propagation",
 ) -> DataFrame:
     """Near-duplicate clusters: (doc_id, cluster_id) for every document,
     cluster_id = min doc_id reachable through MinHash-LSH near-dup edges
     (singletons cluster with themselves).
 
-    Connected components by iterative **min-label propagation**: each round
-    every node takes the min of its own label and its neighbors' labels;
-    fixpoint in O(component diameter) rounds. Each round is one shuffle
-    join + aggregation; ``localCheckpoint`` truncates the growing lineage
-    (the standard Spark iterative-algorithm pattern — at cluster scale the
-    alternating large-star/small-star variant cuts rounds to
-    O(log diameter), dup components in practice have tiny diameters).
+    ``backend`` selects the components algorithm — both produce the
+    identical labeling (same DuckDB oracle):
+
+    - ``'propagation'`` (default): iterative min-label propagation,
+      O(component diameter) rounds — dup components in practice have tiny
+      diameters, and the fixed shape keeps the driver-SF plan (and its
+      pinned fingerprint) stable;
+    - ``'star'``: alternating large-star/small-star
+      (:func:`connected_components_star`), O(log² n) rounds — the scale
+      default when component diameter is unknown (adversarial crawl
+      chains), also exposed directly as :func:`dup_clusters_star`.
+
+    Propagation round shape: one shuffle join + aggregation, with the
+    convergence flag computed IN the same pass (``_changed`` rides the
+    checkpointed frame) — the fixpoint probe is a cheap scan of the
+    materialized result, not a second labels×labels join job per round.
+    ``localCheckpoint`` truncates the growing lineage (the standard Spark
+    iterative-algorithm pattern).
     """
+    if backend == "star":
+        return dup_clusters_star(documents, threshold, max_iter=max(max_iter, 25))
+    if backend != "propagation":
+        raise ValueError(
+            f"backend must be 'propagation' or 'star', got {backend!r}"
+        )
     edges = minhash_lsh_dup_pairs(documents, threshold).select("doc_a", "doc_b")
     sym = (
         edges.union(edges.select("doc_b", "doc_a")).toDF("src", "dst").cache()
@@ -693,30 +727,32 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        merged = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+        )
         new_labels = (
             labels.join(nbr_min, on=labels.doc_id == nbr_min.src, how="left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                merged.alias("cluster_id"),
+                # convergence detection folded into the SAME job: the flag
+                # is a row-local comparison of old vs new label, so the
+                # probe below reads the checkpoint instead of re-joining
+                # new labels against old labels (a full shuffle join per
+                # round in the previous shape)
+                (merged != F.col("cluster_id")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = not new_labels.filter(F.col("_changed")).isEmpty()
+        labels = new_labels.drop("_changed")
+        if not changed:
             break
     else:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter + 1} rounds — "
-            "component diameter exceeds max_iter; raise it or switch to "
-            "the large-star/small-star variant"
+            "component diameter exceeds max_iter; raise it or use "
+            "backend='star' (O(log² n) rounds)"
         )
     return labels

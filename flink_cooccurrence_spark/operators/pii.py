@@ -1,0 +1,130 @@
+"""PII / unsafe-content detection — regex detectors (emails, phone
+numbers, IPv4 addresses, secret-looking tokens) as pure column
+expressions, with per-document counts and a redacted-text projection.
+
+The standard pre-training scrub stage (e.g. the C4/RefinedWeb/FineWeb
+pipelines run exactly this shape before quality filtering): detection is a
+per-row function of ``text`` — map-only, zero shuffles, embarrassingly
+parallel at any corpus size — and composes into ``plans/corpus.py:
+corpus_filter`` as an optional gate.
+
+Pattern portability contract: every pattern below uses only syntax whose
+semantics agree between Java regex (Spark, backtracking) and RE2 (DuckDB,
+automaton): character classes, greedy repetition, non-capturing groups,
+``\\b`` ASCII word boundaries — no backreferences and no lookaround (RE2
+has neither). For this subset both engines implement leftmost-first
+("Perl") match semantics, so counts (non-overlapping leftmost matches)
+and replacements coincide; ``tests/test_pii.py`` pins the agreement
+empirically on rows where every detector and every edge (boundary
+backtracking, octet-run prefixes, sub-threshold hex) fires.
+
+This corpus's synthetic documents contain no digits, so the detectors
+legitimately fire zero times at every test SF — the oracle gate pins the
+all-zero parity, and ``tests/test_pii.py`` runs the same Spark-vs-DuckDB
+comparison over crafted rows where every detector fires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: detector patterns, applied independently for counts and SEQUENTIALLY
+#: (dict order) for redaction. Order matters for redaction only: emails are
+#: redacted before phones so a phone-like digit run inside an email local
+#: part is already gone.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the standard permissive email shape
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # optional +CC, then (area) sep groups: +1-555-123-4567,
+    # (555) 123 4567, 5551234567 — the country code group is OPTIONAL
+    # (10-digit forms carry no room for it: min digits are 3+3+4)
+    "phone": r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    # dotted-quad IPv4 (word-bounded so version strings like 1.2.3.4.5
+    # still match their first four octets, same in both engines)
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    # secrets: AWS access key ids, long hex blobs (token/hash material),
+    # sk-style API keys. Unbounded {32,} tails — see module docstring.
+    "secret": r"\b(?:AKIA[0-9A-Z]{16}|[A-Fa-f0-9]{32,}|sk-[A-Za-z0-9]{20,})\b",
+}
+
+#: replacement tokens for :func:`redact_pii` (angle-bracketed so redacted
+#: output can never re-match a detector)
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+    "secret": "<SECRET>",
+}
+
+
+def pii_count_columns() -> list[Column]:
+    """Per-detector match-count expressions over ``text`` (NULL folds to
+    '' so every document gets a row — the package-wide NULL-text
+    contract), plus the total. Exposed unaliased-frame-free so composers
+    (``plans/corpus.py``) can merge them into an existing row-local
+    select instead of joining frames on doc_id."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    total = sum(
+        (F.regexp_count(text, F.lit(p)) for p in PII_PATTERNS.values()),
+        start=F.lit(0),
+    )
+    return [*counts, total.alias("pii_total")]
+
+
+def redacted_text_column() -> Column:
+    """``text`` with every detector match replaced by its token, applied
+    in :data:`PII_PATTERNS` order (one chained codegen'd expression)."""
+    out = F.coalesce(F.col("text"), F.lit(""))
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, PII_REPLACEMENTS[kind])
+    return out
+
+
+def pii_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_email, n_phone, n_ipv4, n_secret, pii_total) — per-
+    document PII detector counts. Map-only."""
+    return documents.select("doc_id", *pii_count_columns())
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) with PII matches replaced by their tokens — the
+    scrub projection a pipeline materializes instead of dropping
+    documents outright. Map-only."""
+    return documents.select("doc_id", redacted_text_column().alias("text"))
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+def _count_sql(pat: str) -> str:
+    """DuckDB text of one detector count (RE2 side of the portability
+    contract). Dollar-quoted so backslashes survive verbatim."""
+    return f"len(regexp_extract_all(COALESCE(text, ''), $re${pat}$re$))"
+
+
+def pii_stats_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST({_count_sql(pat)} AS INT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(_count_sql(p) for p in PII_PATTERNS.values())
+    return f"""
+SELECT doc_id,
+       {cols},
+       CAST({total} AS INT) AS pii_total
+FROM documents
+"""
+
+
+def redact_pii_sql() -> str:
+    expr = "COALESCE(text, '')"
+    for kind, pat in PII_PATTERNS.items():
+        expr = (
+            f"regexp_replace({expr}, $re${pat}$re$, "
+            f"'{PII_REPLACEMENTS[kind]}', 'g')"
+        )
+    return f"SELECT doc_id, {expr} AS text FROM documents"

@@ -1342,3 +1342,19 @@ FROM ({ORACLES["dup_clusters"]})
 
 
 ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle()
+
+
+# PII detector counts / redaction (operators/pii.py): the Spark (Java
+# regex) and DuckDB (RE2) sides share the pattern text; the module
+# docstring documents the syntax subset with identical semantics in both
+def _pii_oracles() -> None:
+    from flink_cooccurrence_spark.operators.pii import (
+        pii_stats_sql,
+        redact_pii_sql,
+    )
+
+    ORACLES["pii_stats"] = pii_stats_sql()
+    ORACLES["redact_pii"] = redact_pii_sql()
+
+
+_pii_oracles()

@@ -71,13 +71,15 @@ def windowed_topk_similar_items(
     timestamp stamped on every emission (SURVEY §1.4).
 
     Shuffle shape: the expensive per-user pair self-join runs ONCE — its
-    aggregated cell-delta table is cached and every downstream input (row-sum
-    deltas, cumulative row sums, totals, both broadcast sides of the scoring
-    join) derives from it. Cumulative cell values come from a running sum
-    over a (item, other_item)-partitioned window; the changed-(item, window)
-    set then picks up its row cells via an equi-join on item with a range
-    predicate. Row sums / totals per window are tiny (|items| × |windows|),
-    cached and broadcast.
+    aggregated cell-delta table is cached and every downstream input
+    (row-sum deltas, sparse cumulative row sums, per-window totals)
+    derives from it. Cumulative cell values come from a running sum over a
+    (item, other_item)-partitioned window; the changed-(item, window) set
+    picks up its row cells via an as-of interval equi-join on item, and
+    the partner row sums via the same as-of pattern on the SPARSE per-
+    delta-window cumulative sums — nothing in the plan materializes an
+    items×windows grid (the round-5 shape did; its size grew with stream
+    lifetime). Only the one-row-per-window totals table is broadcast.
     """
     cell_deltas = windowed_item_row_deltas(interactions, window_millis).cache()
 
@@ -119,58 +121,72 @@ def windowed_topk_similar_items(
     rs_deltas = cell_deltas.groupBy("window_start", "item").agg(
         F.sum("delta").alias("delta")
     )
-    # cumulative row sum at every (item, window): items × windows grid (both
-    # tiny — |items| · |windows|) + a running-sum window, all equi-joins; a
-    # range join here would plan as a CartesianProduct over the delta table
-    all_windows = changed.select("window_start").distinct()
-    items = cell_deltas.select("item").distinct()
+    # SPARSE cumulative row sums, AT the item's own delta windows only —
+    # the round-5 shape materialized a dense items×windows grid here,
+    # whose size grows linearly with stream lifetime; the sparse form is
+    # O(|rs_deltas|), bounded by the delta table the plan already carries
     cum_rs = (
         Window.partitionBy("item")
         .orderBy("window_start")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    rs_at = (
-        items.crossJoin(F.broadcast(all_windows))
-        .join(rs_deltas, on=["item", "window_start"], how="left")
-        .fillna(0, subset=["delta"])
-        .withColumn("row_sum", F.sum("delta").over(cum_rs))
-        .select("window_start", "item", "row_sum")
-        .cache()
-    )
-    total_at = rs_at.groupBy("window_start").agg(
-        F.sum("row_sum").alias("total")
-    )
+    rs_cum = rs_deltas.withColumn("row_sum", F.sum("delta").over(cum_rs))
 
-    rs_item = rs_at.select(
+    # the rescored item's OWN row sum: every rescored (item, w) is by
+    # construction a delta window for that item (cell_deltas ⇒ rs_deltas
+    # at the same (item, w)), so this is a plain equi-join — no as-of
+    rs_item = rs_cum.select(
         F.col("window_start").alias("ws"),
         F.col("item").alias("i"),
         F.col("row_sum").alias("row_sum_item"),
     )
-    rs_other = rs_at.select(
-        F.col("window_start").alias("ws"),
+    # the OTHER item's row sum as of w: last-known-value validity
+    # intervals (delta window → next delta window), the same as-of
+    # pattern as cell_intervals above. Coverage: a cell (i, o) in row_at
+    # at window w last changed at some w' <= w, and pair emission is
+    # symmetric (the (o, i) cell changed at w' too), so o always has a
+    # delta window <= w — the inner interval join drops nothing.
+    nxt_rs = F.lead("window_start").over(
+        Window.partitionBy("item").orderBy("window_start")
+    )
+    rs_intervals = rs_cum.select(
         F.col("item").alias("o"),
+        F.col("window_start").alias("rs_from"),
+        F.coalesce(nxt_rs, F.lit(2**62)).alias("rs_until"),
         F.col("row_sum").alias("row_sum_other"),
     )
-    # rs_item/rs_other are |items|·|windows| rows — bounded at reference
-    # cardinalities but growing linearly with stream lifetime (window
-    # count), so NO forced broadcast: the joins are co-partitioned equi-
-    # joins on (window_start, item) and AQE still broadcasts them when
-    # they are actually small. total_at stays broadcast — one row per
-    # window (|items|× smaller), the op-12 row-sum-broadcast shape.
+    # per-window grand total: one row per DELTA window — a running sum
+    # over the |windows|-row per-window totals (single-partition window,
+    # bounded by window count like the bucket-offset tables), broadcast
+    # into scoring (the op-12 row-sum-broadcast shape)
+    w_totals = rs_deltas.groupBy("window_start").agg(
+        F.sum("delta").alias("tdelta")
+    )
+    total_at = w_totals.select(
+        F.col("window_start").alias("tw"),
+        F.sum("tdelta")
+        .over(
+            Window.orderBy("window_start").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("total"),
+    )
     scored = (
         row_at.join(
             rs_item,
             on=[row_at.window_start == rs_item.ws, row_at.item == rs_item.i],
         )
         .join(
-            rs_other,
+            rs_intervals,
             on=[
-                row_at.window_start == rs_other.ws,
-                row_at.other_item == rs_other.o,
+                row_at.other_item == F.col("o"),
+                row_at.window_start >= F.col("rs_from"),
+                row_at.window_start < F.col("rs_until"),
             ],
         )
         .join(
-            F.broadcast(total_at.withColumnRenamed("window_start", "tw")),
+            F.broadcast(total_at),
             on=[row_at.window_start == F.col("tw")],
         )
     )

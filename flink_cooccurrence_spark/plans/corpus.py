@@ -31,26 +31,36 @@ def corpus_filter(
     documents: DataFrame,
     min_tokens: int = MIN_TOKENS,
     min_quality: float = MIN_QUALITY,
+    max_pii: int | None = None,
 ) -> DataFrame:
     """Kept-document manifest: (doc_id, lang_pred, n_tokens, quality_score).
 
     A document survives iff it is the canonical copy of its exact-hash
     group, has ≥ ``min_tokens`` whitespace tokens, and a quality score ≥
-    ``min_quality``.
+    ``min_quality``. With ``max_pii`` set, documents whose total PII
+    detector count (``operators/pii.py`` — emails, phones, IPv4s,
+    secret-looking tokens) exceeds it are also dropped — the gate is one
+    more ROW-LOCAL expression folded into the same single corpus scan as
+    the quality/language features, not a join (default ``None`` keeps the
+    plan — and its pinned fingerprint — unchanged).
     """
     canonical = exact_duplicates(documents).filter(~F.col("is_duplicate"))
     # ONE row-local projection for both feature families — no self-joins of
     # per-doc frames back on doc_id (each such join is a full-corpus
     # shuffle for data that never needed to leave its row)
-    features = documents.select(
-        "doc_id", *text_stats_columns(), *lang_id_columns()
+    feature_cols = [*text_stats_columns(), *lang_id_columns()]
+    keep = (F.col("n_tokens") >= min_tokens) & (
+        F.col("quality_score") >= min_quality
     )
+    if max_pii is not None:
+        from flink_cooccurrence_spark.operators.pii import pii_count_columns
+
+        feature_cols += pii_count_columns()
+        keep = keep & (F.col("pii_total") <= max_pii)
+    features = documents.select("doc_id", *feature_cols)
     return (
         features.join(canonical.select("doc_id"), on="doc_id", how="leftsemi")
-        .filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("quality_score") >= min_quality)
-        )
+        .filter(keep)
         .select("doc_id", "lang_pred", "n_tokens", "quality_score")
     )
 

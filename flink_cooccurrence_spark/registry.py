@@ -577,6 +577,17 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "training_manifest": lambda s, d: __import__(
         "flink_cooccurrence_spark.plans.corpus", fromlist=["training_manifest"]
     ).training_manifest(_documents(s, d)),
+    # PII / unsafe-content detectors (operators/pii.py): per-doc regex
+    # counts + the redacted-text scrub projection, both map-only; this
+    # corpus contains no digits so counts are legitimately all-zero here —
+    # tests/test_pii.py runs the same parity over rows where every
+    # detector fires
+    "pii_stats": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pii", fromlist=["pii_stats"]
+    ).pii_stats(_documents(s, d)),
+    "redact_pii": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pii", fromlist=["redact_pii"]
+    ).redact_pii(_documents(s, d)),
     # the capstone-of-the-capstone: pack the SHUFFLED manifest — documents
     # concatenated in train_seq (not doc_id) order, then cut into fixed
     # training contexts; what a real pretraining job materializes
@@ -617,6 +628,9 @@ HEADLINE_QUERIES = [
     "minhash_lsh_dup_pairs",
     "ngram_jaccard_cut",
     "dup_clusters",
+    # the O(log² n)-round components backend — the 100-TB default; on the
+    # bench so its round structure is under fingerprint + timing watch
+    "dup_clusters_star",
     "embedding_knn",
     "ann_lsh_topk",
     "ivf_topk",
@@ -628,4 +642,6 @@ HEADLINE_QUERIES = [
     # the capstone end-to-end corpus-prep manifest (quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank in one plan)
     "training_manifest",
+    # ... and its packed form (manifest-ordered concat-and-chunk)
+    "pack_manifest",
 ]

@@ -580,7 +580,13 @@ class CooccurrenceStreamEngine:
             batch.groupBy("user", "item")
             .agg(F.count("*").cast("long").alias("m"))
         )
-        prior = self.state.get_parts("user_counts", USER_COUNTS_SCHEMA, u_buckets)
+        # two consumers (the cross join inside the delta, the user_counts
+        # merge below) — persist so the bucket-pruned state parquet scans
+        # once per batch, not once per consumer
+        prior = self.state.get_parts(
+            "user_counts", USER_COUNTS_SCHEMA, u_buckets
+        ).persist()
+        self._cached.append(prior)
 
         delta = (
             self._count_product_delta(bc, prior)
@@ -1000,20 +1006,29 @@ class CooccurrenceStreamEngine:
         the aggregates here read the localCheckpointed ``tagged`` batch, so
         the combined action is a narrow re-aggregation, not a pipeline
         re-run."""
-        if rs_delta is None:
-            # RowSumAggregator semantics: each emitted pair adds to its row's
-            # sum — derivable from the cell deltas, no second shuffle source
-            rs_delta = delta.groupBy("item").agg(F.sum("delta").alias("d"))
-
-        stats_plan = rs_delta.agg(
-            F.sum("d").alias("total_delta"),
-            F.collect_set(self._bucket("item")).alias("rs_buckets"),
-        ).crossJoin(
-            delta.agg(
+        # rs_delta is None on the count-product paths (non-sampled + the
+        # reservoir fast path): deltas are non-negative there, so the
+        # conservation identity rowSum(i) = Σ_j C[i][j] lets the row-sum
+        # MERGE derive from the cached post-merge matrix below — no
+        # separate row_sums state read, no second bucket set, and the
+        # stats action collapses to one aggregate over the delta cache
+        derived_rs = rs_delta is None
+        if derived_rs:
+            stats_plan = delta.agg(
+                F.sum("delta").alias("total_delta"),
                 F.count_distinct("item").alias("n_changed"),
                 F.collect_set(self._bucket("item")).alias("delta_buckets"),
             )
-        )
+        else:
+            stats_plan = rs_delta.agg(
+                F.sum("d").alias("total_delta"),
+                F.collect_set(self._bucket("item")).alias("rs_buckets"),
+            ).crossJoin(
+                delta.agg(
+                    F.count_distinct("item").alias("n_changed"),
+                    F.collect_set(self._bucket("item")).alias("delta_buckets"),
+                )
+            )
         for rider_plan, _cb in self._stat_riders:
             stats_plan = stats_plan.crossJoin(rider_plan)
         stats = stats_plan.first()  # <- the batch's second (and last)
@@ -1026,68 +1041,100 @@ class CooccurrenceStreamEngine:
         n_changed = int(stats["n_changed"] or 0)
         self.state.add_scalar("rescored_items", n_changed)
         delta_buckets = sorted(stats["delta_buckets"])
-        rs_buckets = sorted(stats["rs_buckets"])
+        # count-product deltas touch exactly the same items on both tables
+        rs_buckets = delta_buckets if derived_rs else sorted(stats["rs_buckets"])
 
         # partitioned MERGE (op 10/11 state): read + rewrite ONLY the hash
         # buckets containing changed items — untouched buckets keep their
         # existing version dirs, so per-batch state I/O tracks the batch's
-        # changed-item footprint instead of the lifetime state size
-        merge_futs = []
+        # changed-item footprint instead of the lifetime state size.
+        #
+        # The post-merge PLANS (new_rows/new_sums) are persisted and shared
+        # between the state writes and the rescore below: round 5 joined
+        # both merge futures here and re-read the freshly written parquet
+        # for the rescore, which serialized the batch's critical path as
+        # stats → merges → rescore — ~1.2s of pure wait per batch at the
+        # bench SF. With plan reuse the rescore runs CONCURRENTLY with the
+        # state writes (all join at process_batch's drain barrier before
+        # commit) and reads the identical rows the writes materialize.
+        # The pre-merge row_sums bucket pointers are snapshotted before any
+        # write is submitted (nonempty_buckets reads the in-memory pointer,
+        # which a racing put_parts would advance).
+        rs_prior_nonempty = self.state.nonempty_buckets("row_sums")
 
-        def _merge(fn) -> None:
-            # track merge futures in _pending TOO: if one merge fails, the
-            # exception path's _drain_writes must wait for its sibling —
-            # a put_parts completing after rollback would write its version
-            # pointer into the rolled-back dict (the resurrected-pointer
-            # hazard), and the retried batch would double-merge
-            fut = self._write_pool.submit(fn)
-            merge_futs.append(fut)
-            self._pending.append(fut)
-
+        new_rows = new_sums = None
         if delta_buckets:
             new_rows = (
                 self.state.get_parts("item_rows", ITEM_ROWS_SCHEMA, delta_buckets)
                 .unionByName(delta.selectExpr("item", "other_item", "delta as cnt"))
+                # ONE exchange on item serves three consumers: the merge
+                # aggregation (hash-partitioning on a subset of the group
+                # keys satisfies its clustering), the derived row-sum fold,
+                # and the rescore's per-item rank window — which would
+                # otherwise re-shuffle the cached matrix on the batch's
+                # critical tail
+                .repartition("item")
                 .groupBy("item", "other_item")
                 .agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") != 0)
                 .withColumn("_bucket", self._bucket("item"))
+                .persist()
             )
-            _merge(lambda: self.state.put_parts("item_rows", new_rows, delta_buckets))
+            self._cached.append(new_rows)
+            self._submit_write(
+                lambda: self.state.put_parts("item_rows", new_rows, delta_buckets)
+            )
 
         if rs_buckets:
-            new_sums = (
-                self.state.get_parts("row_sums", ROW_SUMS_SCHEMA, rs_buckets)
-                .unionByName(rs_delta.selectExpr("item", "d as row_sum"))
-                .groupBy("item")
-                .agg(F.sum("row_sum").alias("row_sum"))
-                .withColumn("_bucket", self._bucket("item"))
+            if derived_rs:
+                # conservation identity over the CACHED post-merge matrix:
+                # the changed buckets' full post-merge row sums without
+                # touching the row_sums state parquet (deltas are non-
+                # negative on these paths, so a row with cells always has
+                # a positive sum and no zero-sum rows can be dropped)
+                new_sums = (
+                    new_rows.groupBy("item")
+                    .agg(F.sum("cnt").alias("row_sum"))
+                    .withColumn("_bucket", self._bucket("item"))
+                    .persist()
+                )
+            else:
+                new_sums = (
+                    self.state.get_parts("row_sums", ROW_SUMS_SCHEMA, rs_buckets)
+                    .unionByName(rs_delta.selectExpr("item", "d as row_sum"))
+                    .groupBy("item")
+                    .agg(F.sum("row_sum").alias("row_sum"))
+                    .withColumn("_bucket", self._bucket("item"))
+                    .persist()
+                )
+            self._cached.append(new_sums)
+            self._submit_write(
+                lambda: self.state.put_parts("row_sums", new_sums, rs_buckets)
             )
-            _merge(lambda: self.state.put_parts("row_sums", new_sums, rs_buckets))
-        # the two merges are independent of each other but the rescore below
-        # reads both tables back — join them here (errors re-raise; the
-        # settled futures stay in _pending, where the final drain's
-        # f.exception() on a done future is a no-op)
-        for f in merge_futs:
-            f.result()
 
         if n_changed == 0:
             return
-        changed = delta.select("item").distinct()
-        # read state back post-put: materialized parquet, lineage truncated,
-        # and bucket-pruned — changed items live only in the just-rewritten
-        # buckets. changed-set size is batch-dependent — AQE decides
-        # broadcast vs hash for the join
-        rows = self.state.get_parts(
-            "item_rows", ITEM_ROWS_SCHEMA, delta_buckets
-        ).join(changed, on="item")
-        total_df = self.spark.createDataFrame([(total,)], "total long")
-        scored = scored_rows(
-            rows,
-            self.state.get_parts("row_sums", ROW_SUMS_SCHEMA),
-            total_df,
-            round_digits=3,
+        # post-merge rows of the changed buckets == the merge plan itself
+        # (n_changed > 0 implies delta_buckets is nonempty, so new_rows
+        # exists). Changed-item membership is a LEFT SEMI join against the
+        # cached delta — semi joins dedup inherently, so no distinct
+        # aggregation (two extra stages on the batch's critical tail; the
+        # per-batch fixed cost is stage-scheduling-bound at small batches).
+        # Changed-set size is batch-dependent — AQE decides broadcast vs
+        # hash.
+        rows = new_rows.drop("_bucket").join(
+            delta.select("item"), on="item", how="leftsemi"
         )
+        # full post-merge row sums = untouched buckets (their pointers are
+        # unchanged by the racing write) ∪ the merged changed buckets
+        if rs_buckets:
+            untouched = sorted(set(rs_prior_nonempty) - set(rs_buckets))
+            sums_full = self.state.get_parts(
+                "row_sums", ROW_SUMS_SCHEMA, untouched
+            ).unionByName(new_sums.drop("_bucket"))
+        else:
+            sums_full = self.state.get_parts("row_sums", ROW_SUMS_SCHEMA)
+        scored = scored_rows(rows, sums_full, int(total), round_digits=3)
         topk = top_k_per_group(
             scored, ["item"], "score", self.config.top_k, tie_breakers=["other_item"]
         ).select(

@@ -194,3 +194,27 @@ def test_dup_clusters_star_equals_propagation(spark, sf_dir):
     a = sorted(tuple(r) for r in dup_clusters(docs).collect())
     b = sorted(tuple(r) for r in dup_clusters_star(docs).collect())
     assert a == b
+
+
+def test_components_backend_parameter(spark, sf_dir):
+    """backend='star' routes dup_clusters (and its composers) through the
+    O(log² n) components; outputs are identical; unknown backends fail."""
+    import pytest
+
+    from flink_cooccurrence_spark.operators.dedup import (
+        dup_clusters,
+        leakage_safe_split,
+    )
+    from flink_cooccurrence_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(tuple(r) for r in dup_clusters(docs).collect())
+    b = sorted(tuple(r) for r in dup_clusters(docs, backend="star").collect())
+    assert a == b
+    s1 = sorted(tuple(r) for r in leakage_safe_split(docs).collect())
+    s2 = sorted(
+        tuple(r) for r in leakage_safe_split(docs, backend="star").collect()
+    )
+    assert s1 == s2
+    with pytest.raises(ValueError, match="backend"):
+        dup_clusters(docs, backend="warp")
