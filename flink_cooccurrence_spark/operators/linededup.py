@@ -1,0 +1,211 @@
+"""Line-level (intra-document) deduplication — the C4 / RefinedWeb /
+MassiveText boilerplate stage that runs BEFORE document-level dedup:
+navigation chrome, cookie banners, and license footers repeat verbatim
+across millions of pages, and removing them per-line is what makes the
+downstream document-level near-dedup meaningful.
+
+Two standard policies, both over exact line text:
+
+- :func:`dedup_lines` — C4-style *first-occurrence-wins*: every exact
+  line survives only at its globally first position (min ``(doc_id,
+  line_idx)``); later copies are dropped and the documents are
+  reconstructed without them.
+- :func:`strip_boilerplate` — RefinedWeb-style *frequency cut*: a line
+  appearing in more than ``max_doc_freq`` distinct documents is removed
+  from ALL of them (no first-copy privilege — boilerplate is boilerplate
+  everywhere).
+
+Scale shape (the part that matters at 100 TB): split + posexplode are
+map-only; the global line table needs exactly ONE shuffle keyed on the
+line text; first-occurrence selection is a ``min(struct(doc_id,
+line_idx))`` aggregation (a single hot value per line — no window over a
+skewed line partition, and map-side partial aggregation collapses the
+per-partition copies of a hot boilerplate line before the exchange);
+reconstruction is one shuffle back on ``doc_id``. Every document keeps
+its row (empty text after removal, never a dropped row) — the package-
+wide one-row-per-document contract.
+
+The synthetic driver corpus contains no newlines, so each document is one
+"line" and the corpus-level oracle parity degenerates to exact-duplicate
+removal (which DOES fire — the corpus carries exact duplicate documents);
+``tests/test_linededup.py`` runs the same Spark-vs-DuckDB comparison over
+crafted multi-line rows where ordering, ties, frequency cuts, and the
+empty-document edge all fire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default frequency cut for :func:`strip_boilerplate`: lines present in
+#: more than this many distinct documents are removed everywhere
+MAX_LINE_DOC_FREQ = 2
+
+_NL = "\n"
+
+
+def _doc_lines(documents: DataFrame) -> DataFrame:
+    """(doc_id, line_idx, line): documents split on newline, positions
+    0-based. NULL text folds to '' (one empty line) so every document
+    stays represented — the package-wide NULL-text contract."""
+    return documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), _NL)).alias(
+            "line_idx", "line"
+        ),
+    )
+
+
+def line_frequencies(documents: DataFrame) -> DataFrame:
+    """Corpus-global line table: (line, n_docs, n_total) — distinct-document
+    and total occurrence counts per exact line. One shuffle on the line
+    text (count_distinct carries doc_id through the exchange; at 100 TB
+    swap in approx_count_distinct if exact doc counts are not required)."""
+    return _doc_lines(documents).groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def dedup_lines(documents: DataFrame) -> DataFrame:
+    """C4-style exact line dedup, first occurrence wins: (doc_id, text)
+    with every line kept only at its globally smallest ``(doc_id,
+    line_idx)`` position. Deterministic under any partitioning — the
+    winner is a total-order minimum, never "first seen".
+
+    Plan: min-struct per line (one line-keyed shuffle, map-side combine
+    collapses hot lines early) → the winning positions filter the exploded
+    lines via one co-partitioned join → reconstruct per document.
+    """
+    lines = _doc_lines(documents)
+    # flatten the winning position under fresh names: winners shares
+    # lineage with `lines`, so the join below is a self-join — renamed
+    # keys keep the equality condition unambiguous
+    winners = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_idx")).alias("w"))
+        .select(
+            F.col("line").alias("w_line"),
+            F.col("w.doc_id").alias("w_doc_id"),
+            F.col("w.line_idx").alias("w_line_idx"),
+        )
+    )
+    kept = lines.join(
+        winners,
+        on=[
+            F.col("line") == F.col("w_line"),
+            F.col("doc_id") == F.col("w_doc_id"),
+            F.col("line_idx") == F.col("w_line_idx"),
+        ],
+    ).select("doc_id", "line_idx", "line")
+    return _reassemble(documents, kept)
+
+
+def strip_boilerplate(
+    documents: DataFrame, max_doc_freq: int = MAX_LINE_DOC_FREQ
+) -> DataFrame:
+    """RefinedWeb-style boilerplate cut: (doc_id, text) with every line
+    that appears in more than ``max_doc_freq`` distinct documents removed
+    from ALL documents. The boilerplate set is tiny relative to the corpus
+    (it is the high-document-frequency tail), so the removal join is an
+    AQE-broadcastable anti-join on the line text."""
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    boiler = (
+        line_frequencies(documents)
+        .filter(F.col("n_docs") > max_doc_freq)
+        .select("line")
+    )
+    kept = _doc_lines(documents).join(boiler, on="line", how="left_anti")
+    return _reassemble(documents, kept)
+
+
+def _reassemble(documents: DataFrame, kept_lines: DataFrame) -> DataFrame:
+    """(doc_id, text): surviving lines re-joined with newlines in original
+    order; documents whose every line was removed keep their row with
+    empty text (left join against the full doc_id set)."""
+    rebuilt = kept_lines.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s.line,
+            ),
+            _NL,
+        ).alias("text")
+    )
+    return documents.select("doc_id").join(rebuilt, on="doc_id", how="left").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+#
+# DuckDB side: parallel unnests zip (line + 0-based ordinality), string_agg
+# reassembles with ORDER BY line_idx, and a LEFT JOIN restores all-lines-
+# removed documents as empty text — the same contracts as the Spark plans.
+
+_LINES_CTE = """
+lines AS (
+    SELECT doc_id,
+           unnest(range(len(string_split(COALESCE(text, ''), chr(10))))) AS line_idx,
+           unnest(string_split(COALESCE(text, ''), chr(10))) AS line
+    FROM documents
+)
+"""
+
+
+def line_frequencies_sql() -> str:
+    return f"""
+WITH {_LINES_CTE}
+SELECT line,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM lines
+GROUP BY line
+"""
+
+
+def dedup_lines_sql() -> str:
+    return f"""
+WITH {_LINES_CTE},
+kept AS (
+    SELECT doc_id, line_idx, line
+    FROM (
+        SELECT doc_id, line_idx, line,
+               ROW_NUMBER() OVER (
+                   PARTITION BY line ORDER BY doc_id, line_idx
+               ) AS rn
+        FROM lines
+    )
+    WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text
+FROM documents d
+LEFT JOIN (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+    FROM kept GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
+def strip_boilerplate_sql(max_doc_freq: int = MAX_LINE_DOC_FREQ) -> str:
+    return f"""
+WITH {_LINES_CTE},
+boiler AS (
+    SELECT line FROM lines
+    GROUP BY line HAVING COUNT(DISTINCT doc_id) > {int(max_doc_freq)}
+),
+kept AS (
+    SELECT doc_id, line_idx, line FROM lines
+    WHERE line NOT IN (SELECT line FROM boiler)
+)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text
+FROM documents d
+LEFT JOIN (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+    FROM kept GROUP BY doc_id
+) r USING (doc_id)
+"""

@@ -1358,3 +1358,22 @@ def _pii_oracles() -> None:
 
 
 _pii_oracles()
+
+
+# Line-level dedup / boilerplate removal (operators/linededup.py): both
+# engines split on chr(10), first-occurrence-wins by (doc_id, line_idx)
+# total order, reassemble with ORDER BY line_idx, and keep all-lines-
+# removed documents as empty text
+def _linededup_oracles() -> None:
+    from flink_cooccurrence_spark.operators.linededup import (
+        dedup_lines_sql,
+        line_frequencies_sql,
+        strip_boilerplate_sql,
+    )
+
+    ORACLES["line_frequencies"] = line_frequencies_sql()
+    ORACLES["dedup_lines"] = dedup_lines_sql()
+    ORACLES["strip_boilerplate"] = strip_boilerplate_sql()
+
+
+_linededup_oracles()

@@ -588,6 +588,22 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "redact_pii": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.pii", fromlist=["redact_pii"]
     ).redact_pii(_documents(s, d)),
+    # line-level dedup / boilerplate removal (operators/linededup.py):
+    # the C4/RefinedWeb pre-dedup scrub stage. The corpus has no newlines,
+    # so each document is one "line" and the parity here pins the
+    # degenerate one-line case (exact-dup documents DO fire it);
+    # tests/test_linededup.py runs the same parity over multi-line rows
+    "line_frequencies": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.linededup",
+        fromlist=["line_frequencies"],
+    ).line_frequencies(_documents(s, d)),
+    "dedup_lines": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.linededup", fromlist=["dedup_lines"]
+    ).dedup_lines(_documents(s, d)),
+    "strip_boilerplate": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.linededup",
+        fromlist=["strip_boilerplate"],
+    ).strip_boilerplate(_documents(s, d)),
     # the capstone-of-the-capstone: pack the SHUFFLED manifest — documents
     # concatenated in train_seq (not doc_id) order, then cut into fixed
     # training contexts; what a real pretraining job materializes

@@ -1,0 +1,140 @@
+"""Line-level dedup / boilerplate removal (operators/linededup.py).
+
+The driver corpus has no newlines, so the registry-level parity rows
+(`line_frequencies`/`dedup_lines`/`strip_boilerplate` in
+test_oracle_parity.py) pin the one-line-per-document degenerate case
+(exact-duplicate documents do fire it); these tests run the SAME
+Spark-vs-DuckDB comparison over crafted multi-line rows where ordering,
+ties, frequency cuts, within-document repeats, and the empty-document
+edge all fire.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from flink_cooccurrence_spark.operators.linededup import (
+    dedup_lines,
+    dedup_lines_sql,
+    line_frequencies,
+    line_frequencies_sql,
+    strip_boilerplate,
+    strip_boilerplate_sql,
+)
+
+ROWS = [
+    (0, "alpha\nboiler plate line\nbeta"),
+    (1, "boiler plate line\ngamma\nalpha"),
+    # within-document repeat: both copies beyond the global winner go
+    (2, "boiler plate line\nboiler plate line\ndelta"),
+    # single-line document whose only line is the boilerplate
+    (3, "boiler plate line"),
+    (4, None),
+    (5, ""),
+    (6, "unique only\nanother unique"),
+    # empty lines inside a document are lines too (and duplicate globally)
+    (7, "top\n\nbottom"),
+    (8, "\nleading empty"),
+]
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def duck_crafted():
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(ROWS, columns=["doc_id", "text"]))
+    yield con
+    con.close()
+
+
+def _cmp(got: pd.DataFrame, exp: pd.DataFrame) -> None:
+    g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+    e = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+    for c in g.columns:
+        if str(g[c].dtype) != str(e[c].dtype):
+            e[c] = e[c].astype(g[c].dtype)
+    pd.testing.assert_frame_equal(g, e)
+
+
+def test_line_frequencies_matches_duckdb(crafted, duck_crafted):
+    _cmp(
+        line_frequencies(crafted).toPandas(),
+        duck_crafted.execute(line_frequencies_sql()).df(),
+    )
+
+
+def test_dedup_lines_matches_duckdb(crafted, duck_crafted):
+    _cmp(
+        dedup_lines(crafted).toPandas(),
+        duck_crafted.execute(dedup_lines_sql()).df(),
+    )
+
+
+def test_strip_boilerplate_matches_duckdb(crafted, duck_crafted):
+    _cmp(
+        strip_boilerplate(crafted, 2).toPandas(),
+        duck_crafted.execute(strip_boilerplate_sql(2)).df(),
+    )
+
+
+def test_dedup_lines_known_values(crafted):
+    got = dedup_lines(crafted).toPandas().set_index("doc_id")["text"].to_dict()
+    # doc 0 carries the global first copy of "boiler plate line" and "alpha"
+    assert got[0] == "alpha\nboiler plate line\nbeta"
+    # doc 1's copies of both lose to doc 0's
+    assert got[1] == "gamma"
+    # doc 2 loses both copies (within-doc repeat included)
+    assert got[2] == "delta"
+    # doc 3's only line was claimed by doc 0 — row survives, text empties
+    assert got[3] == ""
+    # NULL folds to '' = one empty line; doc 4 wins the empty line, so the
+    # later empty lines (docs 5, 7, 8) all drop
+    assert got[4] == ""
+    assert got[5] == ""
+    assert got[6] == "unique only\nanother unique"
+    assert got[7] == "top\nbottom"
+    assert got[8] == "leading empty"
+
+
+def test_strip_boilerplate_known_values(crafted):
+    got = (
+        strip_boilerplate(crafted, 2).toPandas().set_index("doc_id")["text"].to_dict()
+    )
+    # "boiler plate line" is in 4 distinct docs (> 2): removed everywhere,
+    # including the global-first copy
+    assert got[0] == "alpha\nbeta"
+    assert got[1] == "gamma\nalpha"
+    assert got[2] == "delta"
+    assert got[3] == ""
+    # the empty line is in 4 distinct docs (4, 5, 7, 8) — boilerplate too
+    assert got[4] == ""
+    assert got[5] == ""
+    assert got[7] == "top\nbottom"
+    assert got[8] == "leading empty"
+    # "alpha" is in only 2 docs (<= 2): kept in both
+    assert "alpha" in got[0] and "alpha" in got[1]
+
+
+def test_every_document_keeps_exactly_one_row(crafted):
+    for out in (dedup_lines(crafted), strip_boilerplate(crafted, 1)):
+        ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+        assert ids == [r[0] for r in ROWS]
+
+
+def test_strip_boilerplate_rejects_bad_threshold(crafted):
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        strip_boilerplate(crafted, 0)
+
+
+def test_partitioning_invariance(crafted):
+    """First-occurrence-wins is a total-order minimum, not 'first seen' —
+    the output is bit-identical under any input partitioning."""
+    a = sorted(tuple(r) for r in dedup_lines(crafted).collect())
+    b = sorted(tuple(r) for r in dedup_lines(crafted.repartition(7)).collect())
+    assert a == b
