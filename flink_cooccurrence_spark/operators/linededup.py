@@ -25,12 +25,13 @@ reconstruction is one shuffle back on ``doc_id``. Every document keeps
 its row (empty text after removal, never a dropped row) — the package-
 wide one-row-per-document contract.
 
-The synthetic driver corpus contains no newlines, so each document is one
-"line" and the corpus-level oracle parity degenerates to exact-duplicate
-removal (which DOES fire — the corpus carries exact duplicate documents);
-``tests/test_linededup.py`` runs the same Spark-vs-DuckDB comparison over
-crafted multi-line rows where ordering, ties, frequency cuts, and the
-empty-document edge all fire.
+The synthetic driver corpus contains no newlines and no exact-duplicate
+texts, so each document is one globally-unique "line" and the corpus-level
+oracle parity pins the no-op contract (output == input modulo the NULL→''
+fold); ``tests/test_linededup.py`` runs the same Spark-vs-DuckDB
+comparison over crafted multi-line rows where ordering, ties, frequency
+cuts, and the empty-document edge all fire — the same degenerate-corpus /
+crafted-rows split as ``operators/pii.py``.
 """
 
 from __future__ import annotations
@@ -121,6 +122,27 @@ def strip_boilerplate(
     return _reassemble(documents, kept)
 
 
+def scrub_documents(
+    documents: DataFrame, max_doc_freq: int = MAX_LINE_DOC_FREQ
+) -> DataFrame:
+    """The documents table with boilerplate lines stripped and every OTHER
+    column passed through — the form the corpus-prep pipeline consumes
+    (``plans/corpus.py:training_manifest`` takes any documents-shaped
+    frame, so ``training_manifest(scrub_documents(docs))`` composes the
+    line scrub in front of the whole pipeline).
+
+    Scale note: this returns a PLAN; a pipeline that consumes the scrubbed
+    text in several places (features, shingles, dedup hashes) should
+    materialize the scrubbed corpus once (write/cache) rather than
+    re-deriving it per consumer — the scrub is the classic separate
+    materialized stage between crawl and corpus prep."""
+    scrubbed = strip_boilerplate(documents, max_doc_freq)
+    passthrough = [c for c in documents.columns if c != "text"]
+    return documents.select(*passthrough).join(scrubbed, on="doc_id").select(
+        *documents.columns
+    )
+
+
 def _reassemble(documents: DataFrame, kept_lines: DataFrame) -> DataFrame:
     """(doc_id, text): surviving lines re-joined with newlines in original
     order; documents whose every line was removed keep their row with
@@ -145,14 +167,20 @@ def _reassemble(documents: DataFrame, kept_lines: DataFrame) -> DataFrame:
 # reassembles with ORDER BY line_idx, and a LEFT JOIN restores all-lines-
 # removed documents as empty text — the same contracts as the Spark plans.
 
-_LINES_CTE = """
+def _lines_cte(table: str = "documents") -> str:
+    # `table` lets a composed oracle point at the catalog-qualified base
+    # relation (e.g. "main.documents") when a WITH clause shadows the name
+    return f"""
 lines AS (
     SELECT doc_id,
            unnest(range(len(string_split(COALESCE(text, ''), chr(10))))) AS line_idx,
            unnest(string_split(COALESCE(text, ''), chr(10))) AS line
-    FROM documents
+    FROM {table}
 )
 """
+
+
+_LINES_CTE = _lines_cte()
 
 
 def line_frequencies_sql() -> str:
@@ -190,9 +218,11 @@ LEFT JOIN (
 """
 
 
-def strip_boilerplate_sql(max_doc_freq: int = MAX_LINE_DOC_FREQ) -> str:
+def strip_boilerplate_sql(
+    max_doc_freq: int = MAX_LINE_DOC_FREQ, table: str = "documents"
+) -> str:
     return f"""
-WITH {_LINES_CTE},
+WITH {_lines_cte(table)},
 boiler AS (
     SELECT line FROM lines
     GROUP BY line HAVING COUNT(DISTINCT doc_id) > {int(max_doc_freq)}
@@ -203,9 +233,23 @@ kept AS (
 )
 SELECT d.doc_id,
        COALESCE(r.text, '') AS text
-FROM documents d
+FROM {table} d
 LEFT JOIN (
     SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
     FROM kept GROUP BY doc_id
 ) r USING (doc_id)
+"""
+
+
+def scrub_documents_sql(
+    max_doc_freq: int = MAX_LINE_DOC_FREQ, table: str = "documents"
+) -> str:
+    """All-columns form of :func:`strip_boilerplate_sql` (text replaced,
+    every other documents column passed through) — the SQL twin of
+    :func:`scrub_documents`, used to compose the line scrub in front of
+    the corpus-prep pipeline oracles."""
+    return f"""
+SELECT d.doc_id, s.text, d.lang, d.source, d.n_chars
+FROM {table} d
+JOIN ({strip_boilerplate_sql(max_doc_freq, table)}) s USING (doc_id)
 """

@@ -1377,3 +1377,26 @@ def _linededup_oracles() -> None:
 
 
 _linededup_oracles()
+
+
+# The line scrub composed IN FRONT of the whole corpus-prep capstone:
+# training_manifest(scrub_documents(docs)). SQL side: a CTE named
+# `documents` shadows the base view for every sub-oracle inside the
+# manifest composition; the scrub itself reads the catalog-qualified
+# `main.documents` (DuckDB resolves the shadowed name only when
+# qualified), so the one textual seam is splicing the scrub CTE into the
+# manifest oracle's WITH list.
+def _scrubbed_manifest_oracle() -> str:
+    from flink_cooccurrence_spark.operators.linededup import (
+        scrub_documents_sql,
+    )
+
+    base = ORACLES["training_manifest"].lstrip()
+    assert base.startswith("WITH "), "training_manifest oracle shape changed"
+    return (
+        f"WITH documents AS ({scrub_documents_sql(table='main.documents')}),\n"
+        + base[len("WITH ") :]
+    )
+
+
+ORACLES["training_manifest_scrubbed"] = _scrubbed_manifest_oracle()

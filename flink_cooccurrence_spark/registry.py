@@ -589,9 +589,9 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.pii", fromlist=["redact_pii"]
     ).redact_pii(_documents(s, d)),
     # line-level dedup / boilerplate removal (operators/linededup.py):
-    # the C4/RefinedWeb pre-dedup scrub stage. The corpus has no newlines,
-    # so each document is one "line" and the parity here pins the
-    # degenerate one-line case (exact-dup documents DO fire it);
+    # the C4/RefinedWeb pre-dedup scrub stage. The corpus has no newlines
+    # and no exact-dup texts, so the parity here pins the no-op contract
+    # (output == input modulo the NULL fold) over the full plan;
     # tests/test_linededup.py runs the same parity over multi-line rows
     "line_frequencies": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.linededup",
@@ -604,6 +604,20 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.linededup",
         fromlist=["strip_boilerplate"],
     ).strip_boilerplate(_documents(s, d)),
+    # the line scrub composed IN FRONT of the whole corpus-prep capstone —
+    # boilerplate-stripped documents flow through dedup/quality gate ∘
+    # decontamination ∘ mixture ∘ shuffle rank. On this corpus (unique
+    # one-line texts) the scrub is a no-op, so the parity pins the
+    # COMPOSITION seam (CTE shadowing + all-columns passthrough) end to
+    # end; tests/test_linededup.py pins a corpus where the scrub bites
+    "training_manifest_scrubbed": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["training_manifest"]
+    ).training_manifest(
+        __import__(
+            "flink_cooccurrence_spark.operators.linededup",
+            fromlist=["scrub_documents"],
+        ).scrub_documents(_documents(s, d))
+    ),
     # the capstone-of-the-capstone: pack the SHUFFLED manifest — documents
     # concatenated in train_seq (not doc_id) order, then cut into fixed
     # training contexts; what a real pretraining job materializes

@@ -132,6 +132,60 @@ def test_strip_boilerplate_rejects_bad_threshold(crafted):
         strip_boilerplate(crafted, 0)
 
 
+def test_scrubbed_manifest_composition(spark):
+    """training_manifest(scrub_documents(docs)) — the line scrub composed
+    in front of the whole corpus-prep capstone — matches the composed
+    DuckDB oracle on a corpus where the scrub BITES: a document whose
+    token count only clears the quality gate before boilerplate removal
+    survives the plain manifest but not the scrubbed one."""
+    from flink_cooccurrence_spark.oracle import ORACLES
+    from flink_cooccurrence_spark.operators.linededup import scrub_documents
+    from flink_cooccurrence_spark.plans.corpus import training_manifest
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    boiler = "chrome nav footer cookie banner boilerplate"
+    rows = []
+    # three substantial docs carrying the boilerplate line (>2 distinct
+    # docs => stripped everywhere) plus 40 unique tokens each: survive
+    # both manifests
+    for i in (1, 2, 3):
+        rows.append((i, f"{boiler}\n{words(f'd{i}w', 40)}"))
+    # the marginal doc: 3 boilerplate lines + 18 own tokens = 36 tokens
+    # unscrubbed (>= MIN_TOKENS=30, distinct_ratio still high enough),
+    # but 18 tokens after the scrub (< 30): survives ONLY unscrubbed
+    rows.append((4, f"{boiler}\n{boiler}\n{boiler}\n{words('d4w', 18)}"))
+    # a clean doc with no boilerplate
+    rows.append((5, words("d5w", 50)))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?, ?, ?)",
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+    )
+    try:
+        got = training_manifest(scrub_documents(docs)).toPandas()
+        exp = con.execute(ORACLES["training_manifest_scrubbed"]).df()
+        _cmp(got, exp)
+        plain_ids = {
+            r.doc_id for r in training_manifest(docs).select("doc_id").collect()
+        }
+        scrub_ids = set(got["doc_id"])
+        assert 4 in plain_ids and 4 not in scrub_ids  # the scrub bit
+        assert {1, 2, 3, 5} <= scrub_ids
+    finally:
+        con.close()
+
+
 def test_partitioning_invariance(crafted):
     """First-occurrence-wins is a total-order minimum, not 'first seen' —
     the output is bit-identical under any input partitioning."""
