@@ -180,25 +180,14 @@ def test_star_components_deep_chain_and_random_graph(spark):
     assert got == exp
 
 
-def test_dup_clusters_star_equals_propagation(spark, sf_dir):
+def test_star_backend_equals_propagation_everywhere(spark, sf_dir):
     """The star variant is a pure physical rewrite: identical
-    (doc_id, cluster_id) output to the min-label propagation operator on
-    the corpus."""
-    from flink_cooccurrence_spark.operators.dedup import (
-        dup_clusters,
-        dup_clusters_star,
-    )
-    from flink_cooccurrence_spark.sources import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    a = sorted(tuple(r) for r in dup_clusters(docs).collect())
-    b = sorted(tuple(r) for r in dup_clusters_star(docs).collect())
-    assert a == b
-
-
-def test_components_backend_parameter(spark, sf_dir):
-    """backend='star' routes dup_clusters (and its composers) through the
-    O(log² n) components; outputs are identical; unknown backends fail."""
+    (doc_id, cluster_id) labels to min-label propagation on the corpus,
+    through the direct operator AND the backend routing of its composers
+    (``dup_clusters(backend='star')`` IS ``dup_clusters_star`` — one
+    run covers both spellings); unknown backends fail loudly. Each
+    components computation runs ONCE here — the iterative CC fixtures are
+    the suite's cost center."""
     import pytest
 
     from flink_cooccurrence_spark.operators.dedup import (
@@ -208,9 +197,11 @@ def test_components_backend_parameter(spark, sf_dir):
     from flink_cooccurrence_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    a = sorted(tuple(r) for r in dup_clusters(docs).collect())
-    b = sorted(tuple(r) for r in dup_clusters(docs, backend="star").collect())
-    assert a == b
+    prop = sorted(tuple(r) for r in dup_clusters(docs).collect())
+    star = sorted(
+        tuple(r) for r in dup_clusters(docs, backend="star").collect()
+    )
+    assert prop == star
     s1 = sorted(tuple(r) for r in leakage_safe_split(docs).collect())
     s2 = sorted(
         tuple(r) for r in leakage_safe_split(docs, backend="star").collect()
