@@ -1,0 +1,139 @@
+"""Exact grouped quantiles — the distribution-summary surface a corpus /
+event pipeline reports (latency percentiles, quality-score distribution
+per language, token-count spread per source).
+
+Spark's built-in ``percentile_approx`` trades exactness for a mergeable
+sketch; this operator computes the EXACT linearly-interpolated quantile
+(R type 7 — numpy default / ``quantile_cont``): for sorted values
+``v[0..n-1]`` and fraction ``q``, ``h = (n-1)·q`` and the result is
+``v[⌊h⌋] + (h-⌊h⌋)·(v[⌊h⌋+1] - v[⌊h⌋])``. Both engines evaluate the same
+IEEE-754 expression over the same integer rank positions, so the DuckDB
+oracle (written with the identical ROW_NUMBER arithmetic, NOT the
+engine's ``quantile_cont``, whose interpolation this mirrors but whose
+internals we don't pin) matches after the package-standard round.
+
+Plan shape: one rank window partitioned by the group keys + one
+conditional aggregation over the same partitioning — a single shuffle,
+reused by both steps. At 100 TB the caveat is the window SORT inside a
+single giant group (one task sorts the whole group): for low-cardinality
+group keys over huge rows, swap the window for the bucketed two-pass
+rank (``operators/ordering.running_sum_exclusive`` decomposition — the
+same escape the global shuffle-rank uses); group counts here are
+per-key partitions of the corpus, so the default is right until one
+group alone outgrows a task.
+
+NULL measure values are excluded (SQL aggregate semantics); a group that
+is all-NULL disappears from the output — both contracts shared with the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: package-standard float rounding before engine comparison
+ROUND_DIGITS = 6
+
+#: default report percentiles
+DEFAULT_QS = (0.5, 0.9, 0.99)
+
+
+def group_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: tuple[float, ...] = DEFAULT_QS,
+) -> DataFrame:
+    """(keys..., p50, p90, ... ) — exact type-7 quantiles of ``col`` per
+    group. ``qs`` fractions must lie in [0, 1]; output columns are named
+    ``p<100q>`` (``p50``, ``p99``; ``p99_9`` for fractional percents)."""
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile fractions must be in [0, 1], got {q}")
+    w = Window.partitionBy(*keys).orderBy(col)
+    ranked = (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, col)
+        .withColumn("rn", F.row_number().over(w))
+        # group size rides the same partitioning — no second shuffle
+        .withColumn("n", F.count("*").over(Window.partitionBy(*keys)))
+    )
+    aggs = []
+    for q in qs:
+        # h, its floor, and the fraction are group-CONSTANT (functions of
+        # n and the literal q) but must still enter the result THROUGH
+        # aggregates — each row carries n, so row-level h/lo are legal
+        # inside the conditional aggregates, and max() lifts the constant
+        # fraction out
+        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(float(q))
+        lo = F.floor(h)
+        frac = F.max(h - lo)
+        v_lo = F.max(F.when(F.col("rn") == lo + 1, F.col(col)))
+        # at q == 1 (or frac == 0) the upper rank would run past n — clamp
+        # to n; frac is 0 there so the clamped value never contributes
+        v_hi = F.max(
+            F.when(F.col("rn") == F.least(lo + 2, F.col("n")), F.col(col))
+        )
+        aggs.append(
+            F.round(v_lo + frac * (v_hi - v_lo), ROUND_DIGITS).alias(_qname(q))
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def _qname(q: float) -> str:
+    pct = q * 100
+    if pct == int(pct):
+        return f"p{int(pct)}"
+    return "p" + f"{pct:g}".replace(".", "_")
+
+
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Per-event-type p50/p90/p99 of ``value`` — the operator's registry
+    face over the events table."""
+    return group_quantiles(events, ["event_type"], "value", DEFAULT_QS)
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+def group_quantiles_sql(
+    table: str,
+    keys: list[str],
+    col: str,
+    qs: tuple[float, ...] = DEFAULT_QS,
+) -> str:
+    """DuckDB text of the identical rank arithmetic (deliberately NOT
+    ``quantile_cont`` — same formula, but pinned to OUR rank positions and
+    interpolation expression so both engines run the same arithmetic)."""
+    ks = ", ".join(keys)
+    cols = []
+    for q in qs:
+        h = f"(n - 1) * {q!r}::DOUBLE"
+        lo = f"floor({h})"
+        # the group-constant fraction enters through max(), mirroring the
+        # Spark side (both binders demand aggregates over non-group cols)
+        cols.append(
+            f"round(max(CASE WHEN rn = {lo} + 1 THEN {col} END)"
+            f" + max({h} - {lo}) * (max(CASE WHEN rn = least({lo} + 2, n)"
+            f" THEN {col} END)"
+            f" - max(CASE WHEN rn = {lo} + 1 THEN {col} END)),"
+            f" {ROUND_DIGITS}) AS {_qname(q)}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH ranked AS (
+    SELECT {ks}, {col},
+           ROW_NUMBER() OVER (PARTITION BY {ks} ORDER BY {col}) AS rn,
+           COUNT(*) OVER (PARTITION BY {ks}) AS n
+    FROM {table}
+    WHERE {col} IS NOT NULL
+)
+SELECT {ks},
+       {sel}
+FROM ranked
+GROUP BY {ks}
+"""
+
+
+def value_quantiles_sql() -> str:
+    return group_quantiles_sql("events", ["event_type"], "value", DEFAULT_QS)

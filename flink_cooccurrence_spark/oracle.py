@@ -1400,3 +1400,14 @@ def _scrubbed_manifest_oracle() -> str:
 
 
 ORACLES["training_manifest_scrubbed"] = _scrubbed_manifest_oracle()
+
+
+# Exact grouped quantiles (operators/quantiles.py): both engines run the
+# identical ROW_NUMBER + type-7 interpolation arithmetic
+def _quantiles_oracles() -> None:
+    from flink_cooccurrence_spark.operators.quantiles import value_quantiles_sql
+
+    ORACLES["value_quantiles"] = value_quantiles_sql()
+
+
+_quantiles_oracles()

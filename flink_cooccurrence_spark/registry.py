@@ -604,6 +604,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.linededup",
         fromlist=["strip_boilerplate"],
     ).strip_boilerplate(_documents(s, d)),
+    # exact grouped quantiles (operators/quantiles.py): type-7 linear
+    # interpolation via identical rank arithmetic in both engines — the
+    # exact counterpart of percentile_approx for distribution reporting
+    "value_quantiles": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.quantiles",
+        fromlist=["value_quantiles"],
+    ).value_quantiles(load_table(s, d, "events")),
     # the line scrub composed IN FRONT of the whole corpus-prep capstone —
     # boilerplate-stripped documents flow through dedup/quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank. On this corpus (unique

@@ -1,0 +1,95 @@
+"""Exact grouped quantiles (operators/quantiles.py).
+
+The registry twin (`value_quantiles` in test_oracle_parity.py) runs the
+full-table parity; these tests pin the arithmetic against numpy's
+reference type-7 implementation, the edge geometries (single-row group,
+q=0/1, ties, NULLs, all-NULL groups), and the naming/validation
+contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_cooccurrence_spark.operators.quantiles import (
+    _qname,
+    group_quantiles,
+)
+
+ROWS = [
+    ("a", v) for v in [5.0, 1.0, 3.0, 2.0, 4.0]
+] + [
+    ("b", 7.25),                      # single-row group
+    ("c", 1.0), ("c", 1.0), ("c", 9.0),  # ties
+    ("d", None), ("d", 2.0), ("d", 4.0),  # NULL excluded
+    ("e", None),                      # all-NULL group: disappears
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(ROWS, "g string, v double")
+
+
+def test_matches_numpy_type7(frame):
+    qs = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    got = {
+        r["g"]: r
+        for r in group_quantiles(frame, ["g"], "v", qs).collect()
+    }
+    data = {}
+    for g, v in ROWS:
+        if v is not None:
+            data.setdefault(g, []).append(v)
+    assert set(got) == set(data)  # group e (all NULL) absent
+    for g, vals in data.items():
+        for q in qs:
+            exp = round(float(np.quantile(np.array(vals), q)), 6)
+            assert got[g][_qname(q)] == pytest.approx(exp, abs=1e-9), (g, q)
+
+
+def test_qname_contract():
+    assert _qname(0.5) == "p50"
+    assert _qname(0.99) == "p99"
+    assert _qname(0.999) == "p99_9"
+    assert _qname(1.0) == "p100"
+    assert _qname(0.0) == "p0"
+
+
+def test_rejects_out_of_range_fractions(frame):
+    with pytest.raises(ValueError, match="quantile fractions"):
+        group_quantiles(frame, ["g"], "v", (0.5, 1.5))
+
+
+def test_crafted_duckdb_parity(spark):
+    """Same Spark-vs-DuckDB comparison as the registry twin, over the
+    crafted edge rows (the events-table twin never hits single-row or
+    all-NULL groups)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_cooccurrence_spark.operators.quantiles import (
+        group_quantiles_sql,
+    )
+
+    df = spark.createDataFrame(ROWS, "g string, v double")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(ROWS, columns=["g", "v"]))
+    try:
+        qs = (0.1, 0.5, 0.75, 1.0)
+        got = (
+            group_quantiles(df, ["g"], "v", qs)
+            .toPandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(group_quantiles_sql("t", ["g"], "v", qs))
+            .df()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    finally:
+        con.close()
