@@ -98,7 +98,18 @@ def training_manifest(
         train_shuffle_order,
     )
 
-    kept = corpus_filter(documents).filter(F.col("doc_id") % eval_mod != 0)
+    # CACHED: `kept` has two consumers (the decontamination train side and
+    # the anti-join below) and `survivors` has four (the shuffle rank's
+    # bounds/main/offsets passes + the final join) — Catalyst does not
+    # materialize common subtrees across self-joins, so without the caches
+    # the dedup∘quality∘decontamination pipeline executes once PER
+    # consumer. Same-session A/B at sf0.1: wall-neutral on
+    # training_manifest alone (idle cores hide redundant subtree compute
+    # at bench SF) but combines with pack_manifest's slim cache for its
+    # 10.9s -> 5.9s cut — and at saturation, redundant full-pipeline
+    # compute is strictly wasted work. Both frames are one slim row per
+    # surviving document.
+    kept = corpus_filter(documents).filter(F.col("doc_id") % eval_mod != 0).cache()
     # decontaminate only the quality SURVIVORS: contamination is consumed
     # as an anti-join against `kept`, so restricting the train-side shingle
     # index to survivors gives the identical result (contaminated ∩ kept is
@@ -114,7 +125,7 @@ def training_manifest(
         .distinct()
     )
     clean = kept.join(contaminated, on="doc_id", how="left_anti")
-    survivors = clean.join(mixture_sample(documents), on="doc_id")
+    survivors = clean.join(mixture_sample(documents), on="doc_id").cache()
     order = train_shuffle_order(survivors)
     return survivors.join(order, on="doc_id").select(
         "train_seq",
@@ -158,13 +169,18 @@ def pack_manifest(
     )
 
     manifest = training_manifest(documents, eval_mod=eval_mod, min_shared=min_shared)
-    spans = running_sum_exclusive(
-        manifest.select(
-            "train_seq", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
-        ),
-        ["train_seq"],
-        "n_tokens",
-        out="start",
-    )
+    # CACHE the manifest rows before the prefix sum: running_sum_exclusive
+    # consumes its input three times (range-bucket bounds aggregate, the
+    # bucketed main pass, per-bucket totals) — fine when the input is a
+    # pruned parquet scan (pack_chunks), but here it is the FULL corpus-
+    # prep pipeline (dedup ∘ decontamination ∘ mixture ∘ rank), and
+    # without the cache the whole pipeline executes once per consumer
+    # (measured 2-3× the single-manifest wall at sf0.1). One slim row per
+    # surviving document — the same plan-level cache decision as the
+    # windowed rescorer's cell_deltas
+    slim = manifest.select(
+        "train_seq", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    ).cache()
+    spans = running_sum_exclusive(slim, ["train_seq"], "n_tokens", out="start")
     ci = PACK_CONTEXT_LEN if context_len is None else context_len
     return chunks_from_spans(spans, ci, extra_cols=("train_seq",))

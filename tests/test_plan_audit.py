@@ -76,6 +76,8 @@ ALLOWED_BNLJ = {
     "token_frequency": "1-row min/max range-bucket bounds aggregate (vocab rank)",
     "pack_token_stream": "1-row min/max range-bucket bounds aggregate",
     "training_manifest": "1-row min/max range-bucket bounds aggregate (shuffle rank)",
+    # the scrubbed composition inherits the manifest's bounded broadcasts
+    "training_manifest_scrubbed": "1-row min/max range-bucket bounds aggregate (shuffle rank)",
     "pack_manifest": "1-row min/max range-bucket bounds aggregates (rank + prefix sum)",
     # corpus size N folds in as a broadcast 1-row count (the idf numerator)
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
@@ -101,6 +103,7 @@ ALLOWED_SINGLE_PARTITION = {
     "token_frequency": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_token_stream": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "training_manifest": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "training_manifest_scrubbed": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
 }
