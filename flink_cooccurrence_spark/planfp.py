@@ -27,6 +27,16 @@ import re
 from pyspark.sql import DataFrame
 
 _NORMALIZERS = [
+    # scan DataFilters metadata: its VALUE truncates at spark.sql.
+    # maxMetadataStringLength RAW characters, and for a plan whose scan
+    # nodes were built BEFORE plan_shape raises that conf (a .cache()
+    # inside the query plans its subtree eagerly at construction), the
+    # cut position shifts with session-global expr-id widths — a
+    # session-history-dependent fingerprint. The same predicates appear
+    # un-truncated in the plan's Filter operators and the pushdown signal
+    # lives in PushedFilters, so DataFilters carries no extra shape
+    # information — elide it entirely.
+    (re.compile(r"DataFilters: \[.*?(?=, Format:)"), "DataFilters: <elided>"),
     # expression ids: item#123L, exists#45
     (re.compile(r"#\d+"), ""),
     # absolute paths (data dirs, state/checkpoint temp dirs)
