@@ -33,6 +33,31 @@ def main() -> None:
     # warm the JVM + file metadata outside the measured region
     QUERIES["topk_similar"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Host-speed calibration: a FIXED query touching no repo code and no
+    # files (pure range scan + modulo shuffle agg). Its time moves with
+    # the host window (documented 20-40% drift), never with engine
+    # changes — so cross-round deltas on real queries can be normalized
+    # by it instead of adjudicated by worktree A/B archaeology (the
+    # round-6 postmortem). Reported as calibration_sec, NOT in the
+    # headline total.
+    from pyspark.sql import functions as F
+
+    def _calibration_df():
+        return (
+            spark.range(0, 200_000_000, 1, 32)
+            .select((F.col("id") % 9973).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        )
+
+    _calibration_df().write.format("noop").mode("overwrite").save()  # warm
+    calibration = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_df().write.format("noop").mode("overwrite").save()
+        calibration = min(calibration, time.perf_counter() - t0)
+    calibration = round(calibration, 3)
+
     #: three measured runs per query, min reported: first runs are dominated
     #: by JIT/codegen compilation of the large generated stages (observed
     #: 2-3x on the windowed pipeline) and run-to-run GC noise grows with the
@@ -67,8 +92,6 @@ def main() -> None:
     # same-code runs on a contended host have been observed 2.4× apart;
     # min-of-2 clips the positive spikes that masquerade as regressions.
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from flink_cooccurrence_spark.config import CooccurrenceConfig
     from flink_cooccurrence_spark.registry import _interactions
@@ -189,6 +212,9 @@ def main() -> None:
         "queries": times,
         "aggregation": "min",
         "sf": sf,
+        # fixed host-speed probe (range+modulo agg, no repo code): compare
+        # round-over-round to separate host drift from plan regressions
+        "calibration_sec": calibration,
     }
     detail = {
         **headline,
