@@ -12,15 +12,24 @@ oracle (written with the identical ROW_NUMBER arithmetic, NOT the
 engine's ``quantile_cont``, whose interpolation this mirrors but whose
 internals we don't pin) matches after the package-standard round.
 
-Plan shape: one rank window partitioned by the group keys + one
-conditional aggregation over the same partitioning — a single shuffle,
-reused by both steps. At 100 TB the caveat is the window SORT inside a
-single giant group (one task sorts the whole group): for low-cardinality
-group keys over huge rows, swap the window for the bucketed two-pass
-rank (``operators/ordering.running_sum_exclusive`` decomposition — the
-same escape the global shuffle-rank uses); group counts here are
-per-key partitions of the corpus, so the default is right until one
-group alone outgrows a task.
+Plan shape (default): one rank window partitioned by the group keys +
+one conditional aggregation over the same partitioning — a single
+shuffle, reused by both steps. At 100 TB the caveat is the window SORT
+inside a single giant group (one task sorts the whole group): for
+low-cardinality group keys over huge rows (per-language quality scores
+over a whole corpus — exactly this operator's real workload), pass
+``bucketed=True`` to swap the per-group window sort for the bucketed
+two-pass rank decomposition (the same escape the global shuffle-rank
+uses, ``operators/ordering.py``): a deterministic monotone range bucket
+on the VALUE column splits each group's sort into ``num_buckets``
+parallel tasks; per-(group, bucket) ``row_number`` + per-group prefix
+offsets over the ≤ groups×buckets counts table reconstruct the exact
+same ranks. The rank positions any quantile reads select the same
+values under either path (ties share a value, so tie order can't change
+``v[k]``), and the oracle SQL is shared verbatim. The offsets table is
+broadcast — sized groups×buckets, which is small precisely in the
+giant-group regime this path exists for; with high-cardinality keys
+(many small groups) the default window path is the right plan.
 
 NULL measure values are excluded (SQL aggregate semantics); a group that
 is all-NULL disappears from the output — both contracts shared with the
@@ -39,26 +48,67 @@ ROUND_DIGITS = 6
 DEFAULT_QS = (0.5, 0.9, 0.99)
 
 
+def _bucketed_group_ranks(
+    d: DataFrame, keys: list[str], col: str, num_buckets: int
+) -> DataFrame:
+    """Exact per-group 1-based ranks + group sizes WITHOUT a per-group
+    window sort: range-bucket on the value (monotone, so ties stay in one
+    bucket), rank within (group, bucket) — parallel across buckets even
+    inside one giant group — then add per-group prefix offsets from the
+    broadcast counts table. rn/n match the window path's exactly."""
+    from flink_cooccurrence_spark.operators.ordering import _with_range_bucket
+
+    d = _with_range_bucket(d, col, num_buckets)
+    rn_in = F.row_number().over(
+        Window.partitionBy(*keys, "_bucket").orderBy(col)
+    )
+    d = d.withColumn("_rn_in", rn_in)
+    counts = d.groupBy(*keys, "_bucket").agg(F.count("*").alias("_cnt"))
+    off_w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *keys,
+        "_bucket",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+        # group size over the same tiny table — no pass over the data rows
+        F.sum("_cnt").over(Window.partitionBy(*keys)).alias("n"),
+    )
+    return (
+        d.join(F.broadcast(offsets), on=[*keys, "_bucket"])
+        .withColumn("rn", F.col("_off") + F.col("_rn_in"))
+        .drop("_bucket", "_rn_in", "_off")
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     keys: list[str],
     col: str,
     qs: tuple[float, ...] = DEFAULT_QS,
+    bucketed: bool = False,
+    num_buckets: int = 4096,
 ) -> DataFrame:
     """(keys..., p50, p90, ... ) — exact type-7 quantiles of ``col`` per
     group. ``qs`` fractions must lie in [0, 1]; output columns are named
-    ``p<100q>`` (``p50``, ``p99``; ``p99_9`` for fractional percents)."""
+    ``p<100q>`` (``p50``, ``p99``; ``p99_9`` for fractional percents).
+    ``bucketed=True`` selects the giant-group escape (module docstring):
+    identical results, no single-task per-group sort."""
     for q in qs:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile fractions must be in [0, 1], got {q}")
-    w = Window.partitionBy(*keys).orderBy(col)
-    ranked = (
-        df.filter(F.col(col).isNotNull())
-        .select(*keys, col)
-        .withColumn("rn", F.row_number().over(w))
-        # group size rides the same partitioning — no second shuffle
-        .withColumn("n", F.count("*").over(Window.partitionBy(*keys)))
-    )
+    filtered = df.filter(F.col(col).isNotNull()).select(*keys, col)
+    if bucketed:
+        ranked = _bucketed_group_ranks(filtered, keys, col, num_buckets)
+    else:
+        w = Window.partitionBy(*keys).orderBy(col)
+        ranked = (
+            filtered.withColumn("rn", F.row_number().over(w))
+            # group size rides the same partitioning — no second shuffle
+            .withColumn("n", F.count("*").over(Window.partitionBy(*keys)))
+        )
     aggs = []
     for q in qs:
         # h, its floor, and the fraction are group-CONSTANT (functions of
@@ -90,8 +140,14 @@ def _qname(q: float) -> str:
 
 def value_quantiles(events: DataFrame) -> DataFrame:
     """Per-event-type p50/p90/p99 of ``value`` — the operator's registry
-    face over the events table."""
-    return group_quantiles(events, ["event_type"], "value", DEFAULT_QS)
+    face over the events table. Uses the BUCKETED path: event types are
+    exactly the low-cardinality-keys/giant-groups shape the escape exists
+    for, and running it here keeps the scale-correct plan under the
+    oracle gate (the window path's parity is pinned separately in
+    tests/test_quantiles.py)."""
+    return group_quantiles(
+        events, ["event_type"], "value", DEFAULT_QS, bucketed=True
+    )
 
 
 # ---------------------------------------------------------------- oracle SQL

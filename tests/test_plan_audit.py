@@ -81,6 +81,9 @@ ALLOWED_BNLJ = {
     "pack_manifest": "1-row min/max range-bucket bounds aggregates (rank + prefix sum)",
     # corpus size N folds in as a broadcast 1-row count (the idf numerator)
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
+    # bucketed giant-group quantiles: value-range bounds ride as a
+    # broadcast 1-row aggregate crossJoin (same primitive as the ranks)
+    "value_quantiles": "1-row min/max range-bucket bounds aggregate",
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may
@@ -106,6 +109,7 @@ ALLOWED_SINGLE_PARTITION = {
     "training_manifest_scrubbed": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
+    "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
 }
 
 

@@ -62,6 +62,66 @@ def test_rejects_out_of_range_fractions(frame):
         group_quantiles(frame, ["g"], "v", (0.5, 1.5))
 
 
+def test_bucketed_bit_identical_to_window_path(spark, frame):
+    """The giant-group escape must reproduce the window path's output
+    EXACTLY — same groups, same IEEE-754 results — including with a tiny
+    bucket count that forces every group to straddle several buckets
+    (ties landing in one bucket by construction, offsets stitching the
+    cross-bucket ranks)."""
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    base = sorted(
+        group_quantiles(frame, ["g"], "v", qs).collect(),
+        key=lambda r: r["g"],
+    )
+    for nb in (2, 3, 4096):
+        esc = sorted(
+            group_quantiles(
+                frame, ["g"], "v", qs, bucketed=True, num_buckets=nb
+            ).collect(),
+            key=lambda r: r["g"],
+        )
+        assert [tuple(r) for r in esc] == [tuple(r) for r in base], nb
+
+
+def test_bucketed_matches_numpy_type7(frame):
+    qs = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    got = {
+        r["g"]: r
+        for r in group_quantiles(
+            frame, ["g"], "v", qs, bucketed=True, num_buckets=3
+        ).collect()
+    }
+    data = {}
+    for g, v in ROWS:
+        if v is not None:
+            data.setdefault(g, []).append(v)
+    assert set(got) == set(data)
+    for g, vals in data.items():
+        for q in qs:
+            exp = round(float(np.quantile(np.array(vals), q)), 6)
+            assert got[g][_qname(q)] == pytest.approx(exp, abs=1e-9), (g, q)
+
+
+def test_bucketed_plan_has_no_pergroup_data_window_sort(frame):
+    """The escape's point: no window partitioned ONLY by the group keys
+    runs over the data rows (that is the single-task giant-group sort).
+    All surviving data windows must include the range bucket in their
+    partitioning; the group-keys-only windows may appear solely over the
+    ≤ groups×buckets counts table (the offsets/size stitch)."""
+    plan = (
+        group_quantiles(frame, ["g"], "v", (0.5,), bucketed=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    for line in plan.splitlines():
+        if "row_number" in line and "windowspecdefinition" in line:
+            # the rank window over the data rows must be bucket-co-partitioned
+            assert re.search(r"windowspecdefinition\([^)]*_bucket", line), line
+
+
 def test_crafted_duckdb_parity(spark):
     """Same Spark-vs-DuckDB comparison as the registry twin, over the
     crafted edge rows (the events-table twin never hits single-row or
