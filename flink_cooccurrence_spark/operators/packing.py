@@ -14,9 +14,12 @@ which runs as the bucketed two-pass decomposition of
 ``operators/ordering.py`` (never a single-task global window); chunk
 emission is a per-row ``sequence``/``explode`` bounded by
 ceil(n_tokens / context_len) + 1 rows per document; there are no joins
-other than the broadcast bucket-offset table. Token counts are the
-whitespace tokenization of ``operators/textstats.py`` — rational integer
-arithmetic, bit-identical to the DuckDB oracle.
+other than the broadcast bucket-offset table. Token counts default to the
+whitespace tokenization of ``operators/textstats.py`` (rational integer
+arithmetic, bit-identical to the DuckDB oracle); a real pretraining job
+packs by its tokenizer's lengths instead — pass them through the
+``token_count_col`` seam (:func:`doc_token_counts`) and the text is never
+rescanned.
 """
 
 from __future__ import annotations
@@ -74,11 +77,47 @@ def chunks_from_spans(
     )
 
 
-def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> DataFrame:
+def doc_token_counts(
+    documents: DataFrame, token_count_col: str | None = None
+) -> DataFrame:
+    """(doc_id, n_tokens ≥ 1) — the packing family's tokenizer seam.
+
+    ``token_count_col=None`` keeps the whitespace count (the honest
+    container-constraint stand-in: no tokenizer libs here). Passing a
+    column name instead consumes PRECOMPUTED per-document token counts —
+    what a real pretraining job packs by (BPE lengths produced upstream by
+    the actual tokenizer) — and skips the text scan entirely. Rows whose
+    injected count is NULL or < 1 contribute no tokens to the stream and
+    are excluded from the plan (a 0-token document occupies no span; the
+    whitespace path can't produce one, since splitting '' yields one empty
+    token)."""
+    if token_count_col is None:
+        # NULL text is folded to '' so the n_tokens >= 1 contract is
+        # enforced (a whitespace split of '' is one empty token), not
+        # assumed — otherwise the NULL propagates through size() and
+        # explode() silently drops the document from the plan.
+        return documents.select(
+            "doc_id",
+            F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    return documents.select(
+        "doc_id", F.col(token_count_col).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+
+
+def pack_chunks(
+    documents: DataFrame,
+    context_len: int = PACK_CONTEXT_LEN,
+    token_count_col: str | None = None,
+) -> DataFrame:
     """Pack plan for concat-and-chunk sequence packing.
 
     Documents are concatenated in ``doc_id`` order; the token stream is cut
-    every ``context_len`` tokens. Output, one row per (document, pack)
+    every ``context_len`` tokens. ``token_count_col`` selects precomputed
+    token counts over the whitespace recount (:func:`doc_token_counts` —
+    the real-tokenizer seam). Output, one row per (document, pack)
     overlap:
 
     - ``doc_id``, ``pack_id`` — the document and the pack it feeds.
@@ -88,16 +127,7 @@ def pack_chunks(documents: DataFrame, context_len: int = PACK_CONTEXT_LEN) -> Da
       count, and per pack (with ``pack_off`` ordering) chunks tile
       [0, context_len) exactly, except the final partial pack.
     """
-    # NULL text is folded to '' so the n_tokens >= 1 contract below is
-    # enforced (a whitespace split of '' is one empty token), not assumed —
-    # otherwise the NULL propagates through size() and explode() silently
-    # drops the document from the plan.
-    toks = documents.select(
-        "doc_id",
-        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    toks = doc_token_counts(documents, token_count_col)
     spans = running_sum_exclusive(toks, ["doc_id"], "n_tokens", out="start")
     return chunks_from_spans(spans, context_len)
 

@@ -1115,6 +1115,39 @@ SELECT doc_id,
 FROM chunks
 """
 
+    # the real-tokenizer seam twin: same span/chunk arithmetic over the
+    # INJECTED count column (1 + n_chars // 4 — the registry's BPE-ish
+    # proxy); rows with NULL/<1 counts contribute no tokens (the proxy
+    # never produces one, but the WHERE pins the operator's contract)
+    o["pack_chunks_pretokenized"] = rf"""
+WITH toks AS (
+  SELECT doc_id, CAST(1 + n_chars // 4 AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE (1 + n_chars // 4) >= 1
+),
+spans AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, st, n_tokens,
+         unnest(generate_series(st // {pk.PACK_CONTEXT_LEN},
+                                (st + n_tokens - 1) // {pk.PACK_CONTEXT_LEN}))
+           AS pack_id
+  FROM spans
+)
+SELECT doc_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(greatest(st, pack_id * {pk.PACK_CONTEXT_LEN}) - st AS INT) AS doc_off,
+       CAST(greatest(st, pack_id * {pk.PACK_CONTEXT_LEN})
+            - pack_id * {pk.PACK_CONTEXT_LEN} AS INT) AS pack_off,
+       CAST(least(st + n_tokens, (pack_id + 1) * {pk.PACK_CONTEXT_LEN})
+            - greatest(st, pack_id * {pk.PACK_CONTEXT_LEN}) AS INT) AS n_chunk_tokens
+FROM chunks
+"""
+
     # the materialized token stream: token global position = the document's
     # exclusive prefix sum + its in-document position (1-based subscripts
     # in DuckDB → -1); pack assignment is integer arithmetic on it

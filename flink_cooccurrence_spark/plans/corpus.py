@@ -140,7 +140,7 @@ def training_manifest(
 
 def pack_manifest(
     documents: DataFrame, eval_mod: int = 13, min_shared: int = 2,
-    context_len: int | None = None,
+    context_len: int | None = None, token_count_col: str | None = None,
 ) -> DataFrame:
     """Pack the *shuffled, deduped, decontaminated* training stream — the
     composition a real pretraining job materializes: documents are
@@ -161,6 +161,17 @@ def pack_manifest(
     construction since train_seq is the dense shuffle rank 1..N) plus the
     map-only chunk arithmetic (``chunks_from_spans``). The only shuffles
     are the manifest's own.
+
+    ``token_count_col`` is the real-tokenizer seam
+    (``operators/packing.doc_token_counts``): a real pretraining job packs
+    by BPE lengths computed upstream, not whitespace counts. When set, the
+    named column of ``documents`` replaces the manifest's ``n_tokens`` for
+    the span arithmetic via one doc_id equi-join (the manifest side is the
+    slim survivors frame — one extra keyed shuffle, still no text rescan);
+    survivors whose injected count is NULL or < 1 contribute no tokens and
+    drop from the pack stream. The quality gate's MIN_TOKENS check always
+    uses the whitespace count — it is a text-quality feature, not a
+    packing length.
     """
     from flink_cooccurrence_spark.operators.ordering import running_sum_exclusive
     from flink_cooccurrence_spark.operators.packing import (
@@ -178,9 +189,18 @@ def pack_manifest(
     # (measured 2-3× the single-manifest wall at sf0.1). One slim row per
     # surviving document — the same plan-level cache decision as the
     # windowed rescorer's cell_deltas
-    slim = manifest.select(
-        "train_seq", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
-    ).cache()
+    if token_count_col is None:
+        slim = manifest.select(
+            "train_seq", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+        ).cache()
+    else:
+        from flink_cooccurrence_spark.operators.packing import doc_token_counts
+
+        slim = (
+            manifest.select("train_seq", "doc_id")
+            .join(doc_token_counts(documents, token_count_col), on="doc_id")
+            .cache()
+        )
     spans = running_sum_exclusive(slim, ["train_seq"], "n_tokens", out="start")
     ci = PACK_CONTEXT_LEN if context_len is None else context_len
     return chunks_from_spans(spans, ci, extra_cols=("train_seq",))

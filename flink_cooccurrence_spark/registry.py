@@ -537,6 +537,18 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "pack_chunks": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.packing", fromlist=["pack_chunks"]
     ).pack_chunks(_documents(s, d)),
+    # the real-tokenizer seam under the oracle gate: precomputed per-doc
+    # token counts (a deterministic BPE-ish proxy, 1 + n_chars div 4 —
+    # deliberately NOT the whitespace count, so a silent fallback to the
+    # recount hash-mismatches) drive the identical span/chunk arithmetic
+    "pack_chunks_pretokenized": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.packing", fromlist=["pack_chunks"]
+    ).pack_chunks(
+        _documents(s, d).withColumn(
+            "bpe_len", F.lit(1) + F.expr("n_chars div 4")
+        ),
+        token_count_col="bpe_len",
+    ),
     # the plan's materialized twin: every token placed in its context
     "pack_token_stream": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.packing", fromlist=["pack_token_stream"]

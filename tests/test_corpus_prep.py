@@ -303,6 +303,64 @@ def test_pack_chunks_rejects_nonpositive_context_len(spark):
         pack_chunks(df, context_len=0)
 
 
+def test_pack_chunks_injected_token_counts(spark):
+    """The real-tokenizer seam: counts deliberately DIFFERENT from the
+    whitespace split drive the span arithmetic (a silent fallback to the
+    recount would fail the reference comparison); NULL and <1 counts mean
+    'contributes no tokens' and drop from the plan."""
+    rows = [
+        (1, "a b c", 7),      # 3 whitespace tokens, 7 injected
+        (2, "xxxx", 5),       # 1 whitespace token, 5 injected
+        (3, "d e f g", None),  # NULL count → dropped
+        (4, "hh", 0),         # 0 count → dropped
+        (5, None, 4),         # text irrelevant on the injected path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, bpe_len int")
+    got = sorted(
+        tuple(r)
+        for r in pack_chunks(
+            df, context_len=4, token_count_col="bpe_len"
+        ).collect()
+    )
+    assert got == _reference_pack([(1, 7), (2, 5), (5, 4)], 4)
+
+
+def test_pack_manifest_injected_token_counts(spark, docs, sf_dir):
+    """pack_manifest's seam: with an injected count column the packed
+    stream's per-document chunk sums equal the INJECTED counts for exactly
+    the manifest's survivors, concatenated in the same train_seq order."""
+    from flink_cooccurrence_spark.plans.corpus import (
+        pack_manifest,
+        training_manifest,
+    )
+
+    docs_c = docs.withColumn("bpe_len", F.lit(1) + F.expr("n_chars div 4"))
+    packed = pack_manifest(docs_c, token_count_col="bpe_len").toPandas()
+    manifest = training_manifest(docs).toPandas()
+    counts = {
+        int(r["doc_id"]): 1 + int(r["n_chars"]) // 4
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    per_doc = packed.groupby("doc_id")["n_chunk_tokens"].sum().to_dict()
+    assert set(per_doc) == set(manifest["doc_id"])
+    for doc_id, tok_sum in per_doc.items():
+        assert tok_sum == counts[int(doc_id)], doc_id
+    # the stream is contiguous in train_seq order: global offsets derived
+    # from (pack_id, pack_off) reproduce the manifest-order prefix sums
+    packed["gpos"] = packed["pack_id"] * PACK_CONTEXT_LEN + packed["pack_off"]
+    seq_order = (
+        manifest.sort_values("train_seq")["doc_id"].map(counts).cumsum().shift(
+            1, fill_value=0
+        )
+    )
+    starts = dict(
+        zip(manifest.sort_values("train_seq")["doc_id"], seq_order)
+    )
+    first_chunks = packed[packed["doc_off"] == 0]
+    for _, row in first_chunks.iterrows():
+        assert int(row["gpos"]) == int(starts[row["doc_id"]]), row["doc_id"]
+
+
 def test_pack_token_stream_consistent_with_plan(docs, packed):
     """The materialized token stream is the pack plan executed: per pack it
     has exactly the tokens the plan's chunks promise (count AND offsets —

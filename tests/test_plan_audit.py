@@ -72,6 +72,7 @@ ALLOWED_BNLJ = {
     # distributed prefix-sum/rank (operators/ordering.py): the range-bucket
     # min/max bounds ride as a broadcast 1-row aggregate crossJoin
     "pack_chunks": "1-row min/max range-bucket bounds aggregate",
+    "pack_chunks_pretokenized": "1-row min/max range-bucket bounds aggregate",
     "train_shuffle_order": "1-row min/max range-bucket bounds aggregate",
     "token_frequency": "1-row min/max range-bucket bounds aggregate (vocab rank)",
     "pack_token_stream": "1-row min/max range-bucket bounds aggregate",
@@ -102,6 +103,7 @@ ALLOWED_SINGLE_PARTITION = {
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
     "ann_recall": "4-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "token_frequency": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_token_stream": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
