@@ -640,6 +640,57 @@ def test_native_sampled_stream_restart_mid_stream(
     assert eng2.total_observed() == native_replayed.total_observed()
 
 
+def test_native_sampled_stream_abrupt_kill_mid_flight(
+    spark, native_inputs, native_replayed, tmp_path
+):
+    """The HARD restart case: ``query.stop()`` fired while the stream is
+    mid-flight (not a drained availableNow stop — the graceful variant is
+    the test above). The kill can land inside an uncommitted batch, whose
+    rollback + checkpoint re-delivery on restart must reconstruct the
+    exact state an uninterrupted run produces — the Spark-side proof of
+    the reference's exactly-once story (ContinuousFileMonitoringFunction
+    mod-time state, SURVEY §4.2)."""
+    import time as _t
+
+    from flink_cooccurrence_spark.streaming.native import run_sampled_stream
+    from flink_cooccurrence_spark.streaming.sources import (
+        interactions_parquet_stream,
+    )
+
+    _sample, files_dir, n_files = native_inputs
+    cfg = _cfg(**NATIVE_CFG_KW)
+    wd = str(tmp_path / "wd")
+    eng1 = CooccurrenceStreamEngine(spark, cfg, workdir=wd)
+    stream = interactions_parquet_stream(spark, files_dir, max_files_per_trigger=1)
+    query = eng1.attach(stream, available_now=True)
+    # kill as soon as the FIRST batch has committed — with one file per
+    # trigger the stop then lands while a later batch is in flight
+    deadline = _t.time() + 120
+    while eng1.state.get_scalar("batches", 0) < 1 and _t.time() < deadline:
+        _t.sleep(0.02)
+    query.stop()
+    try:
+        query.awaitTermination(60)
+    except Exception:
+        pass  # an interrupted in-flight batch may surface its abort here
+    eng1.close()
+    committed = eng1.state.get_scalar("batches", 0)
+    assert committed >= 1, "kill landed before any batch committed"
+    assert committed < n_files, (
+        "stream drained before the kill — the test proved nothing; "
+        "tighten the poll interval"
+    )
+
+    # restart on the same workdir: source checkpoint + state high-water
+    # mark resume; a batch killed between its state commit and the
+    # checkpoint commit is re-delivered and skipped by the guard
+    eng2 = run_sampled_stream(spark, files_dir, cfg, workdir=wd)
+    assert eng2.metrics()["batches"] == n_files
+    assert_df_equal(eng2.item_rows(), native_replayed.item_rows(), "kill_matrix")
+    assert_df_equal(eng2.row_sums(), native_replayed.row_sums(), "kill_row_sums")
+    assert eng2.total_observed() == native_replayed.total_observed()
+
+
 def test_commit_failure_rolls_back_high_water_mark(spark, tmp_path):
     """A commit() failure (e.g. ENOSPC on the manifest) must roll the
     in-memory high-water mark back too — the retried batch would otherwise
