@@ -241,15 +241,29 @@ LEFT JOIN (
 """
 
 
+#: the testdata documents table's column order — the default for
+#: :func:`scrub_documents_sql`, kept in ONE place so the SQL twin cannot
+#: silently desync from the Python side's dynamic ``documents.columns``
+#: passthrough when the table schema changes
+DOCUMENTS_COLUMNS: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars")
+
+
 def scrub_documents_sql(
-    max_doc_freq: int = MAX_LINE_DOC_FREQ, table: str = "documents"
+    max_doc_freq: int = MAX_LINE_DOC_FREQ,
+    table: str = "documents",
+    columns: tuple[str, ...] = DOCUMENTS_COLUMNS,
 ) -> str:
     """All-columns form of :func:`strip_boilerplate_sql` (text replaced,
-    every other documents column passed through) — the SQL twin of
+    every other column passed through) — the SQL twin of
     :func:`scrub_documents`, used to compose the line scrub in front of
-    the corpus-prep pipeline oracles."""
+    the corpus-prep pipeline oracles. ``columns`` is the output column
+    order (mirroring the Python side's ``documents.columns``); ``text``
+    resolves to the scrubbed text, everything else passes through."""
+    sel = ", ".join(
+        "s.text" if c == "text" else f"d.{c}" for c in columns
+    )
     return f"""
-SELECT d.doc_id, s.text, d.lang, d.source, d.n_chars
+SELECT {sel}
 FROM {table} d
 JOIN ({strip_boilerplate_sql(max_doc_freq, table)}) s USING (doc_id)
 """

@@ -61,19 +61,30 @@ PII_REPLACEMENTS: dict[str, str] = {
 def pii_count_columns() -> list[Column]:
     """Per-detector match-count expressions over ``text`` (NULL folds to
     '' so every document gets a row — the package-wide NULL-text
-    contract), plus the total. Exposed unaliased-frame-free so composers
+    contract). Exposed unaliased-frame-free so composers
     (``plans/corpus.py``) can merge them into an existing row-local
-    select instead of joining frames on doc_id."""
+    select instead of joining frames on doc_id. The total deliberately
+    lives in :func:`pii_total_column` over the ALIASED outputs: summing
+    fresh ``regexp_count`` copies here would evaluate every pattern twice
+    per row unless codegen's common-subexpression elimination happens to
+    fire — once-per-pattern should hold by construction, not by optimizer
+    grace."""
     text = F.coalesce(F.col("text"), F.lit(""))
-    counts = [
+    return [
         F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
         for kind, pat in PII_PATTERNS.items()
     ]
+
+
+def pii_total_column() -> Column:
+    """Sum of the per-detector count columns — apply in a FOLLOW-UP
+    select/withColumn over a frame already carrying
+    :func:`pii_count_columns`'s aliased outputs (adjacent projections
+    collapse, so this costs no extra pass)."""
     total = sum(
-        (F.regexp_count(text, F.lit(p)) for p in PII_PATTERNS.values()),
-        start=F.lit(0),
+        (F.col(f"n_{kind}") for kind in PII_PATTERNS), start=F.lit(0)
     )
-    return [*counts, total.alias("pii_total")]
+    return total.alias("pii_total")
 
 
 def redacted_text_column() -> Column:
@@ -87,8 +98,12 @@ def redacted_text_column() -> Column:
 
 def pii_stats(documents: DataFrame) -> DataFrame:
     """(doc_id, n_email, n_phone, n_ipv4, n_secret, pii_total) — per-
-    document PII detector counts. Map-only."""
-    return documents.select("doc_id", *pii_count_columns())
+    document PII detector counts. Map-only; the total sums the aliased
+    counts in a collapsed follow-up projection (one regex scan per
+    pattern by construction)."""
+    return documents.select("doc_id", *pii_count_columns()).withColumn(
+        "pii_total", pii_total_column()
+    )
 
 
 def redact_pii(documents: DataFrame) -> DataFrame:

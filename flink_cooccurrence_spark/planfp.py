@@ -37,6 +37,12 @@ _NORMALIZERS = [
     # lives in PushedFilters, so DataFilters carries no extra shape
     # information — elide it entirely.
     (re.compile(r"DataFilters: \[.*?(?=, Format:)"), "DataFilters: <elided>"),
+    # fallback for a scan-node layout where ', Format:' does not follow
+    # the value (or the truncation ate it): elide to end-of-line rather
+    # than leave session-history-dependent metadata in the fingerprint.
+    # Costs the rest of that line's shape only when the primary pattern
+    # above failed to match — deterministic either way.
+    (re.compile(r"DataFilters: \[[^\n]*"), "DataFilters: <elided>"),
     # expression ids: item#123L, exists#45
     (re.compile(r"#\d+"), ""),
     # absolute paths (data dirs, state/checkpoint temp dirs)

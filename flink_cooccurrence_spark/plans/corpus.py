@@ -52,12 +52,22 @@ def corpus_filter(
     keep = (F.col("n_tokens") >= min_tokens) & (
         F.col("quality_score") >= min_quality
     )
+    features = None
     if max_pii is not None:
-        from flink_cooccurrence_spark.operators.pii import pii_count_columns
+        from flink_cooccurrence_spark.operators.pii import (
+            pii_count_columns,
+            pii_total_column,
+        )
 
-        feature_cols += pii_count_columns()
         keep = keep & (F.col("pii_total") <= max_pii)
-    features = documents.select("doc_id", *feature_cols)
+        # the total sums the aliased detector counts in a follow-up
+        # projection (collapsed by Catalyst) — one regex scan per pattern
+        # by construction, still the same single row-local corpus pass
+        features = documents.select(
+            "doc_id", *feature_cols, *pii_count_columns()
+        ).withColumn("pii_total", pii_total_column())
+    else:
+        features = documents.select("doc_id", *feature_cols)
     return (
         features.join(canonical.select("doc_id"), on="doc_id", how="leftsemi")
         .filter(keep)

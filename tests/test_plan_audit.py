@@ -175,13 +175,28 @@ def test_allowlists_not_stale(plans):
 # --------------------------------------------------------- driver-action budget
 
 def _jobs_for(spark, group: str, fn) -> int:
-    """Count Spark jobs launched while running ``fn`` (job-group scoped)."""
+    """Count Spark jobs launched while running ``fn`` (job-group scoped),
+    with the AQE confs the budgets below were measured under PINNED for
+    the measurement (stage-job counts move with adaptive execution
+    settings — a session or upstream default change would otherwise fail
+    these caps spuriously; a Spark-version bump that re-shapes AQE stage
+    scheduling is a legitimate re-measure-and-re-pin event)."""
+    pinned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    old = {k: spark.conf.get(k) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
     sc = spark.sparkContext
     sc.setJobGroup(group, group)
     try:
         fn()
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
+        for k, v in old.items():
+            spark.conf.set(k, v)
     return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
 
 
