@@ -383,12 +383,9 @@ QUERIES: dict[str, QueryFn] = {
     "item_cut_flags": q_item_cut_flags,
     "sliding_item_counts": q_sliding_item_counts,
     "session_item_counts": q_session_item_counts,
-    "distinct_users_per_item": q_distinct_users_per_item,
     "interaction_rollup": q_interaction_rollup,
     "prev_interaction": q_prev_interaction,
     "active_customers": q_active_customers,
-    "inactive_customers": q_inactive_customers,
-    "top_events_global": q_top_events_global,
     "event_props_struct": q_event_props_struct,
     "rollup_cascade": q_rollup_cascade,
     "llr_golden": q_llr_golden,
@@ -477,6 +474,21 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     "image_resize": lambda s, d: _mm.image_resize(_documents(s, d)),
     "audio_frames": lambda s, d: _mm.audio_frames(_documents(s, d)),
     "video_frame_sample": lambda s, d: _mm.video_frame_sample(_documents(s, d)),
+    # round-7 driver-row rotation (round-6 VERDICT ask #7): the newest
+    # first-class families promoted under the driver's independent oracle,
+    # in place of three near-twin trivia rows (inactive_customers /
+    # top_events_global / distinct_users_per_item — now pytest-only twins,
+    # still under the identical parity gate)
+    "pii_stats": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pii", fromlist=["pii_stats"]
+    ).pii_stats(_documents(s, d)),
+    "value_quantiles": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.quantiles",
+        fromlist=["value_quantiles"],
+    ).value_quantiles(load_table(s, d, "events")),
+    "pack_manifest": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["pack_manifest"]
+    ).pack_manifest(_documents(s, d)),
 }
 
 QUERIES.update(EXTENSION_QUERIES)
@@ -589,14 +601,10 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "training_manifest": lambda s, d: __import__(
         "flink_cooccurrence_spark.plans.corpus", fromlist=["training_manifest"]
     ).training_manifest(_documents(s, d)),
-    # PII / unsafe-content detectors (operators/pii.py): per-doc regex
-    # counts + the redacted-text scrub projection, both map-only; this
-    # corpus contains no digits so counts are legitimately all-zero here —
-    # tests/test_pii.py runs the same parity over rows where every
-    # detector fires
-    "pii_stats": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.pii", fromlist=["pii_stats"]
-    ).pii_stats(_documents(s, d)),
+    # PII redacted-text scrub projection (pii_stats itself is a DRIVER row
+    # since the round-7 rotation); this corpus contains no digits so
+    # detectors legitimately never fire here — tests/test_pii.py runs the
+    # same parity over rows where every detector fires
     "redact_pii": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.pii", fromlist=["redact_pii"]
     ).redact_pii(_documents(s, d)),
@@ -616,13 +624,6 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.linededup",
         fromlist=["strip_boilerplate"],
     ).strip_boilerplate(_documents(s, d)),
-    # exact grouped quantiles (operators/quantiles.py): type-7 linear
-    # interpolation via identical rank arithmetic in both engines — the
-    # exact counterpart of percentile_approx for distribution reporting
-    "value_quantiles": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.quantiles",
-        fromlist=["value_quantiles"],
-    ).value_quantiles(load_table(s, d, "events")),
     # the line scrub composed IN FRONT of the whole corpus-prep capstone —
     # boilerplate-stripped documents flow through dedup/quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank. On this corpus (unique
@@ -637,12 +638,6 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
             fromlist=["scrub_documents"],
         ).scrub_documents(_documents(s, d))
     ),
-    # the capstone-of-the-capstone: pack the SHUFFLED manifest — documents
-    # concatenated in train_seq (not doc_id) order, then cut into fixed
-    # training contexts; what a real pretraining job materializes
-    "pack_manifest": lambda s, d: __import__(
-        "flink_cooccurrence_spark.plans.corpus", fromlist=["pack_manifest"]
-    ).pack_manifest(_documents(s, d)),
     # per-document overlapping token windows (retrieval/embedding prep —
     # the per-doc counterpart of pack_chunks' corpus concat)
     "doc_chunks": lambda s, d: __import__(
@@ -653,6 +648,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "leakage_safe_split": lambda s, d: _dedup.leakage_safe_split(
         _documents(s, d)
     ),
+    # round-7 rotation: near-twin trivia demoted off the 50-row driver
+    # surface (inactive_customers is active_customers with the sign
+    # flipped; the other two are plain single-agg shapes) — identical
+    # oracle gate continues here so nothing is un-checked
+    "inactive_customers": q_inactive_customers,
+    "top_events_global": q_top_events_global,
+    "distinct_users_per_item": q_distinct_users_per_item,
 }
 
 
