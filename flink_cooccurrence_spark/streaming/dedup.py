@@ -148,6 +148,20 @@ class DedupStreamEngine:
         self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
         self._pending: list = []
         self._cached: list = []
+        #: pipelined-replay continuation (same design as the cooccurrence
+        #: engine, single barrier): (batch_id, cached frames) of a batch
+        #: whose four writes are in flight and whose commit is owed. The
+        #: NEXT batch settles it right after its own heavy head (minhash
+        #: localCheckpoint + stats action — pure batch functions that read
+        #: no state), which is exactly before its first state read; this
+        #: batch's submissions and scalars all land after the settle, so
+        #: every commit contains precisely its own batch.
+        self._deferred: tuple[int, list] | None = None
+        #: scalar updates of the current batch, staged until after the
+        #: settle AND after `_maybe_compact`'s reservation commit — that
+        #: commit must publish nothing of the in-progress batch (a crash
+        #: would otherwise double-count `documents` on re-delivery)
+        self._staged_scalars: list = []
         #: per-batch wall clock, appended by replay() (harness observability;
         #: bench reports max/mean — the direct evidence that a batch landing
         #: on the compaction threshold does NOT stall behind the O(|state|)
@@ -183,7 +197,43 @@ class DedupStreamEngine:
 
         One transaction per batch (commit/rollback + re-delivery skip),
         mirroring the cooccurrence engine's contract."""
-        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+        self._run_batch(docs, batch_id, defer=False)
+
+    def flush(self) -> None:
+        """Settle any deferred (pipelined-replay) batch: drain its writes,
+        commit it, release its caches. No-op when nothing is owed."""
+        self._settle()
+
+    def _settle(self) -> None:
+        """Complete the deferred predecessor batch of the pipelined replay
+        (drain + commit); a failure rolls back to the last committed batch
+        and drops the dead batch's output-log dirs — the synchronous
+        transaction contract, one batch later."""
+        if self._deferred is None:
+            return
+        batch_id, cached = self._deferred
+        self._deferred = None
+        try:
+            self._drain_writes()
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
+        except BaseException:
+            self.state.rollback()
+            import shutil
+
+            for d in (self._exact_dir, self._pairs_dir):
+                shutil.rmtree(
+                    os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
+                )
+            raise
+        finally:
+            for df in cached:
+                df.unpersist(blocking=False)
+
+    def _run_batch(self, docs: DataFrame, batch_id: int, defer: bool) -> None:
+        if batch_id <= self.state.get_scalar("last_batch_id", -1) or (
+            self._deferred is not None and batch_id <= self._deferred[0]
+        ):
             return
         # replay-mode batches are lazy source slices; the stats action, the
         # exact/pair writes, and both state appends would each re-scan and
@@ -191,11 +241,33 @@ class DedupStreamEngine:
         # fills it), same as the cooccurrence engine's batch cache
         batch = docs.select("doc_id", "text").persist()
         self._cached = [batch]
+        self._staged_scalars = []
         try:
-            # fold any compaction that finished while previous batches ran
-            # into the pointer now — the swap rides this batch's commit
+            # heavy head first: minhash localCheckpoint + the combined
+            # stats action are pure functions of the batch (no state
+            # access), so the deferred predecessor's writes overlap them
+            head = self._batch_head(batch)
+            # barrier: the predecessor drains + commits only now — exactly
+            # before this batch's first state read, so reads never see
+            # missing appends and no submission of THIS batch can land a
+            # pointer inside the predecessor's commit
+            self._settle()
+            # pointer-mutating bookkeeping runs with no writes in flight:
+            # fold any finished background compaction (the swap rides this
+            # batch's commit), then start-and-reserve any newly due one —
+            # the reservation's tiny commit publishes the predecessor's
+            # complete, high-water-marked state plus the folds, and
+            # nothing of this batch (its scalars are still staged)
             self._harvest_compactions()
-            self._process(batch, batch_id)
+            self._maybe_compact()
+            staged, self._staged_scalars = self._staged_scalars, []
+            for op in staged:
+                op()
+            self._emit(batch_id, *head)
+            if defer:
+                self._deferred = (batch_id, self._cached)
+                self._cached = []
+                return
             self._drain_writes()
             # commit INSIDE the transaction scope (same contract as the
             # cooccurrence engine): a failed manifest write must roll the
@@ -203,6 +275,12 @@ class DedupStreamEngine:
             self.state.set_scalar("last_batch_id", int(batch_id))
             self.state.commit()
         except BaseException:
+            # the deferred predecessor may be fine — settle (commit) it
+            # first so this batch's failure can't discard a good batch
+            try:
+                self._settle()
+            except BaseException:
+                pass
             try:
                 self._drain_writes()
             except BaseException:
@@ -223,26 +301,20 @@ class DedupStreamEngine:
             for df in self._cached:
                 df.unpersist(blocking=False)
             self._cached = []
-        # kick off (never wait for) compaction of any table whose segment
-        # count passed the threshold — it overlaps the NEXT batch; the
-        # triggering batch never serializes behind the O(|state|) rewrite.
-        # OUTSIDE the transaction scope: the batch is durably committed by
-        # now, so a reservation-commit failure here must NOT run the
-        # rollback path above (it deletes output dirs of a batch the
-        # high-water mark says is done — permanently losing emissions);
-        # discard only the in-memory reservation and re-raise.
-        try:
-            self._maybe_compact()
-        except BaseException:
-            self.state.rollback()
-            raise
+            self._staged_scalars = []
 
     def close(self) -> None:
-        """Drain any in-flight compaction (committing its pointer swap) and
-        release both pools (idle engines otherwise pin their worker threads
-        for process lifetime). Safe to call once processing is done; the
-        engine must not be reused afterwards."""
+        """Settle any deferred batch, drain in-flight compactions
+        (committing their pointer swaps), start-and-finish any compaction
+        the final batch made due (preserving the per-committed-batch
+        trigger cadence), and release both pools. Safe to call once
+        processing is done; the engine must not be reused afterwards."""
         try:
+            self._settle()
+            if self._compacting:
+                self._harvest_compactions(wait=True)
+                self.state.commit()
+            self._maybe_compact()
             if self._compacting:
                 self._harvest_compactions(wait=True)
                 self.state.commit()
@@ -270,7 +342,10 @@ class DedupStreamEngine:
         """Start (not run) LSM compaction for any append table at or past
         ``compact_threshold``, unless one is already in flight for it.
 
-        Called AFTER the batch's commit, with its appends drained: phase 1
+        Called with NO writes in flight, right after the most recent
+        batch's commit (the settle point in pipelined mode, the head of
+        the next batch in sync mode — one batch later than the crossing
+        either way) and before the current batch applies any state: phase 1
         (``begin_compact_append``) snapshots the committed segment set and
         reserves the output id, a second commit makes the reservation
         durable (a later batch's rollback must not hand the reserved id
@@ -383,8 +458,17 @@ class DedupStreamEngine:
                 (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
             )
             t0 = time.perf_counter()
-            self.process_batch(batch, base + b)
+            # PIPELINED: each batch leaves its writes in flight and its
+            # commit owed; the next batch settles them after its heavy
+            # state-free head, so the drain barrier overlaps the
+            # successor's minhash pass instead of idling per batch
+            self._run_batch(batch, base + b, defer=True)
             self.replay_batch_seconds.append(time.perf_counter() - t0)
+        # final batch's drain+commit lands here — charged to its wall clock
+        t0 = time.perf_counter()
+        self._settle()
+        if self.replay_batch_seconds:
+            self.replay_batch_seconds[-1] += time.perf_counter() - t0
 
     # accessors --------------------------------------------------------------
 
@@ -423,7 +507,11 @@ class DedupStreamEngine:
 
     # --------------------------------------------------------------- stages
 
-    def _process(self, docs: DataFrame, batch_id: int) -> None:
+    def _batch_head(self, docs: DataFrame):
+        """The batch's heavy, state-free head: minhash materialization +
+        the ONE auxiliary stats action. Runs BEFORE the pipelined settle —
+        nothing here reads a state table, so the predecessor's in-flight
+        writes overlap it. Scalars are staged (applied post-settle)."""
         # NULL text folds to '' (the batch operator's convention): md5(NULL)
         # is NULL, and the null-unsafe hash join below would silently drop
         # the document from the exact log despite "one row per processed
@@ -441,8 +529,8 @@ class DedupStreamEngine:
         sigs = minhash_sig_array(docs).localCheckpoint(eager=True)
         batch_bands = sig_bands(sigs)
 
-        # ONE auxiliary action: batch size + duplicate count + the changed-
-        # bucket sets driving every partitioned state read and MERGE below
+        # ONE auxiliary action: batch size + the changed-bucket sets
+        # driving every partitioned state read and MERGE below
         stats = (
             hashed.agg(
                 F.count("*").alias("n_docs"),
@@ -455,10 +543,32 @@ class DedupStreamEngine:
             )
             .first()
         )
-        self.state.add_scalar("documents", int(stats["n_docs"] or 0))
-        self.state.add_scalar("batches", 1)
-        hash_buckets = sorted(stats["hash_buckets"])
-        band_buckets = sorted(stats["band_buckets"])
+        n_docs = int(stats["n_docs"] or 0)
+
+        def scalars() -> None:
+            self.state.add_scalar("documents", n_docs)
+            self.state.add_scalar("batches", 1)
+
+        self._staged_scalars.append(scalars)
+        return (
+            hashed,
+            batch_bands,
+            sorted(stats["hash_buckets"]),
+            sorted(stats["band_buckets"]),
+        )
+
+    def _emit(
+        self,
+        batch_id: int,
+        hashed: DataFrame,
+        batch_bands: DataFrame,
+        hash_buckets: list[int],
+        band_buckets: list[int],
+    ) -> None:
+        """State reads + plan construction + the four async submissions.
+        Runs strictly AFTER the settle, so the state appends it reads are
+        complete and its own submissions can't pollute the predecessor's
+        commit."""
         if not hash_buckets:
             return
 

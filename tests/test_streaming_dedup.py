@@ -429,12 +429,13 @@ def test_batch_id_domain_guard_both_ways(spark, docs, tmp_path):
 
 
 def test_reservation_commit_failure_preserves_batch_outputs(spark, docs, tmp_path):
-    """The compaction reservation commits OUTSIDE the batch transaction: if
-    that tiny manifest write fails, the already-committed batch keeps its
-    output dirs and high-water mark (the rollback path must NOT fire — it
-    deletes the batch's emissions, which the skip guard would then never
-    regenerate), nothing is submitted to the compaction pool, and the next
-    healthy batch re-attempts compaction under a fresh reservation."""
+    """The compaction reservation commits at the HEAD of the batch after
+    the threshold crossing — before that batch has produced any output
+    and after its predecessor fully committed. If the tiny manifest write
+    fails, no already-committed batch loses its output dirs or high-water
+    mark (this batch's rollback deletes only ITS OWN — nonexistent —
+    dirs), nothing is submitted to the compaction pool, and the retried
+    batch re-attempts compaction under a fresh reservation."""
     sub = docs.filter(F.col("doc_id") < 240)
     eng = DedupStreamEngine(
         spark, workdir=str(tmp_path), threshold=THRESHOLD, compact_threshold=3
@@ -445,28 +446,29 @@ def test_reservation_commit_failure_preserves_batch_outputs(spark, docs, tmp_pat
 
     eng.process_batch(batch_df(0, 60), 0)
     eng.process_batch(batch_df(60, 120), 1)
+    eng.process_batch(batch_df(120, 180), 2)  # segments reach the threshold
 
     orig_commit = eng.state.commit
     calls = {"n": 0}
 
     def flaky_commit():
         calls["n"] += 1
-        if calls["n"] == 2:  # batch 2's main commit is 1; the reservation is 2
+        if calls["n"] == 1:  # batch 3's head runs the reservation commit
             raise OSError("injected ENOSPC on the reservation manifest")
         orig_commit()
 
     eng.state.commit = flaky_commit
     with pytest.raises(OSError, match="injected"):
-        eng.process_batch(batch_df(120, 180), 2)  # hits compact_threshold
+        eng.process_batch(batch_df(180, 240), 3)  # trigger fires at its head
     eng.state.commit = orig_commit
 
-    # the batch survived: durable high-water mark, outputs intact, and the
-    # discarded reservation left nothing in flight
+    # every committed batch survived: durable high-water mark, outputs
+    # intact, and the discarded reservation left nothing in flight
     assert eng.state.get_scalar("last_batch_id") == 2
     assert not eng._compacting
     assert _rows(eng.exact_log()) == _rows(exact_duplicates(batch_df(0, 180)))
 
-    # a later batch re-attempts compaction cleanly
+    # the RETRIED batch re-attempts compaction cleanly
     eng.process_batch(batch_df(180, 240), 3)
     assert eng._compacting  # fresh reservation, run in flight
     eng.close()
