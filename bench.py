@@ -45,7 +45,7 @@ def main() -> None:
     def _calibration_df():
         return (
             spark.range(0, 200_000_000, 1, 32)
-            .select((F.col("id") % 9973).alias("k"))
+            .withColumn("k", F.col("id") % 9973)
             .groupBy("k")
             .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
         )
