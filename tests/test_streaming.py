@@ -691,6 +691,46 @@ def test_native_sampled_stream_abrupt_kill_mid_flight(
     assert eng2.total_observed() == native_replayed.total_observed()
 
 
+def test_pipelined_write_failure_rolls_back_and_scrubs_emissions(
+    spark, inter_short, tmp_path
+):
+    """The pipelined replay's failure contract: a state write that dies
+    AFTER its batch deferred (the failure surfaces at the successor's
+    settle) must roll everything back to the last committed batch — the
+    in-memory pointers/scalars match the on-disk manifest, and no top-K
+    emission survives beyond the committed high-water mark (the dead
+    batch's rescore may have already landed its output dir; the settle's
+    abort path removes it)."""
+    eng = CooccurrenceStreamEngine(
+        spark, _cfg(skip_cuts=True), workdir=str(tmp_path / "wd")
+    )
+    orig = eng.state.put_parts
+    calls = {"n": 0}
+
+    def flaky(name, df, buckets):
+        if name == "item_rows":
+            calls["n"] += 1
+            if calls["n"] == 3:  # the third batch's merge write dies async
+                raise OSError("injected item_rows write failure")
+        orig(name, df, buckets)
+
+    eng.state.put_parts = flaky
+    with pytest.raises(OSError, match="injected"):
+        eng.replay(inter_short, windows_per_batch=2)
+    committed = eng.state._committed_meta()["scalars"]
+    hwm = eng.state.get_scalar("last_batch_id", -1)
+    assert hwm == committed.get("last_batch_id", -1)  # rolled back to disk
+    assert hwm >= 0  # at least one batch landed before the injected death
+    for key in ("observed_cooccurrences", "batches", "watermark_ms"):
+        assert eng.state.get_scalar(key, -1) == committed.get(key, -1), key
+    emitted = {
+        int(r["batch_id"])
+        for r in eng.topk_updates().select("batch_id").distinct().collect()
+    }
+    assert all(b <= hwm for b in emitted), (emitted, hwm)
+    eng.close()
+
+
 def test_commit_failure_rolls_back_high_water_mark(spark, tmp_path):
     """A commit() failure (e.g. ENOSPC on the manifest) must roll the
     in-memory high-water mark back too — the retried batch would otherwise

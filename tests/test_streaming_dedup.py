@@ -208,6 +208,45 @@ def test_crash_mid_compaction_restarts_clean(spark, docs, tmp_path):
         eng1._write_pool.shutdown(wait=True)
 
 
+def test_pipelined_dedup_write_failure_rolls_back_and_scrubs_logs(
+    spark, docs, tmp_path
+):
+    """Same failure contract as the cooccurrence engine's pipelined
+    replay: an async append that dies after its batch deferred surfaces
+    at the successor's settle, which must roll back to the last committed
+    batch and remove the dead batch's exact/pairs log dirs."""
+    eng = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    orig = eng.state.append_parts
+    calls = {"n": 0}
+
+    def flaky(name, df, buckets):
+        if name == "band_index":
+            calls["n"] += 1
+            if calls["n"] == 2:  # second batch's index append dies async
+                raise OSError("injected band_index append failure")
+        orig(name, df, buckets)
+
+    eng.state.append_parts = flaky
+    with pytest.raises(OSError, match="injected"):
+        eng.replay(docs, docs_per_batch=120)
+    committed = eng.state._committed_meta()["scalars"]
+    hwm = eng.state.get_scalar("last_batch_id", -1)
+    assert hwm == committed.get("last_batch_id", -1)
+    assert hwm >= 0
+    assert eng.state.get_scalar("documents") == committed.get("documents")
+    import os as _os
+
+    for d in (eng._exact_dir, eng._pairs_dir):
+        if _os.path.isdir(d):
+            stale = [
+                b
+                for b in _os.listdir(d)
+                if b.startswith("batch-") and int(b.split("-")[1]) > hwm
+            ]
+            assert stale == [], (d, stale)
+    eng.close()
+
+
 def test_restart_and_redelivery_idempotent(spark, docs, tmp_path):
     """Kill after half the batches, restart a NEW engine on the same workdir
     (StateStore pointers + high-water mark come back from disk), re-deliver
