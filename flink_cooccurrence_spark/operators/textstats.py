@@ -227,6 +227,48 @@ def token_frequency(documents: DataFrame) -> DataFrame:
     return ranked.select("token", "tf", "df", "rank")
 
 
+def unigram_nll(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_nll): per-document mean negative log-prob
+    of its tokens under the corpus's OWN unigram distribution — the
+    CCNet-style (Wenzek et al. 2020) language-model quality proxy with
+    the corpus itself standing in for the LM (no model artifacts in this
+    container). Low mean_nll = common/fluent tokens; high = rare-token
+    soup (gibberish, OCR noise, boilerplate code) — the standard
+    perplexity-filter axis a pretraining pipeline cuts on.
+
+    Engine-parity note: the per-token ``ln`` is rounded to 6 decimals and
+    scaled to an exact integer (micro-nats) BEFORE the per-doc sum.
+    Float summation ORDER differs between Spark's partial aggregation
+    and DuckDB's, so only integer sums are order-independent; the final
+    mean divides two exact integers (then the package-standard round).
+    Same ln-ulp contract as ``tfidf_topk_terms``/``functions/llr.py``.
+
+    Scale shape: the token explode is map-side; the vocabulary aggregate
+    is O(|vocab|) behind one token shuffle; tokens re-join the vocab
+    co-partitioned on the token; the corpus total rides as a broadcast
+    1-row aggregate; one final doc_id shuffle. Nothing is O(corpus²) and
+    nothing collects to the driver."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("_total"))
+    micro = F.round(
+        F.log(F.col("_total").cast("double") / F.col("tf")) * 1e6, 0
+    ).cast("long")
+    per_tok = (
+        toks.join(tf, on="token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", micro.alias("nll_micro"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(
+            F.sum("nll_micro") / (F.count("*") * F.lit(1_000_000.0)), 6
+        ).alias("mean_nll"),
+    )
+
+
 def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     """Per-document keyword extraction: the top ``k`` terms by tf-idf —
     (doc_id, rank, token, tf_doc, df, tfidf).

@@ -1021,6 +1021,74 @@ FROM quality q JOIN lang l USING (doc_id)
 GROUP BY l.lang_pred
 """
 
+    # CCNet-style unigram quality proxy: per-token ln rounded+scaled to
+    # exact integer micro-nats BEFORE the per-doc sum (float summation
+    # order differs between engines; integer sums are order-independent)
+    o["unigram_nll"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY token),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+per_tok AS (
+  SELECT doc_id,
+         CAST(round(ln(total.total / tf.tf) * 1e6, 0) AS BIGINT) AS nll_micro
+  FROM toks JOIN tf USING (token) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       round(SUM(nll_micro) / (COUNT(*) * 1000000.0), 6) AS mean_nll
+FROM per_tok GROUP BY doc_id
+"""
+
+    # per-language dynamic quality gate: the same quality/lang CTEs as
+    # corpus_filter + the grouped-quantile rank arithmetic
+    # (operators/quantiles.py) as the per-language threshold
+    from flink_cooccurrence_spark.operators.quantiles import (
+        group_quantiles_sql as _gq_sql,
+    )
+
+    _th_sub = _gq_sql("scored", ["lang_pred"], "quality_score", (0.5,))
+    o["quality_gate_by_lang"] = rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         CAST(len(list_filter(toks, t -> t IN ({stop_list}))) AS INT) AS n_stop
+  FROM base
+),
+quality AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tokens, 100) / 100.0
+               + 0.4 * (n_distinct / n_tokens)
+               + 0.2 * (1 - n_stop / n_tokens), 6) AS quality_score
+  FROM feat
+),
+hits AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM base
+),
+best AS (SELECT *, {greatest} AS best FROM hits),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best = 0 THEN 'und'
+           {case_lines}
+           ELSE 'und' END AS lang_pred
+  FROM best
+),
+scored AS (
+  SELECT q.doc_id, l.lang_pred, q.quality_score
+  FROM quality q JOIN lang l USING (doc_id)
+)
+SELECT s.doc_id, s.lang_pred, s.quality_score, t.p50 AS lang_threshold
+FROM scored s
+JOIN ({_th_sub}) t USING (lang_pred)
+WHERE s.quality_score >= t.p50
+"""
+
     o["doc_sentences"] = r"""
 WITH parts AS (
   SELECT doc_id,

@@ -75,6 +75,45 @@ def corpus_filter(
     )
 
 
+def quality_gate_by_lang(documents: DataFrame, q: float = 0.5) -> DataFrame:
+    """FineWeb-style per-language dynamic quality thresholding: keep the
+    documents at or above their predicted language's ``q``-quantile
+    quality score. Absolute quality thresholds misfire across languages
+    (stopword ratios and token-length statistics are language-dependent),
+    so production corpus preps cut per-language QUANTILES instead.
+
+    Composition: the row-local quality/language features (one corpus
+    scan) feed the exact grouped quantiles on their BUCKETED giant-group
+    path (languages are precisely the low-cardinality/huge-group regime
+    the escape exists for), and the per-language thresholds — one row per
+    language — come back as a broadcast equi-join. Output: (doc_id,
+    lang_pred, quality_score, lang_threshold). Both quality_score and the
+    threshold carry the package-standard 6-decimal round, so the >=
+    comparison is engine-exact."""
+    from flink_cooccurrence_spark.operators.quantiles import (
+        _qname,
+        group_quantiles,
+    )
+
+    scored = documents.select(
+        "doc_id", *text_stats_columns(), *lang_id_columns()
+    ).select("doc_id", "lang_pred", "quality_score")
+    thresholds = group_quantiles(
+        scored, ["lang_pred"], "quality_score", (q,), bucketed=True
+    )
+    pcol = _qname(q)
+    return (
+        scored.join(F.broadcast(thresholds), on="lang_pred")
+        .filter(F.col("quality_score") >= F.col(pcol))
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality_score",
+            F.col(pcol).alias("lang_threshold"),
+        )
+    )
+
+
 def training_manifest(
     documents: DataFrame, eval_mod: int = 13, min_shared: int = 2
 ) -> DataFrame:

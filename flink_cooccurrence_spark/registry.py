@@ -576,6 +576,17 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     ).train_shuffle_order(_documents(s, d)),
     # Gopher-style within-document repetition filters (textstats.py)
     "repetition_stats": lambda s, d: _ts.repetition_stats(_documents(s, d)),
+    # CCNet-style perplexity proxy: per-doc mean unigram NLL under the
+    # corpus's own token distribution (integer micro-nat sums — the
+    # engine-order-independent form of a float mean)
+    "unigram_nll": lambda s, d: _ts.unigram_nll(_documents(s, d)),
+    # FineWeb-style per-language dynamic quality gate: keep docs at or
+    # above their language's median quality — composes the row-local
+    # features with the BUCKETED exact grouped quantiles + broadcast join
+    "quality_gate_by_lang": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus",
+        fromlist=["quality_gate_by_lang"],
+    ).quality_gate_by_lang(_documents(s, d)),
     # benchmark decontamination (operators/dedup.py): train docs sharing
     # ≥2 n-gram shingles with a held-out corpus. The eval slice is a
     # deterministic 1/13th of documents so the split is SQL-expressible

@@ -325,6 +325,58 @@ def test_pack_chunks_injected_token_counts(spark):
     assert got == _reference_pack([(1, 7), (2, 5), (5, 4)], 4)
 
 
+def test_unigram_nll_matches_hand_model(spark):
+    """Tiny corpus where the unigram distribution is computable by hand:
+    tokens [a a a b] → p(a)=3/4, p(b)=1/4; per-token micro-nats are
+    round(ln(4/tf)·1e6) summed exactly, mean divided at the end."""
+    import math
+
+    from flink_cooccurrence_spark.operators.textstats import unigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    m_a = round(math.log(4 / 3) * 1e6)
+    m_b = round(math.log(4 / 1) * 1e6)
+    assert got[1]["n_tokens"] == 2
+    assert got[1]["mean_nll"] == round((m_a + m_a) / (2 * 1e6), 6)
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["mean_nll"] == round((m_a + m_b) / (2 * 1e6), 6)
+
+
+def test_quality_gate_by_lang_keeps_at_or_above_lang_median(spark, docs):
+    """Every survivor sits at or above ITS OWN language's threshold, the
+    threshold is the exact per-language type-7 median of the full scored
+    population, and at least one language actually rejects documents."""
+    import numpy as np
+
+    from flink_cooccurrence_spark.operators.textstats import (
+        lang_id_columns,
+        text_stats_columns,
+    )
+    from flink_cooccurrence_spark.plans.corpus import quality_gate_by_lang
+
+    scored = docs.select(
+        "doc_id", *text_stats_columns(), *lang_id_columns()
+    ).select("doc_id", "lang_pred", "quality_score")
+    pop = {}
+    for r in scored.collect():
+        pop.setdefault(r["lang_pred"], []).append(r["quality_score"])
+    kept = quality_gate_by_lang(docs).collect()
+    assert kept and len(kept) < sum(len(v) for v in pop.values())
+    import math
+
+    for r in kept:
+        raw = float(np.quantile(np.array(pop[r["lang_pred"]]), 0.5))
+        # both engines round HALF-UP (Spark round / DuckDB round); an even-
+        # count median of 6-decimal scores lands exactly on .5 boundaries,
+        # where Python's banker's round would disagree — replicate half-up
+        exp_th = math.floor(raw * 1e6 + 0.5) / 1e6
+        assert r["lang_threshold"] == pytest.approx(exp_th, abs=1e-9)
+        assert r["quality_score"] >= r["lang_threshold"]
+
+
 def test_pack_manifest_injected_token_counts(spark, docs, sf_dir):
     """pack_manifest's seam: with an injected count column the packed
     stream's per-document chunk sums equal the INJECTED counts for exactly

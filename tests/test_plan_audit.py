@@ -85,6 +85,9 @@ ALLOWED_BNLJ = {
     # bucketed giant-group quantiles: value-range bounds ride as a
     # broadcast 1-row aggregate crossJoin (same primitive as the ranks)
     "value_quantiles": "1-row min/max range-bucket bounds aggregate",
+    "quality_gate_by_lang": "1-row min/max range-bucket bounds aggregate (per-lang thresholds)",
+    # corpus token total rides as a broadcast 1-row aggregate
+    "unigram_nll": "1-row corpus-token-total aggregate",
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may
@@ -112,6 +115,8 @@ ALLOWED_SINGLE_PARTITION = {
     "pack_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
+    "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",
+    "unigram_nll": "1-row corpus-token-total aggregate",
 }
 
 
