@@ -112,6 +112,44 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", *lang_id_columns())
 
 
+def _token_3grams(toks):
+    """Token 3-gram array expression. Guard: ``F.sequence(0, stop)``
+    DESCENDS when stop < 0 — docs under 3 tokens must yield an empty
+    3-gram list, not a reversed index walk."""
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_3gram_frac(grams):
+    n_grams = F.size(grams)
+    return F.when(
+        n_grams > 0,
+        F.round(1 - F.size(F.array_distinct(grams)) / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_3gram_frac_column():
+    """The Gopher dup-3-gram fraction as a single row-local column over
+    ``text`` — exposed frame-free (like ``pii_count_columns``) so the
+    corpus-prep gate can fold it into its one row-local scan without
+    paying for the full :func:`repetition_stats` feature set (whose
+    top-token fold is the expensive member)."""
+    return _dup_3gram_frac(_token_3grams(_tokens(F.col("text")))).alias(
+        "dup_3gram_frac"
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Within-document repetition signals — the MassiveText/Gopher-style
     repetition filters (Rae et al. 2021, §A1.1): heavily self-repeating
@@ -126,25 +164,9 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     """
     toks = _tokens(F.col("text"))
     n = F.size(toks)
-    # guard: F.sequence(0, stop) DESCENDS when stop < 0 — docs under 3
-    # tokens must yield an empty 3-gram list, not a reversed index walk
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _token_3grams(toks)
     n_grams = F.size(grams)
-    dup_3gram = F.when(
-        n_grams > 0,
-        F.round(1 - F.size(F.array_distinct(grams)) / n_grams, 6),
-    ).otherwise(F.lit(0.0))
+    dup_3gram = _dup_3gram_frac(grams)
     dup_token = F.round(1 - F.size(F.array_distinct(toks)) / n, 6)
     # top-token count as the longest run in the SORTED token array —
     # O(n log n) per doc via one fold, not the O(distinct × n) ≈ O(n²)

@@ -1147,6 +1147,67 @@ JOIN lang l ON q.doc_id = l.doc_id
 WHERE q.n_tokens >= {cp.MIN_TOKENS} AND q.quality_score >= {cp.MIN_QUALITY}
 """
 
+    # corpus_filter with the Gopher repetition gate live: same CTEs plus
+    # the dup-3-gram fraction (identical arithmetic to repetition_stats)
+    # folded into the WHERE
+    o["corpus_filter_gopher"] = rf"""
+WITH hashed AS (SELECT doc_id, md5(COALESCE(text, '')) AS text_hash FROM documents),
+groups AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY 1),
+canonical AS (
+  SELECT h.doc_id FROM hashed h JOIN groups g USING (text_hash)
+  WHERE h.doc_id = g.canonical_id
+),
+base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         CAST(len(list_filter(toks, t -> t IN ({stop_list}))) AS INT) AS n_stop
+  FROM base
+),
+quality AS (
+  SELECT doc_id, n_tokens,
+         round(0.4 * least(n_tokens, 100) / 100.0
+               + 0.4 * (n_distinct / n_tokens)
+               + 0.2 * (1 - n_stop / n_tokens), 6) AS quality_score
+  FROM feat
+),
+hits AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM base
+),
+best AS (SELECT *, {greatest} AS best FROM hits),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best = 0 THEN 'und'
+           {case_lines}
+           ELSE 'und' END AS lang_pred
+  FROM best
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN len(g3) > 0
+           THEN round(1 - len(list_distinct(g3)) / len(g3), 6)
+           ELSE 0.0 END AS dup_3gram_frac
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+           ELSE [] END AS g3
+    FROM base
+  )
+)
+SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score
+FROM quality q
+JOIN canonical c ON q.doc_id = c.doc_id
+JOIN lang l ON q.doc_id = l.doc_id
+JOIN rep r ON q.doc_id = r.doc_id
+WHERE q.n_tokens >= {cp.MIN_TOKENS} AND q.quality_score >= {cp.MIN_QUALITY}
+  AND r.dup_3gram_frac <= {cp.GOPHER_MAX_DUP_3GRAM}
+"""
+
     # --- corpus composition / sequence packing (operators/packing.py,
     # operators/mixing.py) — admission/order coins are the portable hash32,
     # so both engines compute identical integer decisions

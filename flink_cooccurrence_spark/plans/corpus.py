@@ -25,6 +25,11 @@ from flink_cooccurrence_spark.operators.textstats import (
 #: defaults chosen to be selective-but-nonempty on the driver corpus
 MIN_TOKENS = 30
 MIN_QUALITY = 0.6
+#: registry threshold for the Gopher repetition gate — chosen so the cut
+#: actually FIRES at every test SF among the quality-gate SURVIVORS
+#: (their dup_3gram_frac maxes at 0.025 at sf0.001 / 0.031 at sf0.01 on
+#: the synthetic corpus, with 2 docs past 0.02 at each; most docs are 0)
+GOPHER_MAX_DUP_3GRAM = 0.02
 
 
 def corpus_filter(
@@ -32,6 +37,7 @@ def corpus_filter(
     min_tokens: int = MIN_TOKENS,
     min_quality: float = MIN_QUALITY,
     max_pii: int | None = None,
+    max_dup_3gram: float | None = None,
 ) -> DataFrame:
     """Kept-document manifest: (doc_id, lang_pred, n_tokens, quality_score).
 
@@ -39,9 +45,12 @@ def corpus_filter(
     group, has ≥ ``min_tokens`` whitespace tokens, and a quality score ≥
     ``min_quality``. With ``max_pii`` set, documents whose total PII
     detector count (``operators/pii.py`` — emails, phones, IPv4s,
-    secret-looking tokens) exceeds it are also dropped — the gate is one
-    more ROW-LOCAL expression folded into the same single corpus scan as
-    the quality/language features, not a join (default ``None`` keeps the
+    secret-looking tokens) exceeds it are also dropped; with
+    ``max_dup_3gram`` set, documents whose Gopher dup-3-gram fraction
+    (``textstats.dup_3gram_frac_column`` — the MassiveText repetition
+    filter) exceeds it are dropped too. Both gates are ROW-LOCAL
+    expressions folded into the same single corpus scan as the
+    quality/language features, not joins (defaults ``None`` keep the
     plan — and its pinned fingerprint — unchanged).
     """
     canonical = exact_duplicates(documents).filter(~F.col("is_duplicate"))
@@ -52,6 +61,13 @@ def corpus_filter(
     keep = (F.col("n_tokens") >= min_tokens) & (
         F.col("quality_score") >= min_quality
     )
+    if max_dup_3gram is not None:
+        from flink_cooccurrence_spark.operators.textstats import (
+            dup_3gram_frac_column,
+        )
+
+        feature_cols.append(dup_3gram_frac_column())
+        keep = keep & (F.col("dup_3gram_frac") <= max_dup_3gram)
     features = None
     if max_pii is not None:
         from flink_cooccurrence_spark.operators.pii import (

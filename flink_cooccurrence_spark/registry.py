@@ -587,6 +587,14 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.plans.corpus",
         fromlist=["quality_gate_by_lang"],
     ).quality_gate_by_lang(_documents(s, d)),
+    # corpus_filter with the Gopher repetition gate live (row-local
+    # dup-3-gram fraction folded into the same scan; threshold chosen so
+    # the cut fires at every test SF — see GOPHER_MAX_DUP_3GRAM)
+    "corpus_filter_gopher": lambda s, d: (lambda cp: cp.corpus_filter(
+        _documents(s, d), max_dup_3gram=cp.GOPHER_MAX_DUP_3GRAM
+    ))(__import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["corpus_filter"]
+    )),
     # benchmark decontamination (operators/dedup.py): train docs sharing
     # ≥2 n-gram shingles with a held-out corpus. The eval slice is a
     # deterministic 1/13th of documents so the split is SQL-expressible

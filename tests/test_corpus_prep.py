@@ -325,6 +325,22 @@ def test_pack_chunks_injected_token_counts(spark):
     assert got == _reference_pack([(1, 7), (2, 5), (5, 4)], 4)
 
 
+def test_corpus_filter_gopher_gate_bites_and_subsets(spark, docs):
+    """The repetition gate must actually FIRE at test SF (a threshold the
+    corpus never crosses pins nothing) and only ever REMOVE documents
+    relative to the ungated filter."""
+    from flink_cooccurrence_spark.plans.corpus import (
+        GOPHER_MAX_DUP_3GRAM,
+        corpus_filter,
+    )
+
+    base = corpus_filter(docs)
+    gated = corpus_filter(docs, max_dup_3gram=GOPHER_MAX_DUP_3GRAM)
+    nb, ng = base.count(), gated.count()
+    assert 0 < ng < nb, (ng, nb)
+    assert gated.join(base, on="doc_id", how="left_anti").count() == 0
+
+
 def test_unigram_nll_matches_hand_model(spark):
     """Tiny corpus where the unigram distribution is computable by hand:
     tokens [a a a b] → p(a)=3/4, p(b)=1/4; per-token micro-nats are
