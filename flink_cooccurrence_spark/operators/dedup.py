@@ -518,6 +518,43 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = EMBED_NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster embedding-cosine near-duplicates and keep ONE representative
+    per cluster (the cluster-min ``vec_id`` — the same first-wins
+    convention as the text-side :func:`dedup_keep_canonical`). Text-level
+    dedup misses paraphrases and template rewrites; the embedding space
+    catches them — this is the standard post-text-dedup semantic pass.
+
+    Output: (vec_id, cluster_id, label) of the KEPT representatives
+    (singletons keep themselves; ``cluster_id == vec_id`` for every row
+    by construction).
+
+    Scale shape: candidate pairs come from the corpus-size-adaptive
+    hyperplane LSH buckets (never all-pairs); components run on the
+    large-star/small-star backend (O(log² n) rounds — embedding near-dup
+    clusters can chain through paraphrase drift, so the diameter-free
+    variant is the right default); the keep step is one semi-join."""
+    edges = embedding_near_dup_pairs(embeddings, threshold).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components_star(edges).toDF("vec_id", "root")
+    return (
+        embeddings.select("vec_id", "label")
+        .join(comp, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.coalesce("root", F.col("vec_id")).alias("cluster_id"),
+            "label",
+        )
+        .filter(F.col("cluster_id") == F.col("vec_id"))
+    )
+
+
 def dedup_keep_canonical(
     documents: DataFrame, threshold: float = 0.5, backend: str = "propagation"
 ) -> DataFrame:

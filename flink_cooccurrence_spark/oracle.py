@@ -970,6 +970,31 @@ SELECT doc_a, doc_b, cosine FROM pairs
 WHERE cosine >= {dd.EMBED_NEAR_DUP_THRESHOLD}
 """
 
+    # SemDeDup: components over the embedding near-dup pairs, keep the
+    # cluster-min representative — composed from the pairs oracle above
+    # so a divergence localizes to the composition, not the candidates
+    o["semantic_dedup_keep"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({o["embedding_near_dup_pairs"]})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.vec_id = e.d
+),
+clusters AS (
+  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+)
+SELECT c.vec_id, c.cluster_id, e.label
+FROM clusters c JOIN embeddings e USING (vec_id)
+WHERE c.vec_id = c.cluster_id
+"""
+
     o["dup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({o["minhash_lsh_dup_pairs"]})

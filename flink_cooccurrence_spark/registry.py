@@ -667,6 +667,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "leakage_safe_split": lambda s, d: _dedup.leakage_safe_split(
         _documents(s, d)
     ),
+    # SemDeDup-style semantic dedup: embedding-cosine near-dup clusters
+    # collapsed to their min-vec_id representative (star components —
+    # the diameter-free backend)
+    "semantic_dedup_keep": lambda s, d: _dedup.semantic_dedup_keep(
+        _embeddings(s, d)
+    ),
     # round-7 rotation: near-twin trivia demoted off the 50-row driver
     # surface (inactive_customers is active_customers with the sign
     # flipped; the other two are plain single-agg shapes) — identical
