@@ -130,6 +130,14 @@ class CooccurrenceStreamEngine:
 
         self._write_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
         self._pending: list = []
+        #: guards _pending: the score tail SUBMITS from a pool thread while
+        #: a tagged drain on the driver thread rebuilds the list — without
+        #: the lock an append landing between the drain's keep-scan and its
+        #: reassignment would silently drop a live write future from
+        #: tracking (a commit could then land before that write finished)
+        import threading
+
+        self._pending_lock = threading.Lock()
         self._cached: list = []
         #: pipelined-replay continuation: (batch_id, cached DataFrames,
         #: phase1_done) of a batch whose writes are still in flight and
@@ -175,7 +183,8 @@ class CooccurrenceStreamEngine:
         that already runs past the phase-2 barrier (the score tail, the
         feedback rider), where the hold-back below must not re-queue into
         the NEXT batch's state."""
-        self._pending.append((tag, self._write_pool.submit(fn)))
+        with self._pending_lock:
+            self._pending.append((tag, self._write_pool.submit(fn)))
 
     def _submit_write(self, fn, delta_stage: bool = False) -> None:
         """Submit an async state/output write. ``delta_stage=True`` marks
@@ -195,11 +204,12 @@ class CooccurrenceStreamEngine:
         further writes while we waited."""
         first_err: BaseException | None = None
         while True:
-            if tag is None:
-                pending, self._pending = self._pending, []
-            else:
-                pending = [p for p in self._pending if p[0] == tag]
-                self._pending = [p for p in self._pending if p[0] != tag]
+            with self._pending_lock:
+                if tag is None:
+                    pending, self._pending = self._pending, []
+                else:
+                    pending = [p for p in self._pending if p[0] == tag]
+                    self._pending = [p for p in self._pending if p[0] != tag]
             if not pending:
                 break
             for _tag, f in pending:
@@ -309,7 +319,7 @@ class CooccurrenceStreamEngine:
         self._pre_barrier = False
         queued, self._queued = self._queued, []
         for fn in queued:
-            self._pending.append(("delta", self._write_pool.submit(fn)))
+            self._submit_direct(fn, "delta")
 
     def _run_batch(self, batch: DataFrame, batch_id: int, defer: bool) -> None:
         if batch_id <= self.state.get_scalar("last_batch_id", -1) or (
