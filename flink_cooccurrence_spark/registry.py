@@ -715,6 +715,10 @@ HEADLINE_QUERIES = [
     # corpus-prep flagship: the distributed-prefix-sum pack plan — the
     # bucketed two-pass rank shape under bench + fingerprint watch
     "pack_chunks",
+    # round-7 quality operators with nontrivial scale shapes: the vocab
+    # re-join unigram proxy and the SemDeDup components composition
+    "unigram_nll",
+    "semantic_dedup_keep",
     # the capstone end-to-end corpus-prep manifest (quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank in one plan)
     "training_manifest",
