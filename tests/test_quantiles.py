@@ -122,6 +122,45 @@ def test_bucketed_plan_has_no_pergroup_data_window_sort(frame):
             assert re.search(r"windowspecdefinition\([^)]*_bucket", line), line
 
 
+def test_bucketed_randomized_stress_equals_window(spark):
+    """Seeded randomized stress: many group geometries (heavy ties,
+    all-equal, negatives, tiny and large groups, values clustered so the
+    range buckets are UNEVEN) in one frame — the bucketed path must equal
+    the window path on all of them in one comparison."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(30):
+        n = rng.choice([1, 2, 3, 7, 40, 200])
+        style = rng.choice(["ties", "uniform", "clustered", "negative", "equal"])
+        for i in range(n):
+            if style == "ties":
+                v = float(rng.randrange(4))
+            elif style == "uniform":
+                v = rng.uniform(-100, 100)
+            elif style == "clustered":
+                v = rng.choice([0.001, 0.002, 99.5]) + rng.random() * 1e-4
+            elif style == "negative":
+                v = -abs(rng.gauss(50, 20))
+            else:
+                v = 42.0
+            rows.append((f"g{g}", v))
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    base = sorted(
+        tuple(r) for r in group_quantiles(df, ["g"], "v", qs).collect()
+    )
+    for nb in (2, 7):
+        esc = sorted(
+            tuple(r)
+            for r in group_quantiles(
+                df, ["g"], "v", qs, bucketed=True, num_buckets=nb
+            ).collect()
+        )
+        assert esc == base, nb
+
+
 def test_crafted_duckdb_parity(spark):
     """Same Spark-vs-DuckDB comparison as the registry twin, over the
     crafted edge rows (the events-table twin never hits single-row or
