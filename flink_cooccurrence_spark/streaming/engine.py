@@ -48,6 +48,18 @@ rescores per *micro-batch*. Feeding one window per batch (``replay(...,
 windows_per_batch=1)`` or a file source emitting one window per file)
 recovers exactly the reference's emission cadence; the cumulative state is
 identical either way.
+
+Replay PIPELINING (round 7): in ``replay()`` mode, batches overlap across
+iterations — each leaves its writes in flight and its commit owed, and
+the successor settles them in two phases placed exactly before its first
+read of each table group, with the post-stats plan construction running
+as an async score tail (see ``_settle_phase1``/``_phase2_barrier``/
+``_run_batch`` and SCALING.md). Per-batch transaction boundaries are
+unchanged: delta-stage writes are held back and scalars staged past the
+barrier, so every commit contains precisely its own batch. The
+``attach()``/``process_batch`` path stays strictly synchronous — a
+streaming checkpoint must never acknowledge a batch whose state commit
+is still owed.
 """
 
 from __future__ import annotations
