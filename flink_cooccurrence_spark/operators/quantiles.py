@@ -90,17 +90,38 @@ def group_quantiles(
     qs: tuple[float, ...] = DEFAULT_QS,
     bucketed: bool = False,
     num_buckets: int = 4096,
+    max_offsets_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """(keys..., p50, p90, ... ) — exact type-7 quantiles of ``col`` per
     group. ``qs`` fractions must lie in [0, 1]; output columns are named
     ``p<100q>`` (``p50``, ``p99``; ``p99_9`` for fractional percents).
     ``bucketed=True`` selects the giant-group escape (module docstring):
-    identical results, no single-task per-group sort."""
+    identical results, no single-task per-group sort.
+
+    The bucketed path broadcasts an offsets table sized up to
+    groups×``num_buckets`` — small only in the low-cardinality-keys
+    regime the path exists for. Because a high-cardinality misuse would
+    fail SILENTLY (a multi-GB driver broadcast, OOM long after the call
+    site), the path first probes the group cardinality
+    (``approx_count_distinct``, one map-side pass, no shuffle) and
+    shrinks ``num_buckets`` so the offsets table stays under
+    ``max_offsets_rows`` (floor 32 — below that the escape buys nothing
+    and the caller should use the default window path). Pass
+    ``max_offsets_rows=None`` to skip the probe when the caller already
+    knows the cardinality (the probe is an extra scan of ``df``)."""
     for q in qs:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile fractions must be in [0, 1], got {q}")
     filtered = df.filter(F.col(col).isNotNull()).select(*keys, col)
     if bucketed:
+        if max_offsets_rows is not None:
+            n_groups = int(
+                filtered.agg(
+                    F.approx_count_distinct(F.struct(*keys)).alias("g")
+                ).first()["g"]
+            )
+            if n_groups * num_buckets > max_offsets_rows:
+                num_buckets = max(32, max_offsets_rows // max(n_groups, 1))
         ranked = _bucketed_group_ranks(filtered, keys, col, num_buckets)
     else:
         w = Window.partitionBy(*keys).orderBy(col)

@@ -271,7 +271,10 @@ def unigram_nll(documents: DataFrame) -> DataFrame:
     1-row aggregate; one final doc_id shuffle. Nothing is O(corpus²) and
     nothing collects to the driver."""
     toks = documents.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        "doc_id",
+        # NULL text folds to '' (one empty token) so every document gets
+        # a row — the package-wide contract pii_stats/pack_chunks follow.
+        F.explode(_tokens(F.coalesce(F.col("text"), F.lit("")))).alias("token"),
     )
     tf = toks.groupBy("token").agg(F.count("*").alias("tf"))
     total = tf.agg(F.sum("tf").alias("_total"))

@@ -1051,7 +1051,8 @@ GROUP BY l.lang_pred
     # order differs between engines; integer sums are order-independent)
     o["unigram_nll"] = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  SELECT doc_id,
+         unnest(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS token
   FROM documents
 ),
 tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY token),

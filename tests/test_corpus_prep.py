@@ -350,15 +350,20 @@ def test_unigram_nll_matches_hand_model(spark):
     from flink_cooccurrence_spark.operators.textstats import unigram_nll
 
     df = spark.createDataFrame(
-        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+        [(1, "a a"), (2, "a b"), (3, None)], "doc_id long, text string"
     )
     got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
-    m_a = round(math.log(4 / 3) * 1e6)
-    m_b = round(math.log(4 / 1) * 1e6)
+    # NULL text folds to '' = one empty token (the package contract), so
+    # doc 3 gets a row and the '' token joins the corpus vocabulary
+    m_a = round(math.log(5 / 3) * 1e6)
+    m_b = round(math.log(5 / 1) * 1e6)
+    m_empty = round(math.log(5 / 1) * 1e6)
     assert got[1]["n_tokens"] == 2
     assert got[1]["mean_nll"] == round((m_a + m_a) / (2 * 1e6), 6)
     assert got[2]["n_tokens"] == 2
     assert got[2]["mean_nll"] == round((m_a + m_b) / (2 * 1e6), 6)
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["mean_nll"] == round(m_empty / 1e6, 6)
 
 
 def test_quality_gate_by_lang_keeps_at_or_above_lang_median(spark, docs):

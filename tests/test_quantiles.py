@@ -192,3 +192,44 @@ def test_crafted_duckdb_parity(spark):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     finally:
         con.close()
+
+
+def test_bucketed_broadcast_guard_shrinks_num_buckets(spark, monkeypatch):
+    """High-cardinality misuse of the bucketed path must not silently
+    build a groups x num_buckets broadcast: the cardinality probe shrinks
+    num_buckets to keep the offsets table under max_offsets_rows (floor
+    32), and the results stay exact. max_offsets_rows=None skips the
+    probe (the documented opt-out for callers that know the cardinality)."""
+    import flink_cooccurrence_spark.operators.quantiles as Q
+
+    seen = {}
+    real = Q._bucketed_group_ranks
+
+    def spy(d, keys, col, num_buckets):
+        seen["num_buckets"] = num_buckets
+        return real(d, keys, col, num_buckets)
+
+    monkeypatch.setattr(Q, "_bucketed_group_ranks", spy)
+    # 40 groups x 4096 default buckets = 163,840 potential offsets rows;
+    # a cap of 1,000 forces the shrink to its floor of 32
+    df = spark.range(200).selectExpr(
+        "cast(id % 40 as string) AS g", "cast(id as double) AS v"
+    )
+    got = {
+        r["g"]: r["p50"]
+        for r in Q.group_quantiles(
+            df, ["g"], "v", (0.5,), bucketed=True, max_offsets_rows=1_000
+        ).collect()
+    }
+    assert seen["num_buckets"] == 32
+    exp = {
+        r["g"]: r["p50"]
+        for r in Q.group_quantiles(df, ["g"], "v", (0.5,)).collect()
+    }
+    assert got == exp
+
+    seen.clear()
+    Q.group_quantiles(
+        df, ["g"], "v", (0.5,), bucketed=True, max_offsets_rows=None
+    ).collect()
+    assert seen["num_buckets"] == 4096  # probe skipped, caller's value kept

@@ -664,9 +664,16 @@ def test_native_sampled_stream_abrupt_kill_mid_flight(
     stream = interactions_parquet_stream(spark, files_dir, max_files_per_trigger=1)
     query = eng1.attach(stream, available_now=True)
     # kill as soon as the FIRST batch has committed — with one file per
-    # trigger the stop then lands while a later batch is in flight
+    # trigger the stop then lands while a later batch is in flight.
+    # Poll the COMMITTED on-disk manifest, not the in-memory scalar: the
+    # scalar is staged at the phase-2 barrier before drain+commit, so a
+    # stop() landing in that window would roll it back and flake the
+    # "kill landed before any batch committed" assertion below.
     deadline = _t.time() + 120
-    while eng1.state.get_scalar("batches", 0) < 1 and _t.time() < deadline:
+    while (
+        eng1.state._committed_meta()["scalars"].get("last_batch_id", -1) < 0
+        and _t.time() < deadline
+    ):
         _t.sleep(0.02)
     query.stop()
     try:
@@ -674,7 +681,7 @@ def test_native_sampled_stream_abrupt_kill_mid_flight(
     except Exception:
         pass  # an interrupted in-flight batch may surface its abort here
     eng1.close()
-    committed = eng1.state.get_scalar("batches", 0)
+    committed = eng1.state._committed_meta()["scalars"].get("batches", 0)
     assert committed >= 1, "kill landed before any batch committed"
     assert committed < n_files, (
         "stream drained before the kill — the test proved nothing; "
