@@ -1,0 +1,368 @@
+"""K-means clustering over embedding columns — the missing upgrade the
+IVF family's docstring names ("a real deployment would k-means||",
+``operators/similarity.py:ivf_centroids``) and the partitioning stage of
+SemDeDup proper (Abbas et al. 2023 cluster with k-means, then dedup
+within clusters; ``operators/dedup.py:semantic_dedup_keep`` used LSH
+buckets as the stand-in).
+
+Algorithm: spherical Lloyd's iterations (assignment by COSINE — the
+right metric for embeddings and the one whose sequential-fold arithmetic
+the package has already pinned bit-identical between Spark and DuckDB,
+``similarity.py:dot``).
+
+Determinism / oracle-exactness spec (every choice shared verbatim with
+the generated DuckDB SQL, :func:`kmeans_sql`):
+
+- **Init**: the ``k`` lowest vectors by ``(hash32(vec_id), vec_id)`` —
+  the same seeded corpus-independent sample as ``ivf_centroids``;
+  cluster ids 0..k−1 in that order.
+- **Assignment**: argmax over clusters of ``round(cos(x, c), 6)``
+  (the package-standard pre-compare rounding — guards the one place the
+  two engines could diverge by an ulp), ties to the LOWER cluster id.
+- **Update**: per-dimension integer micro-sums —
+  ``SUM(CAST(round(x_j·1e6, 0) AS BIGINT))`` — so the cross-row sum is
+  order-independent (float summation order differs between Spark's
+  partial aggregation and DuckDB's; the same exact-integer contract as
+  ``textstats.unigram_nll``'s micro-nats). The new component is the
+  exact-integer sum divided back: ``s / (1e6·n)`` in IEEE doubles.
+  An EMPTY cluster keeps its previous centroid.
+- ``n_iter`` full (assign, update) rounds, then one final assignment
+  against the last centroids — the returned table.
+
+Scale shape: each iteration is one map-only assignment (centroids ride
+as ≤ k·dim literals — no join, no shuffle) plus one
+``groupBy(cluster, dim)`` aggregation whose result is k·dim rows
+collected to the driver (the standard k-means-on-Spark contract: MLlib
+does exactly this; at web scale k ~ |corpus|/cell_size ≈ 100k centroids
+× 64 dims ≈ 50 MB of driver state — the faiss/SemDeDup regime). The
+driver-side loop is a documented eager construction cost, same contract
+as ``embedding_knn``'s auto probe and the CC fixpoint rounds. ``k`` is
+FIXED (corpus-independent) here so the oracle SQL is static; a 100 TB
+deployment scales k with the corpus to keep cells bounded — the
+cell-local pair join in :func:`semantic_dedup_clustered` is
+O(n·cell_size) exactly when k grows with n.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+from flink_cooccurrence_spark.operators.similarity import (
+    _as_double,
+    _with_norm,
+    dot,
+)
+
+#: fixed config shared with the oracle SQL (module docstring: fixed k =
+#: static oracle; real deployments scale k with the corpus)
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+#: cosine rounding before argmax / output (package standard)
+ROUND_DIGITS = 6
+
+#: micro-unit scale of the exact-integer centroid sums
+_MICRO = 1e6
+
+
+def _py_norm(emb: list[float]) -> float:
+    """Sequential-fold L2 norm — the same left fold as ``dot``/DuckDB's
+    ``list_dot_product`` so the three implementations are bit-identical."""
+    acc = 0.0
+    for x in emb:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _cos_cols(cents: list[tuple[int, list[float], float]]):
+    """One rounded-cosine Column per centroid (literal arrays — map-only)."""
+    v = _as_double(F.col("embedding"))
+    cols = []
+    for _, emb, cnorm in cents:
+        c = F.array(*[F.lit(x) for x in emb])
+        cols.append(
+            F.round(dot(v, c) / (F.col("norm") * F.lit(cnorm)), ROUND_DIGITS)
+        )
+    return cols
+
+
+def _assign(base: DataFrame, cents) -> DataFrame:
+    """(vec_id, embedding, cluster, cosine) under literal centroids.
+
+    argmax via greatest + a first-match when-chain in ascending cluster
+    order — ties land on the lower id, the same order the oracle's
+    ``row_number ... ORDER BY cos DESC, cluster`` produces."""
+    cos = _cos_cols(cents)
+    best = F.greatest(*cos) if len(cos) > 1 else cos[0]
+    cluster = F.when(cos[0] == best, F.lit(0))
+    for i in range(1, len(cos)):
+        cluster = cluster.when(cos[i] == best, F.lit(i))
+    return base.select(
+        "vec_id",
+        "embedding",
+        cluster.cast("int").alias("cluster"),
+        best.alias("cosine"),
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+) -> list[tuple[int, list[float], float]]:
+    """Run the Lloyd iterations; return [(cluster, components, norm)].
+
+    Driver state is k·dim doubles; each iteration launches one Spark job
+    (the micro-sum aggregation — k·dim result rows)."""
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    seeds = (
+        base.orderBy(hash32(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    cents = []
+    for i, r in enumerate(seeds):
+        emb = [float(x) for x in r["embedding"]]
+        cents.append((i, emb, _py_norm(emb)))
+    dim = len(cents[0][1])
+    micro = F.round(F.col("x") * F.lit(_MICRO), 0).cast("long")
+    for _ in range(n_iter):
+        assigned = _assign(base, cents)
+        rows = (
+            assigned.select(
+                "cluster",
+                F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum(micro).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(r["cluster"], [0] * dim)[r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        new_cents = []
+        for i, old_emb, old_norm in cents:
+            if i in counts:  # empty cluster keeps its previous centroid
+                n = counts[i]
+                emb = [s / (_MICRO * n) for s in sums[i]]
+                new_cents.append((i, emb, _py_norm(emb)))
+            else:
+                new_cents.append((i, old_emb, old_norm))
+        cents = new_cents
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """(vec_id, cluster, cosine): final assignment after ``n_iter`` Lloyd
+    rounds. The returned plan is MAP-ONLY (centroid literals — no join,
+    no shuffle); the iteration cost was paid at construction time
+    (module docstring)."""
+    cents = kmeans_centroids(embeddings, k, n_iter)
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    return _assign(base, cents).select("vec_id", "cluster", "cosine")
+
+
+def kmeans_cells(
+    embeddings: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """(cluster, n_members, mean_cosine): per-cell occupancy / coherence
+    summary — the load-balance check a pipeline runs before trusting the
+    cells for cell-local work (a skewed cell is the salting signal here)."""
+    a = kmeans_assign(embeddings, k, n_iter)
+    return a.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.avg("cosine"), ROUND_DIGITS).alias("mean_cosine"),
+    )
+
+
+def semantic_dedup_clustered(
+    embeddings: DataFrame,
+    threshold: float | None = None,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup as published: k-means partition the embedding space, find
+    cosine near-duplicates WITHIN each cell, keep one representative per
+    component (cluster-min ``vec_id`` — the package's first-wins
+    convention). Same output schema as ``dedup.semantic_dedup_keep``
+    (vec_id, cluster_id, label); that operator is the LSH-bucketed
+    variant of this same pipeline stage.
+
+    Scale shape: pair candidates are CELL-LOCAL (one shuffle on the
+    cluster id, task-local self-join) — never all-pairs; with k grown
+    ∝ corpus the join is O(n·cell_size). Components run on the
+    large-star/small-star backend (diameter-free)."""
+    from flink_cooccurrence_spark.operators.dedup import (
+        EMBED_NEAR_DUP_THRESHOLD,
+        connected_components_star,
+    )
+
+    if threshold is None:
+        threshold = EMBED_NEAR_DUP_THRESHOLD
+    assign = kmeans_assign(embeddings, k, n_iter).select("vec_id", "cluster")
+    withv = _with_norm(embeddings.select("vec_id", "embedding")).join(
+        assign.hint("shuffle_hash"), on="vec_id"
+    )
+    a, b = withv.alias("a"), withv.alias("b")
+    cos = F.round(
+        dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+        / (F.col("a.norm") * F.col("b.norm")),
+        ROUND_DIGITS,
+    )
+    edges = (
+        a.join(b, on="cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components_star(edges).toDF("vec_id", "root")
+    return (
+        embeddings.select("vec_id", "label")
+        .join(comp, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.coalesce("root", F.col("vec_id")).alias("cluster_id"),
+            "label",
+        )
+        .filter(F.col("cluster_id") == F.col("vec_id"))
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+def _cents_cte(t: int) -> str:
+    """CTEs advancing cents{t-1} → cents{t} (assign, micro-sum, carry)."""
+    return f"""
+assign{t} AS (
+  SELECT vec_id, cluster, v FROM (
+    SELECT n.vec_id, c.cluster, n.v,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm),
+                            {ROUND_DIGITS}) DESC, c.cluster
+           ) AS rn
+    FROM normed n CROSS JOIN cents{t - 1} c
+  ) WHERE rn = 1
+),
+sums{t} AS (
+  SELECT cluster, dim,
+         CAST(SUM(CAST(round(x * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+    FROM assign{t}
+  )
+  GROUP BY cluster, dim
+),
+newc{t} AS (
+  SELECT cluster,
+         list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY dim) AS c_v
+  FROM sums{t} GROUP BY cluster
+),
+cents{t} AS (
+  SELECT p.cluster, COALESCE(nc.c_v, p.c_v) AS c_v,
+         sqrt(list_dot_product(COALESCE(nc.c_v, p.c_v),
+                               COALESCE(nc.c_v, p.c_v))) AS c_norm
+  FROM cents{t - 1} p LEFT JOIN newc{t} nc USING (cluster)
+)"""
+
+
+def _kmeans_prefix(k: int, n_iter: int) -> str:
+    """Shared WITH-chain: base/normed/seed cents0/unrolled iterations."""
+    iters = ",".join(_cents_cte(t) for t in range(1, n_iter + 1))
+    return f"""
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+cents0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+         ) AS INT) - 1 AS cluster,
+         v AS c_v, norm AS c_norm
+  FROM normed
+  ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {k}
+),{iters}"""
+
+
+def kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
+    """DuckDB text of :func:`kmeans_assign`: the unrolled iteration chain
+    (one assign/sums/newc/cents block per Lloyd round — the identical
+    integer micro-sum and IEEE-divide arithmetic) + the final assignment."""
+    return f"""
+WITH {_kmeans_prefix(k, n_iter)}
+SELECT vec_id, CAST(cluster AS INT) AS cluster, cosine FROM (
+  SELECT n.vec_id, c.cluster,
+         round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm),
+               {ROUND_DIGITS}) AS cosine,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm),
+                          {ROUND_DIGITS}) DESC, c.cluster
+         ) AS rn
+  FROM normed n CROSS JOIN cents{n_iter} c
+) WHERE rn = 1
+"""
+
+
+def kmeans_cells_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
+    return f"""
+WITH final_assign AS ({kmeans_sql(k, n_iter)})
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(AVG(cosine), {ROUND_DIGITS}) AS mean_cosine
+FROM final_assign GROUP BY cluster
+"""
+
+
+def semantic_dedup_clustered_sql(
+    threshold: float, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+) -> str:
+    """Cell-local near-dup pairs + recursive components + keep-min — the
+    clustered twin of the ``semantic_dedup_keep`` oracle."""
+    return f"""
+WITH RECURSIVE final_assign AS ({kmeans_sql(k, n_iter)}),
+members AS (
+  SELECT a.vec_id, a.cluster, n.v, n.norm
+  FROM final_assign a
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS norm
+        FROM embeddings) n USING (vec_id)
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM members a JOIN members b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm),
+              {ROUND_DIGITS}) >= {threshold!r}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.vec_id = e.d
+),
+clusters AS (
+  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+)
+SELECT c.vec_id, c.cluster_id, e.label
+FROM clusters c JOIN embeddings e USING (vec_id)
+WHERE c.vec_id = c.cluster_id
+"""

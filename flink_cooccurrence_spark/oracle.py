@@ -1453,6 +1453,19 @@ SELECT doc_id, train_seq,
 FROM chunks
 """
 
+    # k-means (operators/clustering.py): the unrolled Lloyd-iteration
+    # chain — integer micro-sum centroid updates make the cross-row float
+    # sums order-independent, so the assignment is oracle-exact; the
+    # clustered SemDeDup is the same pipeline published in Abbas et al.
+    # (k-means cells instead of LSH buckets as the candidate partition)
+    from flink_cooccurrence_spark.operators import clustering as cl
+
+    o["kmeans_assign"] = cl.kmeans_sql()
+    o["kmeans_cells"] = cl.kmeans_cells_sql()
+    o["semantic_dedup_clustered"] = cl.semantic_dedup_clustered_sql(
+        dd.EMBED_NEAR_DUP_THRESHOLD
+    )
+
     return o
 
 

@@ -673,6 +673,23 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_keep": lambda s, d: _dedup.semantic_dedup_keep(
         _embeddings(s, d)
     ),
+    # k-means over embeddings (operators/clustering.py): spherical Lloyd
+    # iterations with integer micro-sum centroid updates — oracle-exact
+    # against the unrolled-CTE DuckDB twin; cells is the occupancy /
+    # coherence summary; the clustered SemDeDup is the published pipeline
+    # (k-means partition → cell-local cosine near-dups → keep min rep)
+    "kmeans_assign": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.clustering",
+        fromlist=["kmeans_assign"],
+    ).kmeans_assign(_embeddings(s, d)),
+    "kmeans_cells": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.clustering",
+        fromlist=["kmeans_cells"],
+    ).kmeans_cells(_embeddings(s, d)),
+    "semantic_dedup_clustered": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.clustering",
+        fromlist=["semantic_dedup_clustered"],
+    ).semantic_dedup_clustered(_embeddings(s, d)),
     # round-7 rotation: near-twin trivia demoted off the 50-row driver
     # surface (inactive_customers is active_customers with the sign
     # flipped; the other two are plain single-agg shapes) — identical
@@ -719,6 +736,9 @@ HEADLINE_QUERIES = [
     # re-join unigram proxy and the SemDeDup components composition
     "unigram_nll",
     "semantic_dedup_keep",
+    # round-8: SemDeDup proper — k-means Lloyd iterations (map-only
+    # literal-centroid assignment) + cell-local near-dup + star components
+    "semantic_dedup_clustered",
     # the capstone end-to-end corpus-prep manifest (quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank in one plan)
     "training_manifest",

@@ -1,0 +1,128 @@
+"""K-means clustering (operators/clustering.py).
+
+The registry twins (`kmeans_assign` / `kmeans_cells` /
+`semantic_dedup_clustered` in test_oracle_parity.py) run the full-table
+parity at sf0.01; these tests pin the crafted geometries the driver
+corpus never hits — empty-cluster carry, duplicate-seed ties, partition
+invariance — and the map-only final-plan contract.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from flink_cooccurrence_spark.operators import clustering as C
+
+
+def _frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def _oracle(vecs, sql):
+    con = duckdb.connect()
+    con.register(
+        "_emb_rows",
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [[float(x) for x in v] for v in vecs],
+                "label": [0] * len(vecs),
+            }
+        ),
+    )
+    # the generated SQL names the driver view; shadow it with the crafted rows
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT vec_id, "
+        "CAST(embedding AS FLOAT[]) AS embedding, label FROM _emb_rows"
+    )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+#: two tight blobs — k=3 seeds land in the blobs by hash order, so at
+#: least one cluster goes empty after the first update and must carry
+BLOBS = (
+    [[1.0, 0.0, 0.0, 0.05], [1.0, 0.01, 0.0, 0.0], [0.99, 0.0, 0.02, 0.0]]
+    + [[0.0, 1.0, 0.03, 0.0], [0.0, 0.98, 0.0, 0.01], [0.02, 1.0, 0.0, 0.0]]
+)
+
+
+def test_blobs_parity_and_empty_cluster_carry(spark):
+    df = _frame(spark, BLOBS)
+    k, it = 3, 2
+    got = (
+        C.kmeans_assign(df, k=k, n_iter=it)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _oracle(BLOBS, C.kmeans_sql(k=k, n_iter=it))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the blobs stay coherent: no blob is split across more clusters than
+    # it has near-identical members (sanity, not the parity load-bearer)
+    assert got["cluster"].nunique() <= 3
+
+
+def test_duplicate_vectors_tie_to_lowest_cluster_and_carry(spark):
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [1.0, 0.0]]
+    df = _frame(spark, vecs)
+    got = (
+        C.kmeans_assign(df, k=2, n_iter=1)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # all cosines tie at 1.0 against every centroid → everyone lands in
+    # cluster 0 (argmax ties break to the lower id); cluster 1 therefore
+    # STARVES and must carry its seed through the update (COALESCE path)
+    # in both engines — the full-frame parity proves they agreed on it
+    assert set(got["cluster"]) == {0}
+    assert set(got["cosine"]) == {1.0}
+    exp = (
+        _oracle(vecs, C.kmeans_sql(k=2, n_iter=1))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_assignment_invariant_under_repartition(spark):
+    df = _frame(spark, BLOBS)
+    a = C.kmeans_assign(df, k=3, n_iter=2).toPandas()
+    b = C.kmeans_assign(df.repartition(7), k=3, n_iter=2).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+    )
+
+
+def test_final_assignment_plan_is_map_only(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        C.kmeans_assign(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # centroids are literals: the returned plan must be one narrow pass —
+    # no join, no exchange (the iteration shuffles were construction-time)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cells_sum_to_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = C.kmeans_cells(emb).toPandas()
+    assert int(cells["n_members"].sum()) == emb.count()
+    assert cells["cluster"].is_unique
