@@ -1,0 +1,160 @@
+"""Exact heavy hitters (frequent keys) via the two-pass Misra–Gries
+candidate sweep — the skew detector a 100 TB pipeline runs BEFORE it
+picks a join/agg strategy (the hot keys this surfaces are exactly what
+``cooccurrence_counts_salted``'s salting lever and AQE's skew-join
+handling exist for).
+
+Why not one ``groupBy(key).count()``: that shuffles EVERY distinct key
+(at web scale: billions of group rows moved to find a handful of heavy
+ones). The classic two-pass alternative:
+
+1. **Candidate pass (map-only, zero shuffle of data keys)**: each input
+   partition runs a Misra–Gries summary of capacity ``m`` over its rows
+   (mergeable-summaries trim: merge batch counts, then subtract the
+   (m+1)-th largest and drop ≤ 0 — Agarwal et al., "Mergeable
+   Summaries", PODS 2012). MG guarantees any key with local share
+   > 1/(m+1) survives; a key with GLOBAL share ≥ θ has share ≥ θ in at
+   least one partition (average argument), so with m ≥ ⌈1/θ⌉ the union
+   of per-partition candidates is a SUPERSET of the true heavy hitters.
+   Capacity uses 2·⌈1/θ⌉ for slack — false candidates are harmless
+   (pass 2 is exact), false negatives would be a correctness bug.
+   Per-partition row totals ride along as marker rows, so the global
+   total needs no extra scan.
+2. **Verify pass (exact)**: exact counts of the candidate keys only —
+   one scan filtered by the broadcast candidate set (≤ m·partitions
+   rows), one shuffle of candidate keys only.
+
+The candidate set never affects the OUTPUT (only which keys reach the
+exact counter), so results are deterministic and the DuckDB oracle is
+the plain ``GROUP BY ... HAVING`` — the two-pass plan is a physical
+strategy, not a semantics change. The threshold compare is exact
+integer arithmetic (``count·1000 ≥ permille·total``); ``share`` is the
+division of those exact integers (both engines produce the identical
+double, then the package-standard round).
+
+NULL keys count like any other value (SQL GROUP BY semantics — one NULL
+group), handled via ``dropna=False`` in the pandas counter and a
+null-safe candidate join.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default threshold: 10‰ = 1% — exact-integer compare, no float thresholds
+DEFAULT_MIN_SHARE_PERMILLE = 10
+
+ROUND_DIGITS = 6
+
+
+def _mg_trim(counters: pd.Series, capacity: int) -> pd.Series:
+    """Mergeable-summaries trim to ``capacity`` entries: subtract the
+    (capacity+1)-th largest count from all, drop the non-positive."""
+    if len(counters) <= capacity:
+        return counters
+    cut = counters.nlargest(capacity + 1).iloc[-1]
+    trimmed = counters - cut
+    return trimmed[trimmed > 0]
+
+
+def _mg_candidates(key: str, capacity: int):
+    """mapInPandas worker: per-partition MG summary + row-total marker."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = pd.Series(dtype="int64")
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            batch = pdf[key].value_counts(dropna=False)
+            counters = (
+                batch
+                if counters.empty
+                else counters.add(batch, fill_value=0).astype("int64")
+            )
+            # trim at 4x capacity, not every batch — same guarantee (the
+            # final trim dominates), far fewer nlargest passes
+            if len(counters) > 4 * capacity:
+                counters = _mg_trim(counters, capacity)
+        counters = _mg_trim(counters, capacity)
+        out = pd.DataFrame(
+            {
+                key: counters.index,
+                "is_total": False,
+                "n": counters.values,
+            }
+        )
+        total = pd.DataFrame(
+            {key: [None], "is_total": [True], "n": [n_rows]}
+        )
+        yield pd.concat([out, total], ignore_index=True)
+
+    return worker
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    min_share_permille: int = DEFAULT_MIN_SHARE_PERMILLE,
+) -> DataFrame:
+    """(key, count, share): keys whose exact count·1000 ≥ permille·total,
+    with exact counts and share = round(count/total, 6).
+
+    Plan: MG candidate sweep (map-only ``mapInPandas``) → broadcast
+    candidate semi-join → exact count of candidates only → integer
+    threshold filter against the broadcast 1-row total (derived from the
+    sweep's own partition markers — no extra scan)."""
+    if min_share_permille <= 0:
+        raise ValueError("min_share_permille must be positive")
+    capacity = 2 * math.ceil(1000 / min_share_permille)
+    key_type = dict(df.dtypes)[key]
+    sweep = df.select(key).mapInPandas(
+        _mg_candidates(key, capacity),
+        schema=f"`{key}` {key_type}, is_total boolean, n long",
+    )
+    # one sweep feeds two tiny consumers — cache the ≤(capacity+1)·P rows
+    sweep = sweep.cache()
+    total = sweep.filter("is_total").agg(F.sum("n").alias("_total"))
+    cands = sweep.filter(~F.col("is_total")).select(key).distinct()
+    counted = (
+        df.select(key)
+        # null-safe semi join: NULL is a legal (countable) key value
+        .join(F.broadcast(cands), on=df[key].eqNullSafe(cands[key]), how="leftsemi")
+        .groupBy(key)
+        .agg(F.count("*").alias("count"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("count") * F.lit(1000)
+            >= F.lit(min_share_permille) * F.col("_total")
+        )
+        .select(
+            key,
+            "count",
+            F.round(
+                F.col("count").cast("double") / F.col("_total"), ROUND_DIGITS
+            ).alias("share"),
+        )
+    )
+
+
+def heavy_hitters_sql(
+    table_expr: str, key: str, min_share_permille: int = DEFAULT_MIN_SHARE_PERMILLE
+) -> str:
+    """DuckDB text: the semantics are the plain exact GROUP BY + HAVING
+    (the MG sweep is a physical candidate strategy, not semantics)."""
+    return f"""
+WITH counted AS (
+  SELECT {key}, CAST(COUNT(*) AS BIGINT) AS count FROM {table_expr} GROUP BY {key}
+),
+tot AS (SELECT CAST(SUM(count) AS BIGINT) AS total FROM counted)
+SELECT {key}, count,
+       round(CAST(count AS DOUBLE) / total, {ROUND_DIGITS}) AS share
+FROM counted, tot
+WHERE count * 1000 >= {min_share_permille} * total
+"""

@@ -1453,6 +1453,15 @@ SELECT doc_id, train_seq,
 FROM chunks
 """
 
+    # heavy hitters: semantics are the plain exact GROUP BY + HAVING over
+    # the interaction items; the Spark side's MG candidate sweep is a
+    # physical strategy with a proven-superset guarantee (frequency.py)
+    from flink_cooccurrence_spark.operators import frequency as freq
+
+    o["heavy_hitter_items"] = freq.heavy_hitters_sql(
+        f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
+    )
+
     # k-means (operators/clustering.py): the unrolled Lloyd-iteration
     # chain — integer micro-sum centroid updates make the cross-row float
     # sums order-independent, so the assignment is oracle-exact; the

@@ -673,6 +673,14 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_keep": lambda s, d: _dedup.semantic_dedup_keep(
         _embeddings(s, d)
     ),
+    # exact two-pass heavy hitters (operators/frequency.py): Misra-Gries
+    # candidate sweep (map-only) -> exact verify of candidates only — the
+    # skew detector that feeds the salting lever; oracle is the plain
+    # GROUP BY + HAVING (the sweep is physical strategy, not semantics)
+    "heavy_hitter_items": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.frequency",
+        fromlist=["heavy_hitters"],
+    ).heavy_hitters(_interactions(s, d).select("item"), "item"),
     # k-means over embeddings (operators/clustering.py): spherical Lloyd
     # iterations with integer micro-sum centroid updates — oracle-exact
     # against the unrolled-CTE DuckDB twin; cells is the occupancy /

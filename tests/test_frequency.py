@@ -1,0 +1,91 @@
+"""Exact heavy hitters (operators/frequency.py).
+
+The registry twin (`heavy_hitter_items`) runs the full-table DuckDB
+parity; these tests attack the Misra–Gries candidate sweep itself — the
+one place a bug could SILENTLY lose a truly heavy key (the exact verify
+pass can only count candidates the sweep surfaced).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from flink_cooccurrence_spark.operators.frequency import (
+    DEFAULT_MIN_SHARE_PERMILLE,
+    heavy_hitters,
+)
+
+
+def _exact(spark, df, key, permille):
+    """The semantics, computed the naive way (full groupBy + HAVING)."""
+    from pyspark.sql import functions as F
+
+    counted = df.groupBy(key).agg(F.count("*").alias("count"))
+    total = df.count()
+    rows = counted.filter(
+        F.col("count") * F.lit(1000) >= F.lit(permille) * F.lit(total)
+    ).collect()
+    return {
+        r[key]: (r["count"], round(r["count"] / total, 6)) for r in rows
+    }
+
+
+def _got(df, key, permille):
+    return {
+        r[key]: (r["count"], r["share"])
+        for r in heavy_hitters(df, key, permille).collect()
+    }
+
+
+def test_skewed_with_null_keys_matches_naive(spark):
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 120
+        + [(None,)] * 90
+        + [(f"cold{i}",) for i in range(390)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = _got(df, "k", 50)  # 5% of 1000 = 50 rows
+    assert got == _exact(spark, df, "k", 50)
+    assert set(got) == {"hot", "warm", None}  # NULL is a countable key
+
+
+@pytest.mark.parametrize("n_parts", [1, 7, 32])
+def test_superset_guarantee_randomized(spark, n_parts):
+    """Zipf-ish random keys over adversarial partitionings: the two-pass
+    result must equal the naive exact result EXACTLY — a candidate-sweep
+    false negative shows up here as a missing key."""
+    rng = random.Random(0xC0FFEE + n_parts)
+    rows = [(int(rng.paretovariate(1.1)),) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "k long").repartition(n_parts)
+    for permille in (5, 10, 100):
+        assert _got(df, "k", permille) == _exact(spark, df, "k", permille), (
+            n_parts,
+            permille,
+        )
+
+
+def test_threshold_at_full_share(spark):
+    df = spark.createDataFrame([(1,)] * 10, "k int")
+    got = _got(df, "k", 1000)  # share >= 100%: only an only-key qualifies
+    assert got == {1: (10, 1.0)}
+
+
+def test_rejects_nonpositive_threshold(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="positive"):
+        heavy_hitters(df, "k", 0)
+
+
+def test_default_threshold_items(spark, sf_dir):
+    """Driver-shaped input at the default 1% threshold: non-trivial both
+    ways (some items heavy, some not) — guards against a threshold that
+    silently accepts or rejects everything."""
+    from flink_cooccurrence_spark.registry import _interactions
+
+    inter = _interactions(spark, sf_dir).select("item")
+    got = _got(inter, "item", DEFAULT_MIN_SHARE_PERMILLE)
+    n_items = inter.distinct().count()
+    assert 0 < len(got) < n_items

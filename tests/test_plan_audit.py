@@ -88,6 +88,9 @@ ALLOWED_BNLJ = {
     "quality_gate_by_lang": "1-row min/max range-bucket bounds aggregate (per-lang thresholds)",
     # corpus token total rides as a broadcast 1-row aggregate
     "unigram_nll": "1-row corpus-token-total aggregate",
+    # heavy hitters: the global total (from the MG sweep's partition
+    # markers) rides as a broadcast 1-row aggregate crossJoin
+    "heavy_hitter_items": "1-row total aggregate (from sweep markers)",
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may
@@ -117,6 +120,7 @@ ALLOWED_SINGLE_PARTITION = {
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",
     "unigram_nll": "1-row corpus-token-total aggregate",
+    "heavy_hitter_items": "1-row total aggregate (from sweep markers)",
 }
 
 
