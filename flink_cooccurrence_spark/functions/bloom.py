@@ -1,0 +1,109 @@
+"""Broadcast bloom filters as pure column expressions — the semi-join
+pre-filter for when the small side of an exact join is too big for a
+broadcast HASH table but its bitset still fits comfortably (the classic
+100 TB decontamination shape: ~10⁸ eval shingles ≈ GBs as a hash table,
+~100 MB as a 10-bits-per-key bloom).
+
+Everything stays JVM-side and codegen-friendly:
+
+- **Build** is a distributed aggregation, not a driver pass over keys:
+  each key contributes its ``num_hashes`` bit positions, positions fold
+  to ``(word_idx, mask)`` pairs, and ``groupBy(word).agg(bit_or(mask))``
+  collects only the ≤ num_bits/64 bitset WORDS to the driver (the
+  bitset, not the keys).
+- **Membership** is integer arithmetic over a literal ``array<long>``:
+  double hashing g_i = (h1 + i·h2) mod m with xxhash64 seeds, bit test
+  via ``element_at`` + ``bitwiseAND`` against a power-of-two lookup
+  array — no UDF, no dynamic shifts (ANSI-safe: all intermediates are
+  reduced mod m before any multiply-add).
+
+False positives are expected and must be removed by the exact join the
+bloom pre-filters for; false negatives are impossible (same hash
+expressions on both sides). This module is a *physical* device — it can
+never change results, only cut the rows that reach a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^0 .. 2^63 as Java longs (top bit wraps negative — correct as a mask)
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
+
+DEFAULT_NUM_HASHES = 7
+
+#: bits per expected key for the auto-sized build (fpp ≈ 0.8% at k=7)
+BITS_PER_KEY = 16
+
+
+def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The ``num_hashes`` bit positions of a key (shared by build/probe).
+
+    Double hashing: h2 is forced odd-ish nonzero via +1; both hashes are
+    reduced mod m BEFORE the multiply-add so i·h2 + h1 stays far from
+    long overflow (ANSI mode would raise on wrap)."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(0x5EED)), F.lit(num_bits - 1)) + F.lit(1)
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
+    ]
+
+
+def _word_and_mask(pos: Column) -> tuple[Column, Column]:
+    word = F.floor(pos / F.lit(64)).cast("int")
+    mask = F.element_at(
+        F.array(*[F.lit(x) for x in _POW2]), (pos % F.lit(64)).cast("int") + F.lit(1)
+    )
+    return word, mask
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> list[int]:
+    """Materialize the bitset words (len = num_bits/64) — one distributed
+    aggregation; the driver receives only the words."""
+    if num_bits % 64 or num_bits <= 0:
+        raise ValueError("num_bits must be a positive multiple of 64")
+    pos = F.explode(
+        F.array(*_positions(F.col(col), num_bits, num_hashes))
+    ).alias("pos")
+    word, mask = _word_and_mask(F.col("pos"))
+    rows = (
+        df.select(pos)
+        .select(word.alias("w"), mask.alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(
+    col: Column,
+    words: list[int],
+    num_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> Column:
+    """Membership test column against the literal bitset words."""
+    lit_words = F.array(*[F.lit(w) for w in words])
+    cond = None
+    for pos in _positions(col, num_bits, num_hashes):
+        word, mask = _word_and_mask(pos)
+        hit = F.element_at(lit_words, word + F.lit(1)).bitwiseAND(mask) != F.lit(0)
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def auto_num_bits(n_keys: int) -> int:
+    """Power-of-two sizing at ~BITS_PER_KEY bits/key (min 1024)."""
+    bits = 1024
+    while bits < BITS_PER_KEY * max(1, n_keys):
+        bits <<= 1
+    return bits

@@ -181,10 +181,22 @@ def decontaminate_ngram(
     n: int = 3,
     min_shared: int = 2,
     max_train_freq: int | None = None,
+    prefilter: str = "none",
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share n-gram
     content with a held-out / evaluation corpus (the GPT-3 appendix-C /
     PaLM-style n-gram overlap check).
+
+    ``prefilter='bloom'`` selects the over-broadcast-size physical plan:
+    the eval shingle set folds to a broadcast bloom BITSET
+    (``functions/bloom.py`` — distributed ``bit_or`` build, literal-array
+    membership expression, ~16 bits/key vs ~100 bytes/key for a hash
+    table), the train side filters map-side, and the survivors meet eval
+    in a *shuffled* hash join. Same results (bloom false positives die in
+    the exact join; false negatives are impossible), different physical
+    regime: the default plan is right while the eval index AQE-broadcasts,
+    the bloom plan when benchmarks have grown past broadcast size but
+    their bitset still fits.
 
     Two-table form of the ``ngram_jaccard_pairs`` inverted-index plan: the
     join key is the shingle, so only (train, eval) pairs sharing at least
@@ -223,9 +235,29 @@ def decontaminate_ngram(
             .select("shingle")
         )
         tr = tr.join(rare, on="shingle")
+    ev_keyed = ev.select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+    if prefilter == "bloom":
+        from flink_cooccurrence_spark.functions.bloom import (
+            auto_num_bits,
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        # eager construction actions (count + bitset aggregation), same
+        # contract as embedding_knn's auto probe; the eval side is cached
+        # because the bitset build and the exact join both read it
+        ev_keyed = ev_keyed.cache()
+        bits = auto_num_bits(ev_keyed.count())
+        words = bloom_build(ev_keyed, "shingle", bits)
+        tr = tr.filter(bloom_might_contain(F.col("shingle"), words, bits))
+        # survivors meet eval in a SHUFFLED join — the whole point of the
+        # bloom path is the regime where eval exceeds broadcast size
+        ev_keyed = ev_keyed.hint("shuffle_hash")
+    elif prefilter != "none":
+        raise ValueError(f"unknown prefilter {prefilter!r}")
     shared = (
         tr.join(
-            ev.select(F.col("doc_id").alias("eval_doc_id"), "shingle"),
+            ev_keyed,
             on="shingle",
         )
         .groupBy("train_doc_id", "eval_doc_id")

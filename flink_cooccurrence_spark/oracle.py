@@ -1453,6 +1453,10 @@ SELECT doc_id, train_seq,
 FROM chunks
 """
 
+    # the bloom-prefiltered decontamination is a physical rewrite only —
+    # the parity gate running the SAME SQL proves the bloom is lossless
+    o["decontaminate_bloom"] = o["decontaminate_ngram"]
+
     # heavy hitters: semantics are the plain exact GROUP BY + HAVING over
     # the interaction items; the Spark side's MG candidate sweep is a
     # physical strategy with a proven-superset guarantee (frequency.py)

@@ -603,6 +603,15 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         _documents(s, d).filter(F.col("doc_id") % 13 != 0),
         _documents(s, d).filter(F.col("doc_id") % 13 == 0),
     ),
+    # bloom-prefiltered decontamination: identical results through the
+    # over-broadcast-size physical plan (broadcast bloom BITSET + shuffled
+    # survivors join, functions/bloom.py) — same oracle SQL as the exact
+    # variant, so the parity gate proves the bloom never loses a pair
+    "decontaminate_bloom": lambda s, d: _dedup.decontaminate_ngram(
+        _documents(s, d).filter(F.col("doc_id") % 13 != 0),
+        _documents(s, d).filter(F.col("doc_id") % 13 == 0),
+        prefilter="bloom",
+    ),
     # large-star/small-star components — physical variant of dup_clusters
     # whose round count is O(log² n), not O(component diameter)
     "dup_clusters_star": lambda s, d: _dedup.dup_clusters_star(_documents(s, d)),

@@ -1,0 +1,72 @@
+"""Broadcast bloom filter (functions/bloom.py).
+
+The registry twin (`decontaminate_bloom`) proves end-to-end losslessness
+through the oracle gate; these tests pin the filter's own contracts —
+zero false negatives (the correctness property), a sane false-positive
+rate (the usefulness property), sizing, and validation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.bloom import (
+    auto_num_bits,
+    bloom_build,
+    bloom_might_contain,
+)
+
+
+@pytest.fixture(scope="module")
+def members(spark):
+    return spark.range(1000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+
+
+def test_no_false_negatives(spark, members):
+    bits = auto_num_bits(1000)
+    words = bloom_build(members, "k", bits)
+    hits = members.filter(
+        bloom_might_contain(F.col("k"), words, bits)
+    ).count()
+    assert hits == 1000  # every member must pass — a miss is a lost pair
+
+
+def test_false_positive_rate_sane(spark, members):
+    bits = auto_num_bits(1000)
+    words = bloom_build(members, "k", bits)
+    outsiders = spark.range(20_000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    fp = outsiders.filter(
+        bloom_might_contain(F.col("k"), words, bits)
+    ).count()
+    # ~0.8% expected at 16 bits/key, k=7; 5% is the alarm threshold
+    assert fp / 20_000 < 0.05, fp
+
+
+def test_build_is_partitioning_invariant(spark, members):
+    bits = auto_num_bits(1000)
+    assert bloom_build(members, "k", bits) == bloom_build(
+        members.repartition(13), "k", bits
+    )
+
+
+def test_auto_sizing_and_validation(spark, members):
+    assert auto_num_bits(0) == 1024
+    assert auto_num_bits(1000) >= 16 * 1000
+    assert auto_num_bits(1000) & (auto_num_bits(1000) - 1) == 0  # pow2
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(members, "k", 100)
+
+
+def test_high_bit_mask_round_trip(spark):
+    """Keys whose positions hit word bit 63 exercise the negative-long
+    mask — build and probe must agree on the sign-bit representation."""
+    df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    bits = 1024  # dense fill: all 16 words, every bit index in play
+    words = bloom_build(df, "k", bits)
+    assert any(w < 0 for w in words)  # bit 63 set somewhere
+    assert df.filter(bloom_might_contain(F.col("k"), words, bits)).count() == 5000
