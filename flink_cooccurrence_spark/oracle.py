@@ -1453,6 +1453,24 @@ SELECT doc_id, train_seq,
 FROM chunks
 """
 
+    # greedy whole-document sharding of the manifest stream (the training
+    # FILE layout; pack_manifest is the token-exact CONTEXT cut) — the
+    # same running-sum + integer-div arithmetic over the manifest
+    from flink_cooccurrence_spark.plans.corpus import SHARD_TOKENS as _ST
+
+    o["shard_manifest"] = f"""
+WITH m AS ({o["training_manifest"]}),
+spans AS (
+  SELECT train_seq, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY train_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM m
+)
+SELECT CAST(st // {_ST} AS BIGINT) AS shard_id, train_seq, doc_id, n_tokens,
+       CAST(st - (st // {_ST}) * {_ST} AS BIGINT) AS shard_off
+FROM spans
+"""
+
     # the bloom-prefiltered decontamination is a physical rewrite only —
     # the parity gate running the SAME SQL proves the bloom is lossless
     o["decontaminate_bloom"] = o["decontaminate_ngram"]

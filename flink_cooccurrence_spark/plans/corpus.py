@@ -269,3 +269,86 @@ def pack_manifest(
     spans = running_sum_exclusive(slim, ["train_seq"], "n_tokens", out="start")
     ci = PACK_CONTEXT_LEN if context_len is None else context_len
     return chunks_from_spans(spans, ci, extra_cols=("train_seq",))
+
+
+#: default shard token budget — small enough that every test SF produces
+#: a multi-shard layout (a real pretraining job uses ~10^8–10^9 tokens
+#: per shard file; the arithmetic is scale-free)
+SHARD_TOKENS = 1024
+
+
+def shard_manifest(
+    documents: DataFrame,
+    tokens_per_shard: int = SHARD_TOKENS,
+    eval_mod: int = 13,
+    min_shared: int = 2,
+) -> DataFrame:
+    """The last-mile layout plan: greedy whole-document sharding of the
+    training stream — (shard_id, train_seq, doc_id, n_tokens, shard_off).
+
+    Documents are laid out in :func:`training_manifest` ``train_seq``
+    order and cut into shard FILES of ~``tokens_per_shard`` tokens:
+    ``shard_id = start div tokens_per_shard`` over the exclusive token
+    prefix sum, so documents stay whole (a shard may run over budget by
+    at most one document — the file-boundary convention every shard
+    format uses; :func:`pack_manifest` is the token-exact cut for
+    training CONTEXTS, this is the cut for training FILES).
+    ``shard_off`` is the document's token offset within its shard.
+
+    Scale shape: identical to ``pack_manifest`` minus the chunk explode —
+    the manifest's own shuffles plus one bucketed two-pass prefix sum;
+    ``div`` keeps the arithmetic exact past 2^53 tokens.
+    """
+    from flink_cooccurrence_spark.operators.ordering import (
+        running_sum_exclusive,
+    )
+
+    t = int(tokens_per_shard)
+    if t <= 0:
+        raise ValueError(f"tokens_per_shard must be positive, got {t}")
+    manifest = training_manifest(documents, eval_mod=eval_mod, min_shared=min_shared)
+    slim = manifest.select(
+        "train_seq", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    ).cache()
+    spans = running_sum_exclusive(slim, ["train_seq"], "n_tokens", out="start")
+    sid = F.expr(f"start div {t}")
+    return spans.select(
+        sid.cast("long").alias("shard_id"),
+        "train_seq",
+        "doc_id",
+        "n_tokens",
+        (F.col("start") - sid * F.lit(t)).cast("long").alias("shard_off"),
+    )
+
+
+def write_training_shards(
+    documents: DataFrame,
+    out_dir: str,
+    tokens_per_shard: int = SHARD_TOKENS,
+    eval_mod: int = 13,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Materialize the sharded training corpus: one parquet directory per
+    shard (``shard_id=N/``), rows carrying the manifest position, offsets
+    and the document text, ordered by ``train_seq`` within each shard.
+
+    Physical contract: ``repartition(shard_id)`` co-locates each shard in
+    one task (shards are token-budget-bounded, so tasks are bounded —
+    this is the rare repartition whose key is DESIGNED to be balanced),
+    ``sortWithinPartitions(train_seq)`` fixes the row order inside every
+    file, and the ``partitionBy`` layout makes any shard individually
+    addressable by a reader without touching the rest (partition pruning
+    on ``shard_id``). Returns the shard plan that was written.
+    """
+    sh = shard_manifest(
+        documents, tokens_per_shard, eval_mod=eval_mod, min_shared=min_shared
+    )
+    rows = sh.join(documents.select("doc_id", "text"), on="doc_id")
+    (
+        rows.repartition("shard_id")
+        .sortWithinPartitions("train_seq")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return sh

@@ -682,6 +682,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_keep": lambda s, d: _dedup.semantic_dedup_keep(
         _embeddings(s, d)
     ),
+    # last-mile shard layout: greedy whole-doc sharding of the manifest
+    # stream (plans/corpus.py:shard_manifest); the writer twin
+    # (write_training_shards) is pytest-gated in tests/test_shards.py
+    "shard_manifest": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["shard_manifest"]
+    ).shard_manifest(_documents(s, d)),
     # exact two-pass heavy hitters (operators/frequency.py): Misra-Gries
     # candidate sweep (map-only) -> exact verify of candidates only — the
     # skew detector that feeds the salting lever; oracle is the plain

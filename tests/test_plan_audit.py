@@ -80,6 +80,7 @@ ALLOWED_BNLJ = {
     # the scrubbed composition inherits the manifest's bounded broadcasts
     "training_manifest_scrubbed": "1-row min/max range-bucket bounds aggregate (shuffle rank)",
     "pack_manifest": "1-row min/max range-bucket bounds aggregates (rank + prefix sum)",
+    "shard_manifest": "1-row min/max range-bucket bounds aggregates (rank + prefix sum)",
     # corpus size N folds in as a broadcast 1-row count (the idf numerator)
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
     # bucketed giant-group quantiles: value-range bounds ride as a
@@ -116,6 +117,7 @@ ALLOWED_SINGLE_PARTITION = {
     "training_manifest": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "training_manifest_scrubbed": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
+    "shard_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",

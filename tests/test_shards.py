@@ -1,0 +1,96 @@
+"""Training-shard layout + writer (plans/corpus.py:shard_manifest /
+write_training_shards).
+
+The registry twin (`shard_manifest`) runs the composed-manifest DuckDB
+parity; these tests pin the layout invariants and the writer's on-disk
+contract (per-shard directories, within-file order, partition pruning).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.plans.corpus import (
+    SHARD_TOKENS,
+    shard_manifest,
+    write_training_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def plan(docs):
+    return shard_manifest(docs).cache()
+
+
+def test_layout_invariants(plan):
+    rows = sorted(plan.collect(), key=lambda r: r["train_seq"])
+    assert rows, "empty shard plan"
+    max_doc = max(r["n_tokens"] for r in rows)
+    seen_tokens = {}
+    prev_shard = 0
+    for r in rows:
+        # shards are CONTIGUOUS train_seq ranges, ids monotone from 0
+        assert r["shard_id"] >= prev_shard
+        prev_shard = r["shard_id"]
+        assert 0 <= r["shard_off"] < SHARD_TOKENS
+        seen_tokens[r["shard_id"]] = seen_tokens.get(r["shard_id"], 0) + r["n_tokens"]
+    assert min(seen_tokens) == 0
+    # greedy whole-doc cut: a shard overruns by at most one document...
+    for sid, tot in seen_tokens.items():
+        assert tot < SHARD_TOKENS + max_doc, (sid, tot)
+    # ...and every non-final shard is near-full: its first doc starts at
+    # offset < max_doc (the straddle of the previous boundary doc), and
+    # its span reaches the next budget line, so tot > T − max_doc
+    last = max(seen_tokens)
+    for sid, tot in seen_tokens.items():
+        if sid != last:
+            assert tot > SHARD_TOKENS - max_doc, (sid, tot)
+    assert len(seen_tokens) > 1, "single shard — budget too large to test"
+
+
+def test_shard_off_matches_prefix_sum(plan):
+    rows = sorted(plan.collect(), key=lambda r: r["train_seq"])
+    start = 0
+    for r in rows:
+        assert r["shard_id"] == start // SHARD_TOKENS
+        assert r["shard_off"] == start - r["shard_id"] * SHARD_TOKENS
+        start += r["n_tokens"]
+
+
+def test_writer_roundtrip(spark, docs, plan, tmp_path):
+    out = str(tmp_path / "shards")
+    written = write_training_shards(docs, out)
+    # one directory per shard id, individually addressable
+    sids = sorted(r["shard_id"] for r in plan.select("shard_id").distinct().collect())
+    on_disk = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("shard_id=")
+    )
+    assert on_disk == sids
+    back = spark.read.parquet(out)
+    assert back.count() == plan.count()
+    # text rode along; offsets survive the round trip
+    assert back.filter(F.col("text").isNull()).count() == 0
+    got = {
+        (r["shard_id"], r["train_seq"]): r["shard_off"] for r in back.collect()
+    }
+    exp = {
+        (r["shard_id"], r["train_seq"]): r["shard_off"] for r in plan.collect()
+    }
+    assert got == exp
+    # partition pruning: reading one shard touches one directory
+    one = spark.read.parquet(out).filter(F.col("shard_id") == sids[0])
+    scan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == plan.filter(F.col("shard_id") == sids[0]).count()
+    assert "PartitionFilters: [isnotnull(shard_id" in scan or "shard_id" in scan
+    # the returned frame is the plan that was written
+    assert written.count() == plan.count()
