@@ -1,0 +1,181 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003 —
+the MOSS scheme): hash every k-gram, slide a window of ``w`` consecutive
+k-gram hashes, keep the minimum of each window. The selected set is tiny
+(~2/(w+1) of positions) yet carries the paper's GUARANTEE: any shared
+token run of length ≥ w + k − 1 between two documents selects at least
+one common fingerprint — the local-overlap detector that whole-document
+schemes (MinHash/SimHash measure global similarity) cannot provide, and
+the standard tool for quote/boilerplate/plagiarism-style partial overlap
+in a training corpus.
+
+Determinism / oracle spec (shared verbatim with the generated DuckDB
+SQL): token positions are 1-based; the k-gram hash is the portable
+``hash32``; the window minimum is taken over the single packed integer
+``key = h·2^POS_SHIFT + pos`` — one BIGINT ``min`` per window frame, so
+the tie rule (equal hashes → leftmost position) is a consequence of
+integer ordering, not engine sort behavior. Documents with fewer than
+``w`` k-grams contribute one fingerprint (the whole-document minimum);
+documents with fewer than ``k`` tokens have no k-gram and contribute
+none. The packed key bounds positions at 2^POS_SHIFT k-grams per
+document (~1M tokens — raise the shift for longer documents).
+
+Scale shape: fingerprinting is one narrow pass per document group (the
+posexplode + lead window over token position — the ``doc_shingles``
+shape); the overlap join is an inverted-index join on the fingerprint
+hash, exactly the n-gram Jaccard family's candidate structure, with
+winnowing's density factor shrinking the index ~(w+1)/2× relative to
+full shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+from flink_cooccurrence_spark.operators.textstats import _tokens
+
+#: k-gram length / window size (guarantee threshold = w + k − 1 tokens)
+WINNOW_K = 4
+WINNOW_W = 4
+
+#: positions pack into the low bits of the window-min key
+POS_SHIFT = 20
+_POS_MOD = 1 << POS_SHIFT
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos): the distinct winnowed fingerprints.
+
+    ``fp_pos`` is the 1-based token position where the selected k-gram
+    starts — the locality payload (two docs sharing ``fp_hash`` can be
+    aligned at their respective positions)."""
+    words = documents.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos0", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
+    grams = words.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", *parts).alias("gram"),
+        F.lead("w", k - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (hash32(F.col("gram")) * F.lit(_POS_MOD) + F.col("pos")).alias("key"),
+    )
+    kwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    full = Window.partitionBy("doc_id")
+    sel = keyed.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(kwin).alias("winmin"),
+        F.max("pos").over(full).alias("n_kg"),
+    ).filter(
+        # valid window starts; a short document (< w k-grams) keeps one
+        # whole-document window anchored at position 1
+        (F.col("pos") <= F.col("n_kg") - F.lit(w - 1)) | (F.col("pos") == 1)
+    )
+    return sel.select(
+        "doc_id",
+        F.expr(f"winmin div {_POS_MOD}").alias("fp_hash"),
+        (F.col("winmin") % F.lit(_POS_MOD)).cast("int").alias("fp_pos"),
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing ≥ ``min_shared``
+    distinct fingerprint hashes. By the winnowing guarantee every pair
+    with a common token run of ≥ w + k − 1 tokens appears at
+    ``min_shared = 1``; raising it trades the guarantee for precision.
+
+    Inverted-index join on the fingerprint hash (the ``ngram_jaccard``
+    candidate shape, ~(w+1)/2× smaller index)."""
+    fp = winnow_fingerprints(documents, k, w).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, on="fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+def _fp_sql(k: int, w: int) -> str:
+    gram = " || ' ' || ".join(
+        "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(k)
+    )
+    return f"""
+words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos, {gram} AS gram,
+         lead(w, {k - 1}) OVER win AS last_w
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+keyed AS (
+  SELECT doc_id, pos,
+         {hash32_sql("gram")} * {_POS_MOD} + pos AS key
+  FROM grams WHERE last_w IS NOT NULL
+),
+sel AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS winmin,
+         max(pos) OVER (PARTITION BY doc_id) AS n_kg
+  FROM keyed
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         winmin // {_POS_MOD} AS fp_hash,
+         CAST(winmin % {_POS_MOD} AS INT) AS fp_pos
+  FROM sel
+  WHERE pos <= n_kg - {w - 1} OR pos = 1
+)
+""".strip()
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    return f"WITH {_fp_sql(k, w)} SELECT doc_id, fp_hash, fp_pos FROM fps"
+
+
+def winnow_overlap_pairs_sql(
+    k: int = WINNOW_K, w: int = WINNOW_W, min_shared: int = 1
+) -> str:
+    return f"""
+WITH {_fp_sql(k, w)},
+hashes AS (SELECT DISTINCT doc_id, fp_hash FROM fps)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM hashes a JOIN hashes b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {min_shared}
+"""

@@ -1471,6 +1471,13 @@ SELECT CAST(st // {_ST} AS BIGINT) AS shard_id, train_seq, doc_id, n_tokens,
 FROM spans
 """
 
+    # winnowing (operators/winnow.py): window-min over packed
+    # hash·2^20+pos keys — exact integer arithmetic end to end
+    from flink_cooccurrence_spark.operators import winnow as wn
+
+    o["winnow_fingerprints"] = wn.winnow_fingerprints_sql()
+    o["winnow_overlap_pairs"] = wn.winnow_overlap_pairs_sql()
+
     # the bloom-prefiltered decontamination is a physical rewrite only —
     # the parity gate running the SAME SQL proves the bloom is lossless
     o["decontaminate_bloom"] = o["decontaminate_ngram"]

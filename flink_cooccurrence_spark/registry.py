@@ -603,6 +603,17 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         _documents(s, d).filter(F.col("doc_id") % 13 != 0),
         _documents(s, d).filter(F.col("doc_id") % 13 == 0),
     ),
+    # winnowing fingerprints (operators/winnow.py, the MOSS scheme): the
+    # LOCAL-overlap detector (shared runs >= w+k-1 tokens guaranteed
+    # caught) whole-document MinHash/SimHash cannot provide
+    "winnow_fingerprints": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.winnow",
+        fromlist=["winnow_fingerprints"],
+    ).winnow_fingerprints(_documents(s, d)),
+    "winnow_overlap_pairs": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.winnow",
+        fromlist=["winnow_overlap_pairs"],
+    ).winnow_overlap_pairs(_documents(s, d)),
     # bloom-prefiltered decontamination: identical results through the
     # over-broadcast-size physical plan (broadcast bloom BITSET + shuffled
     # survivors join, functions/bloom.py) — same oracle SQL as the exact

@@ -1,0 +1,110 @@
+"""Winnowing fingerprints (operators/winnow.py).
+
+The registry twins run the full-corpus DuckDB parity; these tests pin
+the paper's guarantee (shared run ≥ w+k−1 tokens ⇒ shared fingerprint),
+the density bound, the short/empty-document contracts, and the
+positional alignment payload.
+"""
+
+from __future__ import annotations
+
+import random
+
+from flink_cooccurrence_spark.operators.winnow import (
+    WINNOW_K,
+    WINNOW_W,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+GUARANTEE_LEN = WINNOW_W + WINNOW_K - 1  # 7 tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rand_tokens(rng, prefix, n):
+    return [f"{prefix}{rng.randrange(10**9)}x{i}" for i in range(n)]
+
+
+def test_guarantee_shared_run_is_always_caught(spark):
+    """100 random doc pairs sharing exactly a GUARANTEE_LEN-token run at
+    random offsets, all other tokens drawn from disjoint alphabets: every
+    pair must surface at min_shared=1 — this is the theorem the scheme
+    exists for, so zero misses allowed."""
+    rng = random.Random(0xD0C)
+    rows = []
+    for p in range(100):
+        shared = _rand_tokens(rng, f"s{p}_", GUARANTEE_LEN)
+        a = _rand_tokens(rng, f"a{p}_", rng.randrange(0, 30))
+        b = _rand_tokens(rng, f"b{p}_", rng.randrange(0, 30))
+        ia, ib = rng.randrange(len(a) + 1), rng.randrange(len(b) + 1)
+        rows.append((2 * p, " ".join(a[:ia] + shared + a[ia:])))
+        rows.append((2 * p + 1, " ".join(b[:ib] + shared + b[ib:])))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_pairs(_docs(spark, rows)).collect()
+    }
+    missed = [p for p in range(100) if (2 * p, 2 * p + 1) not in pairs]
+    assert not missed, missed
+
+
+def test_no_shared_kgram_no_pair(spark):
+    """Disjoint alphabets ⇒ no shared k-gram ⇒ no shared fingerprint
+    (hash collisions aside, which would fail loudly here)."""
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(_rand_tokens(rng, f"d{i}_", 40))) for i in range(40)
+    ]
+    assert winnow_overlap_pairs(_docs(spark, rows)).count() == 0
+
+
+def test_density_and_coverage_bounds(spark):
+    """Selected set covers every window (≥ n_windows / w — each selected
+    position serves at most w windows) yet stays sparse (≤ n_windows)."""
+    rng = random.Random(11)
+    n_tokens = 200
+    rows = [(1, " ".join(_rand_tokens(rng, "t", n_tokens)))]
+    fps = winnow_fingerprints(_docs(spark, rows)).count()
+    n_kg = n_tokens - WINNOW_K + 1
+    n_windows = n_kg - WINNOW_W + 1
+    assert n_windows / WINNOW_W <= fps <= n_windows
+
+
+def test_short_and_empty_document_contract(spark):
+    rows = [
+        (1, "a b c d e"),  # 2 k-grams < w: one whole-doc fingerprint
+        (2, "a b"),        # < k tokens: no k-gram, no fingerprint
+        (3, None),         # NULL text: no tokens, absent
+    ]
+    got = winnow_fingerprints(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 1
+    assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_position_payload_aligns_the_shared_run(spark):
+    """The shared fingerprint's fp_pos lands inside the shared run in
+    BOTH documents — the locality payload a reviewer uses to align."""
+    rng = random.Random(99)
+    shared = _rand_tokens(rng, "s_", GUARANTEE_LEN)
+    a_pre = _rand_tokens(rng, "a_", 10)
+    b_pre = _rand_tokens(rng, "b_", 25)
+    rows = [
+        (1, " ".join(a_pre + shared)),
+        (2, " ".join(b_pre + shared)),
+    ]
+    fp = winnow_fingerprints(_docs(spark, rows)).collect()
+    h1 = {r["fp_hash"]: r["fp_pos"] for r in fp if r["doc_id"] == 1}
+    h2 = {r["fp_hash"]: r["fp_pos"] for r in fp if r["doc_id"] == 2}
+    common = set(h1) & set(h2)
+    assert common
+    for h in common:
+        # shared-run k-grams start within [pre+1, pre+len(shared)-k+1]
+        assert 10 + 1 <= h1[h] <= 10 + GUARANTEE_LEN - WINNOW_K + 1
+        assert 25 + 1 <= h2[h] <= 25 + GUARANTEE_LEN - WINNOW_K + 1
+        # and the offset within the run is IDENTICAL on both sides
+        assert h1[h] - 10 == h2[h] - 25
