@@ -339,18 +339,45 @@ def ivf_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assignments(embeddings: DataFrame, nprobe: int = 1) -> DataFrame:
+def ivf_centroids_kmeans(embeddings: DataFrame) -> DataFrame:
+    """K-means centroids as the IVF cell set — the upgrade this module's
+    hash-sample default names ("a real deployment would k-means||"):
+    Voronoi cells fitted to the data instead of drawn from it, so cell
+    occupancy balances and probe recall rises at equal K. The Lloyd
+    iterations run at construction time (``operators/clustering.py``
+    contract); the fitted centroids enter the plan as a k-row literal
+    DataFrame with ids 0..k−1."""
+    from flink_cooccurrence_spark.operators.clustering import kmeans_centroids
+
+    cents = kmeans_centroids(embeddings)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, emb, norm) for i, emb, norm in cents],
+        "c_id int, c_emb array<double>, c_norm double",
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame, nprobe: int = 1, centroids: str = "hash"
+) -> DataFrame:
     """Rank every vector's ``nprobe`` nearest centroid cells:
     (vec_id, cell, cos_c, probe_rank) — probe_rank 1 is the home cell.
 
     The centroid set is a genuinely tiny fixed K and broadcast; assignment
     is one narrow pass over the corpus + a per-vector top-nprobe —
     O(|C|·K), no corpus self-join. Ties break to the lower centroid id.
+    ``centroids`` picks the cell set: 'hash' (the seeded sample) or
+    'kmeans' (:func:`ivf_centroids_kmeans`).
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
     base = _with_norm(embeddings.select("vec_id", "embedding"))
-    cents = ivf_centroids(embeddings)
+    if centroids == "kmeans":
+        cents = ivf_centroids_kmeans(embeddings)
+    elif centroids == "hash":
+        cents = ivf_centroids(embeddings)
+    else:
+        raise ValueError(f"unknown centroids {centroids!r}")
     cos = F.round(
         dot(_as_double(F.col("embedding")), _as_double(F.col("c_emb")))
         / (F.col("norm") * F.col("c_norm")),
@@ -368,7 +395,8 @@ def ivf_assignments(embeddings: DataFrame, nprobe: int = 1) -> DataFrame:
 
 
 def ivf_topk(
-    embeddings: DataFrame, k: int = IVF_K, nprobe: int = 1
+    embeddings: DataFrame, k: int = IVF_K, nprobe: int = 1,
+    centroids: str = "hash",
 ) -> DataFrame:
     """IVF approximate top-k: (q_id, rank, n_id, cosine, cell).
 
@@ -391,7 +419,7 @@ def ivf_topk(
     base = _with_norm(embeddings.select("vec_id", "embedding"))
     # two consumers (home cells + query probes) — cache so the centroid
     # assignment pass runs once
-    assign = ivf_assignments(embeddings, nprobe).cache()
+    assign = ivf_assignments(embeddings, nprobe, centroids=centroids).cache()
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
     corpus = base.join(home.hint("shuffle_hash"), on="vec_id")
     q_cells = assign.filter(
@@ -433,6 +461,7 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
     methods: list[tuple[str, DataFrame]] = [
         ("ivf_nprobe1", ivf_topk(embeddings, k, nprobe=1)),
         ("ivf_nprobe2", ivf_topk(embeddings, k, nprobe=2)),
+        ("ivf_kmeans", ivf_topk(embeddings, k, nprobe=1, centroids="kmeans")),
         ("lsh", ann_lsh_topk(embeddings, k)),
         ("lsh_multiprobe", ann_lsh_topk(embeddings, k, multi_probe=True)),
     ]

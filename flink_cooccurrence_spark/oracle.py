@@ -1471,6 +1471,69 @@ SELECT CAST(st // {_ST} AS BIGINT) AS shard_id, train_seq, doc_id, n_tokens,
 FROM spans
 """
 
+    # IVF with k-means cells: the clustering module's unrolled-CTE chain
+    # supplies the centroid set; the IVF tail is unchanged (ids 0..k-1)
+    from flink_cooccurrence_spark.operators import clustering as _cl
+
+    def _ivf_kmeans_sql(k: int) -> str:
+        return f"""
+WITH {_cl._kmeans_prefix(_cl.KMEANS_K, _cl.KMEANS_ITERS).strip()},
+cents AS (
+  SELECT CAST(cluster AS INT) AS c_id, c_v, c_norm FROM cents{_cl.KMEANS_ITERS}
+),
+assign_scored AS (
+  SELECT n.vec_id, c.c_id,
+         round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm), 6) AS cos_c
+  FROM normed n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, c_id AS cell, rn AS probe_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id) AS rn
+    FROM assign_scored
+  ) WHERE rn <= 1
+),
+corpus AS (
+  SELECT n.vec_id, n.v, n.norm, a.cell FROM normed n
+  JOIN assigned a ON a.vec_id = n.vec_id AND a.probe_rank = 1
+),
+qprobe AS (
+  SELECT a.vec_id AS q_id, a.cell, q.v, q.norm
+  FROM assigned a JOIN normed q ON q.vec_id = a.vec_id
+  WHERE a.vec_id % {sim.QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT q.q_id, q.cell AS cell, n.vec_id AS n_id,
+         round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) AS cosine
+  FROM qprobe q JOIN corpus n ON n.cell = q.cell AND n.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, cell, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT)
+           AS rank
+  FROM pairs
+)
+SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
+"""
+
+    o["ivf_topk_kmeans"] = _ivf_kmeans_sql(sim.IVF_K)
+
+    # the fitted-cell variant joins the recall meter (the ann_recall
+    # oracle above was built before this point, so rebuild it with the
+    # extra method — keep the member list in lockstep with
+    # similarity.ann_recall)
+    recall_methods["ivf_kmeans"] = _ivf_kmeans_sql(sim.ANN_K)
+    recall_selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, "
+        f"round(CAST((SELECT count(*) FROM ({msql}) m "
+        f"JOIN exact e ON m.q_id = e.q_id AND m.n_id = e.n_id) AS DOUBLE) "
+        f"/ (SELECT count(*) FROM exact), 6) AS recall"
+        for name, msql in recall_methods.items()
+    )
+    o["ann_recall"] = f"""
+WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
+{recall_selects}
+"""
+
     # winnowing (operators/winnow.py): window-min over packed
     # hash·2^20+pos keys — exact integer arithmetic end to end
     from flink_cooccurrence_spark.operators import winnow as wn

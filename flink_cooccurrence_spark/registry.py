@@ -537,6 +537,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         _embeddings(s, d), multi_probe=True
     ),
     "ivf_topk_nprobe2": lambda s, d: _sim.ivf_topk(_embeddings(s, d), nprobe=2),
+    # IVF over FITTED cells: the k-means centroids replace the seeded
+    # hash sample — the upgrade the hash default's docstring names
+    "ivf_topk_kmeans": lambda s, d: _sim.ivf_topk(
+        _embeddings(s, d), centroids="kmeans"
+    ),
     # long form (doc_id, dim, feature) of image_metadata's feature arrays
     "image_features": lambda s, d: _mm.image_features(_documents(s, d)).select(
         "doc_id", F.posexplode("features").alias("dim", "feature")

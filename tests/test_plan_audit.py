@@ -62,6 +62,7 @@ ALLOWED_BNLJ = {
     # (IVF_NUM_CENTROIDS), corpus-independent since round 2
     "ivf_topk": "fixed-K centroid set (corpus-independent)",
     "ivf_topk_nprobe2": "fixed-K centroid set (corpus-independent)",
+    "ivf_topk_kmeans": "fixed-K fitted centroid literals (corpus-independent)",
     # adaptive plane count rides as a 1-row scalar-subquery crossJoin
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count scalar subquery (adaptive planes)",
@@ -108,7 +109,7 @@ ALLOWED_SINGLE_PARTITION = {
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
-    "ann_recall": "4-row recall summary aggregate",
+    "ann_recall": "5-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
