@@ -150,3 +150,85 @@ def train_shuffle_order(documents: DataFrame) -> DataFrame:
     return global_seq(d, ["shuffle_h", "doc_id"], out="train_seq").select(
         "doc_id", F.col("train_seq").cast("long").alias("train_seq")
     )
+
+
+#: per-language token budget for :func:`token_budget_sample` — sized so the
+#: cut FIRES (partial keep) at every test SF; a real epoch plan passes its
+#: measured per-domain budgets (~10^9+ tokens)
+LANG_TOKEN_BUDGET = 512
+
+BUDGET_SALT = "budget:"
+
+
+def token_budget_sample(
+    documents: DataFrame,
+    budget_tokens: int = LANG_TOKEN_BUDGET,
+    by: str = "lang",
+) -> DataFrame:
+    """Per-group TOKEN-budget sampling — epoch composition by token counts
+    rather than document counts (the unit mixture weights are actually
+    specified in): greedily keep each group's documents in salted-hash
+    order until the group's token budget is filled. Documents stay whole,
+    so a group may overrun by at most one document (the shard-file
+    convention); the draw is a fresh independent coin (``BUDGET_SALT``),
+    deterministic across engines and partitionings.
+
+    Output (doc_id, ``by``, n_tokens, budget_start): survivors whose
+    exclusive per-group running token sum ``budget_start`` <
+    ``budget_tokens``.
+
+    Scale shape: one map-only coin/token pass, then the bucketed grouped
+    prefix sum (``ordering.grouped_running_sum_exclusive`` — the coin is
+    uniform so range buckets are balanced; the per-group offsets table is
+    groups × buckets and broadcasts under the low-cardinality-keys
+    contract, which ``by`` columns — languages, sources — satisfy by
+    construction).
+    """
+    from flink_cooccurrence_spark.operators.ordering import (
+        grouped_running_sum_exclusive,
+    )
+    from flink_cooccurrence_spark.operators.textstats import _tokens
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    base = documents.select(
+        "doc_id",
+        by,
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+        _coin(BUDGET_SALT).alias("_h"),
+    )
+    spans = grouped_running_sum_exclusive(
+        base, [by], ["_h", "doc_id"], "n_tokens", out="budget_start"
+    )
+    return (
+        spans.filter(F.col("budget_start") < F.lit(int(budget_tokens)))
+        .select("doc_id", by, "n_tokens", F.col("budget_start").cast("long").alias("budget_start"))
+    )
+
+
+def token_budget_sample_sql(
+    budget_tokens: int = LANG_TOKEN_BUDGET, by: str = "lang"
+) -> str:
+    """DuckDB text of :func:`token_budget_sample` (plain keyed window —
+    the bucketed decomposition is a physical strategy)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {by},
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         {_coin_sql(BUDGET_SALT)} AS h
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, {by}, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY {by}
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS budget_start
+  FROM base
+)
+SELECT doc_id, {by}, n_tokens, budget_start
+FROM spans WHERE budget_start < {int(budget_tokens)}
+"""

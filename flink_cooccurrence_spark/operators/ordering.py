@@ -168,3 +168,46 @@ def running_max_exclusive(
         .withColumn(out, combined)
         .drop("_bucket", "_in_max", "_prev_max")
     )
+
+
+def grouped_running_sum_exclusive(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out: str = "prior_sum",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-GROUP exclusive prefix sum of ``value_col`` in ``order_cols``
+    order — :func:`running_sum_exclusive` with partition keys, via the same
+    bucketed two-pass decomposition (range-bucket the order value, window
+    inside (group, bucket), per-group bucket-offset prefix over the tiny
+    counts table). The offsets table is groups × buckets rows and rides a
+    broadcast — the low-cardinality-keys contract of
+    ``quantiles._bucketed_group_ranks`` applies (callers with
+    high-cardinality keys should use a plain keyed window instead: their
+    groups are small, so the single-task-per-group sort is already fine).
+    """
+    d = _with_range_bucket(df, order_cols[0], num_buckets)
+    in_w = (
+        Window.partitionBy(*keys, "_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_in_sum", F.coalesce(F.sum(value_col).over(in_w), F.lit(0)))
+    per_bucket = d.groupBy(*keys, "_bucket").agg(F.sum(value_col).alias("_bsum"))
+    prev_w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = per_bucket.select(
+        *keys,
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(prev_w), F.lit(0)).alias("_prev"),
+    )
+    return (
+        d.join(F.broadcast(prev), on=[*keys, "_bucket"])
+        .withColumn(out, F.col("_in_sum") + F.col("_prev"))
+        .drop("_bucket", "_in_sum", "_prev")
+    )

@@ -1453,6 +1453,13 @@ SELECT doc_id, train_seq,
 FROM chunks
 """
 
+    # per-language token-budget sampling (epoch composition in tokens)
+    from flink_cooccurrence_spark.operators.mixing import (
+        token_budget_sample_sql as _tbs_sql,
+    )
+
+    o["token_budget_sample"] = _tbs_sql()
+
     # greedy whole-document sharding of the manifest stream (the training
     # FILE layout; pack_manifest is the token-exact CONTEXT cut) — the
     # same running-sum + integer-div arithmetic over the manifest

@@ -579,6 +579,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "train_shuffle_order": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.mixing", fromlist=["train_shuffle_order"]
     ).train_shuffle_order(_documents(s, d)),
+    # epoch composition by TOKEN budgets (the unit mixture weights are
+    # actually specified in): greedy per-language fill in hash order via
+    # the grouped bucketed prefix sum
+    "token_budget_sample": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.mixing",
+        fromlist=["token_budget_sample"],
+    ).token_budget_sample(_documents(s, d)),
     # Gopher-style within-document repetition filters (textstats.py)
     "repetition_stats": lambda s, d: _ts.repetition_stats(_documents(s, d)),
     # CCNet-style perplexity proxy: per-doc mean unigram NLL under the

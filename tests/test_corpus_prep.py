@@ -687,3 +687,72 @@ def test_pack_manifest_packs_the_shuffled_survivor_stream(docs):
         ends = (grp["pack_off"] + grp["n_chunk_tokens"]).to_numpy()
         assert (grp["pack_off"].to_numpy()[1:] == ends[:-1]).all()
         assert ends[-1] == PACK_CONTEXT_LEN or pack_id == last_pack
+
+
+def test_token_budget_sample_budget_semantics(spark, docs):
+    """Per-group greedy fill: kept tokens overrun the budget by at most
+    one document, every group with documents keeps at least one, and the
+    kept set is exactly the hash-order prefix (no cherry-picking)."""
+    from flink_cooccurrence_spark.operators.mixing import (
+        LANG_TOKEN_BUDGET,
+        token_budget_sample,
+    )
+
+    kept = token_budget_sample(docs).collect()
+    assert kept
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_langs = docs.select("lang").distinct().count()
+    assert set(len(v) for v in by_lang.values()) and len(by_lang) == n_langs
+    total_docs = docs.count()
+    assert len(kept) < total_docs, "budget never fired — raise corpus or lower budget"
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["budget_start"])
+        # prefix property: starts chain exactly (start_{i+1} = start_i + n_i)
+        acc = 0
+        for r in rows:
+            assert r["budget_start"] == acc
+            acc += r["n_tokens"]
+        # the last kept doc STARTED inside the budget; total may overrun
+        # by less than that one document
+        assert rows[-1]["budget_start"] < LANG_TOKEN_BUDGET
+        assert acc - rows[-1]["n_tokens"] < LANG_TOKEN_BUDGET
+
+
+def test_grouped_running_sum_matches_keyed_window(spark):
+    """The bucketed grouped prefix sum equals the plain keyed window over
+    adversarial geometries (ties, skewed groups, forced multi-bucket)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from flink_cooccurrence_spark.operators.ordering import (
+        grouped_running_sum_exclusive,
+    )
+
+    rng = random.Random(31337)
+    rows = [
+        (f"g{rng.randrange(4)}", rng.randrange(50), rng.randrange(1, 9), i)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, o long, v long, id long").repartition(7)
+    for nb in (1, 3, 4096):
+        got = {
+            r["id"]: r["ps"]
+            for r in grouped_running_sum_exclusive(
+                df, ["g"], ["o", "id"], "v", out="ps", num_buckets=nb
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("o", "id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        exp = {
+            r["id"]: r["ps"]
+            for r in df.withColumn(
+                "ps", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == exp, nb

@@ -76,6 +76,7 @@ ALLOWED_BNLJ = {
     "pack_chunks_pretokenized": "1-row min/max range-bucket bounds aggregate",
     "train_shuffle_order": "1-row min/max range-bucket bounds aggregate",
     "token_frequency": "1-row min/max range-bucket bounds aggregate (vocab rank)",
+    "token_budget_sample": "1-row min/max range-bucket bounds aggregate (grouped prefix sum)",
     "pack_token_stream": "1-row min/max range-bucket bounds aggregate",
     "training_manifest": "1-row min/max range-bucket bounds aggregate (shuffle rank)",
     # the scrubbed composition inherits the manifest's bounded broadcasts
@@ -114,6 +115,7 @@ ALLOWED_SINGLE_PARTITION = {
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "token_frequency": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "token_budget_sample": "1-row bounds aggregate (offsets window is keyed)",
     "pack_token_stream": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "training_manifest": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "training_manifest_scrubbed": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
