@@ -110,13 +110,19 @@ def _assign(base: DataFrame, cents) -> DataFrame:
 
 
 def kmeans_centroids(
-    embeddings: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    base: DataFrame | None = None,
 ) -> list[tuple[int, list[float], float]]:
     """Run the Lloyd iterations; return [(cluster, components, norm)].
 
     Driver state is k·dim doubles; each iteration launches one Spark job
-    (the micro-sum aggregation — k·dim result rows)."""
-    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    (the micro-sum aggregation — k·dim result rows). ``base`` lets a
+    caller share one persisted normed frame across the seed job, every
+    iteration, and its own final pass (``kmeans_assign`` does)."""
+    if base is None:
+        base = _with_norm(embeddings.select("vec_id", "embedding"))
     seeds = (
         base.orderBy(hash32(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(k)
@@ -164,8 +170,11 @@ def kmeans_assign(
     rounds. The returned plan is MAP-ONLY (centroid literals — no join,
     no shuffle); the iteration cost was paid at construction time
     (module docstring)."""
-    cents = kmeans_centroids(embeddings, k, n_iter)
-    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    # one persisted normed frame serves the seed job, every iteration's
+    # aggregation, and the returned plan (construction fills it — the
+    # returned plan reads the cache, never re-scanning the source)
+    base = _with_norm(embeddings.select("vec_id", "embedding")).persist()
+    cents = kmeans_centroids(embeddings, k, n_iter, base=base)
     return _assign(base, cents).select("vec_id", "cluster", "cosine")
 
 

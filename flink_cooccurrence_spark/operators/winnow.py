@@ -65,10 +65,23 @@ def winnow_fingerprints(
         F.concat_ws(" ", *parts).alias("gram"),
         F.lead("w", k - 1).over(win).alias("_last"),
     ).filter(F.col("_last").isNotNull())
+    # runtime guard INSIDE the key expression (not a separate prunable
+    # column): a position past 2^POS_SHIFT would silently corrupt packed
+    # keys — fail loudly instead; raise POS_SHIFT for longer documents
+    safe_pos = F.when(
+        F.col("pos") >= F.lit(_POS_MOD),
+        F.raise_error(
+            F.concat(
+                F.lit("winnow: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" exceeds 2^{POS_SHIFT} k-grams — raise POS_SHIFT"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("pos"))
     keyed = grams.select(
         "doc_id",
         "pos",
-        (hash32(F.col("gram")) * F.lit(_POS_MOD) + F.col("pos")).alias("key"),
+        (hash32(F.col("gram")) * F.lit(_POS_MOD) + safe_pos).alias("key"),
     )
     kwin = (
         Window.partitionBy("doc_id")

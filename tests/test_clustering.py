@@ -126,3 +126,23 @@ def test_cells_sum_to_corpus(spark, sf_dir):
     cells = C.kmeans_cells(emb).toPandas()
     assert int(cells["n_members"].sum()) == emb.count()
     assert cells["cluster"].is_unique
+
+
+def test_fewer_vectors_than_k(spark):
+    """n < k: only n seeds exist; assignment still covers every vector
+    and parity with the oracle holds (cents0 is the n-row LIMIT)."""
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]
+    df = _frame(spark, vecs)
+    got = (
+        C.kmeans_assign(df, k=8, n_iter=1)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    exp = (
+        _oracle(vecs, C.kmeans_sql(k=8, n_iter=1))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

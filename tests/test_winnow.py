@@ -108,3 +108,19 @@ def test_position_payload_aligns_the_shared_run(spark):
         assert 25 + 1 <= h2[h] <= 25 + GUARANTEE_LEN - WINNOW_K + 1
         # and the offset within the run is IDENTICAL on both sides
         assert h1[h] - 10 == h2[h] - 25
+
+
+def test_position_overflow_raises_not_corrupts(spark, monkeypatch):
+    """A document longer than 2^POS_SHIFT k-grams must fail LOUDLY — a
+    wrapped position would silently corrupt every packed key after it.
+    The guard lives inside the key expression so no optimizer prune can
+    remove it (lower the modulus to make a tiny doc overflow)."""
+    import flink_cooccurrence_spark.operators.winnow as W
+
+    monkeypatch.setattr(W, "_POS_MOD", 8)
+    rows = [(1, " ".join(f"t{i}" for i in range(20)))]  # 17 k-grams > 8
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="raise POS_SHIFT"):
+        W.winnow_fingerprints(df).collect()
