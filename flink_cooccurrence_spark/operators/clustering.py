@@ -28,6 +28,10 @@ the generated DuckDB SQL, :func:`kmeans_sql`):
   An EMPTY cluster keeps its previous centroid.
 - ``n_iter`` full (assign, update) rounds, then one final assignment
   against the last centroids — the returned table.
+- Zero-norm vectors are UNDEFINED (their cosine is NaN, and NaN argmax
+  order differs between engines) — the similarity family's standing
+  contract (``similarity.py`` divides by norms everywhere); embedding
+  pipelines never emit the zero vector.
 
 Scale shape: each iteration is one map-only assignment (centroids ride
 as ≤ k·dim literals — no join, no shuffle) plus one

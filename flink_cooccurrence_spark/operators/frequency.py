@@ -81,17 +81,17 @@ def _mg_candidates(key: str, capacity: int):
             if len(counters) > 4 * capacity:
                 counters = _mg_trim(counters, capacity)
         counters = _mg_trim(counters, capacity)
-        out = pd.DataFrame(
+        # two separate yields (not a concat): concatenating the all-NA
+        # marker row onto the candidates frame trips pandas' dtype-
+        # inference FutureWarning; Arrow converts each frame independently
+        yield pd.DataFrame(
             {
                 key: counters.index,
                 "is_total": False,
                 "n": counters.values,
             }
         )
-        total = pd.DataFrame(
-            {key: [None], "is_total": [True], "n": [n_rows]}
-        )
-        yield pd.concat([out, total], ignore_index=True)
+        yield pd.DataFrame({key: [None], "is_total": [True], "n": [n_rows]})
 
     return worker
 

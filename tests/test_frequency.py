@@ -89,3 +89,14 @@ def test_default_threshold_items(spark, sf_dir):
     got = _got(inter, "item", DEFAULT_MIN_SHARE_PERMILLE)
     n_items = inter.distinct().count()
     assert 0 < len(got) < n_items
+
+
+def test_long_key_with_nulls_roundtrips_arrow(spark):
+    """A nullable LONG key turns float64+NaN inside the pandas worker —
+    the NaN must merge as ONE counter label across batches (pandas aligns
+    NaN index labels) and round-trip Arrow back to a NULL bigint key."""
+    rows = [(1,)] * 400 + [(None,)] * 300 + [(i + 10,) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long").repartition(6)
+    got = _got(df, "k", 100)
+    assert got == _exact(spark, df, "k", 100)
+    assert got[None] == (300, 0.3)
