@@ -526,6 +526,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # same oracle SQL as dedup_exact / minhash_lsh_dup_pairs
     "streaming_dedup_exact": lambda s, d: _dedup_stream_engine(s, d).exact_log(),
     "streaming_dedup_pairs": lambda s, d: _dedup_stream_engine(s, d).dup_pairs(),
+    # online LOCAL-overlap detection (winnow fp_index): the accumulated
+    # log equals the batch winnow_overlap_pairs — same oracle SQL
+    "streaming_winnow_pairs": lambda s, d: _dedup_stream_engine(
+        s, d
+    ).overlap_pairs(),
     # continuous writeStream job — bit-identical to streaming_sampled_matrix
     "streaming_sampled_native": q_streaming_sampled_native,
     # grid-partitioned exact-KNN plan (no query-side broadcast)

@@ -37,14 +37,26 @@ with the same bucket pruning as before; when the segment count passes
 ``begin_compact_append``) — O(|state|) but amortized AND off the batch
 latency path: no micro-batch ever stalls behind the index rewrite.
 
-Per micro-batch, in order: one eager checkpoint of the minhash pass (the
-batch's heavy lifting, consumed by four plans), ONE combined stats action
+A third index (round 8) extends the same design to LOCAL overlap:
+``fp_index`` holds the winnowing fingerprints (``operators/winnow.py``) of
+every seen document — (fp_hash, doc_id) postings, hash-bucketed,
+append-only with the same background compaction. Each batch's documents
+are fingerprinted once (state-free window-min pass, eager-checkpointed)
+and joined within-batch ∪ batch×index; the pair log carries ``n_shared``
+(distinct shared fingerprint hashes). This is the online form of
+plagiarism/quote/boilerplate-run detection — shared token runs ≥ w+k−1
+guaranteed caught — which neither the exact hash (whole-document) nor the
+MinHash index (global similarity) can see.
+
+Per micro-batch, in order: one eager checkpoint each of the minhash and
+winnow passes (the batch's heavy lifting), ONE combined stats action
 (row count + changed-bucket collect_sets — same single-auxiliary-action
 budget as the cooccurrence engine), the exact-dedup join + MERGE, the
 near-dup candidate join (within-batch ∪ batch×state) + pair emission +
-band-index MERGE. Outputs are append-only per-batch parquet logs (idempotent
-per-batch overwrite); state publishes via the store's commit/rollback
-transaction with re-delivered batches skipped by high-water mark.
+band-index MERGE, the overlap join + emission + fp-index append. Outputs
+are append-only per-batch parquet logs (idempotent per-batch overwrite);
+state publishes via the store's commit/rollback transaction with
+re-delivered batches skipped by high-water mark.
 
 Emission semantics and batch parity:
 
@@ -80,9 +92,16 @@ from flink_cooccurrence_spark.operators.dedup import (
     minhash_sig_array,
     sig_bands,
 )
+from flink_cooccurrence_spark.operators.winnow import winnow_fingerprints
 from flink_cooccurrence_spark.streaming.state import StateStore
 
 SEEN_HASHES_SCHEMA = "text_hash string, canonical_id long"
+
+#: winnowing fingerprint index — (fp_hash, doc_id) postings, bucketed by
+#: the fingerprint hash; the online form of ``winnow_overlap_pairs``'s
+#: inverted index (LOCAL overlap: shared runs ≥ w+k−1 tokens — the third
+#: dedup axis next to exact hashes and MinHash global similarity)
+FP_INDEX_SCHEMA = "fp_hash long, doc_id long"
 #: signatures are BIGINT (``minhash_col`` is exact mod-p arithmetic on
 #: 64-bit values) — declaring int here crashed every state read-back, the
 #: bug the stream==batch gates in ``tests/test_streaming_dedup.py`` caught
@@ -130,6 +149,7 @@ class DedupStreamEngine:
         self.state = StateStore(spark, os.path.join(self.workdir, "state"))
         self._exact_dir = os.path.join(self.workdir, "exact_log")
         self._pairs_dir = os.path.join(self.workdir, "pairs_log")
+        self._overlap_dir = os.path.join(self.workdir, "overlap_log")
         # a restarted engine must keep the bucketing its state was written
         # with — the persisted value wins over the constructor arg
         persisted = self.state.get_scalar("state_buckets", 0)
@@ -138,8 +158,9 @@ class DedupStreamEngine:
         else:
             self.state.set_scalar("state_buckets", int(self.state_buckets))
             self.state.commit()
-        # the batch's four writes (exact log, seen append, pairs log, band
-        # append) are mutually independent — each reads plans bound to the
+        # the batch's six writes (exact log, seen append, pairs log, band
+        # append, overlap log, fp-index append) are mutually independent —
+        # each reads plans bound to the
         # PRE-batch state segments and touches only its own dir/pointer —
         # so they overlap as concurrent Spark jobs (same pattern and drain
         # discipline as the cooccurrence engine's write pool)
@@ -150,7 +171,7 @@ class DedupStreamEngine:
         self._cached: list = []
         #: pipelined-replay continuation (same design as the cooccurrence
         #: engine, single barrier): (batch_id, cached frames) of a batch
-        #: whose four writes are in flight and whose commit is owed. The
+        #: whose six writes are in flight and whose commit is owed. The
         #: NEXT batch settles it right after its own heavy head (minhash
         #: localCheckpoint + stats action — pure batch functions that read
         #: no state), which is exactly before its first state read; this
@@ -221,7 +242,7 @@ class DedupStreamEngine:
             self.state.rollback()
             import shutil
 
-            for d in (self._exact_dir, self._pairs_dir):
+            for d in (self._exact_dir, self._pairs_dir, self._overlap_dir):
                 shutil.rmtree(
                     os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
                 )
@@ -292,7 +313,7 @@ class DedupStreamEngine:
             # log rows that disagree with the rolled-back state
             import shutil
 
-            for d in (self._exact_dir, self._pairs_dir):
+            for d in (self._exact_dir, self._pairs_dir, self._overlap_dir):
                 shutil.rmtree(
                     os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
                 )
@@ -329,6 +350,7 @@ class DedupStreamEngine:
     #: grouped min over (_bucket, text_hash) is the exact canonical-id fold
     _COMPACT_SPECS = (
         ("band_index", BAND_INDEX_SCHEMA, None),
+        ("fp_index", FP_INDEX_SCHEMA, None),
         (
             "seen_hashes",
             SEEN_HASHES_SCHEMA,
@@ -487,6 +509,15 @@ class DedupStreamEngine:
             self._pairs_dir, "doc_a long, doc_b long, est_jaccard double"
         )
 
+    def overlap_pairs(self) -> DataFrame:
+        """(doc_a, doc_b, n_shared) — winnowing LOCAL-overlap pairs, each
+        discovered in the batch where its later document arrived; the
+        accumulated log equals ``winnow_overlap_pairs`` on the full
+        corpus under any batch slicing."""
+        return self._read_log(
+            self._overlap_dir, "doc_a long, doc_b long, n_shared long"
+        )
+
     def _read_log(self, log_dir: str, schema: str) -> DataFrame:
         """Empty only when NO batch has emitted yet — a real read failure
         (corrupt file, permissions) must surface, not read as 'no output'."""
@@ -529,6 +560,18 @@ class DedupStreamEngine:
         sigs = minhash_sig_array(docs).localCheckpoint(eager=True)
         batch_bands = sig_bands(sigs)
 
+        # winnow fingerprints — the batch's second heavy state-free pass
+        # (doc-keyed lead/window-min), distinct to the HASH level here: the
+        # index, both overlap joins, and the posting append all consume the
+        # per-(doc, hash) set, never positions. Same eager-checkpoint
+        # treatment as the minhash pass (three consumers).
+        batch_fps = (
+            winnow_fingerprints(docs)
+            .select("doc_id", "fp_hash")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
         # ONE auxiliary action: batch size + the changed-bucket sets
         # driving every partitioned state read and MERGE below
         stats = (
@@ -539,6 +582,11 @@ class DedupStreamEngine:
             .crossJoin(
                 batch_bands.agg(
                     F.collect_set(_band_bucket(self.state_buckets)).alias("band_buckets")
+                )
+            )
+            .crossJoin(
+                batch_fps.agg(
+                    F.collect_set(_hash_bucket("fp_hash", self.state_buckets)).alias("fp_buckets")
                 )
             )
             .first()
@@ -553,8 +601,10 @@ class DedupStreamEngine:
         return (
             hashed,
             batch_bands,
+            batch_fps,
             sorted(stats["hash_buckets"]),
             sorted(stats["band_buckets"]),
+            sorted(stats["fp_buckets"]),
         )
 
     def _emit(
@@ -562,8 +612,10 @@ class DedupStreamEngine:
         batch_id: int,
         hashed: DataFrame,
         batch_bands: DataFrame,
+        batch_fps: DataFrame,
         hash_buckets: list[int],
         band_buckets: list[int],
+        fp_buckets: list[int],
     ) -> None:
         """State reads + plan construction + the four async submissions.
         Runs strictly AFTER the settle, so the state appends it reads are
@@ -685,6 +737,54 @@ class DedupStreamEngine:
                 lambda: self.state.append_parts(
                     "band_index", band_posting, band_buckets
                 )
+            )
+
+        # -- LOCAL overlap (winnow fingerprint index join, pruned to the
+        # batch's fp buckets): same discovered-once protocol as the LSH
+        # pairs — a pair emits in the batch where its LATER document
+        # arrives, so the accumulated log equals winnow_overlap_pairs on
+        # the full corpus under any batch slicing --------------------------
+        if fp_buckets:
+            state_fps = self.state.get_append(
+                "fp_index", FP_INDEX_SCHEMA, fp_buckets
+            )
+            bf = batch_fps.select("fp_hash", F.col("doc_id").alias("n_id"))
+            within_fp = (
+                bf.alias("x")
+                .join(bf.alias("y"), on="fp_hash")
+                .filter(F.col("x.n_id") < F.col("y.n_id"))
+                .select(
+                    F.col("x.n_id").alias("doc_a"),
+                    F.col("y.n_id").alias("doc_b"),
+                )
+            )
+            cross_fp = (
+                bf.join(state_fps, on="fp_hash")
+                # same re-delivered-doc self-pair guard as the band join
+                .filter(F.col("n_id") != F.col("doc_id"))
+                .select(
+                    F.least(F.col("n_id"), F.col("doc_id")).alias("doc_a"),
+                    F.greatest(F.col("n_id"), F.col("doc_id")).alias("doc_b"),
+                )
+            )
+            # one row per SHARED HASH (both sides are hash-distinct per
+            # doc), so the count IS n_shared — identical to the batch
+            # operator's distinct-fingerprint count
+            overlaps = (
+                within_fp.unionByName(cross_fp)
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").cast("long").alias("n_shared"))
+            )
+            self._submit_write(
+                lambda: overlaps.write.mode("overwrite").parquet(
+                    os.path.join(self._overlap_dir, f"batch-{batch_id}")
+                )
+            )
+            fp_posting = batch_fps.withColumn(
+                "_bucket", _hash_bucket("fp_hash", self.state_buckets)
+            )
+            self._submit_write(
+                lambda: self.state.append_parts("fp_index", fp_posting, fp_buckets)
             )
 
         # LSM compaction is NOT run here: the threshold check happens after

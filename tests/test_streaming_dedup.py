@@ -586,3 +586,39 @@ def test_compaction_churn_every_batch_stays_bit_identical(spark, docs, tmp_path)
     assert _rows(eng.dup_pairs()) == _rows(minhash_lsh_dup_pairs(sub, THRESHOLD))
     for table in ("band_index", "seen_hashes"):
         assert eng.state.append_segment_count(table) <= 2
+
+
+def test_winnow_overlap_union_invariant_under_slicings(spark, docs, tmp_path):
+    """Round-8 third index: the accumulated winnow LOCAL-overlap log (pair
+    set AND n_shared values) equals the batch winnow_overlap_pairs under
+    any batch slicing — same discovered-once protocol as the LSH pairs."""
+    from flink_cooccurrence_spark.operators.winnow import winnow_overlap_pairs
+
+    exp = _rows(winnow_overlap_pairs(docs))
+    assert exp, "corpus has no winnow overlaps — test proves nothing"
+    for i, per in enumerate((10**9, 90)):
+        eng = DedupStreamEngine(
+            spark, workdir=str(tmp_path / f"wslice{i}"), threshold=THRESHOLD
+        )
+        eng.replay(docs, docs_per_batch=per)
+        assert _rows(eng.overlap_pairs()) == exp, f"slicing {per} diverged"
+        eng.close()
+
+
+def test_winnow_overlap_survives_kill_restart(spark, docs, tmp_path):
+    """The fp_index rides the same transaction as the other state tables:
+    replay half, build a NEW engine on the workdir (checkpoint-recovery
+    shape), replay the rest — the accumulated log equals the batch
+    operator and no pair is emitted twice."""
+    from flink_cooccurrence_spark.operators.winnow import winnow_overlap_pairs
+
+    half = docs.count() // 2
+    eng1 = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    eng1.replay(docs.filter(F.col("doc_id") < half), docs_per_batch=100)
+    eng1.close()
+    eng2 = DedupStreamEngine(spark, workdir=str(tmp_path), threshold=THRESHOLD)
+    eng2.replay(docs.filter(F.col("doc_id") >= half), docs_per_batch=100)
+    got = _rows(eng2.overlap_pairs())
+    eng2.close()
+    assert got == _rows(winnow_overlap_pairs(docs))
+    assert len(got) == len({(a, b) for a, b, _ in got})  # no pair twice
