@@ -563,14 +563,16 @@ class DedupStreamEngine:
         # winnow fingerprints — the batch's second heavy state-free pass
         # (doc-keyed lead/window-min), distinct to the HASH level here: the
         # index, both overlap joins, and the posting append all consume the
-        # per-(doc, hash) set, never positions. Same eager-checkpoint
-        # treatment as the minhash pass (three consumers).
+        # per-(doc, hash) set, never positions. LAZY persist (the stats
+        # action below fills it — same pattern as ``canon``): an eager
+        # localCheckpoint here would cost one extra Spark job per batch
         batch_fps = (
             winnow_fingerprints(docs)
             .select("doc_id", "fp_hash")
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        self._cached.append(batch_fps)
 
         # ONE auxiliary action: batch size + the changed-bucket sets
         # driving every partitioned state read and MERGE below
