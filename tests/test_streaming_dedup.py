@@ -584,7 +584,10 @@ def test_compaction_churn_every_batch_stays_bit_identical(spark, docs, tmp_path)
     eng.close()
     assert _rows(eng.exact_log()) == _rows(exact_duplicates(sub))
     assert _rows(eng.dup_pairs()) == _rows(minhash_lsh_dup_pairs(sub, THRESHOLD))
-    for table in ("band_index", "seen_hashes"):
+    from flink_cooccurrence_spark.operators.winnow import winnow_overlap_pairs
+
+    assert _rows(eng.overlap_pairs()) == _rows(winnow_overlap_pairs(sub))
+    for table in ("band_index", "seen_hashes", "fp_index"):
         assert eng.state.append_segment_count(table) <= 2
 
 
