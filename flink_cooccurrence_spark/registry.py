@@ -384,7 +384,13 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_item_counts": q_sliding_item_counts,
     "session_item_counts": q_session_item_counts,
     "interaction_rollup": q_interaction_rollup,
-    "prev_interaction": q_prev_interaction,
+    # round-8 rotation: prev_interaction (a plain lag window — the window
+    # family stays covered by sliding/session/rollup rows) demoted to
+    # pytest-only; the two-pass heavy-hitter skew detector takes its seat
+    "heavy_hitter_items": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.frequency",
+        fromlist=["heavy_hitters"],
+    ).heavy_hitters(_interactions(s, d).select("item"), "item"),
     "active_customers": q_active_customers,
     "event_props_struct": q_event_props_struct,
     "rollup_cascade": q_rollup_cascade,
@@ -444,9 +450,19 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_cut": lambda s, d: _dedup.ngram_jaccard_pairs(
         _documents(s, d), max_doc_freq=5
     ),
-    "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
+    # round-8 rotation: the signature/fingerprint HALVES of the two
+    # sketch pipelines demoted to pytest-only (their pair queries compute
+    # them transitively); the k-means assignment and the winnowing
+    # local-overlap detector take their seats
+    "kmeans_assign": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.clustering",
+        fromlist=["kmeans_assign"],
+    ).kmeans_assign(_embeddings(s, d)),
     "minhash_lsh_dup_pairs": lambda s, d: _dedup.minhash_lsh_dup_pairs(_documents(s, d)),
-    "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
+    "winnow_overlap_pairs": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.winnow",
+        fromlist=["winnow_overlap_pairs"],
+    ).winnow_overlap_pairs(_documents(s, d)),
     "simhash_near_dup_pairs": lambda s, d: _dedup.simhash_near_dup_pairs(_documents(s, d)),
     "embedding_near_dup_pairs": lambda s, d: _dedup.embedding_near_dup_pairs(_embeddings(s, d)),
     "dup_clusters": lambda s, d: _dedup.dup_clusters(_documents(s, d)),
@@ -621,16 +637,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         _documents(s, d).filter(F.col("doc_id") % 13 == 0),
     ),
     # winnowing fingerprints (operators/winnow.py, the MOSS scheme): the
-    # LOCAL-overlap detector (shared runs >= w+k-1 tokens guaranteed
-    # caught) whole-document MinHash/SimHash cannot provide
+    # per-doc fingerprint set behind the LOCAL-overlap detector (the pair
+    # query itself is a DRIVER row since the round-8 rotation)
     "winnow_fingerprints": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.winnow",
         fromlist=["winnow_fingerprints"],
     ).winnow_fingerprints(_documents(s, d)),
-    "winnow_overlap_pairs": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.winnow",
-        fromlist=["winnow_overlap_pairs"],
-    ).winnow_overlap_pairs(_documents(s, d)),
     # bloom-prefiltered decontamination: identical results through the
     # over-broadcast-size physical plan (broadcast bloom BITSET + shuffled
     # survivors join, functions/bloom.py) — same oracle SQL as the exact
@@ -716,23 +728,19 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "shard_manifest": lambda s, d: __import__(
         "flink_cooccurrence_spark.plans.corpus", fromlist=["shard_manifest"]
     ).shard_manifest(_documents(s, d)),
-    # exact two-pass heavy hitters (operators/frequency.py): Misra-Gries
-    # candidate sweep (map-only) -> exact verify of candidates only — the
-    # skew detector that feeds the salting lever; oracle is the plain
-    # GROUP BY + HAVING (the sweep is physical strategy, not semantics)
-    "heavy_hitter_items": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.frequency",
-        fromlist=["heavy_hitters"],
-    ).heavy_hitters(_interactions(s, d).select("item"), "item"),
+    # round-8 rotation: the derivable halves demoted off the driver
+    # surface (minhash_lsh_dup_pairs / simhash_near_dup_pairs compute the
+    # signatures transitively; prev_interaction is a plain lag window) —
+    # the identical oracle gate continues here so nothing is un-checked
+    "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
+    "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
+    "prev_interaction": q_prev_interaction,
     # k-means over embeddings (operators/clustering.py): spherical Lloyd
     # iterations with integer micro-sum centroid updates — oracle-exact
     # against the unrolled-CTE DuckDB twin; cells is the occupancy /
     # coherence summary; the clustered SemDeDup is the published pipeline
-    # (k-means partition → cell-local cosine near-dups → keep min rep)
-    "kmeans_assign": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.clustering",
-        fromlist=["kmeans_assign"],
-    ).kmeans_assign(_embeddings(s, d)),
+    # (k-means partition → cell-local cosine near-dups → keep min rep);
+    # kmeans_assign itself is a DRIVER row since the round-8 rotation
     "kmeans_cells": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.clustering",
         fromlist=["kmeans_cells"],
