@@ -111,6 +111,7 @@ def winnow_overlap_pairs(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     min_shared: int = 1,
+    max_hash_freq: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): document pairs sharing ≥ ``min_shared``
     distinct fingerprint hashes. By the winnowing guarantee every pair
@@ -118,10 +119,30 @@ def winnow_overlap_pairs(
     ``min_shared = 1``; raising it trades the guarantee for precision.
 
     Inverted-index join on the fingerprint hash (the ``ngram_jaccard``
-    candidate shape, ~(w+1)/2× smaller index)."""
+    candidate shape, ~(w+1)/2× smaller index).
+
+    ``max_hash_freq`` is the HOT-FINGERPRINT cut — the same skew lever
+    (and the same honesty contract) as ``ngram_jaccard_pairs``'
+    ``max_doc_freq``: a boilerplate run shared by d documents puts its
+    fingerprint in d postings and the join fans out d² pairs; dropping
+    hashes with document frequency > ``max_hash_freq`` bounds the
+    fan-out at the cost of a RECALL LOWER BOUND (pairs whose overlap is
+    exclusively boilerplate-hot runs are missed — usually the point:
+    boilerplate is what the line-scrub family removes, not a dedup
+    signal). Default off so the operator stays exact; n_shared for
+    surviving pairs counts only non-hot hashes (the oracle mirrors the
+    cut)."""
     fp = winnow_fingerprints(documents, k, w).select(
         "doc_id", "fp_hash"
     ).distinct()
+    if max_hash_freq is not None:
+        rare = (
+            fp.groupBy("fp_hash")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_hash_freq)
+            .select("fp_hash")
+        )
+        fp = fp.join(rare, on="fp_hash")
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
     return (
@@ -180,14 +201,26 @@ def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
 
 
 def winnow_overlap_pairs_sql(
-    k: int = WINNOW_K, w: int = WINNOW_W, min_shared: int = 1
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 1,
+    max_hash_freq: int | None = None,
 ) -> str:
+    cut = ""
+    if max_hash_freq is not None:
+        cut = f""",
+rare AS (
+  SELECT fp_hash FROM hashes GROUP BY fp_hash
+  HAVING COUNT(*) <= {max_hash_freq}
+)"""
+    src = "hashes JOIN rare USING (fp_hash)" if max_hash_freq is not None else "hashes"
     return f"""
 WITH {_fp_sql(k, w)},
-hashes AS (SELECT DISTINCT doc_id, fp_hash FROM fps)
+hashes AS (SELECT DISTINCT doc_id, fp_hash FROM fps){cut},
+kept AS (SELECT doc_id, fp_hash FROM {src})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM hashes a JOIN hashes b
+FROM kept a JOIN kept b
   ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 HAVING COUNT(*) >= {min_shared}

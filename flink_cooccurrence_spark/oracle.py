@@ -1547,6 +1547,7 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
 
     o["winnow_fingerprints"] = wn.winnow_fingerprints_sql()
     o["winnow_overlap_pairs"] = wn.winnow_overlap_pairs_sql()
+    o["winnow_overlap_cut"] = wn.winnow_overlap_pairs_sql(max_hash_freq=2)
     # the streaming fp_index accumulates the identical pair set — the
     # same discovered-once protocol as streaming_dedup_pairs
     o["streaming_winnow_pairs"] = wn.winnow_overlap_pairs_sql()

@@ -643,6 +643,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.winnow",
         fromlist=["winnow_fingerprints"],
     ).winnow_fingerprints(_documents(s, d)),
+    # the hot-fingerprint cut live (df > 2 fires at every test SF) — the
+    # boilerplate-run d^2 fan-out lever, same honesty contract as
+    # ngram_jaccard_cut (recall lower bound, oracle mirrors the cut)
+    "winnow_overlap_cut": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.winnow",
+        fromlist=["winnow_overlap_pairs"],
+    ).winnow_overlap_pairs(_documents(s, d), max_hash_freq=2),
     # bloom-prefiltered decontamination: identical results through the
     # over-broadcast-size physical plan (broadcast bloom BITSET + shuffled
     # survivors join, functions/bloom.py) — same oracle SQL as the exact

@@ -124,3 +124,22 @@ def test_position_overflow_raises_not_corrupts(spark, monkeypatch):
 
     with _pytest.raises(Exception, match="raise POS_SHIFT"):
         W.winnow_fingerprints(df).collect()
+
+
+def test_hot_hash_cut_is_a_recall_lower_bound(spark, sf_dir):
+    """max_hash_freq: the cut result's pair set is a SUBSET of the exact
+    result (never invents pairs), n_shared never grows, and the cut
+    actually bites at test SF (df > 2 hashes exist) — the ngram_jaccard
+    hot-shingle honesty contract, fingerprint edition."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(docs).collect()
+    }
+    cut = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(docs, max_hash_freq=2).collect()
+    }
+    assert set(cut) <= set(exact)
+    assert all(cut[p] <= exact[p] for p in cut)
+    assert cut != exact, "cut never fired — lower max_hash_freq"
