@@ -786,6 +786,8 @@ HEADLINE_QUERIES = [
     "cooccurrence_counts_salted",
     "minhash_lsh_dup_pairs",
     "ngram_jaccard_cut",
+    # round-8 driver flagship: the winnowing local-overlap detector
+    "winnow_overlap_pairs",
     "dup_clusters",
     # the O(log² n)-round components backend — the 100-TB default; on the
     # bench so its round structure is under fingerprint + timing watch
