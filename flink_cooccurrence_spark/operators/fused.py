@@ -1,0 +1,150 @@
+"""Fused single-pass token frame for the streaming dedup engine.
+
+The engine's batch head needs two per-document sketches of every arriving
+micro-batch: the MinHash signature (3-gram shingles,
+``operators/dedup.py:minhash_sig_array``) and the winnowing fingerprint
+set (4-gram packed window-min keys,
+``operators/winnow.py:winnow_fingerprints``). Built independently, each
+runs its own tokenize -> posexplode -> lead-window pass — two full scans,
+two shuffles on doc_id, two sorts by token position, over the SAME batch
+documents (the round-8 ``dedup_replay`` cost growth).
+
+``fused_token_pass`` computes both derived columns under ONE window spec:
+one explode, one shuffle, one sort, emitting a compact numeric frame
+(doc_id, pos0, sh_hash, key). The two sketches then derive from it with
+no further wide operations — the min-aggregation (signatures) and the
+window-min (fingerprints) both run on the fused frame's preserved
+doc_id partitioning / pos0 ordering.
+
+Bit-identity to the batch operators is a hard contract (the streaming
+engine's stream==batch gates assume it) and is pinned by
+``tests/test_fused.py``:
+
+- signatures: ``minhash_col`` is a deterministic function of the shingle
+  hash, so ``min`` over the multiset of shingle hashes equals ``min``
+  over its distinct set — skipping ``doc_shingles``' DISTINCT is exact.
+- fingerprints: identical packed-key construction (``hash32(gram) *
+  2^pos_shift + pos``, 1-based pos), identical window frames, identical
+  valid-window filter, including the loud in-expression raise past
+  ``2^pos_shift`` k-grams.
+
+Reference scope: the reference engine has no dedup surface — this module
+serves the training-data-pipeline extension (SURVEY.md §2 addenda).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import (
+    hash32,
+    minhash_col,
+    minhash_params,
+)
+from flink_cooccurrence_spark.operators.dedup import MINHASH_SEED, NUM_HASHES
+from flink_cooccurrence_spark.operators.textstats import _tokens
+from flink_cooccurrence_spark.operators.winnow import (
+    POS_SHIFT,
+    WINNOW_K,
+    WINNOW_W,
+)
+
+
+def fused_token_pass(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = WINNOW_K,
+    pos_shift: int = POS_SHIFT,
+) -> DataFrame:
+    """(doc_id, pos0, sh_hash, key): one row per token position.
+
+    ``sh_hash`` is ``hash32`` of the n-gram shingle starting at this
+    position (NULL in the trailing n-1 positions where no full shingle
+    exists); ``key`` is the winnow packed k-gram key ``hash32(gram) *
+    2^pos_shift + (pos0+1)`` (NULL in the trailing k-1 positions). One
+    tokenize + one posexplode + one lead-window pass; both sketch
+    derivations below consume this frame shuffle-free.
+    """
+    pos_mod = 1 << pos_shift
+    words = documents.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos0")
+    depth = max(n, k)
+    leads = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, depth)]
+    shingle = F.concat_ws(" ", *leads[:n])
+    gram = F.concat_ws(" ", *leads[:k])
+    pos = F.col("pos0") + 1
+    # the winnow guard lives INSIDE the key branch (same failure mode as
+    # operators/winnow.py): a position past 2^pos_shift would silently
+    # corrupt packed keys — fail loudly; trailing invalid rows never
+    # evaluate the branch, matching the batch operator's filter-first order
+    safe_pos = F.when(
+        pos >= F.lit(pos_mod),
+        F.raise_error(
+            F.concat(
+                F.lit("winnow: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" exceeds 2^{pos_shift} k-grams — raise pos_shift"),
+            )
+        ).cast("int"),
+    ).otherwise(pos)
+    return words.select(
+        "doc_id",
+        "pos0",
+        F.when(leads[n - 1].isNotNull(), hash32(shingle)).alias("sh_hash"),
+        F.when(
+            leads[k - 1].isNotNull(),
+            hash32(gram) * F.lit(pos_mod) + safe_pos,
+        ).alias("key"),
+    )
+
+
+def fused_minhash_sigs(fused: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) — bit-identical to
+    ``minhash_sig_array`` (pinned by tests): min of the universal-hash
+    family over the shingle-hash stream, distinct-ness irrelevant to min."""
+    params = minhash_params(NUM_HASHES, MINHASH_SEED)
+    sh = fused.filter(F.col("sh_hash").isNotNull())
+    aggs = [
+        F.min(minhash_col(F.col("sh_hash"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig"),
+    )
+
+
+def fused_winnow_fps(
+    fused: DataFrame,
+    w: int = WINNOW_W,
+    pos_shift: int = POS_SHIFT,
+) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos) — bit-identical to
+    ``winnow_fingerprints`` (pinned by tests). The window-min and the
+    whole-document max reuse the fused frame's doc_id partitioning and
+    pos0 ordering — no additional exchange."""
+    pos_mod = 1 << pos_shift
+    keyed = fused.filter(F.col("key").isNotNull()).select(
+        "doc_id", "pos0", "key"
+    )
+    kwin = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, w - 1)
+    full = Window.partitionBy("doc_id")
+    sel = keyed.select(
+        "doc_id",
+        "pos0",
+        F.min("key").over(kwin).alias("winmin"),
+        F.max("pos0").over(full).alias("max_p"),
+    ).filter(
+        # valid window starts; a short document (< w k-grams) keeps one
+        # whole-document window anchored at the first k-gram (pos0 == 0)
+        (F.col("pos0") <= F.col("max_p") - F.lit(w - 1)) | (F.col("pos0") == 0)
+    )
+    return sel.select(
+        "doc_id",
+        F.expr(f"winmin div {pos_mod}").alias("fp_hash"),
+        (F.col("winmin") % F.lit(pos_mod)).cast("int").alias("fp_pos"),
+    ).distinct()

@@ -41,19 +41,21 @@ A third index (round 8) extends the same design to LOCAL overlap:
 ``fp_index`` holds the winnowing fingerprints (``operators/winnow.py``) of
 every seen document — (fp_hash, doc_id) postings, hash-bucketed,
 append-only with the same background compaction. Each batch's documents
-are fingerprinted once (state-free window-min pass, eager-checkpointed)
-and joined within-batch ∪ batch×index; the pair log carries ``n_shared``
-(distinct shared fingerprint hashes). This is the online form of
-plagiarism/quote/boilerplate-run detection — shared token runs ≥ w+k−1
-guaranteed caught — which neither the exact hash (whole-document) nor the
-MinHash index (global similarity) can see.
+are fingerprinted once and joined within-batch ∪ batch×index; the pair
+log carries ``n_shared`` (distinct shared fingerprint hashes). This is
+the online form of plagiarism/quote/boilerplate-run detection — shared
+token runs ≥ w+k−1 guaranteed caught — which neither the exact hash
+(whole-document) nor the MinHash index (global similarity) can see.
 
-Per micro-batch, in order: one eager checkpoint each of the minhash and
-winnow passes (the batch's heavy lifting), ONE combined stats action
-(row count + changed-bucket collect_sets — same single-auxiliary-action
-budget as the cooccurrence engine), the exact-dedup join + MERGE, the
-near-dup candidate join (within-batch ∪ batch×state) + pair emission +
-band-index MERGE, the overlap join + emission + fp-index append. Outputs
+Per micro-batch, in order: the FUSED tokenize/window pass
+(``operators/fused.py`` — one explode + one doc_id shuffle feeding both
+the minhash signatures and the winnow fingerprints; round 8 ran these as
+two separate full passes), ONE combined stats action (row count +
+changed-bucket collect_sets — same single-auxiliary-action budget as the
+cooccurrence engine — which also fills the head's lazy persists in the
+same Spark job), the exact-dedup join + MERGE, the near-dup candidate
+join (within-batch ∪ batch×state) + pair emission + band-index MERGE,
+the overlap join + emission + fp-index append. Outputs
 are append-only per-batch parquet logs (idempotent per-batch overwrite);
 state publishes via the store's commit/rollback transaction with
 re-delivered batches skipped by high-water mark.
@@ -87,12 +89,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_cooccurrence_spark.operators.dedup import (
-    est_jaccard,
-    minhash_sig_array,
-    sig_bands,
+from flink_cooccurrence_spark.operators.dedup import est_jaccard, sig_bands
+from flink_cooccurrence_spark.operators.fused import (
+    fused_minhash_sigs,
+    fused_token_pass,
+    fused_winnow_fps,
 )
-from flink_cooccurrence_spark.operators.winnow import winnow_fingerprints
 from flink_cooccurrence_spark.streaming.state import StateStore
 
 SEEN_HASHES_SCHEMA = "text_hash string, canonical_id long"
@@ -539,10 +541,11 @@ class DedupStreamEngine:
     # --------------------------------------------------------------- stages
 
     def _batch_head(self, docs: DataFrame):
-        """The batch's heavy, state-free head: minhash materialization +
-        the ONE auxiliary stats action. Runs BEFORE the pipelined settle —
-        nothing here reads a state table, so the predecessor's in-flight
-        writes overlap it. Scalars are staged (applied post-settle)."""
+        """The batch's heavy, state-free head: the fused tokenize/window
+        pass + the ONE auxiliary stats action. Runs BEFORE the pipelined
+        settle — nothing here reads a state table, so the predecessor's
+        in-flight writes overlap it. Scalars are staged (applied
+        post-settle)."""
         # NULL text folds to '' (the batch operator's convention): md5(NULL)
         # is NULL, and the null-unsafe hash join below would silently drop
         # the document from the exact log despite "one row per processed
@@ -552,27 +555,27 @@ class DedupStreamEngine:
             "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
         )
 
-        # the batch's heavy pass (shingle explode → 32-way min agg) feeds
-        # the stats action, the pair join, and the band MERGE — materialize
-        # once, executor-local (the durable copy is the band_index MERGE).
-        # Signature/band construction is the SAME code the batch operators
-        # run (operators/dedup.py) — stream==batch parity is structural.
-        sigs = minhash_sig_array(docs).localCheckpoint(eager=True)
+        # THE batch's one heavy pass: the fused tokenize/explode/window
+        # frame feeds BOTH sketches (round 8 ran the minhash and winnow
+        # passes separately — two full scans + shuffles over the same
+        # documents per batch). All three frames lazy-persist; the single
+        # stats action below fills them in one Spark job. Bit-identity of
+        # each derivation to its batch operator (minhash_sig_array /
+        # winnow_fingerprints) is pinned by tests/test_fused.py, so
+        # stream==batch parity still holds structurally.
+        fused = fused_token_pass(docs).persist()
+        sigs = fused_minhash_sigs(fused).persist()
         batch_bands = sig_bands(sigs)
-
-        # winnow fingerprints — the batch's second heavy state-free pass
-        # (doc-keyed lead/window-min), distinct to the HASH level here: the
-        # index, both overlap joins, and the posting append all consume the
-        # per-(doc, hash) set, never positions. LAZY persist (the stats
-        # action below fills it — same pattern as ``canon``): an eager
-        # localCheckpoint here would cost one extra Spark job per batch
+        # fingerprints distinct to the HASH level here: the index, both
+        # overlap joins, and the posting append all consume the
+        # per-(doc, hash) set, never positions
         batch_fps = (
-            winnow_fingerprints(docs)
+            fused_winnow_fps(fused)
             .select("doc_id", "fp_hash")
             .distinct()
             .persist()
         )
-        self._cached.append(batch_fps)
+        self._cached.extend([fused, sigs, batch_fps])
 
         # ONE auxiliary action: batch size + the changed-bucket sets
         # driving every partitioned state read and MERGE below

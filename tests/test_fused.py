@@ -1,0 +1,93 @@
+"""Bit-identity gates for the fused token pass (``operators/fused.py``).
+
+The streaming dedup engine builds its minhash signatures and winnow
+fingerprints from ONE fused tokenize/window pass per batch; its
+stream==batch contracts hold only if each derivation is bit-identical to
+the batch operator it replaces. Pinned here on the real corpus plus the
+edge fixtures the batch operators document (NULL text, sub-shingle-length
+documents)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.dedup import minhash_sig_array
+from flink_cooccurrence_spark.operators.fused import (
+    fused_minhash_sigs,
+    fused_token_pass,
+    fused_winnow_fps,
+)
+from flink_cooccurrence_spark.operators.winnow import winnow_fingerprints
+from flink_cooccurrence_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    """The degenerate shapes the batch operators document: NULL text,
+    empty text, one token (< any gram), exactly k tokens (one k-gram —
+    the whole-document-window anchor), k+w-2 tokens (short-doc branch)."""
+    return spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one"),
+            (4, "a b c d"),
+            (5, "a b c d e f"),
+            (6, "x y z x y z x y z x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_sigs_bit_identical(spark, docs):
+    fused = fused_token_pass(docs)
+    got = fused_minhash_sigs(fused)
+    exp = minhash_sig_array(docs)
+    assert _rows(got) == _rows(exp)
+
+
+def test_fused_fps_bit_identical(spark, docs):
+    fused = fused_token_pass(docs)
+    got = fused_winnow_fps(fused)
+    exp = winnow_fingerprints(docs)
+    assert _rows(got) == _rows(exp)
+
+
+def test_fused_edge_docs_both_sketches(spark, edge_docs):
+    fused = fused_token_pass(edge_docs).cache()
+    try:
+        assert _rows(fused_minhash_sigs(fused)) == _rows(
+            minhash_sig_array(edge_docs)
+        )
+        assert _rows(fused_winnow_fps(fused)) == _rows(
+            winnow_fingerprints(edge_docs)
+        )
+    finally:
+        fused.unpersist()
+
+
+def test_fused_pass_is_one_exchange(spark, docs):
+    """The whole point: ONE shuffle (the doc_id window) in the fused
+    frame, and the fingerprint derivation adds NO further exchange —
+    window-min and whole-doc max ride the fused partitioning/ordering."""
+    fused = fused_token_pass(docs)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    fps_plan = (
+        fused_winnow_fps(fused)._jdf.queryExecution().executedPlan().toString()
+    )
+    # distinct() adds its own aggregation exchange; the window stages must not
+    assert fps_plan.count("Exchange") <= 2
