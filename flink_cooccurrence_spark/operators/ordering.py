@@ -206,8 +206,26 @@ def grouped_running_sum_exclusive(
         "_bucket",
         F.coalesce(F.sum("_bsum").over(prev_w), F.lit(0)).alias("_prev"),
     )
+    # the offsets join must be NULL-SAFE on the group keys: a NULL key
+    # value is a legal group (SQL window PARTITION BY keeps it — the
+    # oracle's semantics), but a plain equi-join on [*keys, "_bucket"]
+    # would silently drop every NULL-keyed row from the output
+    prev_r = prev.select(
+        *[F.col(k).alias(f"_rk{i}") for i, k in enumerate(keys)],
+        F.col("_bucket").alias("_rbucket"),
+        "_prev",
+    )
+    cond = F.col("_bucket") == F.col("_rbucket")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_rk{i}"))
     return (
-        d.join(F.broadcast(prev), on=[*keys, "_bucket"])
+        d.join(F.broadcast(prev_r), on=cond)
         .withColumn(out, F.col("_in_sum") + F.col("_prev"))
-        .drop("_bucket", "_in_sum", "_prev")
+        .drop(
+            "_bucket",
+            "_in_sum",
+            "_prev",
+            "_rbucket",
+            *[f"_rk{i}" for i in range(len(keys))],
+        )
     )

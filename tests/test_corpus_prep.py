@@ -756,3 +756,40 @@ def test_grouped_running_sum_matches_keyed_window(spark):
             ).collect()
         }
         assert got == exp, nb
+
+
+def test_grouped_running_sum_keeps_null_group_keys(spark):
+    """A NULL group key is a legal group (SQL PARTITION BY keeps it); the
+    bucketed decomposition's offsets join must be null-safe, not silently
+    drop the group — the engine-asymmetric divergence class the oracle
+    gate can only catch when test data actually contains NULL keys."""
+    from pyspark.sql import Window
+
+    from flink_cooccurrence_spark.operators.ordering import (
+        grouped_running_sum_exclusive,
+    )
+
+    rows = [
+        (None, 1, 10, 0),
+        (None, 2, 20, 1),
+        ("a", 1, 5, 2),
+        (None, 3, 7, 3),
+        ("a", 2, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, o long, v long, id long")
+    got = grouped_running_sum_exclusive(
+        df, ["g"], ["o", "id"], "v", out="ps", num_buckets=2
+    )
+    assert got.count() == len(rows), "NULL-keyed rows were dropped"
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exp = {
+        r["id"]: r["ps"]
+        for r in df.withColumn(
+            "ps", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert {r["id"]: r["ps"] for r in got.collect()} == exp
