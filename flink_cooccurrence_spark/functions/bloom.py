@@ -40,11 +40,16 @@ BITS_PER_KEY = 16
 def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
     """The ``num_hashes`` bit positions of a key (shared by build/probe).
 
-    Double hashing: h2 is forced odd-ish nonzero via +1; both hashes are
-    reduced mod m BEFORE the multiply-add so i·h2 + h1 stays far from
-    long overflow (ANSI mode would raise on wrap)."""
+    Double hashing: h2 is forced ODD — num_bits is a power of two, so an
+    odd step is coprime with m and the probe sequence h1 + i·h2 has full
+    period (an even step cycles inside a coset, inflating the realized
+    false-positive rate above the advertised ~0.8% at 16 bits/key). Both
+    hashes are reduced mod m BEFORE the multiply-add so i·h2 + h1 stays
+    far from long overflow (ANSI mode would raise on wrap)."""
     h1 = F.pmod(F.xxhash64(col), F.lit(num_bits))
-    h2 = F.pmod(F.xxhash64(col, F.lit(0x5EED)), F.lit(num_bits - 1)) + F.lit(1)
+    h2 = F.pmod(F.xxhash64(col, F.lit(0x5EED)), F.lit(num_bits // 2)) * F.lit(
+        2
+    ) + F.lit(1)
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
     ]

@@ -118,15 +118,28 @@ def kmeans_centroids(
     k: int = KMEANS_K,
     n_iter: int = KMEANS_ITERS,
     base: DataFrame | None = None,
+    assign_backend: str = "literal",
 ) -> list[tuple[int, list[float], float]]:
     """Run the Lloyd iterations; return [(cluster, components, norm)].
 
     Driver state is k·dim doubles; each iteration launches one Spark job
     (the micro-sum aggregation — k·dim result rows). ``base`` lets a
-    caller share one persisted normed frame across the seed job, every
-    iteration, and its own final pass (``kmeans_assign`` does)."""
+    caller share one materialized normed frame across the seed job, every
+    iteration, and its own final pass (``kmeans_assign`` does).
+    ``assign_backend`` picks the per-iteration assignment plan — the
+    large-k 'broadcast' backend applies to the iterations exactly as to
+    the final pass (a 100k-centroid when-chain cannot compile here
+    either)."""
     if base is None:
-        base = _with_norm(embeddings.select("vec_id", "embedding"))
+        # bound construction to ONE source scan: without a shared frame
+        # every Lloyd job (and the seed job) would re-scan and re-norm the
+        # source. localCheckpoint, not persist — executor-local RDD blocks
+        # carry no CacheManager entry, so repeated constructions can't
+        # accumulate cache state or rewrite other queries' shared subplans
+        # into InMemoryRelation reads (blocks are GC'd with the RDD)
+        base = _with_norm(embeddings.select("vec_id", "embedding")).localCheckpoint(
+            eager=True
+        )
     seeds = (
         base.orderBy(hash32(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(k)
@@ -137,10 +150,15 @@ def kmeans_centroids(
     for i, r in enumerate(seeds):
         emb = [float(x) for x in r["embedding"]]
         cents.append((i, emb, _py_norm(emb)))
+    if not cents:
+        # empty corpus: no seeds, no clusters — callers return the empty
+        # frame (the oracle's empty result), not an IndexError
+        return []
     dim = len(cents[0][1])
     micro = F.round(F.col("x") * F.lit(_MICRO), 0).cast("long")
+    assigner = _assign if assign_backend == "literal" else _assign_broadcast
     for _ in range(n_iter):
-        assigned = _assign(base, cents)
+        assigned = assigner(base, cents)
         rows = (
             assigned.select(
                 "cluster",
@@ -167,19 +185,85 @@ def kmeans_centroids(
     return cents
 
 
+def _assign_broadcast(base: DataFrame, cents) -> DataFrame:
+    """(vec_id, embedding, cluster, cosine) under a BROADCAST centroid
+    table — the large-k backend: the literal when-chain (``_assign``)
+    cannot compile at the 100k-centroid regime the module docstring
+    cites (one codegen expression per centroid), so past a few hundred
+    centroids the centroids ride a broadcast DataFrame instead. Argmax
+    via one map-side-combinable max-of-struct aggregation — struct
+    ordering is (cosine DESC via max, then -cluster, so ties land on the
+    LOWER id), the exact tie rule of the literal path and the oracle's
+    ``row_number ... ORDER BY cos DESC, cluster``. Bit-identity to the
+    literal backend is pinned by tests."""
+    spark = base.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in emb], float(n)) for i, emb, n in cents],
+        "cluster int, c_v array<double>, c_norm double",
+    )
+    v = _as_double(F.col("embedding"))
+    cos = F.round(
+        dot(v, F.col("c_v")) / (F.col("norm") * F.col("c_norm")), ROUND_DIGITS
+    )
+    scored = base.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id", "embedding", "cluster", cos.alias("cosine")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cosine"), (-F.col("cluster")).alias("_negc"))
+        ).alias("_b"),
+        F.first("embedding").alias("embedding"),
+    )
+    return best.select(
+        "vec_id",
+        "embedding",
+        (-F.col("_b._negc")).cast("int").alias("cluster"),
+        F.col("_b.cosine").alias("cosine"),
+    )
+
+
 def kmeans_assign(
-    embeddings: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    assign_backend: str = "literal",
 ) -> DataFrame:
     """(vec_id, cluster, cosine): final assignment after ``n_iter`` Lloyd
-    rounds. The returned plan is MAP-ONLY (centroid literals — no join,
-    no shuffle); the iteration cost was paid at construction time
-    (module docstring)."""
-    # one persisted normed frame serves the seed job, every iteration's
-    # aggregation, and the returned plan (construction fills it — the
-    # returned plan reads the cache, never re-scanning the source)
-    base = _with_norm(embeddings.select("vec_id", "embedding")).persist()
+    rounds.
+
+    ``assign_backend='literal'`` (default): centroids compile into the
+    plan as literal arrays + a k-step when-chain — MAP-ONLY (no join, no
+    shuffle), the right shape while k is small enough to codegen (k ≲ a
+    few hundred; the driver/oracle configuration's k=8 regime).
+    ``'broadcast'``: centroids ride a broadcast DataFrame joined to every
+    vector with a max-of-struct argmax — one broadcast + one
+    map-side-combinable aggregation, the backend that scales to the
+    100k-centroid SemDeDup regime where literal expressions cannot
+    compile. Both backends are bit-identical (pinned by tests); the
+    iteration cost is paid at construction time either way (module
+    docstring)."""
+    if assign_backend not in ("literal", "broadcast"):
+        raise ValueError(f"unknown assign_backend {assign_backend!r}")
+    # one materialized normed frame serves the seed job, every iteration's
+    # aggregation, and the returned plan. localCheckpoint, not persist:
+    # executor-local RDD blocks carry no CacheManager entry, so repeated
+    # constructions (semantic_dedup_clustered, ivf_topk_kmeans, ann_recall)
+    # can't accumulate cache entries or rewrite OTHER queries sharing the
+    # _with_norm subplan into InMemoryRelation reads; blocks free with the
+    # RDD when the returned plan is dropped
+    base = _with_norm(embeddings.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
     cents = kmeans_centroids(embeddings, k, n_iter, base=base)
-    return _assign(base, cents).select("vec_id", "cluster", "cosine")
+    if not cents:
+        # empty corpus: no seeds, no clusters — the oracle's empty result
+        return base.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    assign = _assign(base, cents) if assign_backend == "literal" else _assign_broadcast(base, cents)
+    return assign.select("vec_id", "cluster", "cosine")
 
 
 def kmeans_cells(
@@ -192,6 +276,47 @@ def kmeans_cells(
     return a.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_members"),
         F.round(F.avg("cosine"), ROUND_DIGITS).alias("mean_cosine"),
+    )
+
+
+def semantic_dedup_clustered_edges(
+    embeddings: DataFrame,
+    threshold: float | None = None,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(doc_a, doc_b): the cell-local cosine near-dup EDGES feeding
+    :func:`semantic_dedup_clustered`'s components stage — exposed
+    separately because the components checkpoint truncates lineage, so
+    the composed query's plan fingerprint cannot see this (very
+    different) half of the pipeline; the fingerprint watch pins the edge
+    plan through this seam (``tests/test_plan_fingerprints.py``)."""
+    from flink_cooccurrence_spark.operators.dedup import (
+        EMBED_NEAR_DUP_THRESHOLD,
+    )
+
+    if threshold is None:
+        threshold = EMBED_NEAR_DUP_THRESHOLD
+    assign = kmeans_assign(embeddings, k, n_iter).select("vec_id", "cluster")
+    withv = _with_norm(embeddings.select("vec_id", "embedding")).join(
+        assign.hint("shuffle_hash"), on="vec_id"
+    )
+    a, b = withv.alias("a"), withv.alias("b")
+    cos = F.round(
+        dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+        / (F.col("a.norm") * F.col("b.norm")),
+        ROUND_DIGITS,
+    )
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -213,33 +338,10 @@ def semantic_dedup_clustered(
     ∝ corpus the join is O(n·cell_size). Components run on the
     large-star/small-star backend (diameter-free)."""
     from flink_cooccurrence_spark.operators.dedup import (
-        EMBED_NEAR_DUP_THRESHOLD,
         connected_components_star,
     )
 
-    if threshold is None:
-        threshold = EMBED_NEAR_DUP_THRESHOLD
-    assign = kmeans_assign(embeddings, k, n_iter).select("vec_id", "cluster")
-    withv = _with_norm(embeddings.select("vec_id", "embedding")).join(
-        assign.hint("shuffle_hash"), on="vec_id"
-    )
-    a, b = withv.alias("a"), withv.alias("b")
-    cos = F.round(
-        dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
-        / (F.col("a.norm") * F.col("b.norm")),
-        ROUND_DIGITS,
-    )
-    edges = (
-        a.join(b, on="cluster")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    edges = semantic_dedup_clustered_edges(embeddings, threshold, k, n_iter)
     comp = connected_components_star(edges).toDF("vec_id", "root")
     return (
         embeddings.select("vec_id", "label")

@@ -244,9 +244,13 @@ def decontaminate_ngram(
         )
 
         # eager construction actions (count + bitset aggregation), same
-        # contract as embedding_knn's auto probe; the eval side is cached
-        # because the bitset build and the exact join both read it
-        ev_keyed = ev_keyed.cache()
+        # contract as embedding_knn's auto probe; the eval side is
+        # materialized once because the bitset build and the exact join
+        # both read it. localCheckpoint, not cache — no CacheManager
+        # entry to accumulate across repeated constructions (and no
+        # shared-subplan rewrite hazard); the RDD blocks free with the
+        # returned plan
+        ev_keyed = ev_keyed.localCheckpoint(eager=True)
         bits = auto_num_bits(ev_keyed.count())
         words = bloom_build(ev_keyed, "shingle", bits)
         tr = tr.filter(bloom_might_contain(F.col("shingle"), words, bits))

@@ -116,8 +116,11 @@ def heavy_hitters(
         _mg_candidates(key, capacity),
         schema=f"`{key}` {key_type}, is_total boolean, n long",
     )
-    # one sweep feeds two tiny consumers — cache the ≤(capacity+1)·P rows
-    sweep = sweep.cache()
+    # one sweep feeds two tiny consumers — materialize the ≤(capacity+1)·P
+    # rows once. localCheckpoint, not cache: a cache() here was never
+    # unpersisted, accumulating a CacheManager entry per construction in a
+    # long-lived session; checkpointed RDD blocks free with the plan
+    sweep = sweep.localCheckpoint(eager=False)
     total = sweep.filter("is_total").agg(F.sum("n").alias("_total"))
     cands = sweep.filter(~F.col("is_total")).select(key).distinct()
     counted = (

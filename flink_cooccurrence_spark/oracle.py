@@ -1573,6 +1573,9 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     from flink_cooccurrence_spark.operators import clustering as cl
 
     o["kmeans_assign"] = cl.kmeans_sql()
+    # the broadcast backend is bit-identical to the literal one — the
+    # SAME oracle text gates both (that equality IS the parity proof)
+    o["kmeans_assign_broadcast"] = cl.kmeans_sql()
     o["kmeans_cells"] = cl.kmeans_cells_sql()
     o["semantic_dedup_clustered"] = cl.semantic_dedup_clustered_sql(
         dd.EMBED_NEAR_DUP_THRESHOLD

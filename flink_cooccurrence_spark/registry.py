@@ -563,6 +563,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "ivf_topk_kmeans": lambda s, d: _sim.ivf_topk(
         _embeddings(s, d), centroids="kmeans"
     ),
+    # large-k assignment backend (broadcast centroid table + max-of-struct
+    # argmax) — same oracle as the literal when-chain, proving the two
+    # backends bit-identical
+    "kmeans_assign_broadcast": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.clustering",
+        fromlist=["kmeans_assign"],
+    ).kmeans_assign(_embeddings(s, d), assign_backend="broadcast"),
     # long form (doc_id, dim, feature) of image_metadata's feature arrays
     "image_features": lambda s, d: _mm.image_features(_documents(s, d)).select(
         "doc_id", F.posexplode("features").alias("dim", "feature")
@@ -813,3 +820,27 @@ HEADLINE_QUERIES = [
     # ... and its packed form (manifest-ordered concat-and-chunk)
     "pack_manifest",
 ]
+
+#: pre-components EDGE plans of the CC-composed headline queries. The
+#: star/propagation components loop localCheckpoints every round, so the
+#: composed query's returned plan starts at the checkpoint scan and its
+#: fingerprint sees only the (shared) post-components tail — a regression
+#: in the LSH bucketing or the k-means cell join would be invisible.
+#: ``tests/test_plan_fingerprints.py`` pins these edge plans as
+#: ``<name>@edges`` rows so the generation half is mechanically watched
+#: too. Thresholds/config must mirror the registered queries exactly.
+EDGE_PLANS: dict[str, QueryFn] = {
+    "dup_clusters": lambda s, d: _dedup.minhash_lsh_dup_pairs(
+        _documents(s, d)
+    ).select("doc_a", "doc_b"),
+    "dup_clusters_star": lambda s, d: _dedup.minhash_lsh_dup_pairs(
+        _documents(s, d)
+    ).select("doc_a", "doc_b"),
+    "semantic_dedup_keep": lambda s, d: _dedup.embedding_near_dup_pairs(
+        _embeddings(s, d)
+    ).select("doc_a", "doc_b"),
+    "semantic_dedup_clustered": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.clustering",
+        fromlist=["semantic_dedup_clustered_edges"],
+    ).semantic_dedup_clustered_edges(_embeddings(s, d)),
+}

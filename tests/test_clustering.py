@@ -146,3 +146,51 @@ def test_fewer_vectors_than_k(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_broadcast_backend_bit_identical_to_literal(spark):
+    """The large-k broadcast backend (centroid table + max-of-struct
+    argmax) must equal the literal when-chain exactly — including on the
+    duplicate-vector geometry where the tie rule decides the cluster."""
+    for vecs in (BLOBS, BLOBS + BLOBS[:2]):
+        df = _frame(spark, vecs)
+        a = (
+            C.kmeans_assign(df, k=3, n_iter=2, assign_backend="literal")
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            C.kmeans_assign(df, k=3, n_iter=2, assign_backend="broadcast")
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_broadcast_backend_plan_shape(spark, sf_dir):
+    """The broadcast backend joins, but only as a BROADCAST nested loop of
+    the fixed-k centroid table — never a shuffled or cartesian join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        C.kmeans_assign(emb, assign_backend="broadcast")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_empty_corpus_returns_empty_not_error(spark):
+    """Zero input rows: no seeds exist; every surface returns the empty
+    frame (the oracle's result), not an IndexError at construction."""
+    empty = _frame(spark, [])
+    assert C.kmeans_centroids(empty) == []
+    a = C.kmeans_assign(empty)
+    assert a.count() == 0
+    assert [f.name for f in a.schema.fields] == ["vec_id", "cluster", "cosine"]
+    assert C.kmeans_cells(empty).count() == 0
+    assert C.semantic_dedup_clustered(empty).count() == 0

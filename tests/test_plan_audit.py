@@ -63,6 +63,9 @@ ALLOWED_BNLJ = {
     "ivf_topk": "fixed-K centroid set (corpus-independent)",
     "ivf_topk_nprobe2": "fixed-K centroid set (corpus-independent)",
     "ivf_topk_kmeans": "fixed-K fitted centroid literals (corpus-independent)",
+    # large-k assignment backend: corpus × k-row broadcast centroid table
+    # with k fixed (corpus-independent by the module's fixed-k contract)
+    "kmeans_assign_broadcast": "fixed-k broadcast centroid table (corpus-independent)",
     # adaptive plane count rides as a 1-row scalar-subquery crossJoin
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count scalar subquery (adaptive planes)",

@@ -28,7 +28,11 @@ import os
 import pytest
 
 from flink_cooccurrence_spark.planfp import plan_fingerprint
-from flink_cooccurrence_spark.registry import HEADLINE_QUERIES, all_queries
+from flink_cooccurrence_spark.registry import (
+    EDGE_PLANS,
+    HEADLINE_QUERIES,
+    all_queries,
+)
 
 TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 BENCH_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,6 +62,13 @@ def test_headline_plan_fingerprints_pinned(spark):
             if n in qs:
                 spark.catalog.clearCache()
                 fps[n] = plan_fingerprint(qs[n](spark, sf_dir))
+        # CC-composed queries: the components checkpoint truncates
+        # lineage, so the composed fingerprint above sees only the
+        # post-components tail — pin the pre-components EDGE plan too
+        # (the LSH-bucketing / k-means-cell-join half of the pipeline)
+        for n, fn in EDGE_PLANS.items():
+            spark.catalog.clearCache()
+            fps[f"{n}@edges"] = plan_fingerprint(fn(spark, sf_dir))
         got[_sf_key(sf_dir)] = fps
     if os.environ.get("REGEN_PLAN_FP"):
         with open(PIN_PATH, "w") as f:
