@@ -40,23 +40,34 @@ from flink_cooccurrence_spark.operators.textstats import _tokens
 WINNOW_K = 4
 WINNOW_W = 4
 
-#: positions pack into the low bits of the window-min key
+#: positions pack into the low bits of the window-min key — the default
+#: bounds documents at 2^20 k-grams (~1M tokens); every public entry point
+#: threads a ``pos_shift`` override for longer documents (hash32 spans
+#: 32 bits, so shifts up to ~30 keep hash·2^shift + pos exact in BIGINT)
 POS_SHIFT = 20
-_POS_MOD = 1 << POS_SHIFT
 
 
 def winnow_fingerprints(
-    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    pos_shift: int = POS_SHIFT,
 ) -> DataFrame:
     """(doc_id, fp_hash, fp_pos): the distinct winnowed fingerprints.
 
     ``fp_pos`` is the 1-based token position where the selected k-gram
     starts — the locality payload (two docs sharing ``fp_hash`` can be
-    aligned at their respective positions)."""
+    aligned at their respective positions). ``pos_shift`` raises the
+    per-document k-gram cap (the packed-key position width) for
+    book-length documents; the selected fingerprint SET is
+    pos_shift-invariant wherever both shifts fit the document (the hash
+    occupies the high bits, so relative key order per position is
+    unchanged — pinned by tests)."""
     words = documents.select(
         "doc_id",
         F.posexplode(_tokens(F.col("text"))).alias("pos0", "w"),
     )
+    pos_mod = 1 << pos_shift
     win = Window.partitionBy("doc_id").orderBy("pos0")
     parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
     grams = words.select(
@@ -66,22 +77,22 @@ def winnow_fingerprints(
         F.lead("w", k - 1).over(win).alias("_last"),
     ).filter(F.col("_last").isNotNull())
     # runtime guard INSIDE the key expression (not a separate prunable
-    # column): a position past 2^POS_SHIFT would silently corrupt packed
-    # keys — fail loudly instead; raise POS_SHIFT for longer documents
+    # column): a position past 2^pos_shift would silently corrupt packed
+    # keys — fail loudly instead; raise pos_shift for longer documents
     safe_pos = F.when(
-        F.col("pos") >= F.lit(_POS_MOD),
+        F.col("pos") >= F.lit(pos_mod),
         F.raise_error(
             F.concat(
                 F.lit("winnow: document "),
                 F.col("doc_id").cast("string"),
-                F.lit(f" exceeds 2^{POS_SHIFT} k-grams — raise POS_SHIFT"),
+                F.lit(f" exceeds 2^{pos_shift} k-grams — raise POS_SHIFT"),
             )
         ).cast("int"),
     ).otherwise(F.col("pos"))
     keyed = grams.select(
         "doc_id",
         "pos",
-        (hash32(F.col("gram")) * F.lit(_POS_MOD) + safe_pos).alias("key"),
+        (hash32(F.col("gram")) * F.lit(pos_mod) + safe_pos).alias("key"),
     )
     kwin = (
         Window.partitionBy("doc_id")
@@ -101,8 +112,8 @@ def winnow_fingerprints(
     )
     return sel.select(
         "doc_id",
-        F.expr(f"winmin div {_POS_MOD}").alias("fp_hash"),
-        (F.col("winmin") % F.lit(_POS_MOD)).cast("int").alias("fp_pos"),
+        F.expr(f"winmin div {pos_mod}").alias("fp_hash"),
+        (F.col("winmin") % F.lit(pos_mod)).cast("int").alias("fp_pos"),
     ).distinct()
 
 
@@ -112,6 +123,7 @@ def winnow_overlap_pairs(
     w: int = WINNOW_W,
     min_shared: int = 1,
     max_hash_freq: int | None = None,
+    pos_shift: int = POS_SHIFT,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): document pairs sharing ≥ ``min_shared``
     distinct fingerprint hashes. By the winnowing guarantee every pair
@@ -132,7 +144,7 @@ def winnow_overlap_pairs(
     signal). Default off so the operator stays exact; n_shared for
     surviving pairs counts only non-hot hashes (the oracle mirrors the
     cut)."""
-    fp = winnow_fingerprints(documents, k, w).select(
+    fp = winnow_fingerprints(documents, k, w, pos_shift=pos_shift).select(
         "doc_id", "fp_hash"
     ).distinct()
     if max_hash_freq is not None:
@@ -156,7 +168,8 @@ def winnow_overlap_pairs(
 
 # ---------------------------------------------------------------- oracle SQL
 
-def _fp_sql(k: int, w: int) -> str:
+def _fp_sql(k: int, w: int, pos_shift: int = POS_SHIFT) -> str:
+    pos_mod = 1 << pos_shift
     gram = " || ' ' || ".join(
         "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(k)
     )
@@ -175,7 +188,7 @@ grams AS (
 ),
 keyed AS (
   SELECT doc_id, pos,
-         {hash32_sql("gram")} * {_POS_MOD} + pos AS key
+         {hash32_sql("gram")} * {pos_mod} + pos AS key
   FROM grams WHERE last_w IS NOT NULL
 ),
 sel AS (
@@ -188,16 +201,21 @@ sel AS (
 ),
 fps AS (
   SELECT DISTINCT doc_id,
-         winmin // {_POS_MOD} AS fp_hash,
-         CAST(winmin % {_POS_MOD} AS INT) AS fp_pos
+         winmin // {pos_mod} AS fp_hash,
+         CAST(winmin % {pos_mod} AS INT) AS fp_pos
   FROM sel
   WHERE pos <= n_kg - {w - 1} OR pos = 1
 )
 """.strip()
 
 
-def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
-    return f"WITH {_fp_sql(k, w)} SELECT doc_id, fp_hash, fp_pos FROM fps"
+def winnow_fingerprints_sql(
+    k: int = WINNOW_K, w: int = WINNOW_W, pos_shift: int = POS_SHIFT
+) -> str:
+    return (
+        f"WITH {_fp_sql(k, w, pos_shift)} "
+        "SELECT doc_id, fp_hash, fp_pos FROM fps"
+    )
 
 
 def winnow_overlap_pairs_sql(
@@ -205,6 +223,7 @@ def winnow_overlap_pairs_sql(
     w: int = WINNOW_W,
     min_shared: int = 1,
     max_hash_freq: int | None = None,
+    pos_shift: int = POS_SHIFT,
 ) -> str:
     cut = ""
     if max_hash_freq is not None:
@@ -215,7 +234,7 @@ rare AS (
 )"""
     src = "hashes JOIN rare USING (fp_hash)" if max_hash_freq is not None else "hashes"
     return f"""
-WITH {_fp_sql(k, w)},
+WITH {_fp_sql(k, w, pos_shift)},
 hashes AS (SELECT DISTINCT doc_id, fp_hash FROM fps){cut},
 kept AS (SELECT doc_id, fp_hash FROM {src})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -117,13 +117,40 @@ def test_position_overflow_raises_not_corrupts(spark, monkeypatch):
     remove it (lower the modulus to make a tiny doc overflow)."""
     import flink_cooccurrence_spark.operators.winnow as W
 
-    monkeypatch.setattr(W, "_POS_MOD", 8)
-    rows = [(1, " ".join(f"t{i}" for i in range(20)))]  # 17 k-grams > 8
+    rows = [(1, " ".join(f"t{i}" for i in range(20)))]  # 17 k-grams > 2^3
     df = spark.createDataFrame(rows, "doc_id long, text string")
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="raise POS_SHIFT"):
-        W.winnow_fingerprints(df).collect()
+        W.winnow_fingerprints(df, pos_shift=3).collect()
+
+
+def test_pos_shift_invariance_and_oracle_parity(spark, duck, sf_dir):
+    """The selected fingerprint set is pos_shift-invariant (the hash owns
+    the high bits, so per-position key order never changes), and a
+    non-default shift stays oracle-exact — the long-document remedy is a
+    PARAMETER, not a code edit."""
+    import flink_cooccurrence_spark.operators.winnow as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = sorted(
+        tuple(r) for r in W.winnow_fingerprints(docs).collect()
+    )
+    for shift in (14, 24):
+        got = sorted(
+            tuple(r)
+            for r in W.winnow_fingerprints(docs, pos_shift=shift).collect()
+        )
+        assert got == base, f"fingerprint set moved at pos_shift={shift}"
+    exp = sorted(
+        tuple(r)
+        for r in duck.execute(
+            W.winnow_fingerprints_sql(pos_shift=24)
+        ).fetchall()
+    )
+    assert base == exp
 
 
 def test_hot_hash_cut_is_a_recall_lower_bound(spark, sf_dir):
