@@ -159,6 +159,55 @@ def main() -> None:
     )
     _warm.close()
 
+    # REPLAY-SHAPED host calibration (round-9): the batch calibration
+    # above is one big shuffle job, but the replay rows are dominated by
+    # a different host dimension — many small sequential jobs plus
+    # concurrent parquet writes through a thread pool (scheduler latency,
+    # small-file IO, thread contention). Round 8 saw streaming_replay
+    # drift +16% while the batch calibration moved −21%: opposite signs,
+    # one probe, no discriminator. This probe touches NO repo code (pure
+    # range aggs + threaded parquet writes in a temp dir), so it moves
+    # only with the host — compare replay_calibration_sec across rounds
+    # before suspecting an engine regression in the replay rows.
+    import concurrent.futures
+    import shutil
+    import tempfile
+
+    def _replay_calibration_once() -> float:
+        d = tempfile.mkdtemp(prefix="bench_rcal_")
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+        t0 = time.perf_counter()
+        try:
+            for b in range(6):
+                df = (
+                    spark.range(0, 200_000, 1, 8)
+                    .withColumn("k", F.col("id") % 997)
+                    .groupBy("k")
+                    .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+                )
+                futs = [
+                    pool.submit(
+                        lambda i=i, b=b: df.write.mode("overwrite").parquet(
+                            os.path.join(d, f"b{b}_{i}")
+                        )
+                    )
+                    for i in range(3)
+                ]
+                for f in futs:
+                    f.result()
+                spark.read.parquet(os.path.join(d, f"b{b}_0")).agg(
+                    F.sum("n")
+                ).collect()
+            return time.perf_counter() - t0
+        finally:
+            pool.shutdown(wait=True)
+            shutil.rmtree(d, ignore_errors=True)
+
+    _replay_calibration_once()  # warm (codegen + committer init)
+    replay_calibration = round(
+        min(_replay_calibration_once() for _ in range(2)), 3
+    )
+
     replays = {
         # the full merge/score loop, non-sampled closed form
         "streaming_replay": lambda: _bench_cooc_replay(
@@ -212,9 +261,12 @@ def main() -> None:
         "queries": times,
         "aggregation": "min",
         "sf": sf,
-        # fixed host-speed probe (range+modulo agg, no repo code): compare
-        # round-over-round to separate host drift from plan regressions
+        # fixed host-speed probes (no repo code): the batch-shaped one
+        # (one big shuffle agg) and the replay-shaped one (many small
+        # jobs + threaded parquet writes) — compare round-over-round to
+        # separate host drift from engine regressions per dimension
         "calibration_sec": calibration,
+        "replay_calibration_sec": replay_calibration,
     }
     detail = {
         **headline,
