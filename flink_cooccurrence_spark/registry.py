@@ -442,7 +442,6 @@ def _q_median_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTENSION_QUERIES: dict[str, QueryFn] = {
     # dedup family
     "dedup_exact": lambda s, d: _dedup.exact_duplicates(_documents(s, d)),
-    "ngram_jaccard_pairs": lambda s, d: _dedup.ngram_jaccard_pairs(_documents(s, d)),
     # the corpus-scale skew lever live: hot shingles (df > 5 — chosen so the
     # cut actually fires at every test SF; max df is 7 at sf0.01, 25 at
     # sf0.1) leave the inverted index; denominators stay exact — oracle
@@ -464,7 +463,6 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
         fromlist=["winnow_overlap_pairs"],
     ).winnow_overlap_pairs(_documents(s, d)),
     "simhash_near_dup_pairs": lambda s, d: _dedup.simhash_near_dup_pairs(_documents(s, d)),
-    "embedding_near_dup_pairs": lambda s, d: _dedup.embedding_near_dup_pairs(_embeddings(s, d)),
     "dup_clusters": lambda s, d: _dedup.dup_clusters(_documents(s, d)),
     # text analysis
     "token_counts": lambda s, d: _ts.token_counts(_documents(s, d)),
@@ -487,9 +485,31 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     ).corpus_filter(_documents(s, d)),
     # multimodal (Arrow/pandas plumbing with SQL-checkable fake decode)
     "image_metadata": lambda s, d: _mm.image_metadata(_documents(s, d)),
-    "image_resize": lambda s, d: _mm.image_resize(_documents(s, d)),
-    "audio_frames": lambda s, d: _mm.audio_frames(_documents(s, d)),
     "video_frame_sample": lambda s, d: _mm.video_frame_sample(_documents(s, d)),
+    # round-9 rotation: the strongest round-8 pytest-only flagships take
+    # driver seats — the published-SemDeDup composition, the bloom
+    # decontamination physical plan (vs the UNCHANGED exact oracle: the
+    # parity gate proves losslessness), the per-language token-budget
+    # sampler, and the last-mile shard layout. Near-twins ceded seats
+    # (ngram_jaccard_pairs→_cut, image_resize/audio_frames→the remaining
+    # multimodal rows, embedding_near_dup_pairs→its composition) and stay
+    # oracle-gated pytest-only.
+    "semantic_dedup_clustered": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.clustering",
+        fromlist=["semantic_dedup_clustered"],
+    ).semantic_dedup_clustered(_embeddings(s, d)),
+    "decontaminate_bloom": lambda s, d: _dedup.decontaminate_ngram(
+        _documents(s, d).filter(F.col("doc_id") % 13 != 0),
+        _documents(s, d).filter(F.col("doc_id") % 13 == 0),
+        prefilter="bloom",
+    ),
+    "token_budget_sample": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.mixing",
+        fromlist=["token_budget_sample"],
+    ).token_budget_sample(_documents(s, d)),
+    "shard_manifest": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["shard_manifest"]
+    ).shard_manifest(_documents(s, d)),
     # round-7 driver-row rotation (round-6 VERDICT ask #7): the newest
     # first-class families promoted under the driver's independent oracle,
     # in place of three near-twin trivia rows (inactive_customers /
@@ -607,13 +627,6 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "train_shuffle_order": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.mixing", fromlist=["train_shuffle_order"]
     ).train_shuffle_order(_documents(s, d)),
-    # epoch composition by TOKEN budgets (the unit mixture weights are
-    # actually specified in): greedy per-language fill in hash order via
-    # the grouped bucketed prefix sum
-    "token_budget_sample": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.mixing",
-        fromlist=["token_budget_sample"],
-    ).token_budget_sample(_documents(s, d)),
     # Gopher-style within-document repetition filters (textstats.py)
     "repetition_stats": lambda s, d: _ts.repetition_stats(_documents(s, d)),
     # CCNet-style perplexity proxy: per-doc mean unigram NLL under the
@@ -657,15 +670,6 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.winnow",
         fromlist=["winnow_overlap_pairs"],
     ).winnow_overlap_pairs(_documents(s, d), max_hash_freq=2),
-    # bloom-prefiltered decontamination: identical results through the
-    # over-broadcast-size physical plan (broadcast bloom BITSET + shuffled
-    # survivors join, functions/bloom.py) — same oracle SQL as the exact
-    # variant, so the parity gate proves the bloom never loses a pair
-    "decontaminate_bloom": lambda s, d: _dedup.decontaminate_ngram(
-        _documents(s, d).filter(F.col("doc_id") % 13 != 0),
-        _documents(s, d).filter(F.col("doc_id") % 13 == 0),
-        prefilter="bloom",
-    ),
     # large-star/small-star components — physical variant of dup_clusters
     # whose round count is O(log² n), not O(component diameter)
     "dup_clusters_star": lambda s, d: _dedup.dup_clusters_star(_documents(s, d)),
@@ -736,12 +740,6 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_keep": lambda s, d: _dedup.semantic_dedup_keep(
         _embeddings(s, d)
     ),
-    # last-mile shard layout: greedy whole-doc sharding of the manifest
-    # stream (plans/corpus.py:shard_manifest); the writer twin
-    # (write_training_shards) is pytest-gated in tests/test_shards.py
-    "shard_manifest": lambda s, d: __import__(
-        "flink_cooccurrence_spark.plans.corpus", fromlist=["shard_manifest"]
-    ).shard_manifest(_documents(s, d)),
     # round-8 rotation: the derivable halves demoted off the driver
     # surface (minhash_lsh_dup_pairs / simhash_near_dup_pairs compute the
     # signatures transitively; prev_interaction is a plain lag window) —
@@ -749,6 +747,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
     "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
     "prev_interaction": q_prev_interaction,
+    # round-9 rotation: near-twins demoted off the driver surface (their
+    # promoted compositions/variants cover the families there) — the
+    # identical oracle gate continues here so nothing is un-checked
+    "ngram_jaccard_pairs": lambda s, d: _dedup.ngram_jaccard_pairs(_documents(s, d)),
+    "embedding_near_dup_pairs": lambda s, d: _dedup.embedding_near_dup_pairs(_embeddings(s, d)),
+    "image_resize": lambda s, d: _mm.image_resize(_documents(s, d)),
+    "audio_frames": lambda s, d: _mm.audio_frames(_documents(s, d)),
     # k-means over embeddings (operators/clustering.py): spherical Lloyd
     # iterations with integer micro-sum centroid updates — oracle-exact
     # against the unrolled-CTE DuckDB twin; cells is the occupancy /
@@ -759,10 +764,6 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.clustering",
         fromlist=["kmeans_cells"],
     ).kmeans_cells(_embeddings(s, d)),
-    "semantic_dedup_clustered": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.clustering",
-        fromlist=["semantic_dedup_clustered"],
-    ).semantic_dedup_clustered(_embeddings(s, d)),
     # round-7 rotation: near-twin trivia demoted off the 50-row driver
     # surface (inactive_customers is active_customers with the sign
     # flipped; the other two are plain single-agg shapes) — identical
