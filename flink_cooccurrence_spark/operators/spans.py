@@ -1,0 +1,296 @@
+"""Exact duplicate-SPAN detection across documents — the substring-level
+dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+Models Better", the ExactSubstr tool): find every maximal shared token
+run of at least ``min_len`` tokens between any two documents, and the
+per-document fraction of tokens covered by such runs.
+
+Whole-document hashing misses partial duplication entirely; MinHash
+measures global similarity; winnowing (``operators/winnow.py``) detects
+THAT two documents share a local run. This operator says exactly WHERE
+and HOW LONG — the information a span-level scrubber actually cuts on
+(Lee et al. remove the duplicated span, not the document).
+
+Algorithm (the distributed realization of the paper's suffix-array scan;
+a suffix array is a single-node structure, so the Spark-native shape is
+the L-gram inverted index + diagonal merge, with identical output):
+
+1. every ``min_len``-gram of every document, with its 1-based start
+   position — one narrow lead-window pass (the ``doc_shingles`` shape);
+2. inverted-index self-join on the GRAM STRING (exact — no hash-collision
+   false matches), ``doc_a < doc_b``;
+3. a shared run of length R ≥ L appears as R−L+1 consecutive matches on
+   one DIAGONAL (pa − pb constant); merge each diagonal's consecutive
+   positions into islands (``pa − row_number()`` constant within an
+   island) and each island IS one maximal span:
+   ``span_len = max(pa) − min(pa) + L``.
+
+Determinism / oracle spec: positions are 1-based; ties need no rule (the
+output set is unique). The DuckDB twin (:func:`duplicate_spans_sql`)
+states the identical construction.
+
+Scale shape: the gram pass is one window over token position; the join
+is the n-gram family's inverted index, with the same hot-key honesty
+lever (``max_gram_freq`` cuts grams hot across > N documents — a
+boilerplate run shared by d docs fans out d² matches; the cut result is
+a recall lower bound, default off so the operator stays exact); the
+island merge is one shuffle on (pair, diagonal). Coverage is two window
+passes per document side. Nothing is ever all-pairs: only documents
+sharing an L-gram meet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.textstats import _tokens
+
+#: default minimum shared run, in tokens. Lee et al. use 50 BPE tokens on
+#: web corpora; the synthetic test corpus's shared runs are shorter, and
+#: the driver/oracle configuration pins 8 so the operator demonstrably
+#: fires at every test SF. A production corpus raises it.
+MIN_SPAN_TOKENS = 8
+
+
+def _grams_with_pos(documents: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos, gram): every L-gram with its 1-based start position."""
+    words = documents.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, L)]
+    return (
+        words.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("w", L - 1).over(win).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    min_len: int = MIN_SPAN_TOKENS,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, a_start, b_start, span_len): every maximal shared
+    token run of ≥ ``min_len`` tokens between two documents (1-based
+    token positions; one row per distinct alignment — periodic text can
+    legitimately share several overlapping runs at different offsets).
+
+    ``max_gram_freq``: drop grams occurring in more than this many
+    documents before the join (the ``ngram_jaccard_pairs`` /
+    ``winnow_overlap_pairs`` hot-key lever, same recall-lower-bound
+    honesty contract; a cut gram can also SPLIT a long boilerplate span
+    in two). Default off — exact."""
+    grams = _grams_with_pos(documents, min_len)
+    if max_gram_freq is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") <= max_gram_freq)
+            .select("gram")
+        )
+        grams = grams.join(rare, on="gram")
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gram"
+    )
+    matches = (
+        a.join(b, on="gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "grp", F.col("pa") - F.row_number().over(iw)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.min("pa").alias("a_start"), F.max("pa").alias("_a_end"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("_a_end") - F.col("a_start") + F.lit(min_len)).alias(
+                "span_len"
+            ),
+        )
+    )
+
+
+def duplicate_span_coverage(
+    documents: DataFrame,
+    min_len: int = MIN_SPAN_TOKENS,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac): per document, how many of
+    its tokens sit inside at least one cross-document duplicated span —
+    the decision metric of span-level dedup (Lee et al. cut the covered
+    tokens; a pipeline gates on ``dup_frac``). Documents with no
+    duplicated span report 0 / 0.0; ``dup_frac`` rounds to 6 (package
+    oracle standard).
+
+    Interval union per document: both orientations of every span become
+    [start, start+len−1] intervals; the classic sorted-interval island
+    merge (running max of interval ends) sums their union length — two
+    window passes per document, no joins beyond the span construction."""
+    spans = duplicate_spans(documents, min_len, max_gram_freq)
+    ivals = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("a_start").alias("s"),
+        (F.col("a_start") + F.col("span_len") - 1).alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("b_start").alias("s"),
+            (F.col("b_start") + F.col("span_len") - 1).alias("e"),
+        )
+    )
+    ow = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
+    marked = ivals.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    grouped = marked.withColumn(
+        "_island",
+        F.sum("_new").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    covered = (
+        grouped.groupBy("doc_id", "_island")
+        .agg((F.max("e") - F.min("s") + F.lit(1)).alias("_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("_len").cast("long").alias("dup_tokens"))
+    )
+    toks = documents.select(
+        "doc_id",
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return toks.join(covered, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+def _grams_sql(L: int) -> str:
+    gram = " || ' ' || ".join(
+        "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(L)
+    )
+    return f"""
+words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos, {gram} AS gram,
+         lead(w, {L - 1}) OVER win AS last_w
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+valid AS (SELECT doc_id, pos, gram FROM grams WHERE last_w IS NOT NULL)
+""".strip()
+
+
+def _spans_sql(min_len: int, max_gram_freq: int | None) -> str:
+    cut = ""
+    src = "valid"
+    if max_gram_freq is not None:
+        cut = f""",
+rare AS (
+  SELECT gram FROM valid GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) <= {max_gram_freq}
+),
+kept AS (SELECT v.* FROM valid v JOIN rare USING (gram))"""
+        src = "kept"
+    return f"""
+{_grams_sql(min_len)}{cut},
+matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM {src} a JOIN {src} b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+islands AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+           AS grp
+  FROM matches
+),
+spans AS (
+  SELECT doc_a, doc_b, min(pa) AS a_start,
+         min(pa) - diag AS b_start,
+         max(pa) - min(pa) + {min_len} AS span_len
+  FROM islands GROUP BY doc_a, doc_b, diag, grp
+)
+""".strip()
+
+
+def duplicate_spans_sql(
+    min_len: int = MIN_SPAN_TOKENS, max_gram_freq: int | None = None
+) -> str:
+    return f"""
+WITH {_spans_sql(min_len, max_gram_freq)}
+SELECT doc_a, doc_b, a_start, b_start, span_len FROM spans
+"""
+
+
+def duplicate_span_coverage_sql(
+    min_len: int = MIN_SPAN_TOKENS, max_gram_freq: int | None = None
+) -> str:
+    return f"""
+WITH {_spans_sql(min_len, max_gram_freq)},
+ivals AS (
+  SELECT doc_a AS doc_id, a_start AS s, a_start + span_len - 1 AS e FROM spans
+  UNION ALL
+  SELECT doc_b AS doc_id, b_start AS s, b_start + span_len - 1 AS e FROM spans
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+               OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM ivals
+),
+grouped AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+covered AS (
+  SELECT doc_id, CAST(SUM(len) AS BIGINT) AS dup_tokens FROM (
+    SELECT doc_id, island, max(e) - min(s) + 1 AS len
+    FROM grouped GROUP BY doc_id, island
+  ) GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(COALESCE(c.dup_tokens, 0) / t.n_tokens, 6) AS dup_frac
+FROM toks t LEFT JOIN covered c USING (doc_id)
+"""

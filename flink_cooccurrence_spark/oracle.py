@@ -1556,6 +1556,15 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     # the parity gate running the SAME SQL proves the bloom is lossless
     o["decontaminate_bloom"] = o["decontaminate_ngram"]
 
+    # exact duplicate SPANS (operators/spans.py, Lee et al. 2022): the
+    # L-gram inverted index + diagonal island merge, and the per-doc
+    # interval-union coverage — exact integer/window arithmetic
+    from flink_cooccurrence_spark.operators import spans as sp
+
+    o["duplicate_spans"] = sp.duplicate_spans_sql()
+    o["duplicate_spans_cut"] = sp.duplicate_spans_sql(max_gram_freq=5)
+    o["duplicate_span_coverage"] = sp.duplicate_span_coverage_sql()
+
     # heavy hitters: semantics are the plain exact GROUP BY + HAVING over
     # the interaction items; the Spark side's MG candidate sweep is a
     # physical strategy with a proven-superset guarantee (frequency.py)

@@ -670,6 +670,22 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.winnow",
         fromlist=["winnow_overlap_pairs"],
     ).winnow_overlap_pairs(_documents(s, d), max_hash_freq=2),
+    # exact duplicate SPANS (Lee et al. 2022 ExactSubstr re-expressed as
+    # the L-gram inverted index + diagonal island merge): maximal shared
+    # token runs with positions, the hot-gram cut lever, and the per-doc
+    # covered-token fraction a span-level scrubber gates on
+    "duplicate_spans": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.spans",
+        fromlist=["duplicate_spans"],
+    ).duplicate_spans(_documents(s, d)),
+    "duplicate_spans_cut": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.spans",
+        fromlist=["duplicate_spans"],
+    ).duplicate_spans(_documents(s, d), max_gram_freq=5),
+    "duplicate_span_coverage": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.spans",
+        fromlist=["duplicate_span_coverage"],
+    ).duplicate_span_coverage(_documents(s, d)),
     # large-star/small-star components — physical variant of dup_clusters
     # whose round count is O(log² n), not O(component diameter)
     "dup_clusters_star": lambda s, d: _dedup.dup_clusters_star(_documents(s, d)),
@@ -796,6 +812,9 @@ HEADLINE_QUERIES = [
     "ngram_jaccard_cut",
     # round-8 driver flagship: the winnowing local-overlap detector
     "winnow_overlap_pairs",
+    # round-9: exact duplicate-span detection (L-gram inverted index +
+    # diagonal island merge) — the heaviest new family, under watch
+    "duplicate_spans",
     "dup_clusters",
     # the O(log² n)-round components backend — the 100-TB default; on the
     # bench so its round structure is under fingerprint + timing watch

@@ -1,0 +1,136 @@
+"""Exact duplicate-span detection (operators/spans.py).
+
+The registry twins (duplicate_spans / _cut / duplicate_span_coverage in
+test_oracle_parity.py) run full-table DuckDB parity at the test SF; these
+pin the crafted geometries the corpus never hits: maximality (one row per
+run, not per sub-window), multiple alignments through periodic text,
+disjoint runs, interval-union coverage (no double counting), and the
+cross-family guarantee against winnowing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.spans import (
+    duplicate_span_coverage,
+    duplicate_spans,
+)
+
+RUN = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"  # 12 tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_planted_run_is_one_maximal_span(spark):
+    """A shared 12-token run at known offsets → exactly ONE span row with
+    exact positions and length (12 − 8 + 1 = 5 consecutive matches merge,
+    never 5 rows)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c " + RUN + " x y"),
+            (2, "p q " + RUN + " z"),
+        ],
+    )
+    assert _rows(duplicate_spans(docs, min_len=8)) == [(1, 2, 4, 3, 12)]
+
+
+def test_disjoint_runs_are_separate_spans(spark):
+    run2 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = _docs(
+        spark,
+        [
+            (1, RUN + " gap1 gap2 gap3 " + run2),
+            (2, run2 + " other tokens here now " + RUN),
+        ],
+    )
+    got = _rows(duplicate_spans(docs, min_len=8))
+    assert got == [(1, 2, 1, 13, 12), (1, 2, 16, 1, 8)]
+
+
+def test_periodic_text_yields_one_span_per_alignment(spark):
+    """doc 1 repeats an 8-token phrase twice; doc 2 has it once → two
+    alignments on different diagonals, one span each."""
+    p = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(spark, [(1, p + " " + p), (2, p)])
+    got = _rows(duplicate_spans(docs, min_len=8))
+    assert (1, 2, 1, 1, 8) in got and (1, 2, 9, 1, 8) in got
+    # the self-overlapping middle alignment (doc1 pos 1..16 vs itself) is
+    # cross-doc only — no (1, 1, ...) rows ever
+    assert all(a != b for a, b, *_ in got)
+
+
+def test_coverage_unions_overlapping_spans(spark):
+    """Doc 1 shares overlapping runs with two partners; covered tokens
+    count once. Doc 4 shares nothing and reports 0 / 0.0."""
+    docs = _docs(
+        spark,
+        [
+            (1, RUN + " t13 t14"),  # 14 tokens; positions 1..12 covered
+            (2, RUN),  # covers doc1 [1, 12]
+            (3, "r3 r4 r5 r6 r7 r8 r9 r10"),  # covers doc1 [3, 10] (subset)
+            (4, "nothing shared at all here by design ok"),
+        ],
+    )
+    cov = {r["doc_id"]: r for r in duplicate_span_coverage(docs, 8).collect()}
+    assert cov[1]["dup_tokens"] == 12 and cov[1]["n_tokens"] == 14
+    assert abs(cov[1]["dup_frac"] - round(12 / 14, 6)) < 1e-9
+    assert cov[4]["dup_tokens"] == 0 and cov[4]["dup_frac"] == 0.0
+
+
+def test_hot_gram_cut_is_recall_lower_bound(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    full = set(
+        (r["doc_a"], r["doc_b"]) for r in duplicate_spans(docs).collect()
+    )
+    cut = set(
+        (r["doc_a"], r["doc_b"])
+        for r in duplicate_spans(docs, max_gram_freq=5).collect()
+    )
+    assert cut <= full
+    assert full, "corpus has no duplicate spans — test proves nothing"
+
+
+def test_every_span_pair_is_winnow_visible(spark, sf_dir):
+    """Cross-family consistency: a shared run of ≥ w+k−1 tokens is the
+    winnowing guarantee's premise, so every duplicate_spans pair at
+    min_len = w+k−1 must appear in winnow_overlap_pairs."""
+    from flink_cooccurrence_spark.operators.winnow import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_overlap_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    g = WINNOW_W + WINNOW_K - 1
+    span_pairs = set(
+        (r["doc_a"], r["doc_b"])
+        for r in duplicate_spans(docs, min_len=g)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    )
+    winnow_pairs = set(
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_pairs(docs).select("doc_a", "doc_b").collect()
+    )
+    assert span_pairs, "no shared runs at the guarantee length — vacuous"
+    assert span_pairs <= winnow_pairs
+
+
+def test_null_text_contributes_nothing(spark):
+    docs = _docs(spark, [(1, None), (2, RUN), (3, RUN)])
+    got = _rows(duplicate_spans(docs, min_len=8))
+    assert got == [(2, 3, 1, 1, 12)]
+    cov = {r["doc_id"]: r["dup_tokens"] for r in duplicate_span_coverage(docs, 8).collect()}
+    assert cov[1] == 0
