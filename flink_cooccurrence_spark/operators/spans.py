@@ -152,7 +152,15 @@ def duplicate_span_coverage(
             F.col("b_start").alias("s"),
             (F.col("b_start") + F.col("span_len") - 1).alias("e"),
         )
-    )
+    ).distinct()
+    # DISTINCT is load-bearing, not an optimization: duplicate (s, e)
+    # intervals (the same span shared with two partners) make the
+    # (s, e) sort a PARTIAL order, and an engine evaluating the two
+    # window passes with different tie orders can hand the island-id
+    # running sum a row order where the new-island marker lands mid-tie,
+    # splitting one island in two (observed: DuckDB double-counted a
+    # fully-covered doc to dup_frac = 2.0). Unique intervals make the
+    # order total and both engines deterministic.
     ow = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max = F.max("e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
     marked = ivals.withColumn(
@@ -256,8 +264,11 @@ def duplicate_span_coverage_sql(
     return f"""
 WITH {_spans_sql(min_len, max_gram_freq)},
 ivals AS (
+  -- DISTINCT (vs UNION ALL) is load-bearing: duplicate intervals make
+  -- the (s, e) window order a partial order and the island running sum
+  -- order-dependent (see the operator's comment)
   SELECT doc_a AS doc_id, a_start AS s, a_start + span_len - 1 AS e FROM spans
-  UNION ALL
+  UNION
   SELECT doc_b AS doc_id, b_start AS s, b_start + span_len - 1 AS e FROM spans
 ),
 marked AS (
@@ -293,4 +304,113 @@ SELECT t.doc_id, t.n_tokens,
        CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        round(COALESCE(c.dup_tokens, 0) / t.n_tokens, 6) AS dup_frac
 FROM toks t LEFT JOIN covered c USING (doc_id)
+"""
+
+
+def scrub_duplicate_spans(
+    documents: DataFrame,
+    min_len: int = MIN_SPAN_TOKENS,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, text, n_removed): the corpus with duplicated spans CUT —
+    the pipeline's actionable output (Lee et al. remove the duplicated
+    span, not the document). Keep-first convention: a span survives in
+    its LOWER-doc_id occurrence and is removed from the higher one
+    (``doc_b``-side intervals only), so exactly one copy of every
+    duplicated run remains in the corpus — the span-level analog of the
+    package's cluster-min canonical convention.
+
+    Text reconstruction joins the surviving tokens with single spaces
+    (whitespace-normalized — the tokenizer's contract, shared with the
+    oracle; NULL text folds to ''). ``n_removed`` counts cut tokens.
+
+    Scale shape: covered positions come from ``explode(sequence(s, e))``
+    over the doc's merged b-side intervals — O(total covered tokens),
+    never a non-equi range join (a heavily-duplicated doc would make a
+    per-row interval scan the skew hazard); the anti-join and rebuild
+    group shuffle on doc_id once each."""
+    spans = duplicate_spans(documents, min_len, max_gram_freq)
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"),
+                    F.col("b_start") + F.col("span_len") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(_tokens(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "pos0", "w"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    kept = toks.join(covered, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                ),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = documents.select(
+        "doc_id",
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("_n_tok"),
+    )
+    return (
+        totals.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            (F.col("_n_tok") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def scrub_duplicate_spans_sql(
+    min_len: int = MIN_SPAN_TOKENS, max_gram_freq: int | None = None
+) -> str:
+    return f"""
+WITH {_spans_sql(min_len, max_gram_freq)},
+covered AS (
+  SELECT DISTINCT doc_b AS doc_id, unnest(generate_series(b_start, b_start + span_len - 1)) AS pos
+  FROM spans
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(COALESCE(text, '')), '\\s+'), 1) AS pos
+  FROM documents
+),
+kept AS (
+  SELECT t.* FROM toks t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       CAST(t.n_tok - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """

@@ -1564,6 +1564,7 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     o["duplicate_spans"] = sp.duplicate_spans_sql()
     o["duplicate_spans_cut"] = sp.duplicate_spans_sql(max_gram_freq=5)
     o["duplicate_span_coverage"] = sp.duplicate_span_coverage_sql()
+    o["scrub_duplicate_spans"] = sp.scrub_duplicate_spans_sql()
 
     # heavy hitters: semantics are the plain exact GROUP BY + HAVING over
     # the interaction items; the Spark side's MG candidate sweep is a

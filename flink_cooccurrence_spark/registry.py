@@ -686,6 +686,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.spans",
         fromlist=["duplicate_span_coverage"],
     ).duplicate_span_coverage(_documents(s, d)),
+    # the actionable output: duplicated spans CUT keep-first (one copy of
+    # every duplicated run survives, in its lowest-doc_id occurrence)
+    "scrub_duplicate_spans": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.spans",
+        fromlist=["scrub_duplicate_spans"],
+    ).scrub_duplicate_spans(_documents(s, d)),
     # large-star/small-star components — physical variant of dup_clusters
     # whose round count is O(log² n), not O(component diameter)
     "dup_clusters_star": lambda s, d: _dedup.dup_clusters_star(_documents(s, d)),
