@@ -1,0 +1,383 @@
+"""Product quantization (PQ) over embedding columns — IVF-PQ, the ANN
+composition actually deployed at 100 TB scale (Jégou, Douze & Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+faiss `IVFxx,PQyy` index family): IVF cells bound WHICH vectors a query
+scores, PQ codes bound HOW MUCH it costs to score each one.
+
+Each vector splits into ``m`` subvectors; every subspace gets its own
+``ksub``-centroid codebook (spherical k-means — the package's
+oracle-exact Lloyd machinery, ``operators/clustering.py``, run on the
+sliced vectors); a vector's code is its ``m`` per-subspace nearest
+centroids — ``m·log2(ksub)`` bits instead of ``dim`` floats (64-dim
+float32 → 256 bytes becomes 4 codes → 2 bytes at m=4, ksub=4). Scoring
+is ASYMMETRIC (ADC): the query stays exact; per subspace it precomputes
+a ``ksub``-entry lookup table of dot products against the codebook once,
+and each candidate costs ``m`` array lookups + adds instead of a
+``dim``-element fold.
+
+Determinism / oracle spec (shared verbatim with :func:`ivf_pq_sql`):
+
+- Codebooks: per-subspace ``kmeans_centroids`` — seeded hash-order init,
+  argmax of ``round(cos, 6)`` with ties to the lower id, integer
+  micro-sum updates, empty-cluster carry. Identical arithmetic in the
+  unrolled DuckDB CTE chain, so the two engines derive bit-identical
+  codebooks (the proven ``kmeans_assign`` contract, per subspace).
+- Codes: the same literal-centroid argmax, applied to the sliced vector.
+- ADC score: ``adc = Σ_s dot(q_s, c_{s,code_s})`` (left-to-right adds),
+  approximate norm ``= sqrt(Σ_s |c_{s,code_s}|²)`` with the squared
+  norms accumulated by the same sequential fold as ``dot``; the reported
+  column is ``round(adc / (q_norm · approx_norm), 6)`` — an APPROXIMATE
+  cosine (that is PQ's contract; the ``ann_recall`` meter measures what
+  the approximation costs).
+- Zero-norm SUBVECTORS are undefined (the clustering module's zero-norm
+  contract, inherited per slice).
+
+Scale shape: codebook fitting is ``m`` k-means constructions (driver
+state m·ksub·(dim/m) doubles — KB, the faiss codebook contract); code
+assignment is map-only literal when-chains; the candidate join is the
+IVF cell join (never all-pairs), and the per-candidate cost inside it is
+the whole point — at a billion vectors per cell-scan, ``m`` lookups vs a
+``dim``-fold is the difference between memory-bandwidth-bound and
+compute-bound scoring, and the code table is ~100× smaller than the
+vectors it stands for (often the difference between spilling and not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32_sql
+from flink_cooccurrence_spark.operators.clustering import kmeans_centroids
+from flink_cooccurrence_spark.operators.similarity import (
+    ANN_K,
+    IVF_NUM_CENTROIDS,
+    QUERY_MOD,
+    _as_double,
+    _with_norm,
+    dot,
+    ivf_assignments,
+)
+from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+#: PQ configuration shared with the oracle SQL (fixed ⇒ static oracle;
+#: a deployment scales ksub to 256 = 8-bit codes and m to dim/4..dim/8)
+PQ_M = 4
+PQ_KSUB = 4
+PQ_ITERS = 1
+
+#: package-standard pre-compare rounding
+ROUND_DIGITS = 6
+
+
+def _fold_sq(emb: list[float]) -> float:
+    """Sequential-fold sum of squares — the same left fold as ``dot`` /
+    DuckDB's ``list_dot_product(v, v)`` so the literal squared norms are
+    bit-identical to what the oracle computes."""
+    acc = 0.0
+    for x in emb:
+        acc += x * x
+    return acc
+
+
+def _slices(dim: int, m: int) -> list[tuple[int, int]]:
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    return [(s * w + 1, w) for s in range(m)]  # (1-based start, length)
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITERS,
+) -> list[list[tuple[int, list[float], float]]]:
+    """Fit the ``m`` per-subspace codebooks: list (per subspace) of
+    [(code, components, norm)]. Driver state m·ksub·(dim/m) doubles;
+    construction runs m k-means fits (eager, the clustering module's
+    documented contract)."""
+    first = embeddings.select("embedding").first()
+    if first is None:
+        return []
+    dim = len(first["embedding"])
+    books = []
+    for lo, w in _slices(dim, m):
+        sub = embeddings.select(
+            "vec_id",
+            F.slice(_as_double(F.col("embedding")), lo, w).alias("embedding"),
+        )
+        books.append(kmeans_centroids(sub, k=ksub, n_iter=n_iter))
+    return books
+
+
+def _code_col(sub_v: Column, cents) -> Column:
+    """Literal-codebook argmax for one subspace — the clustering module's
+    when-chain (ties to the lower code) applied to a subvector expr."""
+    norm = F.sqrt(dot(sub_v, sub_v))
+    cos = [
+        F.round(
+            dot(sub_v, F.array(*[F.lit(x) for x in emb]))
+            / (norm * F.lit(cnorm)),
+            ROUND_DIGITS,
+        )
+        for _, emb, cnorm in cents
+    ]
+    best = F.greatest(*cos) if len(cos) > 1 else cos[0]
+    code = F.when(cos[0] == best, F.lit(0))
+    for i in range(1, len(cos)):
+        code = code.when(cos[i] == best, F.lit(i))
+    return code.cast("int")
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    books,
+    m: int = PQ_M,
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}): the compressed corpus — one MAP-ONLY
+    pass (m literal when-chains; no join, no shuffle)."""
+    first = embeddings.select("embedding").first()
+    dim = len(first["embedding"]) if first is not None else m
+    v = _as_double(F.col("embedding"))
+    cols = [
+        _code_col(F.slice(v, lo, w), books[s]).alias(f"code_{s}")
+        for s, (lo, w) in enumerate(_slices(dim, m))
+    ]
+    return embeddings.select("vec_id", *cols)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = ANN_K,
+    nprobe: int = 1,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITERS,
+) -> DataFrame:
+    """(q_id, rank, n_id, cosine, cell): IVF-PQ approximate top-k.
+
+    The IVF half is :func:`similarity.ivf_assignments` unchanged (hash
+    cells — the static-oracle default); the PQ half replaces the cell's
+    exact per-candidate fold with ADC: queries carry one ``ksub``-entry
+    LUT array per subspace (computed once per query), candidates carry
+    ``m`` int codes, and the pair score is ``m`` ``element_at`` lookups.
+    ``cosine`` is the PQ-approximate cosine (module docstring)."""
+    books = pq_codebooks(embeddings, m, ksub, n_iter)
+    if not books:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, rank int, n_id long, cosine double, cell long"
+        )
+    dim = sum(1 for _ in books[0][0][1]) * m
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    assign = ivf_assignments(embeddings, nprobe).cache()
+    home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
+    corpus = pq_codes(embeddings, books, m).join(
+        home.hint("shuffle_hash"), on="vec_id"
+    )
+    v = _as_double(F.col("embedding"))
+    lut_cols = [
+        F.array(
+            *[
+                dot(F.slice(v, lo, w), F.array(*[F.lit(x) for x in emb]))
+                for _, emb, _n in books[s]
+            ]
+        ).alias(f"lut_{s}")
+        for s, (lo, w) in enumerate(_slices(dim, m))
+    ]
+    q_cells = assign.filter(
+        ((F.col("vec_id") % QUERY_MOD) == 0) & (F.col("probe_rank") <= nprobe)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    queries = (
+        base.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("norm").alias("q_norm"),
+            *lut_cols,
+        )
+        .join(q_cells.hint("shuffle_hash"), on="q_id")
+    )
+    pairs = corpus.join(queries.hint("shuffle_hash"), on="cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    # fixed-order left-to-right adds (not an aggregation) — both engines
+    # evaluate the identical expression tree
+    adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+    norm2_luts = [
+        F.array(*[F.lit(_fold_sq(emb)) for _, emb, _n in books[s]])
+        for s in range(m)
+    ]
+    n2 = F.element_at(norm2_luts[0], F.col("code_0") + 1)
+    for s in range(1, m):
+        n2 = n2 + F.element_at(norm2_luts[s], F.col(f"code_{s}") + 1)
+    scored = pairs.select(
+        "q_id",
+        "cell",
+        F.col("vec_id").alias("n_id"),
+        F.round(adc / (F.col("q_norm") * F.sqrt(n2)), ROUND_DIGITS).alias(
+            "cosine"
+        ),
+    )
+    return top_k_per_group(
+        scored, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+    ).select("q_id", "rank", "n_id", "cosine", "cell")
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _sub_kmeans_sql(s: int, lo: int, hi: int, ksub: int, n_iter: int) -> str:
+    """CTE chain fitting subspace ``s``'s codebook — the clustering
+    module's unrolled Lloyd arithmetic (integer micro-sums, empty-cluster
+    carry, round-then-tie argmax) on the sliced vectors, CTE names
+    suffixed per subspace."""
+    blocks = [
+        f"""
+sub{s} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v,
+         sqrt(list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS norm
+  FROM base
+),
+cb{s}_0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+         ) AS INT) - 1 AS cluster,
+         v AS c_v, norm AS c_norm
+  FROM sub{s}
+  ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {ksub}
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        blocks.append(
+            f"""
+asg{s}_{t} AS (
+  SELECT vec_id, cluster, v FROM (
+    SELECT n.vec_id, c.cluster, n.v,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm),
+                            {ROUND_DIGITS}) DESC, c.cluster
+           ) AS rn
+    FROM sub{s} n CROSS JOIN cb{s}_{t - 1} c
+  ) WHERE rn = 1
+),
+sm{s}_{t} AS (
+  SELECT cluster, dim,
+         CAST(SUM(CAST(round(x * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sm,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+    FROM asg{s}_{t}
+  )
+  GROUP BY cluster, dim
+),
+nc{s}_{t} AS (
+  SELECT cluster,
+         list(CAST(sm AS DOUBLE) / (1000000.0 * n) ORDER BY dim) AS c_v
+  FROM sm{s}_{t} GROUP BY cluster
+),
+cb{s}_{t} AS (
+  SELECT p.cluster, COALESCE(nc.c_v, p.c_v) AS c_v,
+         sqrt(list_dot_product(COALESCE(nc.c_v, p.c_v),
+                               COALESCE(nc.c_v, p.c_v))) AS c_norm
+  FROM cb{s}_{t - 1} p LEFT JOIN nc{s}_{t} nc USING (cluster)
+)"""
+        )
+    blocks.append(
+        f"""
+code{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT n.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm),
+                            {ROUND_DIGITS}) DESC, c.cluster
+           ) AS rn
+    FROM sub{s} n CROSS JOIN cb{s}_{n_iter} c
+  ) WHERE rn = 1
+)"""
+    )
+    return ",".join(blocks)
+
+
+def ivf_pq_sql(
+    k: int = ANN_K,
+    nprobe: int = 1,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITERS,
+    dim: int = 64,
+) -> str:
+    w = dim // m
+    subs = ",".join(
+        _sub_kmeans_sql(s, s * w + 1, (s + 1) * w, ksub, n_iter)
+        for s in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN code{s} c{s} ON c{s}.vec_id = n.vec_id" for s in range(m)
+    )
+    code_cols = ", ".join(f"c{s}.code AS code_{s}" for s in range(m))
+    adc = " + ".join(
+        f"list_dot_product(q.v[{s * w + 1}:{(s + 1) * w}], b{s}.c_v)"
+        for s in range(m)
+    )
+    n2 = " + ".join(
+        f"list_dot_product(b{s}.c_v, b{s}.c_v)" for s in range(m)
+    )
+    book_joins = " ".join(
+        f"JOIN cb{s}_{n_iter} b{s} ON b{s}.cluster = n.code_{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+{subs},
+cents AS (
+  SELECT vec_id AS c_id, v AS c_v, norm AS c_norm
+  FROM normed
+  ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {IVF_NUM_CENTROIDS}
+),
+assign_scored AS (
+  SELECT n.vec_id, c.c_id,
+         round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm), 6) AS cos_c
+  FROM normed n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, c_id AS cell, rn AS probe_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id) AS rn
+    FROM assign_scored
+  ) WHERE rn <= {nprobe}
+),
+pqcodes AS (
+  SELECT n.vec_id, {code_cols} FROM normed n {code_joins}
+),
+corpus AS (
+  SELECT p.*, a.cell FROM pqcodes p
+  JOIN assigned a ON a.vec_id = p.vec_id AND a.probe_rank = 1
+),
+qprobe AS (
+  SELECT a.vec_id AS q_id, a.cell, q.v, q.norm
+  FROM assigned a JOIN normed q ON q.vec_id = a.vec_id
+  WHERE a.vec_id % {QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT q.q_id, q.cell AS cell, n.vec_id AS n_id,
+         round(({adc}) / (q.norm * sqrt({n2})), {ROUND_DIGITS}) AS cosine
+  FROM qprobe q
+  JOIN corpus n ON n.cell = q.cell AND n.vec_id != q.q_id
+  {book_joins}
+),
+ranked AS (
+  SELECT q_id, cell, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT)
+           AS rank
+  FROM pairs
+)
+SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
+"""

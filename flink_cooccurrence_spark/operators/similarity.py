@@ -458,10 +458,13 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
         "q_id", "n_id"
     ).cache()
     n_exact = exact.agg(F.count("*").alias("n_exact"))
+    from flink_cooccurrence_spark.operators.pq import ivf_pq_topk
+
     methods: list[tuple[str, DataFrame]] = [
         ("ivf_nprobe1", ivf_topk(embeddings, k, nprobe=1)),
         ("ivf_nprobe2", ivf_topk(embeddings, k, nprobe=2)),
         ("ivf_kmeans", ivf_topk(embeddings, k, nprobe=1, centroids="kmeans")),
+        ("ivf_pq", ivf_pq_topk(embeddings, k, nprobe=1)),
         ("lsh", ann_lsh_topk(embeddings, k)),
         ("lsh_multiprobe", ann_lsh_topk(embeddings, k, multi_probe=True)),
     ]

@@ -861,12 +861,20 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
 
     o["ivf_topk"] = _ivf_sql(sim.IVF_K, nprobe=1)
     o["ivf_topk_nprobe2"] = _ivf_sql(sim.IVF_K, nprobe=2)
+    # IVF-PQ: per-subspace unrolled-kmeans codebooks + ADC scoring — the
+    # full construction re-derived in SQL (operators/pq.py)
+    from flink_cooccurrence_spark.operators import pq as _pq0
+
+    o["ivf_pq_topk"] = _pq0.ivf_pq_sql(_pq0.ANN_K, nprobe=1)
 
     # recall@k of every ANN variant vs exact KNN at the same k (the engine's
     # ann_recall); method SQLs embed as derived tables (DuckDB nested WITH)
+    from flink_cooccurrence_spark.operators import pq as _pq
+
     recall_methods = {
         "ivf_nprobe1": _ivf_sql(sim.ANN_K, nprobe=1),
         "ivf_nprobe2": _ivf_sql(sim.ANN_K, nprobe=2),
+        "ivf_pq": _pq.ivf_pq_sql(sim.ANN_K, nprobe=1),
         "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
         "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
     }

@@ -583,6 +583,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "ivf_topk_kmeans": lambda s, d: _sim.ivf_topk(
         _embeddings(s, d), centroids="kmeans"
     ),
+    # IVF-PQ (operators/pq.py): per-subspace k-means codebooks + ADC
+    # scoring inside the IVF cells — the faiss composition; also on the
+    # ann_recall meter as 'ivf_pq'
+    "ivf_pq_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pq",
+        fromlist=["ivf_pq_topk"],
+    ).ivf_pq_topk(_embeddings(s, d)),
     # large-k assignment backend (broadcast centroid table + max-of-struct
     # argmax) — same oracle as the literal when-chain, proving the two
     # backends bit-identical

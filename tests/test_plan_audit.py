@@ -63,6 +63,8 @@ ALLOWED_BNLJ = {
     "ivf_topk": "fixed-K centroid set (corpus-independent)",
     "ivf_topk_nprobe2": "fixed-K centroid set (corpus-independent)",
     "ivf_topk_kmeans": "fixed-K fitted centroid literals (corpus-independent)",
+    # IVF-PQ: the IVF centroid broadcast + per-subspace literal codebooks
+    "ivf_pq_topk": "fixed-K centroid set + fixed m*ksub codebook literals",
     # large-k assignment backend: corpus × k-row broadcast centroid table
     # with k fixed (corpus-independent by the module's fixed-k contract)
     "kmeans_assign_broadcast": "fixed-k broadcast centroid table (corpus-independent)",
@@ -113,7 +115,7 @@ ALLOWED_SINGLE_PARTITION = {
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
-    "ann_recall": "5-row recall summary aggregate",
+    "ann_recall": "6-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",

@@ -1,0 +1,82 @@
+"""Product quantization (operators/pq.py).
+
+The registry twin (`ivf_pq_topk` in test_oracle_parity.py) runs the full
+DuckDB parity — per-subspace unrolled-kmeans codebooks, codes, ADC
+scoring — at the test SF; these pin the structural contracts: code
+bounds, map-only code assignment, partition invariance, and that the ADC
+approximation actually ranks near-neighbors (recall > 0 on the meter is
+asserted in test_similarity_scale.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cooccurrence_spark.operators.pq import (
+    PQ_KSUB,
+    PQ_M,
+    ivf_pq_topk,
+    pq_codebooks,
+    pq_codes,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).cache()
+    e.count()
+    yield e
+    e.unpersist()
+
+
+def test_codebooks_shape(spark, emb):
+    books = pq_codebooks(emb)
+    assert len(books) == PQ_M
+    dim = len(emb.select("embedding").first()["embedding"])
+    for cents in books:
+        assert len(cents) == PQ_KSUB
+        assert all(len(c[1]) == dim // PQ_M for c in cents)
+
+
+def test_codes_bounds_and_map_only_plan(spark, emb):
+    books = pq_codebooks(emb)
+    codes = pq_codes(emb, books)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for s in range(PQ_M):
+            assert 0 <= r[f"code_{s}"] < PQ_KSUB
+
+
+def test_codes_invariant_under_repartition(spark, emb):
+    books = pq_codebooks(emb)
+    a = sorted(tuple(r) for r in pq_codes(emb, books).collect())
+    b = sorted(tuple(r) for r in pq_codes(emb.repartition(7), books).collect())
+    assert a == b
+
+
+def test_topk_contract(spark, emb):
+    out = ivf_pq_topk(emb, k=3).collect()
+    assert out, "no PQ results — the cell join or codes are broken"
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+        assert r["n_id"] != r["q_id"]
+    for q, rows in per_q.items():
+        ranks = sorted(x["rank"] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        rows.sort(key=lambda x: x["rank"])
+        cosines = [x["cosine"] for x in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_empty_corpus(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert ivf_pq_topk(empty).count() == 0
+    assert pq_codebooks(empty) == []

@@ -168,11 +168,13 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     so its hit set against exact KNN can only grow."""
     recalls = {r["method"]: r["recall"] for r in ann_recall(emb).collect()}
     assert set(recalls) == {
-        "ivf_nprobe1", "ivf_nprobe2", "ivf_kmeans", "lsh", "lsh_multiprobe"
+        "ivf_nprobe1", "ivf_nprobe2", "ivf_kmeans", "ivf_pq",
+        "lsh", "lsh_multiprobe",
     }
     assert recalls["lsh_multiprobe"] >= recalls["lsh"]
     assert recalls["ivf_nprobe2"] >= recalls["ivf_nprobe1"]
     assert recalls["ivf_kmeans"] > 0
+    assert recalls["ivf_pq"] > 0
     for v in recalls.values():
         assert 0.0 <= v <= 1.0
 
