@@ -61,9 +61,14 @@ from flink_cooccurrence_spark.operators.similarity import (
 from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
 #: PQ configuration shared with the oracle SQL (fixed ⇒ static oracle;
-#: a deployment scales ksub to 256 = 8-bit codes and m to dim/4..dim/8)
-PQ_M = 4
-PQ_KSUB = 4
+#: a deployment scales ksub to 256 = 8-bit codes and m to dim/4..dim/8).
+#: Chosen on the ann_recall meter over the synthetic corpus: random
+#: embeddings are PQ's ADVERSARIAL case (near-equidistant points make
+#: quantized dots noisy — recall 0.06 at m=4/ksub=4, 0.12 here; real
+#: embedding manifolds quantize far better), and the meter records
+#: exactly what the compression costs.
+PQ_M = 8
+PQ_KSUB = 16
 PQ_ITERS = 1
 
 #: package-standard pre-compare rounding
