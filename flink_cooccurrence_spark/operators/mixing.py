@@ -232,3 +232,92 @@ spans AS (
 SELECT doc_id, {by}, n_tokens, budget_start
 FROM spans WHERE budget_start < {int(budget_tokens)}
 """
+
+
+#: temperature exponent of the multinomial-sampling rule (the
+#: XLM-R/mBERT convention: α = 0.3 flattens the language distribution —
+#: low-resource languages upsample, high-resource downsample)
+MIXTURE_ALPHA = 0.3
+
+
+def mixture_weights_alpha(
+    documents: DataFrame,
+    alpha: float = MIXTURE_ALPHA,
+    by: str = "lang",
+    budget_tokens: int = LANG_TOKEN_BUDGET,
+) -> DataFrame:
+    """(``by``, n_tokens, weight, budget_tokens, epochs): α-temperature
+    mixture weights from group token mass — the standard multilingual
+    sampling rule (Conneau et al. 2020, XLM-R §3.1; Devlin et al.'s
+    mBERT exponential smoothing): ``p_i ∝ n_i^α`` normalized over
+    groups. α = 1 keeps the natural distribution; α → 0 approaches
+    uniform; 0.3 is the published operating point.
+
+    The companion columns make the rule actionable: ``budget_tokens`` is
+    the group's share of a total token budget (``budget_tokens`` arg ×
+    group count — the same per-group budget scale
+    :func:`token_budget_sample` consumes), and ``epochs`` =
+    budget/n_tokens is the implied repeat rate (> 1 means the group
+    upsamples by repetition — the number a pipeline checks against its
+    repetition-tolerance policy before training).
+
+    Determinism: ``pow``/division are 1-ulp libm territory, so every
+    float output rounds to 6 (the package's ln/exp precedent) AFTER the
+    exact-integer token aggregation. Scale shape: one groupBy over the
+    corpus to |groups| rows, then window normalization over the tiny
+    group table — the offsets-table contract of the mixing family."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    from flink_cooccurrence_spark.operators.textstats import _tokens
+
+    toks = documents.select(
+        by,
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("_n"),
+    )
+    grouped = toks.groupBy(by).agg(F.sum("_n").alias("n_tokens"))
+    w = Window.partitionBy()
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    total_budget = F.lit(int(budget_tokens)) * F.count("*").over(w)
+    weight = F.round(raw / F.sum(raw).over(w), 6)
+    budget = F.round(weight * total_budget, 0).cast("long")
+    return grouped.select(
+        by,
+        "n_tokens",
+        weight.alias("weight"),
+        budget.alias("budget_tokens"),
+        F.round(budget / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+def mixture_weights_alpha_sql(
+    alpha: float = MIXTURE_ALPHA,
+    by: str = "lang",
+    budget_tokens: int = LANG_TOKEN_BUDGET,
+) -> str:
+    """DuckDB text of :func:`mixture_weights_alpha` (identical rounding)."""
+    return f"""
+WITH toks AS (
+  SELECT {by},
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS BIGINT)
+           AS n
+  FROM documents
+),
+grouped AS (
+  SELECT {by}, CAST(SUM(n) AS BIGINT) AS n_tokens FROM toks GROUP BY {by}
+),
+weighted AS (
+  SELECT {by}, n_tokens,
+         round(pow(CAST(n_tokens AS DOUBLE), {float(alpha)!r})
+               / SUM(pow(CAST(n_tokens AS DOUBLE), {float(alpha)!r})) OVER (), 6)
+           AS weight,
+         {int(budget_tokens)} * COUNT(*) OVER () AS total_budget
+  FROM grouped
+)
+SELECT {by}, n_tokens, weight,
+       CAST(round(weight * total_budget, 0) AS BIGINT) AS budget_tokens,
+       round(CAST(round(weight * total_budget, 0) AS BIGINT) / n_tokens, 6)
+         AS epochs
+FROM weighted
+"""

@@ -1569,6 +1569,9 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     # interval-union coverage — exact integer/window arithmetic
     from flink_cooccurrence_spark.operators import spans as sp
 
+    from flink_cooccurrence_spark.operators import mixing as _mx
+
+    o["mixture_weights_alpha"] = _mx.mixture_weights_alpha_sql()
     o["duplicate_spans"] = sp.duplicate_spans_sql()
     o["duplicate_spans_cut"] = sp.duplicate_spans_sql(max_gram_freq=5)
     o["duplicate_span_coverage"] = sp.duplicate_span_coverage_sql()

@@ -776,6 +776,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
     "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
     "prev_interaction": q_prev_interaction,
+    # α-temperature mixture weights (XLM-R rule p_i ∝ n_i^α): group token
+    # mass → normalized sampling weights + implied budgets/epochs — the
+    # stage that PRODUCES what token_budget_sample consumes
+    "mixture_weights_alpha": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.mixing",
+        fromlist=["mixture_weights_alpha"],
+    ).mixture_weights_alpha(_documents(s, d)),
     # round-9 rotation: near-twins demoted off the driver surface (their
     # promoted compositions/variants cover the families there) — the
     # identical oracle gate continues here so nothing is un-checked

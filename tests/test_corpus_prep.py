@@ -793,3 +793,27 @@ def test_grouped_running_sum_keeps_null_group_keys(spark):
         ).collect()
     }
     assert {r["id"]: r["ps"] for r in got.collect()} == exp
+
+
+def test_mixture_weights_alpha_semantics(spark, docs):
+    """α-weights: sum to ~1, α=1 recovers the natural distribution, and
+    lowering α compresses the spread (low-resource groups gain share —
+    the XLM-R rule's point)."""
+    from flink_cooccurrence_spark.operators.mixing import mixture_weights_alpha
+
+    nat = {r["lang"]: r for r in mixture_weights_alpha(docs, alpha=1.0).collect()}
+    flat = {r["lang"]: r for r in mixture_weights_alpha(docs, alpha=0.3).collect()}
+    assert abs(sum(r["weight"] for r in nat.values()) - 1.0) < 1e-4
+    assert abs(sum(r["weight"] for r in flat.values()) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in nat.values())
+    for lang, r in nat.items():
+        assert abs(r["weight"] - r["n_tokens"] / total) < 1e-5
+    hi = max(nat, key=lambda x: nat[x]["n_tokens"])
+    lo = min(nat, key=lambda x: nat[x]["n_tokens"])
+    if nat[hi]["n_tokens"] > nat[lo]["n_tokens"]:
+        assert flat[hi]["weight"] < nat[hi]["weight"]
+        assert flat[lo]["weight"] > nat[lo]["weight"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_weights_alpha(docs, alpha=0.0)
