@@ -21,6 +21,13 @@ from flink_cooccurrence_spark.operators.pq import (
 
 
 @pytest.fixture(scope="module")
+def books(emb):
+    # ONE codebook fit for the module — pq_codebooks runs m k-means
+    # constructions, the file's dominant cost
+    return pq_codebooks(emb)
+
+
+@pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -30,8 +37,7 @@ def emb(spark, sf_dir):
     e.unpersist()
 
 
-def test_codebooks_shape(spark, emb):
-    books = pq_codebooks(emb)
+def test_codebooks_shape(spark, emb, books):
     assert len(books) == PQ_M
     dim = len(emb.select("embedding").first()["embedding"])
     for cents in books:
@@ -39,8 +45,7 @@ def test_codebooks_shape(spark, emb):
         assert all(len(c[1]) == dim // PQ_M for c in cents)
 
 
-def test_codes_bounds_and_map_only_plan(spark, emb):
-    books = pq_codebooks(emb)
+def test_codes_bounds_and_map_only_plan(spark, emb, books):
     codes = pq_codes(emb, books)
     plan = codes._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
@@ -52,8 +57,7 @@ def test_codes_bounds_and_map_only_plan(spark, emb):
             assert 0 <= r[f"code_{s}"] < PQ_KSUB
 
 
-def test_codes_invariant_under_repartition(spark, emb):
-    books = pq_codebooks(emb)
+def test_codes_invariant_under_repartition(spark, emb, books):
     a = sorted(tuple(r) for r in pq_codes(emb, books).collect())
     b = sorted(tuple(r) for r in pq_codes(emb.repartition(7), books).collect())
     assert a == b
