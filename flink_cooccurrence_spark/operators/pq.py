@@ -106,13 +106,19 @@ def pq_codebooks(
     if first is None:
         return []
     dim = len(first["embedding"])
+    # ONE source materialization serves all m fits: each subspace's base
+    # is a map-only slice+norm over the checkpointed frame, so the m
+    # k-means constructions never rescan (or re-checkpoint) the source
+    src = embeddings.select("vec_id", "embedding").localCheckpoint(eager=True)
     books = []
     for lo, w in _slices(dim, m):
-        sub = embeddings.select(
+        sub = src.select(
             "vec_id",
             F.slice(_as_double(F.col("embedding")), lo, w).alias("embedding"),
         )
-        books.append(kmeans_centroids(sub, k=ksub, n_iter=n_iter))
+        books.append(
+            kmeans_centroids(sub, k=ksub, n_iter=n_iter, base=_with_norm(sub))
+        )
     return books
 
 
