@@ -1,0 +1,202 @@
+"""ANN index as a PERSISTED artifact — build once, query many times.
+
+``ivf_pq_topk`` (``operators/pq.py``) fits codebooks, assigns cells, and
+scores in one construction: the right shape for a self-join benchmark,
+the wrong one for production, where the expensive parts (m k-means fits,
+the corpus code pass, the cell assignment) run ONCE at index-build time
+and every later query batch only reads the compact artifact. This module
+is that split — the faiss ``index.train()/add()/write_index()`` vs
+``search()`` lifecycle, realized as parquet + a JSON sidecar:
+
+- ``write_pq_index(embeddings, out_dir)``: fits the IVF cells and PQ
+  codebooks, writes the compressed corpus ``(vec_id, cell,
+  code_0..code_{m-1})`` partitioned BY CELL (a probe prunes to its
+  cell's files — the inverted-list layout as partition pruning), plus a
+  ``meta.json`` sidecar holding the centroids and codebooks (KB-scale
+  driver state, the faiss contract).
+- ``query_pq_index(spark, index_dir, queries)``: loads the sidecar,
+  assigns each query its probe cells (broadcast centroid pass), builds
+  the per-query ADC LUT arrays, and scores ONLY the probed cells' code
+  partitions — never touching the raw vectors.
+
+Consistency gate (pytest): querying the written index with the corpus's
+own query slice reproduces ``ivf_pq_topk`` exactly — the artifact
+round-trip loses nothing. No DuckDB oracle (file-artifact op, same class
+as ``write_training_shards``); the scoring math is the oracle-gated
+``ivf_pq_topk``'s.
+
+Scale shape: the index build is the one-time heavy pass (the operator
+module's costs); the artifact is ~m bytes/vector + the cell column —
+~100× smaller than the embeddings; a query batch reads only
+``nprobe/|cells|`` of it via partition pruning (plan-asserted in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.pq import (
+    PQ_ITERS,
+    PQ_KSUB,
+    PQ_M,
+    ROUND_DIGITS,
+    _fold_sq,
+    _slices,
+    pq_codebooks,
+    pq_codes,
+)
+from flink_cooccurrence_spark.operators.similarity import (
+    _as_double,
+    _with_norm,
+    dot,
+    ivf_assignments,
+)
+from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+META_NAME = "meta.json"
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITERS,
+) -> dict:
+    """Build and persist the IVF-PQ index; returns the sidecar dict.
+
+    Layout: ``out_dir/meta.json`` (dim, m, ksub, IVF centroids, per-
+    subspace codebooks — components + their fold-exact squared norms) and
+    ``out_dir/codes/cell=N/*.parquet`` (the compressed corpus, one
+    partition directory per inverted list)."""
+    books = pq_codebooks(embeddings, m, ksub, n_iter)
+    if not books:
+        raise ValueError("cannot index an empty corpus")
+    dim = len(books[0][0][1]) * m
+    home = (
+        ivf_assignments(embeddings, nprobe=1)
+        .filter(F.col("probe_rank") == 1)
+        .select("vec_id", "cell")
+    )
+    codes = pq_codes(embeddings, books, m).join(
+        home.hint("shuffle_hash"), on="vec_id"
+    )
+    (
+        codes.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "codes"))
+    )
+    # the IVF centroid table the queries will re-assign against — the
+    # SAME deterministic sample ivf_assignments used at build time
+    from flink_cooccurrence_spark.operators.similarity import ivf_centroids
+
+    cents = [
+        {
+            "c_id": int(r["c_id"]),
+            "c_emb": [float(x) for x in r["c_emb"]],
+            "c_norm": float(r["c_norm"]),
+        }
+        for r in ivf_centroids(embeddings).collect()
+    ]
+    meta = {
+        "dim": dim,
+        "m": m,
+        "ksub": ksub,
+        "centroids": cents,
+        "codebooks": [
+            [
+                {
+                    "code": int(c),
+                    "c_v": [float(x) for x in emb],
+                    "norm2": _fold_sq(emb),
+                }
+                for c, emb, _n in book
+            ]
+            for book in books
+        ],
+    }
+    with open(os.path.join(out_dir, META_NAME), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def query_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(q_id, rank, n_id, cosine, cell): ADC top-k of ``queries``
+    (``q_id``, ``embedding``) against the persisted index.
+
+    The probed cell set is collected (bounded by |queries|·nprobe distinct
+    cells) and pushed into the codes scan as a partition filter —
+    ``cell IN (...)`` prunes to the probed inverted lists' files."""
+    with open(os.path.join(index_dir, META_NAME)) as fh:
+        meta = json.load(fh)
+    m, dim = meta["m"], meta["dim"]
+    q = _with_norm(queries.select(F.col("q_id"), "embedding"))
+    cent_rows = [
+        (c["c_id"], c["c_emb"], c["c_norm"]) for c in meta["centroids"]
+    ]
+    cents = spark.createDataFrame(
+        cent_rows, "c_id int, c_emb array<double>, c_norm double"
+    )
+    cos_c = F.round(
+        dot(_as_double(F.col("embedding")), F.col("c_emb"))
+        / (F.col("norm") * F.col("c_norm")),
+        ROUND_DIGITS,
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "q_id", "c_id", cos_c.alias("cos_c")
+    )
+    probes = top_k_per_group(
+        scored, ["q_id"], "cos_c", nprobe, tie_breakers=["c_id"]
+    ).select("q_id", F.col("c_id").alias("cell"))
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    v = _as_double(F.col("embedding"))
+    lut_cols = [
+        F.array(
+            *[
+                dot(F.slice(v, lo, w), F.array(*[F.lit(x) for x in e["c_v"]]))
+                for e in meta["codebooks"][s]
+            ]
+        ).alias(f"lut_{s}")
+        for s, (lo, w) in enumerate(_slices(dim, m))
+    ]
+    qside = q.select("q_id", F.col("norm").alias("q_norm"), *lut_cols).join(
+        probes.hint("shuffle_hash"), on="q_id"
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("cell").isin(cells)
+    )
+    pairs = codes.join(qside.hint("shuffle_hash"), on="cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+    n2_luts = [
+        F.array(*[F.lit(e["norm2"]) for e in meta["codebooks"][s]])
+        for s in range(m)
+    ]
+    n2 = F.element_at(n2_luts[0], F.col("code_0") + 1)
+    for s in range(1, m):
+        n2 = n2 + F.element_at(n2_luts[s], F.col(f"code_{s}") + 1)
+    scored_pairs = pairs.select(
+        "q_id",
+        "cell",
+        F.col("vec_id").alias("n_id"),
+        F.round(adc / (F.col("q_norm") * F.sqrt(n2)), ROUND_DIGITS).alias(
+            "cosine"
+        ),
+    )
+    return top_k_per_group(
+        scored_pairs, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+    ).select("q_id", "rank", "n_id", "cosine", "cell")

@@ -1,0 +1,83 @@
+"""Persisted IVF-PQ index (plans/ann.py): build/query round trip.
+
+No DuckDB oracle (file-artifact op, the ``write_training_shards`` class);
+the gate is exactness against the oracle-gated in-memory operator: a
+query batch over the written index must reproduce ``ivf_pq_topk`` — the
+artifact round-trip (parquet codes + JSON sidecar) loses nothing — and
+the probed scan must actually partition-prune."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.pq import ivf_pq_topk
+from flink_cooccurrence_spark.operators.similarity import QUERY_MOD
+from flink_cooccurrence_spark.plans.ann import query_pq_index, write_pq_index
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).cache()
+    e.count()
+    yield e
+    e.unpersist()
+
+
+@pytest.fixture(scope="module")
+def index_dir(emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pq_index"))
+    meta = write_pq_index(emb, d)
+    assert os.path.exists(os.path.join(d, "meta.json"))
+    assert meta["m"] * len(meta["codebooks"][0][0]["c_v"]) == meta["dim"]
+    return d
+
+
+def test_round_trip_reproduces_operator(spark, emb, index_dir):
+    queries = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r) for r in query_pq_index(spark, index_dir, queries, k=3).collect()
+    )
+    exp = sorted(tuple(r) for r in ivf_pq_topk(emb, k=3).collect())
+    assert got == exp
+
+
+def test_codes_layout_is_cell_partitioned_and_pruned(spark, emb, index_dir):
+    cells = [
+        d for d in os.listdir(os.path.join(index_dir, "codes"))
+        if d.startswith("cell=")
+    ]
+    assert len(cells) > 1, "one cell — pruning proves nothing"
+    one_q = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).limit(1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    plan = (
+        query_pq_index(spark, index_dir, one_q, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probed-cell IN-filter must reach the scan as a partition filter
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters:"
+    )[1][:200], plan
+
+
+def test_external_query_vectors_work(spark, emb, index_dir):
+    """Queries need not be corpus members — the production shape."""
+    ext = emb.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("q_id"), "embedding"
+    )
+    out = query_pq_index(spark, index_dir, ext, k=2).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
