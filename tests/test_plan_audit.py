@@ -131,6 +131,10 @@ ALLOWED_SINGLE_PARTITION = {
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",
     "unigram_nll": "1-row corpus-token-total aggregate",
     "heavy_hitter_items": "1-row total aggregate (from sweep markers)",
+    # α-weights: the normalization window runs over the POST-AGGREGATION
+    # group table (|groups| rows — languages/sources, the mixing family's
+    # low-cardinality contract), never over corpus rows
+    "mixture_weights_alpha": "≤|groups|-row normalization window over the group table",
 }
 
 
