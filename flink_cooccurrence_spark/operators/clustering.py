@@ -97,19 +97,23 @@ def _cos_cols(cents: list[tuple[int, list[float], float]]):
 def _assign(base: DataFrame, cents) -> DataFrame:
     """(vec_id, embedding, cluster, cosine) under literal centroids.
 
-    argmax via greatest + a first-match when-chain in ascending cluster
-    order — ties land on the lower id, the same order the oracle's
-    ``row_number ... ORDER BY cos DESC, cluster`` produces."""
-    cos = _cos_cols(cents)
-    best = F.greatest(*cos) if len(cos) > 1 else cos[0]
-    cluster = F.when(cos[0] == best, F.lit(0))
-    for i in range(1, len(cos)):
-        cluster = cluster.when(cos[i] == best, F.lit(i))
-    return base.select(
+    argmax over the rounded-cosine ARRAY: ``array_position`` returns the
+    FIRST index of the max, so ties land on the lower cluster id — the
+    same order the oracle's ``row_number ... ORDER BY cos DESC, cluster``
+    produces. The array stages behind a projection boundary so each
+    centroid's dot fold compiles ONCE: the previous greatest+when-chain
+    re-inlined every fold ~k× and codegen compile time dwarfed the data
+    (the large-k cost was expression compilation, not arithmetic)."""
+    staged = base.select(
+        "vec_id", "embedding", F.array(*_cos_cols(cents)).alias("_sc")
+    )
+    return staged.select(
         "vec_id",
         "embedding",
-        cluster.cast("int").alias("cluster"),
-        best.alias("cosine"),
+        (F.array_position(F.col("_sc"), F.array_max(F.col("_sc"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_max(F.col("_sc")).alias("cosine"),
     )
 
 

@@ -47,8 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_cooccurrence_spark.functions.hashing import hash32_sql
-from flink_cooccurrence_spark.operators.clustering import kmeans_centroids
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+from flink_cooccurrence_spark.operators.clustering import _py_norm
 from flink_cooccurrence_spark.operators.similarity import (
     ANN_K,
     IVF_NUM_CENTROIDS,
@@ -100,45 +100,116 @@ def pq_codebooks(
 ) -> list[list[tuple[int, list[float], float]]]:
     """Fit the ``m`` per-subspace codebooks: list (per subspace) of
     [(code, components, norm)]. Driver state m·ksub·(dim/m) doubles;
-    construction runs m k-means fits (eager, the clustering module's
-    documented contract)."""
+    construction is eager (the clustering module's documented contract)
+    but FUSED: one seed collect + one micro-sum job per iteration
+    advance all m subspaces together (see the inline comment)."""
     first = embeddings.select("embedding").first()
     if first is None:
         return []
     dim = len(first["embedding"])
-    # ONE source materialization serves all m fits: each subspace's base
-    # is a map-only slice+norm over the checkpointed frame, so the m
-    # k-means constructions never rescan (or re-checkpoint) the source
+    w = dim // m
+    _slices(dim, m)  # divisibility check
+    # FUSED multi-subspace Lloyd's: all m fits advance in lockstep with
+    # ONE Spark job per step — one seed collect (the seed ROWS are
+    # subspace-independent: the same hash-order sample, sliced
+    # driver-side) and one micro-sum aggregation per iteration (each
+    # vector's m codes computed in the same map pass, exploded to
+    # (subspace, cluster, dim) integer micro-sums). Bit-identity to m
+    # independent ``kmeans_centroids`` fits on the sliced frames is
+    # pinned by tests (identical seeds, argmax, exact-integer update,
+    # carry); at corpus scale this is m× fewer scans per iteration.
     src = embeddings.select("vec_id", "embedding").localCheckpoint(eager=True)
-    books = []
-    for lo, w in _slices(dim, m):
-        sub = src.select(
-            "vec_id",
-            F.slice(_as_double(F.col("embedding")), lo, w).alias("embedding"),
+    seeds = (
+        src.orderBy(hash32(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(ksub)
+        .select("embedding")
+        .collect()
+    )
+    books: list[list[tuple[int, list[float], float]]] = []
+    for s in range(m):
+        cents = []
+        for i, r in enumerate(seeds):
+            emb = [float(x) for x in r["embedding"][s * w : (s + 1) * w]]
+            cents.append((i, emb, _py_norm(emb)))
+        books.append(cents)
+    if not books[0]:
+        return []
+    v = _as_double(F.col("embedding"))
+    micro = F.round(F.col("x") * F.lit(1000000.0), 0).cast("long")
+    for _ in range(n_iter):
+        staged = src.select(
+            "embedding",
+            *[
+                _scores_arr(F.slice(v, s * w + 1, w), books[s]).alias(
+                    f"_sc_{s}"
+                )
+                for s in range(m)
+            ],
         )
-        books.append(
-            kmeans_centroids(sub, k=ksub, n_iter=n_iter, base=_with_norm(sub))
+        long = staged.select(
+            F.array(
+                *[_argmax_code(F.col(f"_sc_{s}")) for s in range(m)]
+            ).alias("_codes"),
+            F.posexplode(v).alias("d0", "x"),
         )
+        rows = (
+            long.select(
+                (F.col("d0") / F.lit(w)).cast("int").alias("s"),
+                F.element_at(
+                    F.col("_codes"), (F.col("d0") / F.lit(w)).cast("int") + 1
+                ).alias("cluster"),
+                (F.col("d0") % F.lit(w)).alias("dim"),
+                F.col("x"),
+            )
+            .groupBy("s", "cluster", "dim")
+            .agg(F.sum(micro).alias("sm"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[tuple[int, int], list[int]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in rows:
+            sums.setdefault((r["s"], r["cluster"]), [0] * w)[r["dim"]] = r["sm"]
+            counts[(r["s"], r["cluster"])] = r["n"]
+        new_books = []
+        for s in range(m):
+            new_cents = []
+            for i, old_emb, old_norm in books[s]:
+                if (s, i) in counts:
+                    n = counts[(s, i)]
+                    emb = [x / (1000000.0 * n) for x in sums[(s, i)]]
+                    new_cents.append((i, emb, _py_norm(emb)))
+                else:  # empty cluster keeps its previous centroid
+                    new_cents.append((i, old_emb, old_norm))
+            new_books.append(new_cents)
+        books = new_books
     return books
 
 
-def _code_col(sub_v: Column, cents) -> Column:
-    """Literal-codebook argmax for one subspace — the clustering module's
-    when-chain (ties to the lower code) applied to a subvector expr."""
+def _scores_arr(sub_v: Column, cents) -> Column:
+    """The subspace's rounded-cosine array against its codebook (one
+    entry per code, code order)."""
     norm = F.sqrt(dot(sub_v, sub_v))
-    cos = [
-        F.round(
-            dot(sub_v, F.array(*[F.lit(x) for x in emb]))
-            / (norm * F.lit(cnorm)),
-            ROUND_DIGITS,
-        )
-        for _, emb, cnorm in cents
-    ]
-    best = F.greatest(*cos) if len(cos) > 1 else cos[0]
-    code = F.when(cos[0] == best, F.lit(0))
-    for i in range(1, len(cos)):
-        code = code.when(cos[i] == best, F.lit(i))
-    return code.cast("int")
+    return F.array(
+        *[
+            F.round(
+                dot(sub_v, F.array(*[F.lit(x) for x in emb]))
+                / (norm * F.lit(cnorm)),
+                ROUND_DIGITS,
+            )
+            for _, emb, cnorm in cents
+        ]
+    )
+
+
+def _argmax_code(arr: Column) -> Column:
+    """Argmax over a scores-array COLUMN: ``array_position`` returns the
+    FIRST index of the max, so ties land on the lower code — the
+    clustering module's exact tie rule. Taking a column reference (not
+    the array expression) matters: a when-chain over inline expressions
+    re-inlines every dot fold ~k× and the codegen compile time dwarfs
+    the data (the k-means literal path's cost at large k); behind a
+    projection boundary each fold compiles once."""
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
 def pq_codes(
@@ -151,11 +222,20 @@ def pq_codes(
     first = embeddings.select("embedding").first()
     dim = len(first["embedding"]) if first is not None else m
     v = _as_double(F.col("embedding"))
-    cols = [
-        _code_col(F.slice(v, lo, w), books[s]).alias(f"code_{s}")
-        for s, (lo, w) in enumerate(_slices(dim, m))
-    ]
-    return embeddings.select("vec_id", *cols)
+    staged = embeddings.select(
+        "vec_id",
+        *[
+            _scores_arr(F.slice(v, lo, w), books[s]).alias(f"_sc_{s}")
+            for s, (lo, w) in enumerate(_slices(dim, m))
+        ],
+    )
+    return staged.select(
+        "vec_id",
+        *[
+            _argmax_code(F.col(f"_sc_{s}")).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
 
 
 def ivf_pq_topk(

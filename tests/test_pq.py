@@ -84,3 +84,23 @@ def test_empty_corpus(spark):
     )
     assert ivf_pq_topk(empty).count() == 0
     assert pq_codebooks(empty) == []
+
+
+def test_fused_fit_equals_per_subspace_kmeans(spark, emb, books):
+    """The one-job-per-iteration fused multi-subspace Lloyd's must be
+    bit-identical to m independent kmeans_centroids fits on the sliced
+    frames — seeds, argmax, integer micro-sums, empty-cluster carry."""
+    from pyspark.sql import functions as F
+
+    from flink_cooccurrence_spark.operators.clustering import kmeans_centroids
+    from flink_cooccurrence_spark.operators.pq import PQ_ITERS, _slices
+    from flink_cooccurrence_spark.operators.similarity import _as_double
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    for s, (lo, w) in enumerate(_slices(dim, PQ_M)):
+        sub = emb.select(
+            "vec_id",
+            F.slice(_as_double(F.col("embedding")), lo, w).alias("embedding"),
+        )
+        ref = kmeans_centroids(sub, k=PQ_KSUB, n_iter=PQ_ITERS)
+        assert books[s] == ref, f"subspace {s} diverged from kmeans_centroids"
