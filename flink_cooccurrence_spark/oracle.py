@@ -1582,6 +1582,11 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     # physical strategy with a proven-superset guarantee (frequency.py)
     from flink_cooccurrence_spark.operators import frequency as freq
 
+    # the streaming tracker's verify pass — identical oracle text (the
+    # losslessness-by-parity pattern: superset candidates + exact verify)
+    o["streaming_heavy_hitters"] = freq.heavy_hitters_sql(
+        f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
+    )
     o["heavy_hitter_items"] = freq.heavy_hitters_sql(
         f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
     )

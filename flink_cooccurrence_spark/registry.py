@@ -554,7 +554,31 @@ def _dedup_stream_engine(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _freq_stream_engine(spark: SparkSession, sf_dir: str):
+    """Replay the streaming MG tracker over the interactions in seq order
+    (multi-batch at every test SF); memoized like the other engines."""
+    from flink_cooccurrence_spark.streaming.frequency import (
+        FrequencyStreamEngine,
+    )
+
+    key = _memo_key(spark, sf_dir, "freq_stream")
+    if key not in _ENGINE_MEMO:
+        eng = FrequencyStreamEngine(spark, workdir=_memo_tmpdir("freq_q_"))
+        eng.replay(
+            _interactions(spark, sf_dir).select("seq", "item"),
+            rows_per_batch=4000,
+        )
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
+    # streaming Misra-Gries tracker: the persistent summary's exact
+    # verify pass equals the batch heavy hitters — same GROUP BY +
+    # HAVING oracle (the sketch is a physical strategy, not semantics)
+    "streaming_heavy_hitters": lambda s, d: _freq_stream_engine(
+        s, d
+    ).verified_heavy_hitters(_interactions(s, d)),
     # salting physical rewrite — identical results to cooccurrence_counts
     "cooccurrence_counts_salted": q_cooccurrence_counts_salted,
     # streaming dedup engine (online exact + LSH near-dup): accumulated

@@ -41,6 +41,7 @@ ENGINE_BACKED = {
     "streaming_final_topk",
     "streaming_sampled_matrix",
     "streaming_sampled_native",
+    "streaming_heavy_hitters",
     "streaming_dedup_exact",
     "streaming_dedup_pairs",
 }

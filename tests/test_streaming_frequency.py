@@ -1,0 +1,86 @@
+"""Streaming Misra–Gries heavy-hitter tracker (streaming/frequency.py).
+
+Contracts: the persistent summary is a candidate SUPERSET of the true
+heavy hitters under ANY batch slicing; per-key undercount obeys the
+mergeable-summaries bound; the exact verify pass equals the batch
+operator bit-for-bit (its registry twin runs the identical GROUP BY +
+HAVING oracle); kill-restart resumes from committed state and
+re-delivered batches skip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.frequency import heavy_hitters
+from flink_cooccurrence_spark.registry import _interactions
+from flink_cooccurrence_spark.streaming.frequency import FrequencyStreamEngine
+
+PERMILLE = 10
+
+
+@pytest.fixture(scope="module")
+def inter(spark, sf_dir):
+    d = _interactions(spark, sf_dir).select("seq", "item").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_verify_equals_batch_operator_under_slicings(spark, inter, tmp_path):
+    exp = _rows(heavy_hitters(inter, "item", PERMILLE))
+    assert exp, "corpus has no heavy hitters at the threshold — vacuous"
+    for i, per in enumerate((10**9, 700)):  # single-batch and many-batch
+        eng = FrequencyStreamEngine(
+            spark, workdir=str(tmp_path / f"s{i}"), min_share_permille=PERMILLE
+        )
+        eng.replay(inter, rows_per_batch=per)
+        assert eng.total_rows() == inter.count()
+        assert _rows(eng.verified_heavy_hitters(inter)) == exp, per
+
+
+def test_summary_is_superset_with_bounded_undercount(spark, inter, tmp_path):
+    eng = FrequencyStreamEngine(
+        spark, workdir=str(tmp_path), min_share_permille=PERMILLE
+    )
+    eng.replay(inter, rows_per_batch=500)
+    true_counts = {
+        r["item"]: r["cnt"]
+        for r in inter.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = eng.total_rows()
+    cand = {r["key"]: r["mg_count"] for r in eng.candidates().collect()}
+    bound = total / (eng.capacity + 1)
+    heavy = {k for k, c in true_counts.items() if c > bound}
+    assert heavy <= set(cand), "MG superset guarantee violated"
+    for k, mg in cand.items():
+        assert mg <= true_counts[k], "mg_count must lower-bound the truth"
+        assert true_counts[k] - mg <= bound + 1e-9, "undercount bound violated"
+    assert len(cand) <= eng.capacity
+
+
+def test_kill_restart_and_redelivery(spark, inter, tmp_path):
+    eng = FrequencyStreamEngine(
+        spark, workdir=str(tmp_path), min_share_permille=PERMILLE
+    )
+    eng.replay(inter.filter(F.col("seq") % 2 == 0), rows_per_batch=400)
+    before = _rows(eng.candidates())
+    total_before = eng.total_rows()
+    # a NEW engine on the same workdir resumes the committed summary
+    eng2 = FrequencyStreamEngine(
+        spark, workdir=str(tmp_path), min_share_permille=PERMILLE
+    )
+    assert _rows(eng2.candidates()) == before
+    assert eng2.total_rows() == total_before
+    # re-delivered batch id: skipped (no double counting)
+    eng2.process_batch(inter.limit(100), batch_id=0)
+    assert eng2.total_rows() == total_before
+    # and the second half folds in
+    eng2.replay(inter.filter(F.col("seq") % 2 == 1), rows_per_batch=400)
+    assert eng2.total_rows() == inter.count()
+    exp = _rows(heavy_hitters(inter, "item", PERMILLE))
+    assert _rows(eng2.verified_heavy_hitters(inter)) == exp
