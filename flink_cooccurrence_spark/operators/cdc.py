@@ -1,0 +1,262 @@
+"""Content-defined chunking (CDC) dedup — duplicated-content mass at
+corpus scale WITHOUT a pair join.
+
+The storage-dedup lineage (Muthitacharoen, Chen & Mazières, "A
+Low-Bandwidth Network File System", SOSP 2001 — LBFS; the rsync/backup
+dedup standard): cut documents at positions where a rolling content hash
+hits a divisor condition, so chunk boundaries move WITH the content —
+an insertion near the front shifts every fixed-window chunk but leaves
+all content-defined boundaries after it intact. Duplicated chunks then
+dedup by plain hash equality.
+
+Relation to the neighbors: ``duplicate_spans`` is exact and positional
+but pays an inverted-index JOIN; MinHash is global-similarity only. CDC
+sits between — it finds duplicated CONTENT MASS (which chunks, how many
+tokens, which docs) with one ``groupBy(chunk_hash)``, no join at all,
+at the cost of boundary-granularity (a shared run is only detected to
+the nearest chunk). At 100 TB that difference is the whole story: the
+CDC pass is scan + window + one agg.
+
+Determinism / oracle spec (shared verbatim with the SQL twins):
+
+- token k-gram hash = ``hash32`` (the portable md5-derived hash);
+  position p (1-based) is a BOUNDARY iff ``hash32(gram at p) % divisor
+  == 0`` — the chunk ENDS at token p+k−1 (the gram must be fully inside
+  its chunk, the LBFS convention) and the next chunk starts at p+k.
+  Trailing tokens past the last boundary form the final chunk; a
+  document with no boundary is one whole-document chunk. The final
+  k−1 positions carry no gram and cannot cut.
+- chunk id = its 1-based index; chunk text = its tokens joined with
+  single spaces (the tokenizer's whitespace-normalized contract);
+  ``chunk_hash`` = md5 of that text.
+- Expected chunk length ≈ k − 1 + divisor tokens (geometric boundary
+  spacing); ``divisor`` is the granularity knob.
+
+Scale shape: one tokenize/window pass per document (the ``doc_shingles``
+family's shape: posexplode + lead window + a running boundary count —
+all partitioned by doc_id), one groupBy to build chunks, one groupBy on
+the chunk hash for the dedup stats. No joins, no candidate pairs, no
+quadratic anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+from flink_cooccurrence_spark.operators.textstats import _tokens
+
+#: rolling-gram width and the boundary divisor (expected chunk ≈
+#: k − 1 + divisor tokens — sized so the test corpora chunk genuinely)
+CDC_K = 4
+CDC_DIVISOR = 16
+
+
+def cdc_chunks(
+    documents: DataFrame, k: int = CDC_K, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(doc_id, chunk_id, start, n_tokens, chunk_hash): the content-
+    defined chunks of every document (1-based token start; chunk_id
+    1-based per document)."""
+    if divisor <= 0 or k <= 0:
+        raise ValueError("k and divisor must be positive")
+    words = documents.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
+    gram = F.concat_ws(" ", *parts)
+    has_gram = F.lead("w", k - 1).over(win).isNotNull()
+    # boundary at p: the chunk ends at token p+k-1 — mark the CUT as a
+    # +1 carried by the token k positions later (the first token of the
+    # next chunk); a running sum of cuts over prior tokens IS the chunk id
+    cut = F.when(
+        has_gram & (hash32(gram) % F.lit(divisor) == 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = words.select(
+        "doc_id", "pos0", "w", F.lag(cut, k).over(win).alias("_cut_in")
+    )
+    chunked = marked.select(
+        "doc_id",
+        "pos0",
+        "w",
+        (
+            F.sum(F.coalesce(F.col("_cut_in"), F.lit(0))).over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + F.lit(1)
+        ).cast("int").alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            (F.min("pos0") + 1).alias("start"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos0"), F.col("w")))
+                        ),
+                        lambda x: x["w"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_dup_chunks(
+    documents: DataFrame, k: int = CDC_K, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(chunk_hash, n_copies, n_docs, chunk_tokens, dup_tokens): every
+    chunk content occurring MORE THAN ONCE in the corpus — the
+    duplicated-content inventory, one aggregation over the chunk table
+    (``dup_tokens`` = tokens that could be reclaimed keeping one copy:
+    (n_copies − 1) · chunk_tokens)."""
+    ch = cdc_chunks(documents, k, divisor)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("chunk_tokens"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "chunk_hash",
+            "n_copies",
+            "n_docs",
+            "chunk_tokens",
+            ((F.col("n_copies") - 1) * F.col("chunk_tokens"))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )
+
+
+def cdc_doc_dup_stats(
+    documents: DataFrame, k: int = CDC_K, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(doc_id, n_chunks, dup_chunks, dup_chunk_tokens, dup_frac): per
+    document, how much of its content (in tokens) lives in chunks whose
+    content appears elsewhere in the corpus (other docs or repeated
+    within this one) — the CDC analog of ``duplicate_span_coverage`` at
+    chunk granularity, via one self-aggregation instead of a pair join.
+
+    ``dup_frac`` = dup_chunk_tokens / total tokens, rounded to 6."""
+    ch = cdc_chunks(documents, k, divisor)
+    per_hash = ch.groupBy("chunk_hash").agg(
+        F.count("*").alias("_copies")
+    )
+    flagged = ch.join(per_hash, on="chunk_hash")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("_copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("_copies") > 1, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_chunk_tokens"),
+            F.sum("n_tokens").alias("_total"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            "dup_chunk_tokens",
+            F.round(F.col("dup_chunk_tokens") / F.col("_total"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _chunks_sql(k: int, divisor: int) -> str:
+    gram = " || ' ' || ".join(
+        "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(k)
+    )
+    return f"""
+words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN lead(w, {k - 1}) OVER win IS NOT NULL
+               AND {hash32_sql(f"({gram})")} % {divisor} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+carried AS (
+  SELECT doc_id, pos, w,
+         COALESCE(lag(cut, {k}) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+           AS cut_in
+  FROM marked
+),
+chunked AS (
+  SELECT doc_id, pos, w,
+         CAST(SUM(cut_in) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + 1 AS INT) AS chunk_id
+  FROM carried
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         min(pos) AS start,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+  FROM chunked GROUP BY doc_id, chunk_id
+)
+""".strip()
+
+
+def cdc_chunks_sql(k: int = CDC_K, divisor: int = CDC_DIVISOR) -> str:
+    return f"""
+WITH {_chunks_sql(k, divisor)}
+SELECT doc_id, chunk_id, start, n_tokens, chunk_hash FROM chunks
+"""
+
+
+def cdc_dup_chunks_sql(k: int = CDC_K, divisor: int = CDC_DIVISOR) -> str:
+    return f"""
+WITH {_chunks_sql(k, divisor)}
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS chunk_tokens,
+       CAST((COUNT(*) - 1) * MIN(n_tokens) AS BIGINT) AS dup_tokens
+FROM chunks GROUP BY chunk_hash
+HAVING COUNT(*) > 1
+"""
+
+
+def cdc_doc_dup_stats_sql(k: int = CDC_K, divisor: int = CDC_DIVISOR) -> str:
+    return f"""
+WITH {_chunks_sql(k, divisor)},
+per_hash AS (
+  SELECT chunk_hash, COUNT(*) AS copies FROM chunks GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN p.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(SUM(CASE WHEN p.copies > 1 THEN c.n_tokens ELSE 0 END) AS BIGINT)
+         AS dup_chunk_tokens,
+       round(SUM(CASE WHEN p.copies > 1 THEN c.n_tokens ELSE 0 END)
+             / SUM(c.n_tokens), 6) AS dup_frac
+FROM chunks c JOIN per_hash p USING (chunk_hash)
+GROUP BY c.doc_id
+"""

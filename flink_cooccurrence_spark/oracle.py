@@ -1572,6 +1572,14 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     from flink_cooccurrence_spark.operators import mixing as _mx
 
     o["mixture_weights_alpha"] = _mx.mixture_weights_alpha_sql()
+
+    # content-defined chunking (operators/cdc.py): rolling-hash
+    # boundaries, chunk hashes, dup inventory, per-doc dup mass
+    from flink_cooccurrence_spark.operators import cdc as _cdc
+
+    o["cdc_chunks"] = _cdc.cdc_chunks_sql()
+    o["cdc_dup_chunks"] = _cdc.cdc_dup_chunks_sql()
+    o["cdc_doc_dup_stats"] = _cdc.cdc_doc_dup_stats_sql()
     o["duplicate_spans"] = sp.duplicate_spans_sql()
     o["duplicate_spans_cut"] = sp.duplicate_spans_sql(max_gram_freq=5)
     o["duplicate_span_coverage"] = sp.duplicate_span_coverage_sql()

@@ -800,6 +800,19 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
     "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
     "prev_interaction": q_prev_interaction,
+    # content-defined chunking (LBFS rolling-hash boundaries): duplicated-
+    # content mass via ONE groupBy on the chunk hash — no pair join; the
+    # chunk-granularity complement of duplicate_spans
+    "cdc_chunks": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.cdc", fromlist=["cdc_chunks"]
+    ).cdc_chunks(_documents(s, d)),
+    "cdc_dup_chunks": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.cdc", fromlist=["cdc_dup_chunks"]
+    ).cdc_dup_chunks(_documents(s, d)),
+    "cdc_doc_dup_stats": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.cdc",
+        fromlist=["cdc_doc_dup_stats"],
+    ).cdc_doc_dup_stats(_documents(s, d)),
     # α-temperature mixture weights (XLM-R rule p_i ∝ n_i^α): group token
     # mass → normalized sampling weights + implied budgets/epochs — the
     # stage that PRODUCES what token_budget_sample consumes

@@ -1,0 +1,106 @@
+"""Content-defined chunking (operators/cdc.py).
+
+The registry twins (cdc_chunks / cdc_dup_chunks / cdc_doc_dup_stats in
+test_oracle_parity.py) pin full-table DuckDB parity; these pin the
+structural contracts — chunks PARTITION each document, the boundary is
+content-defined (the insertion-robustness property that is CDC's entire
+point), duplicate content dedups by hash with no join, and degenerate
+shapes (no boundary, NULL text)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.cdc import (
+    cdc_chunks,
+    cdc_doc_dup_stats,
+    cdc_dup_chunks,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mk_text(n, seed):
+    rng = random.Random(seed)
+    return " ".join(f"t{rng.randrange(5000)}" for _ in range(n))
+
+
+def test_chunks_partition_each_document(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ch = cdc_chunks(docs).toPandas()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    assert ch["doc_id"].nunique() == len(n_tok)
+    for doc_id, grp in ch.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        assert list(grp["chunk_id"]) == list(range(1, len(grp) + 1))
+        # contiguous: starts chain (start_{i+1} = start_i + n_i), total = doc
+        assert grp["start"].iloc[0] == 1
+        ends = (grp["start"] + grp["n_tokens"]).to_numpy()
+        assert (grp["start"].to_numpy()[1:] == ends[:-1]).all()
+        assert grp["n_tokens"].sum() == n_tok[doc_id]
+    assert (ch.groupby("doc_id")["chunk_id"].count() > 1).any(), (
+        "no document chunked — divisor too large for the corpus"
+    )
+
+
+def test_boundaries_are_insertion_robust(spark):
+    """Prefix insertion shifts every FIXED window but leaves the
+    content-defined boundaries after it intact: the suffix chunks of the
+    modified document keep their hashes — the property fixed-size
+    chunking provably lacks."""
+    body = _mk_text(400, seed=7)
+    docs = _docs(spark, [(1, body), (2, _mk_text(13, seed=99) + " " + body)])
+    ch = cdc_chunks(docs).toPandas()
+    h1 = list(ch[ch.doc_id == 1].sort_values("chunk_id")["chunk_hash"])
+    h2 = set(ch[ch.doc_id == 2]["chunk_hash"])
+    assert len(h1) >= 4, "body too short to chunk — test proves nothing"
+    # all of doc 1's chunks except (at most) its first survive verbatim
+    surviving = [h for h in h1[1:] if h in h2]
+    assert surviving == h1[1:], "content-defined boundaries did not re-sync"
+
+
+def test_dup_inventory_and_doc_stats(spark):
+    shared = _mk_text(120, seed=3)
+    docs = _docs(
+        spark,
+        [
+            (1, shared),
+            (2, shared),  # exact copy: every chunk duplicated
+            (3, _mk_text(80, seed=4)),  # unique content
+        ],
+    )
+    inv = cdc_dup_chunks(docs).toPandas()
+    assert len(inv) >= 2 and (inv["n_copies"] >= 2).all()
+    assert (inv["dup_tokens"] == (inv["n_copies"] - 1) * inv["chunk_tokens"]).all()
+    stats = {r["doc_id"]: r for r in cdc_doc_dup_stats(docs).collect()}
+    assert stats[1]["dup_frac"] == 1.0 and stats[2]["dup_frac"] == 1.0
+    assert stats[3]["dup_frac"] == 0.0 and stats[3]["dup_chunks"] == 0
+
+
+def test_no_boundary_yields_whole_doc_chunk(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, None)])
+    ch = cdc_chunks(docs).collect()
+    # doc 1: 3 tokens < k ⇒ no gram, one whole-doc chunk; NULL text ⇒ no rows
+    assert len(ch) == 1
+    r = ch[0]
+    assert (r["doc_id"], r["chunk_id"], r["start"], r["n_tokens"]) == (1, 1, 1, 3)
+
+
+def test_chunking_invariant_under_repartition(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = sorted(tuple(r) for r in cdc_chunks(docs).collect())
+    b = sorted(tuple(r) for r in cdc_chunks(docs.repartition(7)).collect())
+    assert a == b
