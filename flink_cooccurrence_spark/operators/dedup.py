@@ -829,3 +829,88 @@ def dup_clusters(
             "backend='star' (O(log² n) rounds)"
         )
     return labels
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, novel_shingles, novelty): per document, the
+    fraction of its distinct n-gram shingles that occur in NO other
+    document — the corpus-novelty / memorization-risk score (a doc whose
+    content is mostly corpus-unique contributes new signal; a doc near
+    0 novelty is assembled from content the corpus already has — the
+    aggregate complement of the pairwise overlap detectors).
+
+    Scale shape: the shingle document-frequency table is one groupBy on
+    the inverted index (the same structure every n-gram operator here
+    builds), then one join back and a per-doc count — no pairs anywhere.
+    Documents with fewer than ``n`` tokens have no shingles and score
+    novelty 0.0 by convention (both engines)."""
+    sh = doc_shingles(documents, n)
+    df_tab = sh.groupBy("shingle").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    per_doc = (
+        sh.join(df_tab, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("novel_shingles"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("novel_shingles", F.lit(0))
+            .cast("long")
+            .alias("novel_shingles"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(F.col("novel_shingles") / F.col("n_shingles"), 6)
+            )
+            .alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    """DuckDB text of :func:`ngram_novelty`."""
+    gram = " || ' ' || ".join(
+        "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(n)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, {gram} AS shingle, lead(w, {n - 1}) OVER win AS last_w
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE last_w IS NOT NULL),
+dfreq AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_shingles
+  FROM sh s JOIN dfreq f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.novel_shingles, 0) AS BIGINT) AS novel_shingles,
+       CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+            ELSE round(p.novel_shingles / p.n_shingles, 6) END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -1577,6 +1577,9 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     # boundaries, chunk hashes, dup inventory, per-doc dup mass
     from flink_cooccurrence_spark.operators import cdc as _cdc
 
+    from flink_cooccurrence_spark.operators import dedup as _dd9
+
+    o["ngram_novelty"] = _dd9.ngram_novelty_sql()
     o["cdc_chunks"] = _cdc.cdc_chunks_sql()
     o["cdc_dup_chunks"] = _cdc.cdc_dup_chunks_sql()
     o["cdc_doc_dup_stats"] = _cdc.cdc_doc_dup_stats_sql()

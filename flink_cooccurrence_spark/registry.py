@@ -800,6 +800,9 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
     "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
     "prev_interaction": q_prev_interaction,
+    # corpus-novelty score: fraction of a doc's distinct shingles unique
+    # to it (df == 1) — one inverted-index aggregation, no pairs
+    "ngram_novelty": lambda s, d: _dedup.ngram_novelty(_documents(s, d)),
     # content-defined chunking (LBFS rolling-hash boundaries): duplicated-
     # content mass via ONE groupBy on the chunk hash — no pair join; the
     # chunk-granularity complement of duplicate_spans
