@@ -1,0 +1,72 @@
+"""JSONL document corpus source/sink — the interchange format training
+corpora actually arrive in (one JSON object per line: Dolma, RedPajama,
+The Pile, OSCAR releases all ship this shape, usually gzip/zstd-
+compressed line files).
+
+Spark's native JSON line reader handles the format splittably (one task
+per file split for uncompressed / per file for compressed — Spark's
+standard codec behavior) with full predicate/projection pushdown ON THE
+PARSED COLUMNS and schema ENFORCEMENT rather than inference: at 100 TB a
+schema-inference pass is a full extra corpus scan, and a drifting
+inferred type (one file where every doc_id happens to fit INT) breaks
+joins downstream — so the reader requires the documents contract schema
+and rejects corrupt lines loudly by default.
+
+Contract columns (the driver ``documents`` table's): ``doc_id long,
+text string, lang string, source string, n_chars long``; extra JSON
+fields are ignored (the schema projects), absent fields read NULL — the
+package's operators already define NULL-text behavior, so a sparse JSONL
+flows through the whole pipeline unchanged.
+
+Corrupt-line policy: ``mode='FAILFAST'`` by default (a malformed line in
+a training corpus is a data bug to surface, not to skip); pass
+``mode='PERMISSIVE'`` with ``corrupt_col`` to instead capture bad lines
+in a column for quarantine-style pipelines (the two modes Spark's JSON
+source implements; DROPMALFORMED silently changes corpus membership and
+is deliberately not exposed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the documents contract schema (sources/tables.py documents table)
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    mode: str = "FAILFAST",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Read a JSONL document corpus under the contract schema."""
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(
+            "mode must be FAILFAST or PERMISSIVE (DROPMALFORMED silently "
+            f"changes corpus membership), got {mode!r}"
+        )
+    schema = DOCUMENTS_SCHEMA
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        if mode != "PERMISSIVE":
+            raise ValueError("corrupt_col requires mode='PERMISSIVE'")
+        schema = f"{schema}, {corrupt_col} string"
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.schema(schema).json(path)
+
+
+def write_documents_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """Write a document frame as JSONL (one object per line), compressed
+    per line-file (``gzip``/``bzip2``/``none`` — splittable-codec caveats
+    are Spark's standard ones). NULL columns are OMITTED from each JSON
+    object (Spark's JSON sink convention) and read back as NULL under the
+    contract schema — the round trip is lossless (pinned by tests)."""
+    w = df.write.mode("overwrite")
+    if compression and compression != "none":
+        w = w.option("compression", compression)
+    w.json(path)

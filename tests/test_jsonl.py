@@ -1,0 +1,77 @@
+"""JSONL corpus source/sink (sources/jsonl.py): lossless round trip under
+the documents contract schema, NULL omission/readback, extra-field
+projection, and the loud corrupt-line default."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from flink_cooccurrence_spark.sources import load_table
+from flink_cooccurrence_spark.sources.jsonl import (
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_round_trip_is_lossless(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_documents_jsonl(docs, out)
+    assert glob.glob(os.path.join(out, "*.json.gz")), "gzip line files expected"
+    back = read_documents_jsonl(spark, out)
+    assert _rows(back) == _rows(docs)
+
+
+def test_null_text_round_trips_and_flows(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "a b", None, "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "nulls")
+    write_documents_jsonl(docs, out, compression="none")
+    back = read_documents_jsonl(spark, out)
+    assert _rows(back) == _rows(docs)
+    # NULL text flows through the operators under their documented folds
+    from flink_cooccurrence_spark.operators.dedup import exact_duplicates
+
+    assert exact_duplicates(back).count() == 2
+
+
+def test_extra_fields_project_away_and_missing_read_null(spark, tmp_path):
+    p = tmp_path / "mixed"
+    p.mkdir()
+    (p / "part.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", '
+        '"n_chars": 11, "url": "https://x", "score": 0.5}\n'
+        '{"doc_id": 2, "text": "no lang field", "source": "s", "n_chars": 13}\n'
+    )
+    got = {r["doc_id"]: r for r in read_documents_jsonl(spark, str(p)).collect()}
+    assert set(got[1].asDict()) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert got[2]["lang"] is None
+
+
+def test_corrupt_line_fails_loudly_by_default(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "{not json at all\n"
+    )
+    with pytest.raises(Exception):
+        read_documents_jsonl(spark, str(p)).collect()
+    # PERMISSIVE + corrupt_col quarantines instead
+    rows = read_documents_jsonl(
+        spark, str(p), mode="PERMISSIVE", corrupt_col="_bad"
+    ).collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    with pytest.raises(ValueError):
+        read_documents_jsonl(spark, str(p), mode="DROPMALFORMED")
