@@ -1588,6 +1588,37 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     o["duplicate_span_coverage"] = sp.duplicate_span_coverage_sql()
     o["scrub_duplicate_spans"] = sp.scrub_duplicate_spans_sql()
 
+    # the composed per-document dedup-axis report and its per-source
+    # aggregate — component oracles embed as derived tables (nested WITH,
+    # the ann_recall precedent), so the composition can never drift from
+    # the parts it joins
+    _report_sql = f"""
+SELECT cov.doc_id, cov.n_tokens,
+       ex.is_duplicate AS is_exact_dup,
+       cov.dup_frac AS span_dup_frac,
+       COALESCE(cd.dup_frac, 0.0) AS cdc_dup_frac,
+       nv.novelty,
+       rp.dup_3gram_frac
+FROM ({o["duplicate_span_coverage"]}) cov
+JOIN ({o["dedup_exact"]}) ex ON ex.doc_id = cov.doc_id
+LEFT JOIN ({o["cdc_doc_dup_stats"]}) cd ON cd.doc_id = cov.doc_id
+JOIN ({o["ngram_novelty"]}) nv ON nv.doc_id = cov.doc_id
+JOIN ({o["repetition_stats"]}) rp ON rp.doc_id = cov.doc_id
+"""
+    o["dedup_report"] = _report_sql
+    o["source_dedup_report"] = f"""
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r.is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dups,
+       round(AVG(r.span_dup_frac), 6) AS mean_span_dup_frac,
+       round(AVG(r.cdc_dup_frac), 6) AS mean_cdc_dup_frac,
+       round(AVG(r.novelty), 6) AS mean_novelty
+FROM ({_report_sql}) r JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
     # heavy hitters: semantics are the plain exact GROUP BY + HAVING over
     # the interaction items; the Spark side's MG candidate sweep is a
     # physical strategy with a proven-superset guarantee (frequency.py)

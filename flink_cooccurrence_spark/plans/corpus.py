@@ -352,3 +352,79 @@ def write_training_shards(
         .parquet(out_dir)
     )
     return sh
+
+
+def dedup_report(documents: DataFrame) -> DataFrame:
+    """Per-document DEDUP-AXIS report — the curator's table joining every
+    duplication metric the engine computes, one row per document:
+
+    - ``is_exact_dup`` — exact content-hash duplicate (non-canonical copy);
+    - ``span_dup_frac`` — tokens inside cross-document EXACT duplicated
+      runs (``operators/spans.py`` interval-union coverage);
+    - ``cdc_dup_frac`` — tokens in content-defined chunks whose content
+      occurs elsewhere (``operators/cdc.py``; 0.0 for docs the chunker
+      skips, i.e. NULL text);
+    - ``novelty`` — fraction of the doc's shingles unique to it
+      (``dedup.ngram_novelty``);
+    - ``dup_3gram_frac`` — WITHIN-document repetition
+      (``textstats.repetition_stats``).
+
+    The decision surface of span-scrub / doc-drop / repetition gates in
+    one frame. Scale shape: each component keeps its own documented plan;
+    the report adds one doc_id join per family over one-row-per-doc
+    frames — the join keys are already the components' output keys, no
+    new quadratic anything."""
+    from flink_cooccurrence_spark.operators.cdc import cdc_doc_dup_stats
+    from flink_cooccurrence_spark.operators.dedup import (
+        exact_duplicates,
+        ngram_novelty,
+    )
+    from flink_cooccurrence_spark.operators.spans import duplicate_span_coverage
+    from flink_cooccurrence_spark.operators.textstats import repetition_stats
+
+    cov = duplicate_span_coverage(documents).select(
+        "doc_id", "n_tokens", F.col("dup_frac").alias("span_dup_frac")
+    )
+    ex = exact_duplicates(documents).select(
+        "doc_id", F.col("is_duplicate").alias("is_exact_dup")
+    )
+    cdc = cdc_doc_dup_stats(documents).select(
+        "doc_id", F.col("dup_frac").alias("cdc_dup_frac")
+    )
+    nov = ngram_novelty(documents).select("doc_id", "novelty")
+    rep = repetition_stats(documents).select("doc_id", "dup_3gram_frac")
+    return (
+        cov.join(ex, on="doc_id")
+        .join(cdc, on="doc_id", how="left")
+        .join(nov, on="doc_id")
+        .join(rep, on="doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "is_exact_dup",
+            "span_dup_frac",
+            F.coalesce("cdc_dup_frac", F.lit(0.0)).alias("cdc_dup_frac"),
+            "novelty",
+            "dup_3gram_frac",
+        )
+    )
+
+
+def source_dedup_report(documents: DataFrame) -> DataFrame:
+    """Per-SOURCE aggregate of :func:`dedup_report` — the dataset-card
+    numbers (exact-dup rate, mean duplicated-mass fractions, mean
+    novelty) a curator compares across crawl snapshots / providers.
+    Averages round to 6 over the exact per-doc values."""
+    rep = dedup_report(documents)
+    src = documents.select("doc_id", "source")
+    return (
+        rep.join(src, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("is_exact_dup").cast("int")).cast("long").alias("n_exact_dups"),
+            F.round(F.avg("span_dup_frac"), 6).alias("mean_span_dup_frac"),
+            F.round(F.avg("cdc_dup_frac"), 6).alias("mean_cdc_dup_frac"),
+            F.round(F.avg("novelty"), 6).alias("mean_novelty"),
+        )
+    )

@@ -800,6 +800,15 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_documents(s, d)),
     "simhash_fingerprints": lambda s, d: _dedup.simhash_fingerprints(_documents(s, d)),
     "prev_interaction": q_prev_interaction,
+    # the composed per-doc dedup-axis report + per-source dataset-card
+    # aggregate (plans/corpus.py) — every duplication metric in one frame
+    "dedup_report": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["dedup_report"]
+    ).dedup_report(_documents(s, d)),
+    "source_dedup_report": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus",
+        fromlist=["source_dedup_report"],
+    ).source_dedup_report(_documents(s, d)),
     # corpus-novelty score: fraction of a doc's distinct shingles unique
     # to it (df == 1) — one inverted-index aggregation, no pairs
     "ngram_novelty": lambda s, d: _dedup.ngram_novelty(_documents(s, d)),
