@@ -134,3 +134,49 @@ def test_null_text_contributes_nothing(spark):
     assert got == [(2, 3, 1, 1, 12)]
     cov = {r["doc_id"]: r["dup_tokens"] for r in duplicate_span_coverage(docs, 8).collect()}
     assert cov[1] == 0
+
+
+def test_planted_runs_always_detected_and_maximal(spark):
+    """Property sweep (the winnow guarantee-test pattern): over 30 random
+    corpora, plant a shared run of random length R >= L at random offsets
+    in two random docs; duplicate_spans must emit a span COVERING the
+    planted run between that pair (equality unless the surrounding random
+    text accidentally extends it)."""
+    import random
+
+    L = 8
+    rng = random.Random(20260815)
+    for trial in range(30):
+        n_docs = rng.randrange(3, 7)
+        texts = {
+            d: [f"w{rng.randrange(100000)}" for _ in range(rng.randrange(30, 90))]
+            for d in range(n_docs)
+        }
+        a, b = rng.sample(range(n_docs), 2)
+        a, b = min(a, b), max(a, b)
+        run_len = rng.randrange(L, 2 * L + 5)
+        run = [f"p{trial}_{i}" for i in range(run_len)]
+        pa = rng.randrange(0, len(texts[a]) - 1)
+        pb = rng.randrange(0, len(texts[b]) - 1)
+        texts[a] = texts[a][:pa] + run + texts[a][pa:]
+        texts[b] = texts[b][:pb] + run + texts[b][pb:]
+        docs = _docs(
+            spark, [(d, " ".join(t)) for d, t in sorted(texts.items())]
+        )
+        spans = [
+            r
+            for r in duplicate_spans(docs, min_len=L).collect()
+            if r["doc_a"] == a and r["doc_b"] == b
+        ]
+        covering = [
+            r
+            for r in spans
+            if r["a_start"] <= pa + 1
+            and r["a_start"] + r["span_len"] >= pa + 1 + run_len
+            and r["b_start"] <= pb + 1
+            and r["b_start"] + r["span_len"] >= pb + 1 + run_len
+        ]
+        assert covering, (
+            f"trial {trial}: planted run of {run_len} at a@{pa+1}/b@{pb+1} "
+            f"not covered; got {spans}"
+        )
