@@ -1,0 +1,182 @@
+"""Full-text retrieval scoring: Okapi BM25 over the document corpus.
+
+BM25 (Robertson & Zaragoza 2009, the Okapi formulation with Lucene's
+non-negative idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``) is the
+standard lexical ranking function — the retrieval half of a
+dedup/decontamination/RAG pipeline that the tf-idf keyword extractor
+(``textstats.tfidf_topk_terms``) does not cover: tf-idf ranks a
+document's OWN terms; BM25 ranks DOCUMENTS against a query.
+
+Engine parity: every per-(doc, term) contribution is computed by a
+structurally identical expression in Spark and the DuckDB oracle, then
+rounded and scaled to an exact integer (micro-score units) BEFORE the
+per-document sum — float summation order differs between Spark's
+partial aggregation and DuckDB's, so only integer sums are
+order-independent (the ``unigram_nll`` contract). The final score
+divides the exact integer by 1e6 (then the package-standard round to
+6 decimals), and the ranking key is the INTEGER micro-sum, so the sort
+is engine-identical with no float-tie hazard.
+
+Scale shape (the 100 TB argument): the corpus scan is ONE pass — the
+token array is filtered to the query's terms map-side BEFORE the
+explode, so the exploded posting set is O(matches), not O(corpus
+tokens); corpus statistics (N, total token count) ride as a broadcast
+1-row aggregate; per-term document frequencies are a ≤|query|-row
+aggregate broadcast into the scoring join; the global top-k rank is
+the bucketed two-pass decomposition (``operators/ordering.global_seq``),
+never a single-task sort. Nothing is O(corpus²) and nothing collects
+to the driver. For query-at-a-time serving over a static corpus the
+persisted-index pattern (``plans/ann.py``) applies unchanged — posting
+lists partitioned by term bucket; a query reads only its terms'
+partitions — but the scan-shaped form here is the batch-analytics one
+(score a whole eval set against the corpus in one job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.ordering import global_seq
+
+#: Default query for the registered benchmark/driver query — terms from
+#: the synthetic corpus vocabulary (shared as literals with the oracle).
+BM25_QUERY: tuple[str, ...] = ("spark", "hash", "window")
+
+#: Okapi defaults (Robertson et al.; Lucene's defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top ``k`` documents by BM25 score against ``query_terms`` —
+    (rank, doc_id, n_matched, bm25).
+
+    ``n_matched`` counts the distinct query terms present in the
+    document. Ties on the (integer) score break by doc_id ascending.
+    NULL text folds to ``''`` (the package-wide contract), which can
+    never match a query term.
+    """
+    if not query_terms:
+        return documents.sparkSession.createDataFrame(
+            [], "rank long, doc_id long, n_matched int, bm25 double"
+        )
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    lits = F.array(*[F.lit(t) for t in query_terms])
+
+    # One corpus pass: doc length + the query-term postings (the array
+    # filter prunes to query terms BEFORE the explode — map-side).
+    posting = documents.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(F.filter(toks, lambda t: F.array_contains(lits, t))).alias(
+            "token"
+        ),
+    )
+    tf = posting.groupBy("doc_id", "dl", "token").agg(
+        F.count("*").alias("tf")
+    )
+    # ≤|query_terms| rows; broadcast into the scoring join.
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # 1-row corpus statistics (N, total token count) — broadcast.
+    stats = documents.agg(
+        F.count("*").alias("_n_docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+        ).alias("_total_dl"),
+    )
+
+    n_d = F.col("_n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (n_d - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    dl_norm = F.col("dl").cast("double") * F.col("_n_docs") / F.col("_total_dl")
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_norm))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), on="token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(contrib * F.lit(1e6), 0).cast("long").alias("micro"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_matched"),
+        F.sum("micro").alias("_score_micro"),
+    )
+    ranked = global_seq(
+        scored.withColumn("_neg", -F.col("_score_micro")),
+        ["_neg", "doc_id"],
+        out="rank",
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "doc_id",
+            "n_matched",
+            F.round(F.col("_score_micro") / F.lit(1e6), 6).alias("bm25"),
+        )
+    )
+
+
+def bm25_topk_sql(
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB oracle text of :func:`bm25_topk` — structurally identical
+    per-term expression, integer micro-score sum, integer-keyed rank."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(COALESCE(text, '')), '\\s+') AS arr
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, len(arr) AS dl, unnest(arr) AS token FROM toks
+),
+tf AS (
+  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+  FROM posting WHERE token IN ({terms}) GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(SUM(len(arr)) AS BIGINT) AS total_dl
+  FROM toks
+),
+per_term AS (
+  SELECT doc_id,
+         CAST(round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * (tf * {k1 + 1.0!r})
+           / (tf + {k1!r} * ({1.0 - b!r} + {b!r}
+              * (CAST(dl AS DOUBLE) * n_docs / total_dl)))
+           * 1000000.0, 0) AS BIGINT) AS micro
+  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_matched,
+         SUM(micro) AS score_micro
+  FROM per_term GROUP BY 1
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT rank, doc_id, n_matched, round(score_micro / 1000000.0, 6) AS bm25
+FROM ranked WHERE rank <= {k}
+"""

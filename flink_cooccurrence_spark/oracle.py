@@ -497,6 +497,12 @@ ranked AS (
 SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
 """
 
+    # Okapi BM25: structurally identical per-term expression, integer
+    # micro-score sums, integer-keyed rank (operators/retrieval.py)
+    from flink_cooccurrence_spark.operators import retrieval as rt
+
+    o["bm25_topk"] = rt.bm25_topk_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

@@ -735,6 +735,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # and per-doc tf-idf keyword extraction (textstats.py)
     "token_frequency": lambda s, d: _ts.token_frequency(_documents(s, d)),
     "tfidf_topk_terms": lambda s, d: _ts.tfidf_topk_terms(_documents(s, d)),
+    # Okapi BM25 retrieval (operators/retrieval.py): rank DOCUMENTS
+    # against a query — integer micro-score sums (order-independent),
+    # integer-keyed bucketed global top-k
+    "bm25_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.retrieval", fromlist=["bm25_topk"]
+    ).bm25_topk(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

@@ -91,6 +91,8 @@ ALLOWED_BNLJ = {
     "shard_manifest": "1-row min/max range-bucket bounds aggregates (rank + prefix sum)",
     # corpus size N folds in as a broadcast 1-row count (the idf numerator)
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
+    # BM25: (N, total_dl) corpus stats ride as a broadcast 1-row aggregate
+    "bm25_topk": "1-row corpus-stats aggregate (N, total_dl)",
     # bucketed giant-group quantiles: value-range bounds ride as a
     # broadcast 1-row aggregate crossJoin (same primitive as the ranks)
     "value_quantiles": "1-row min/max range-bucket bounds aggregate",
@@ -128,6 +130,7 @@ ALLOWED_SINGLE_PARTITION = {
     "pack_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "shard_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
+    "bm25_topk": "1-row corpus-stats aggregate + ≤4096-row bucket-offsets window",
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",
     "unigram_nll": "1-row corpus-token-total aggregate",

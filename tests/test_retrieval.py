@@ -1,0 +1,118 @@
+"""BM25 retrieval (operators/retrieval.py): hand-model values, ranking
+semantics, and edge contracts. DuckDB parity at the driver SF runs in
+test_oracle_parity.py via the registry; these pin the math itself."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from flink_cooccurrence_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+)
+
+
+def _hand_bm25(texts: dict[int, str | None], terms, k1=BM25_K1, b=BM25_B):
+    """Reference model mirroring the engine's micro-int contract."""
+    toks = {d: (t or "").strip().split() or [""] for d, t in texts.items()}
+    n = len(toks)
+    total = sum(len(v) for v in toks.values())
+    df = {
+        q: sum(1 for v in toks.values() if q in v) for q in terms
+    }
+    scores = {}
+    for d, v in toks.items():
+        dl = len(v)
+        micro = 0
+        matched = 0
+        for q in terms:
+            tf = v.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            contrib = (
+                idf
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * (dl * n / total)))
+            )
+            micro += round(contrib * 1e6)
+        if matched:
+            scores[d] = (matched, round(micro / 1e6, 6), micro)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    return [
+        (i + 1, d, m, s) for i, (d, (m, s, _)) in enumerate(ranked)
+    ]
+
+
+FIXTURE = {
+    0: "the quick brown fox jumps over the lazy dog",
+    1: "quick quick quick brown",
+    2: "a dog and a fox met a dog",
+    3: "nothing relevant here at all",
+    4: None,  # NULL text: folds to '' and can never match
+}
+
+
+def _docs(spark, texts=FIXTURE):
+    return spark.createDataFrame(
+        [(d, t, "en", "src0", len(t or "")) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bm25_matches_hand_model(spark):
+    terms = ("quick", "dog", "fox")
+    got = [
+        (r["rank"], r["doc_id"], r["n_matched"], r["bm25"])
+        for r in bm25_topk(_docs(spark), terms, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _hand_bm25(FIXTURE, terms)
+
+
+def test_bm25_rewards_term_frequency_and_rarity(spark):
+    # doc 1 repeats 'quick' (tf saturation still ranks it on that term);
+    # doc 3 and the NULL doc match nothing and must be absent.
+    rows = bm25_topk(_docs(spark), ("quick",), k=10).collect()
+    ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ids == [1, 0]  # higher tf and shorter doc wins
+    assert all(r["n_matched"] == 1 for r in rows)
+
+
+def test_bm25_k_truncates_and_ranks_are_dense(spark):
+    terms = ("quick", "dog", "fox")
+    rows = bm25_topk(_docs(spark), terms, k=2).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2]
+    full = _hand_bm25(FIXTURE, terms)
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [
+        (rk, d) for rk, d, _, _ in full[:2]
+    ]
+
+
+def test_bm25_score_ties_break_by_doc_id(spark):
+    texts = {7: "x y", 3: "x y", 9: "x y"}  # identical docs => equal scores
+    rows = (
+        bm25_topk(_docs(spark, texts), ("x",), k=10).orderBy("rank").collect()
+    )
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 3), (2, 7), (3, 9)]
+    assert len({r["bm25"] for r in rows}) == 1
+
+
+def test_bm25_empty_query_returns_empty_frame(spark):
+    out = bm25_topk(_docs(spark), (), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank",
+        "doc_id",
+        "n_matched",
+        "bm25",
+    ]
+
+
+def test_bm25_unmatched_query_returns_no_rows(spark):
+    assert bm25_topk(_docs(spark), ("zzz_not_in_corpus",), k=5).count() == 0
