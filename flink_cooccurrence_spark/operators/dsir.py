@@ -1,0 +1,307 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Implements the selection rule of Xie et al. 2023 ("Data Selection for
+Language Models via Importance Resampling", NeurIPS): documents are
+featurized as bags of HASHED n-grams (unigrams + bigrams into
+``NUM_BUCKETS`` buckets), two add-α-smoothed multinomials are fitted —
+``p`` over a small TARGET set (the domain you want more of) and ``q``
+over the RAW pool — and each raw document gets the importance weight
+``log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b)``. Selection is Gumbel
+top-k over ``log w + g`` (importance RESAMPLING, not thresholding),
+with the Gumbel draw derived from the portable ``hash32`` coin so the
+sample is a pure function of the document id — bit-identical across
+engines, re-runs, and partitionings (the ``operators/mixing.py``
+counter-based-draw philosophy).
+
+Engine parity: the per-bucket log-ratio ``λ_b`` is rounded and scaled
+to an exact integer (micro-nats) BEFORE the per-document sum — per-doc
+weights are then INTEGER sums of integer bucket scores (multiplicity
+comes from the gram explode), order-independent across engines; the
+Gumbel key adds a second micro-int, so the ranking key is exact integer
+arithmetic end to end (no float-tie hazard).
+
+Scale shape (the 100 TB argument): the featurizer is row-local (token
+array → unigram+bigram array → bucket ids, all inside one projection);
+the distribution fit is ONE aggregation to ``NUM_BUCKETS`` rows behind
+a bucket shuffle with full map-side combine (the λ table is O(B) —
+kilobytes — regardless of corpus size, the paper's core trick); λ
+totals ride as a broadcast 1-row aggregate; scoring joins the exploded
+grams to the BROADCAST λ table and reduces per document with map-side
+partial aggregation; the top-k rank is the bucketed two-pass
+decomposition (``operators/ordering.global_seq``). Nothing is
+O(corpus²), no driver state beyond the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+from flink_cooccurrence_spark.operators.ordering import global_seq
+
+#: hashed-feature dimensionality (the paper uses 10k; 1024 keeps the
+#: fixture's buckets multiply occupied at test SFs — a parameter, not a cap).
+NUM_BUCKETS = 1024
+
+#: add-α smoothing for both multinomials.
+SMOOTH_ALPHA = 1.0
+
+#: default target domain: documents from this source define ``p``.
+TARGET_SOURCE = "src0"
+
+#: salt for the Gumbel coin (independent of mixing.py's admission coins).
+DSIR_SALT = "dsir:"
+
+
+def _grams(text: Column) -> Column:
+    """Row-local unigram+bigram bag over whitespace tokens (NULL → '')."""
+    toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _bucket_scores(
+    documents: DataFrame,
+    target_source: str,
+    num_buckets: int,
+    alpha: float,
+) -> tuple[DataFrame, DataFrame]:
+    """(gram_rows, λ table): exploded (doc_id, is_target, bucket) rows and
+    the O(B) integer micro-nat log-ratio table."""
+    gram_rows = documents.select(
+        "doc_id",
+        (F.col("source") == target_source).alias("is_target"),
+        F.explode(_grams(F.col("text"))).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (hash32(F.col("gram")) % F.lit(num_buckets)).alias("bucket"),
+    )
+    counts = gram_rows.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").alias("_t_tot"), F.sum("r_cnt").alias("_r_tot")
+    )
+    ab = alpha * num_buckets
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.col("t_cnt") + F.lit(alpha))
+                        / (F.col("_t_tot") + F.lit(ab))
+                    )
+                    - F.log(
+                        (F.col("r_cnt") + F.lit(alpha))
+                        / (F.col("_r_tot") + F.lit(ab))
+                    )
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    return gram_rows, lam
+
+
+def _scored(
+    documents: DataFrame,
+    target_source: str,
+    num_buckets: int,
+    alpha: float,
+) -> DataFrame:
+    gram_rows, lam = _bucket_scores(
+        documents, target_source, num_buckets, alpha
+    )
+    return (
+        gram_rows.filter(~F.col("is_target"))
+        .join(F.broadcast(lam), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum("lam_micro").alias("_logw_micro"),
+        )
+    )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_source: str = TARGET_SOURCE,
+    num_buckets: int = NUM_BUCKETS,
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """Per-raw-document importance weight — (doc_id, n_grams, logw).
+
+    ``logw = Σ_b c_b·λ_b`` in micro-nats summed exactly, then divided
+    back (package-standard 6-decimal round). Target-source documents are
+    the fitting set and get no row.
+    """
+    s = _scored(documents, target_source, num_buckets, alpha)
+    return s.select(
+        "doc_id",
+        "n_grams",
+        F.round(F.col("_logw_micro") / F.lit(1e6), 6).alias("logw"),
+    )
+
+
+def dsir_sample(
+    documents: DataFrame,
+    n: int = 50,
+    target_source: str = TARGET_SOURCE,
+    num_buckets: int = NUM_BUCKETS,
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """Gumbel top-``n`` importance resample of the raw pool —
+    (rank, doc_id, logw, gumbel_key).
+
+    key = logw_micro + round(−ln(−ln(u))·1e6) with u the salted hash32
+    coin mapped to (0, 1) — Gumbel-max sampling proportional to w(x)
+    (Xie et al. §2), deterministic and engine-portable. Ties on the
+    integer key break by doc_id ascending.
+    """
+    s = _scored(documents, target_source, num_buckets, alpha)
+    u = (
+        hash32(F.concat(F.lit(DSIR_SALT), F.col("doc_id").cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = s.withColumn(
+        "_key",
+        F.col("_logw_micro")
+        + F.round(-F.log(-F.log(u)) * F.lit(1e6), 0).cast("long"),
+    )
+    ranked = global_seq(
+        keyed.withColumn("_neg", -F.col("_key")), ["_neg", "doc_id"], out="rank"
+    )
+    return ranked.filter(F.col("rank") <= n).select(
+        "rank",
+        "doc_id",
+        F.round(F.col("_logw_micro") / F.lit(1e6), 6).alias("logw"),
+        F.round(F.col("_key") / F.lit(1e6), 6).alias("gumbel_key"),
+    )
+
+
+def _grams_cte(num_buckets: int) -> str:
+    """DuckDB CTE text producing (doc_id, source, bucket) gram rows —
+    unigrams + bigrams, semantically identical to :func:`_grams`."""
+    return f"""
+toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(COALESCE(text, '')), '\\s+') AS arr
+  FROM documents
+),
+words AS (
+  SELECT doc_id, source, unnest(arr) AS w,
+         generate_subscripts(arr, 1) AS pos
+  FROM toks
+),
+big AS (
+  SELECT doc_id, source,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM words
+),
+grams AS (
+  SELECT doc_id, source, w AS gram FROM words
+  UNION ALL
+  SELECT doc_id, source, gram FROM big WHERE gram IS NOT NULL
+),
+gb AS (
+  SELECT doc_id, source,
+         {hash32_sql("gram")} % {num_buckets} AS bucket
+  FROM grams
+)
+""".strip()
+
+
+def _lambda_cte(
+    target_source: str, num_buckets: int, alpha: float
+) -> str:
+    ab = alpha * num_buckets
+    return f"""
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_cnt,
+         CAST(SUM(CASE WHEN source = '{target_source}' THEN 0 ELSE 1 END)
+              AS BIGINT) AS r_cnt
+  FROM gb GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_tot,
+         CAST(SUM(r_cnt) AS BIGINT) AS r_tot
+  FROM counts
+),
+lam AS (
+  SELECT bucket,
+         CAST(round(
+           (ln((t_cnt + {alpha!r}) / (t_tot + {ab!r}))
+            - ln((r_cnt + {alpha!r}) / (r_tot + {ab!r}))) * 1000000.0, 0)
+         AS BIGINT) AS lam_micro
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+         CAST(SUM(lam_micro) AS BIGINT) AS logw_micro
+  FROM gb JOIN lam USING (bucket)
+  WHERE source != '{target_source}'
+  GROUP BY 1
+)
+""".strip()
+
+
+def dsir_weights_sql(
+    target_source: str = TARGET_SOURCE,
+    num_buckets: int = NUM_BUCKETS,
+    alpha: float = SMOOTH_ALPHA,
+) -> str:
+    """DuckDB oracle text of :func:`dsir_weights`."""
+    return f"""
+WITH {_grams_cte(num_buckets)},
+{_lambda_cte(target_source, num_buckets, alpha)}
+SELECT doc_id, n_grams, round(logw_micro / 1000000.0, 6) AS logw
+FROM scored
+"""
+
+
+def dsir_sample_sql(
+    n: int = 50,
+    target_source: str = TARGET_SOURCE,
+    num_buckets: int = NUM_BUCKETS,
+    alpha: float = SMOOTH_ALPHA,
+) -> str:
+    """DuckDB oracle text of :func:`dsir_sample`."""
+    coin = hash32_sql(f"('{DSIR_SALT}' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH {_grams_cte(num_buckets)},
+{_lambda_cte(target_source, num_buckets, alpha)},
+keyed AS (
+  SELECT doc_id, logw_micro,
+         logw_micro + CAST(round(
+           -ln(-ln(({coin} + 0.5) / 4294967296.0)) * 1000000.0, 0)
+         AS BIGINT) AS key
+  FROM scored
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+         AS rank
+  FROM keyed
+)
+SELECT rank, doc_id, round(logw_micro / 1000000.0, 6) AS logw,
+       round(key / 1000000.0, 6) AS gumbel_key
+FROM ranked WHERE rank <= {n}
+"""

@@ -503,6 +503,13 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
 
     o["bm25_topk"] = rt.bm25_topk_sql()
 
+    # DSIR importance resampling (operators/dsir.py): identical λ and
+    # Gumbel-key expressions, integer micro-nat sums
+    from flink_cooccurrence_spark.operators import dsir as dsir_mod
+
+    o["dsir_weights"] = dsir_mod.dsir_weights_sql()
+    o["dsir_sample"] = dsir_mod.dsir_sample_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

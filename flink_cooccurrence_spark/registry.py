@@ -741,6 +741,15 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "bm25_topk": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.retrieval", fromlist=["bm25_topk"]
     ).bm25_topk(_documents(s, d)),
+    # DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    # hashed n-gram log-ratio weights (O(B) λ table, integer micro-nat
+    # sums) + deterministic Gumbel top-k selection
+    "dsir_weights": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.dsir", fromlist=["dsir_weights"]
+    ).dsir_weights(_documents(s, d)),
+    "dsir_sample": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.dsir", fromlist=["dsir_sample"]
+    ).dsir_sample(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

@@ -1,0 +1,134 @@
+"""DSIR importance resampling (operators/dsir.py): hand-model parity,
+selection semantics, determinism. DuckDB parity at the driver SF runs in
+test_oracle_parity.py via the registry."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from flink_cooccurrence_spark.operators.dsir import (
+    DSIR_SALT,
+    dsir_sample,
+    dsir_weights,
+)
+
+BUCKETS = 64  # small so fixture buckets collide like real ones
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _grams(text: str | None) -> list[str]:
+    toks = (text or "").strip().split() or [""]
+    return toks + [
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+    ]
+
+
+def _hand_weights(texts, target="src0", buckets=BUCKETS, alpha=1.0):
+    """Python reference mirroring the micro-int λ contract."""
+    t_cnt: dict[int, int] = {}
+    r_cnt: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for (doc, src), text in texts.items():
+        bs = [_h32(g) % buckets for g in _grams(text)]
+        if src == target:
+            for b in bs:
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+        else:
+            per_doc[doc] = bs
+            for b in bs:
+                r_cnt[b] = r_cnt.get(b, 0) + 1
+    t_tot = sum(t_cnt.values())
+    r_tot = sum(r_cnt.values())
+    ab = alpha * buckets
+    lam = {
+        b: round(
+            (
+                math.log((t_cnt.get(b, 0) + alpha) / (t_tot + ab))
+                - math.log((r_cnt.get(b, 0) + alpha) / (r_tot + ab))
+            )
+            * 1e6
+        )
+        for b in set(t_cnt) | set(r_cnt)
+    }
+    return {
+        doc: (len(bs), round(sum(lam[b] for b in bs) / 1e6, 6))
+        for doc, bs in per_doc.items()
+    }
+
+
+FIXTURE = {
+    # target domain: legal-ish vocabulary
+    (0, "src0"): "the court held that the contract was void",
+    (1, "src0"): "the appeal court affirmed the contract ruling",
+    # raw pool: one legal-ish doc, one cooking doc, one mixed
+    (10, "src1"): "the court reviewed the contract terms",
+    (11, "src1"): "stir the soup and add salt and pepper",
+    (12, "src2"): "the court recipe contract soup",
+}
+
+
+def _docs(spark, texts=FIXTURE):
+    return spark.createDataFrame(
+        [
+            (d, t, "en", s, len(t or ""))
+            for (d, s), t in texts.items()
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_dsir_weights_match_hand_model(spark):
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in dsir_weights(_docs(spark), num_buckets=BUCKETS).collect()
+    }
+    assert got == _hand_weights(FIXTURE)
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    w = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_weights(_docs(spark), num_buckets=BUCKETS).collect()
+    }
+    # the legal-ish raw doc must outscore the cooking doc, with the
+    # mixed doc in between
+    assert w[10] > w[12] > w[11]
+
+
+def test_dsir_target_docs_get_no_row(spark):
+    ids = {
+        r["doc_id"]
+        for r in dsir_weights(_docs(spark), num_buckets=BUCKETS).collect()
+    }
+    assert ids == {10, 11, 12}
+
+
+def test_dsir_sample_ranks_dense_and_truncates(spark):
+    rows = (
+        dsir_sample(_docs(spark), n=2, num_buckets=BUCKETS)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert {r["doc_id"] for r in rows} <= {10, 11, 12}
+    # gumbel_key = logw + gumbel draw: key - logw must be the doc's own
+    # deterministic Gumbel, identical across the two rows' recompute
+    for r in rows:
+        coin = _h32(f"{DSIR_SALT}{r['doc_id']}")
+        u = (coin + 0.5) / 4294967296.0
+        g_micro = round(-math.log(-math.log(u)) * 1e6)
+        assert abs((r["gumbel_key"] - r["logw"]) - g_micro / 1e6) < 2e-6
+
+
+def test_dsir_sample_is_partitioning_invariant(spark):
+    docs = _docs(spark)
+    a = dsir_sample(docs, n=3, num_buckets=BUCKETS).collect()
+    b = dsir_sample(
+        docs.repartition(7, "source"), n=3, num_buckets=BUCKETS
+    ).collect()
+    key = lambda rows: sorted((r["rank"], r["doc_id"]) for r in rows)
+    assert key(a) == key(b)

@@ -93,6 +93,9 @@ ALLOWED_BNLJ = {
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
     # BM25: (N, total_dl) corpus stats ride as a broadcast 1-row aggregate
     "bm25_topk": "1-row corpus-stats aggregate (N, total_dl)",
+    # DSIR: λ-table totals ride as a broadcast 1-row aggregate
+    "dsir_weights": "1-row λ-totals aggregate (O(B) bucket table)",
+    "dsir_sample": "1-row λ-totals aggregate (O(B) bucket table)",
     # bucketed giant-group quantiles: value-range bounds ride as a
     # broadcast 1-row aggregate crossJoin (same primitive as the ranks)
     "value_quantiles": "1-row min/max range-bucket bounds aggregate",
@@ -131,6 +134,8 @@ ALLOWED_SINGLE_PARTITION = {
     "shard_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
     "bm25_topk": "1-row corpus-stats aggregate + ≤4096-row bucket-offsets window",
+    "dsir_weights": "1-row λ-totals aggregate",
+    "dsir_sample": "1-row λ-totals aggregate + ≤4096-row bucket-offsets window",
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",
     "unigram_nll": "1-row corpus-token-total aggregate",
