@@ -1,0 +1,162 @@
+"""Inverted text index as a PERSISTED artifact — build once, query many.
+
+``bm25_topk`` (``operators/retrieval.py``) scans the corpus per query:
+the right shape for batch analytics (score a whole eval set in one
+job), the wrong one for query-at-a-time serving, where the corpus pass
+(tokenize, tf, df, document lengths) runs ONCE at index-build time and
+every later query reads only its terms' posting lists. This module is
+that split — the Lucene ``IndexWriter`` vs ``IndexSearcher`` lifecycle,
+realized as parquet + a JSON sidecar (the ``plans/ann.py`` pattern):
+
+- ``write_text_index(documents, out_dir)``: one corpus pass builds the
+  posting table ``(token, doc_id, dl, tf, df)`` with the per-token
+  document frequency denormalized onto each row, written partitioned BY
+  TERM BUCKET (``hash32(token) % num_term_buckets``) — a query prunes
+  to its terms' bucket directories via partition pruning; plus a
+  ``meta.json`` sidecar with the corpus statistics (N, total token
+  count — two integers, the entire driver state).
+- ``query_text_index(spark, index_dir, terms)``: computes the terms'
+  buckets DRIVER-SIDE from the same portable md5 hash (no corpus
+  touch), scans only those partitions, filters to the exact terms, and
+  scores with the operator module's integer micro-score contract.
+
+Consistency gate (pytest): querying the written index reproduces
+``bm25_topk`` on the same corpus EXACTLY — the artifact round-trip
+loses nothing. No DuckDB oracle (file-artifact op, the
+``write_training_shards`` class); the scoring math is the oracle-gated
+``bm25_topk``'s.
+
+Scale shape: the build is one corpus scan + one token-keyed shuffle
+(the df join); the artifact is O(distinct (doc, token)) rows of five
+scalars — far smaller than the text; a query reads
+``|terms'buckets| / num_term_buckets`` of it via partition pruning
+(plan-asserted in tests) and its per-doc reduce touches only matching
+postings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32
+from flink_cooccurrence_spark.operators.ordering import global_seq
+from flink_cooccurrence_spark.operators.retrieval import BM25_B, BM25_K1
+
+META_NAME = "meta.json"
+
+#: term-bucket fan-out: enough directories that a few-term query prunes
+#: to a small fraction, few enough that files stay chunky at scale.
+NUM_TERM_BUCKETS = 64
+
+
+def _bucket_py(token: str, num_buckets: int) -> int:
+    """Driver-side twin of ``hash32(token) % num_buckets``."""
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % num_buckets
+
+
+def write_text_index(
+    documents: DataFrame,
+    out_dir: str,
+    num_term_buckets: int = NUM_TERM_BUCKETS,
+) -> dict:
+    """Build and persist the inverted index; returns the sidecar dict.
+
+    Layout: ``out_dir/meta.json`` (n_docs, total_dl, num_term_buckets)
+    and ``out_dir/postings/tbucket=N/*.parquet``.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    tf = (
+        documents.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("token")
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    postings = tf.join(dfreq.hint("shuffle_hash"), on="token").withColumn(
+        "tbucket", hash32(F.col("token")) % F.lit(num_term_buckets)
+    )
+    (
+        postings.repartition("tbucket")
+        .write.partitionBy("tbucket")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+    stats = documents.agg(
+        F.count("*").alias("n"), F.sum(F.size(toks)).alias("t")
+    ).collect()[0]
+    meta = {
+        "n_docs": int(stats["n"]),
+        "total_dl": int(stats["t"]),
+        "num_term_buckets": num_term_buckets,
+    }
+    with open(os.path.join(out_dir, META_NAME), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def query_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(rank, doc_id, n_matched, bm25): BM25 top-k from the persisted
+    index — bit-identical to ``bm25_topk`` on the indexed corpus."""
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, n_matched int, bm25 double"
+        )
+    with open(os.path.join(index_dir, META_NAME)) as fh:
+        meta = json.load(fh)
+    buckets = sorted({_bucket_py(t, meta["num_term_buckets"]) for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("token").isin(list(terms)))
+    )
+    # identical expression structure (and literal values) to bm25_topk's
+    # 1-row stats columns — same doubles, same micro rounding
+    n_d = F.lit(meta["n_docs"]).cast("double")
+    idf = F.log(
+        F.lit(1.0) + (n_d - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    dl_norm = (
+        F.col("dl").cast("double")
+        * F.lit(meta["n_docs"])
+        / F.lit(meta["total_dl"])
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_norm))
+    )
+    scored = (
+        postings.select(
+            "doc_id",
+            F.round(contrib * F.lit(1e6), 0).cast("long").alias("micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_matched"),
+            F.sum("micro").alias("_score_micro"),
+        )
+    )
+    ranked = global_seq(
+        scored.withColumn("_neg", -F.col("_score_micro")),
+        ["_neg", "doc_id"],
+        out="rank",
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "rank",
+        "doc_id",
+        "n_matched",
+        F.round(F.col("_score_micro") / F.lit(1e6), 6).alias("bm25"),
+    )

@@ -1,0 +1,79 @@
+"""Persisted inverted text index (plans/text_index.py): build/query
+round trip. No DuckDB oracle (file-artifact op); the gate is exactness
+against the oracle-gated in-memory operator — querying the written
+index must reproduce ``bm25_topk`` — plus a partition-pruning plan
+assertion on the posting scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_cooccurrence_spark.operators.retrieval import BM25_QUERY, bm25_topk
+from flink_cooccurrence_spark.plans.text_index import (
+    query_text_index,
+    write_text_index,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def index_dir(docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("text_index"))
+    meta = write_text_index(docs, d)
+    assert meta["n_docs"] == docs.count()
+    assert os.path.exists(os.path.join(d, META_NAME := "meta.json"))
+    return d
+
+
+def test_round_trip_reproduces_operator(spark, docs, index_dir):
+    got = sorted(
+        tuple(r)
+        for r in query_text_index(spark, index_dir, BM25_QUERY, k=10).collect()
+    )
+    exp = sorted(tuple(r) for r in bm25_topk(docs, BM25_QUERY, k=10).collect())
+    assert got == exp and got
+
+
+def test_posting_layout_is_bucket_partitioned_and_pruned(spark, index_dir):
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(index_dir, "postings"))
+        if d.startswith("tbucket=")
+    ]
+    assert len(dirs) > 1, "one bucket — pruning proves nothing"
+    plan = (
+        query_text_index(spark, index_dir, ("spark",), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "tbucket" in plan.split(
+        "PartitionFilters:"
+    )[1][:200], plan
+
+
+def test_unseen_term_returns_empty(spark, index_dir):
+    assert (
+        query_text_index(spark, index_dir, ("zzz_never_indexed",), k=5).count()
+        == 0
+    )
+
+
+def test_empty_terms_returns_empty_frame(spark, index_dir):
+    out = query_text_index(spark, index_dir, (), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank",
+        "doc_id",
+        "n_matched",
+        "bm25",
+    ]
