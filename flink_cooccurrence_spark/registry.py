@@ -465,10 +465,19 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     "simhash_near_dup_pairs": lambda s, d: _dedup.simhash_near_dup_pairs(_documents(s, d)),
     "dup_clusters": lambda s, d: _dedup.dup_clusters(_documents(s, d)),
     # text analysis
-    "token_counts": lambda s, d: _ts.token_counts(_documents(s, d)),
     "text_stats": lambda s, d: _ts.text_stats(_documents(s, d)),
     "lang_id": lambda s, d: _ts.lang_id(_documents(s, d)),
-    "fingerprints": lambda s, d: _ts.fingerprints(_documents(s, d)),
+    # round-9 mid-round rotation: the two newest families take driver
+    # seats — BM25 retrieval and DSIR Gumbel-top-k selection; near-twins
+    # ceded (token_counts→text_stats computes the same row-local family,
+    # fingerprints→the minhash/simhash sketch rows) and stay oracle-gated
+    # pytest-only.
+    "bm25_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.retrieval", fromlist=["bm25_topk"]
+    ).bm25_topk(_documents(s, d)),
+    "dsir_sample": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.dsir", fromlist=["dsir_sample"]
+    ).dsir_sample(_documents(s, d)),
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
@@ -735,21 +744,15 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # and per-doc tf-idf keyword extraction (textstats.py)
     "token_frequency": lambda s, d: _ts.token_frequency(_documents(s, d)),
     "tfidf_topk_terms": lambda s, d: _ts.tfidf_topk_terms(_documents(s, d)),
-    # Okapi BM25 retrieval (operators/retrieval.py): rank DOCUMENTS
-    # against a query — integer micro-score sums (order-independent),
-    # integer-keyed bucketed global top-k
-    "bm25_topk": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.retrieval", fromlist=["bm25_topk"]
-    ).bm25_topk(_documents(s, d)),
-    # DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
-    # hashed n-gram log-ratio weights (O(B) λ table, integer micro-nat
-    # sums) + deterministic Gumbel top-k selection
+    # round-9 mid-round rotation: token_counts and fingerprints ceded
+    # driver seats to bm25_topk / dsir_sample; same oracle gates here
+    "token_counts": lambda s, d: _ts.token_counts(_documents(s, d)),
+    "fingerprints": lambda s, d: _ts.fingerprints(_documents(s, d)),
+    # DSIR weights long form (dsir_sample's driver row computes them
+    # transitively; Xie et al. 2023 hashed n-gram log-ratio weights)
     "dsir_weights": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.dsir", fromlist=["dsir_weights"]
     ).dsir_weights(_documents(s, d)),
-    "dsir_sample": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.dsir", fromlist=["dsir_sample"]
-    ).dsir_sample(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(
