@@ -914,3 +914,112 @@ SELECT d.doc_id,
             ELSE round(p.novel_shingles / p.n_shingles, 6) END AS novelty
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def source_overlap_matrix(
+    documents: DataFrame, n: int = 3, max_source_freq: int | None = None
+) -> DataFrame:
+    """Cross-source contamination matrix: (source_a, source_b, n_shared,
+    jaccard) over distinct n-gram shingle SETS per source — the corpus
+    forensics view (which crawls/dumps feed each other, where a "new"
+    source is a re-scrape of an old one) that the per-document pair
+    detectors aggregate away. Output is bounded by |sources|² rows —
+    a fixed-size matrix regardless of corpus size.
+
+    Scale shape: distinct (source, shingle) is one aggregation on the
+    inverted index; pairs are generated per shared shingle and reduced
+    to intersection counts — a shingle present in s sources contributes
+    s² rows, so ``max_source_freq`` is the boilerplate lever (drop
+    shingles in more than that many sources from the index only;
+    denominators stay exact, result becomes a lower bound — the
+    ``ngram_jaccard_pairs`` cut contract, default off = exact).
+    """
+    words = documents.select(
+        "doc_id", "source", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    sh = (
+        words.select(
+            "source",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("w", n - 1).over(win).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    idx = sh
+    if max_source_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sf"))
+            .filter(F.col("sf") <= max_source_freq)
+            .select("shingle")
+        )
+        idx = idx.join(rare, on="shingle")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    # the size table is |sources| rows — low-cardinality by the mixing
+    # family's contract; AQE broadcasts it
+    return (
+        inter.join(sa, on="source_a")
+        .join(sb, on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_matrix_sql(n: int = 3) -> str:
+    """DuckDB text of :func:`source_overlap_matrix` (exact, no cut)."""
+    gram = " || ' ' || ".join(
+        "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(n)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, {gram} AS shingle, lead(w, {n - 1}) OVER win AS last_w
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT source, shingle FROM grams WHERE last_w IS NOT NULL),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""

@@ -510,6 +510,9 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     o["dsir_weights"] = dsir_mod.dsir_weights_sql()
     o["dsir_sample"] = dsir_mod.dsir_sample_sql()
 
+    # cross-source shingle-set Jaccard matrix (corpus forensics)
+    o["source_overlap_matrix"] = dd.source_overlap_matrix_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

@@ -753,6 +753,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "dsir_weights": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.dsir", fromlist=["dsir_weights"]
     ).dsir_weights(_documents(s, d)),
+    # corpus forensics: cross-source shingle-set Jaccard matrix
+    # (|sources|²-bounded output; the dataset card's overlap companion)
+    "source_overlap_matrix": lambda s, d: _dedup.source_overlap_matrix(
+        _documents(s, d)
+    ),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

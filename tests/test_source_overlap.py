@@ -1,0 +1,44 @@
+"""Cross-source overlap matrix (operators/dedup.py): hand-model values
+and the hot-shingle lever. DuckDB parity at the driver SF runs in
+test_oracle_parity.py via the registry."""
+
+from __future__ import annotations
+
+from flink_cooccurrence_spark.operators.dedup import source_overlap_matrix
+
+
+def _docs(spark):
+    rows = [
+        (0, "a b c d", "en", "srcA", 7),
+        (1, "a b c x", "en", "srcB", 7),
+        (2, "q r s", "en", "srcC", 5),
+        (3, "a b c d", "en", "srcA", 7),  # dup within source: sets, not bags
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_matrix_matches_hand_model(spark):
+    # srcA shingles {a b c, b c d}; srcB {a b c, b c x}; srcC {q r s}
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+        for r in source_overlap_matrix(_docs(spark)).collect()
+    }
+    assert got == {("srcA", "srcB"): (1, round(1 / 3, 6))}
+
+
+def test_hot_shingle_cut_is_a_lower_bound(spark):
+    # 'a b c' occurs in 2 sources; max_source_freq=1 drops it from the
+    # index, so the only overlapping pair disappears (lower bound, never
+    # an overcount)
+    assert (
+        source_overlap_matrix(_docs(spark), max_source_freq=1).count() == 0
+    )
+
+
+def test_within_source_dups_do_not_inflate(spark):
+    # doc 3 duplicates doc 0 inside srcA; distinct shingle SETS mean the
+    # intersection count is unchanged
+    rows = source_overlap_matrix(_docs(spark)).collect()
+    assert [r["n_shared"] for r in rows] == [1]
