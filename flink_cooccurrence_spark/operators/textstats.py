@@ -338,3 +338,108 @@ def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     return top_k_per_group(
         scored, ["doc_id"], "tfidf", k, tie_breakers=["token"]
     ).select("doc_id", "rank", "token", "tf_doc", "df", "tfidf")
+
+def bigram_nll(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """(doc_id, n_bigrams, mean_nll): per-document mean negative log-prob
+    of its token TRANSITIONS under the corpus's own add-α-smoothed
+    bigram model — ``p(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α·V)``.
+    The transition-fluency axis ``unigram_nll`` cannot see: a document
+    assembled from common tokens in nonsense order scores high here
+    while its unigram NLL stays low (the shuffled-boilerplate /
+    word-salad failure mode of unigram-only perplexity filters).
+
+    Documents with fewer than 2 tokens have no transitions and score
+    (0, 0.0) by convention (both engines; the ``ngram_novelty`` rule).
+
+    Engine parity: per-transition ``ln`` rounded+scaled to integer
+    micro-nats BEFORE the per-doc sum (the ``unigram_nll`` contract).
+
+    Scale shape: bigram generation is the per-doc lead window (one
+    doc_id shuffle); the bigram count table is O(distinct bigrams)
+    behind one (w1, w2) shuffle; left-context totals fold from it at
+    O(|vocab|); the vocabulary size rides as a broadcast 1-row
+    aggregate; transitions re-join the count table co-partitioned on
+    the bigram. Nothing is O(corpus²).
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.posexplode(
+            _tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("pos", "w1"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bi = words.select(
+        "doc_id", "w1", F.lead("w1", 1).over(win).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ctx = bc.groupBy("w1").agg(F.sum("bc").alias("ctx"))
+    vocab = words.agg(F.count_distinct("w1").alias("_v"))
+    micro = F.round(
+        F.log(
+            (F.col("ctx") + F.lit(alpha) * F.col("_v"))
+            / (F.col("bc") + F.lit(alpha))
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    per_tr = (
+        bi.join(bc, on=["w1", "w2"])
+        .join(ctx, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", micro.alias("nll_micro"))
+    )
+    per_doc = per_tr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("nll_micro") / (F.count("*") * F.lit(1_000_000.0)), 6
+        ).alias("mean_nll"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
+        )
+    )
+
+
+def bigram_nll_sql(alpha: float = 1.0) -> str:
+    """DuckDB text of :func:`bigram_nll` (identical micro-nat contract)."""
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS w1,
+         generate_subscripts(
+           string_split_regex(trim(COALESCE(text, '')), '\\s+'), 1) AS pos
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, w1,
+         lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words
+  QUALIFY w2 IS NOT NULL
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc FROM bi GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS ctx FROM bc GROUP BY 1),
+vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM words),
+per_tr AS (
+  SELECT doc_id,
+         CAST(round(
+           ln((ctx + {alpha!r} * v) / (bc + {alpha!r})) * 1e6, 0)
+         AS BIGINT) AS nll_micro
+  FROM bi JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(SUM(nll_micro) / (COUNT(*) * 1000000.0), 6) AS mean_nll
+  FROM per_tr GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(p.mean_nll, 0.0) AS mean_nll
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

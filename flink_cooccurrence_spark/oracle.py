@@ -513,6 +513,9 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     # cross-source shingle-set Jaccard matrix (corpus forensics)
     o["source_overlap_matrix"] = dd.source_overlap_matrix_sql()
 
+    # smoothed bigram-LM quality proxy (micro-nat contract)
+    o["bigram_nll"] = ts.bigram_nll_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

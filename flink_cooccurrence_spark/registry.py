@@ -758,6 +758,10 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "source_overlap_matrix": lambda s, d: _dedup.source_overlap_matrix(
         _documents(s, d)
     ),
+    # transition-fluency quality axis: per-doc mean NLL under the
+    # corpus's own smoothed bigram model (word-salad detector —
+    # unigram_nll's blind spot)
+    "bigram_nll": lambda s, d: _ts.bigram_nll(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

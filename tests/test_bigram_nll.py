@@ -1,0 +1,82 @@
+"""Bigram-LM quality proxy (operators/textstats.py:bigram_nll):
+hand-model values and the word-salad property unigram_nll cannot see.
+DuckDB parity at the driver SF runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from flink_cooccurrence_spark.operators.textstats import (
+    bigram_nll,
+    unigram_nll,
+)
+
+
+def _hand(texts: dict[int, str | None], alpha=1.0):
+    toks = {d: (t or "").strip().split() or [""] for d, t in texts.items()}
+    bi = {
+        d: list(zip(v, v[1:])) for d, v in toks.items()
+    }
+    bc = Counter(p for ps in bi.values() for p in ps)
+    ctx = Counter()
+    for (w1, _), c in bc.items():
+        ctx[w1] += c
+    vocab = len({w for v in toks.values() for w in v})
+    out = {}
+    for d, ps in bi.items():
+        if not ps:
+            out[d] = (0, 0.0)
+            continue
+        micro = sum(
+            round(
+                math.log((ctx[p[0]] + alpha * vocab) / (bc[p] + alpha)) * 1e6
+            )
+            for p in ps
+        )
+        out[d] = (len(ps), round(micro / (len(ps) * 1e6), 6))
+    return out
+
+
+FIXTURE = {
+    0: "the cat sat on the mat",
+    1: "the cat sat on the mat",
+    2: "the cat sat on the mat again",
+    3: "mat the on sat cat the",  # same token multiset as doc 0, scrambled
+    4: "single",  # no transitions
+    5: None,  # NULL text -> one '' token, no transitions
+}
+
+
+def _docs(spark, texts=FIXTURE):
+    return spark.createDataFrame(
+        [(d, t, "en", "src0", len(t or "")) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bigram_nll_matches_hand_model(spark):
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+        for r in bigram_nll(_docs(spark)).collect()
+    }
+    assert got == _hand(FIXTURE)
+
+
+def test_word_salad_scores_worse_than_fluent_twin(spark):
+    docs = _docs(spark)
+    b = {r["doc_id"]: r["mean_nll"] for r in bigram_nll(docs).collect()}
+    u = {r["doc_id"]: r["mean_nll"] for r in unigram_nll(docs).collect()}
+    # doc 3 is doc 0's token multiset scrambled: identical unigram NLL,
+    # strictly worse bigram NLL — the axis this operator adds
+    assert u[3] == u[0]
+    assert b[3] > b[0]
+
+
+def test_short_docs_get_zero_by_convention(spark):
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+        for r in bigram_nll(_docs(spark)).collect()
+    }
+    assert got[4] == (0, 0.0)
+    assert got[5] == (0, 0.0)

@@ -102,6 +102,7 @@ ALLOWED_BNLJ = {
     "quality_gate_by_lang": "1-row min/max range-bucket bounds aggregate (per-lang thresholds)",
     # corpus token total rides as a broadcast 1-row aggregate
     "unigram_nll": "1-row corpus-token-total aggregate",
+    "bigram_nll": "1-row vocabulary-size aggregate",
     # heavy hitters: the global total (from the MG sweep's partition
     # markers) rides as a broadcast 1-row aggregate crossJoin
     "heavy_hitter_items": "1-row total aggregate (from sweep markers)",
@@ -139,6 +140,7 @@ ALLOWED_SINGLE_PARTITION = {
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",
     "unigram_nll": "1-row corpus-token-total aggregate",
+    "bigram_nll": "1-row vocabulary-size aggregate",
     "heavy_hitter_items": "1-row total aggregate (from sweep markers)",
     # α-weights: the normalization window runs over the POST-AGGREGATION
     # group table (|groups| rows — languages/sources, the mixing family's
