@@ -935,6 +935,11 @@ HEADLINE_QUERIES = [
     "training_manifest",
     # ... and its packed form (manifest-ordered concat-and-chunk)
     "pack_manifest",
+    # round-9 driver flagships: BM25 retrieval (map-side posting prune +
+    # bucketed global top-k) and DSIR Gumbel selection (O(B) λ table) —
+    # both under fingerprint + timing watch
+    "bm25_topk",
+    "dsir_sample",
 ]
 
 #: pre-components EDGE plans of the CC-composed headline queries. The
