@@ -762,6 +762,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # corpus's own smoothed bigram model (word-salad detector —
     # unigram_nll's blind spot)
     "bigram_nll": lambda s, d: _ts.bigram_nll(_documents(s, d)),
+    # distributed BPE vocabulary induction (Sennrich) — iterative
+    # data-dependent argmax, non-SQL-expressible (rows-only; the gate is
+    # the Python reference implementation in tests/test_bpe.py)
+    "bpe_vocab": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.bpe", fromlist=["bpe_vocab"]
+    ).bpe_vocab(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

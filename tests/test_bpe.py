@@ -1,0 +1,138 @@
+"""Distributed BPE (operators/bpe.py) vs the published algorithm's
+Python reference (Sennrich et al. 2016 pseudo-code, independent i-scan
+merge formulation) — the correctness gate for the non-SQL-expressible
+iterative trainer, plus determinism and degeneracy pins."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from flink_cooccurrence_spark.operators.bpe import (
+    EOW,
+    bpe_merge_table,
+    bpe_merges,
+    bpe_segment_words,
+    bpe_vocab,
+)
+
+
+def _ref_apply(syms: list[str], l: str, r: str) -> list[str]:
+    """Canonical leftmost non-overlapping merge (index scan with skip —
+    deliberately a different formulation than the engine's fold)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference trainer: returns (merges, segmented word table)."""
+    vocab = {w: list(w) + [EOW] for w in word_counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        stats: Counter = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (l, r), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, cnt))
+        vocab = {w: _ref_apply(s, l, r) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def _ref_vocab(word_counts, n_merges):
+    _, seg = _ref_bpe(word_counts, n_merges)
+    out: Counter = Counter()
+    for w, syms in seg.items():
+        for s in syms:
+            out[s] += word_counts[w]
+    return dict(out)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t or "")) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _word_counts(texts):
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update((t or "").strip().split() or [""])
+    return dict(wc)
+
+
+FIXTURE = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "low lower newest widest wide",
+]
+
+
+def test_merges_match_reference(spark):
+    got = bpe_merges(_docs(spark, FIXTURE), n_merges=10)
+    exp, _ = _ref_bpe(_word_counts(FIXTURE), 10)
+    assert got == exp
+
+
+def test_segmentation_and_vocab_match_reference(spark):
+    docs = _docs(spark, FIXTURE)
+    seg = {
+        r["word"]: list(r["pieces"])
+        for r in bpe_segment_words(docs, n_merges=6).collect()
+    }
+    _, ref_seg = _ref_bpe(_word_counts(FIXTURE), 6)
+    assert seg == ref_seg
+    got_v = {r["token"]: r["count"] for r in bpe_vocab(docs, n_merges=6).collect()}
+    assert got_v == _ref_vocab(_word_counts(FIXTURE), 6)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_corpora_match_reference(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "abcd"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(12)
+    ]
+    got = bpe_merges(_docs(spark, texts), n_merges=8)
+    exp, _ = _ref_bpe(_word_counts(texts), 8)
+    assert got == exp
+
+
+def test_partitioning_invariance(spark):
+    docs = _docs(spark, FIXTURE)
+    a = bpe_merges(docs, n_merges=5)
+    b = bpe_merges(docs.repartition(13), n_merges=5)
+    assert a == b
+
+
+def test_stops_early_when_no_pairs_remain(spark):
+    # single-char words: after ('x', EOW) merges nothing adjacent is left
+    docs = _docs(spark, ["x x x", "y y"])
+    got = bpe_merges(docs, n_merges=50)
+    exp, _ = _ref_bpe(_word_counts(["x x x", "y y"]), 50)
+    assert got == exp
+    assert len(got) < 50
+
+
+def test_merge_table_shape(spark):
+    t = bpe_merge_table(_docs(spark, FIXTURE), n_merges=4).collect()
+    assert [r["merge_rank"] for r in t] == [1, 2, 3, 4]
+    assert all(r["pair_count"] > 0 for r in t)

@@ -63,6 +63,11 @@ ROWS_ONLY = {
     # bit-identity to streaming_sampled_matrix (tests/test_streaming.py);
     # pytest-only so the driver surface stays within its 50-query budget
     "streaming_sampled_native",
+    # BPE vocabulary induction: each merge depends on the previous one
+    # through a data-dependent argmax over re-segmented arrays — the
+    # non-SQL-expressible class; gated against the published algorithm's
+    # Python reference implementation in tests/test_bpe.py
+    "bpe_vocab",
 }
 
 
