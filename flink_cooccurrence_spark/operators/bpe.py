@@ -162,16 +162,65 @@ def bpe_merge_table(
 
 
 def bpe_segment_words(
-    documents: DataFrame, n_merges: int = BPE_MERGES
+    documents: DataFrame,
+    n_merges: int = BPE_MERGES,
+    backend: str = "fold",
 ) -> DataFrame:
     """(word, count, pieces): every distinct corpus word segmented by
-    the learned rules — merge application is a row-local fold chain."""
+    the learned rules.
+
+    ``backend='fold'`` chains one row-local ``F.aggregate`` per merge —
+    pure codegen, the right shape at a small merge budget, but the
+    expression tree grows with the budget (the k-means literal-chain
+    lesson: whole-stage codegen COMPILATION becomes the cost, and a
+    production 30k-merge tokenizer cannot compile at all).
+    ``backend='pandas'`` ships the merge list to an Arrow-vectorized
+    ``mapInPandas`` worker that applies all rules in one pass per word —
+    the large-budget path, pinned bit-identical to the fold on the same
+    rules (``tests/test_bpe.py``)."""
     rules = bpe_merges(documents, n_merges)
     table = word_symbol_table(documents)
+    if backend == "pandas":
+        return _segment_pandas(table, [(l, r) for l, r, _ in rules])
+    if backend != "fold":
+        raise ValueError(f"unknown backend: {backend!r}")
     syms = F.col("syms")
     for l, r, _ in rules:
         syms = _apply_merge(syms, l, r)
     return table.select("word", "count", syms.alias("pieces"))
+
+
+def _segment_pandas(table: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """All-rules-in-one-pass segmentation worker (large merge budgets)."""
+    import pandas as pd
+
+    def apply_all(syms: list) -> list:
+        syms = list(syms)
+        for l, r in rules:
+            out, i, merged = [], 0, l + r
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def worker(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "count": pdf["count"],
+                    "pieces": pdf["syms"].map(apply_all),
+                }
+            )
+
+    return table.mapInPandas(
+        worker, "word string, count long, pieces array<string>"
+    )
 
 
 def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:

@@ -132,6 +132,26 @@ def test_stops_early_when_no_pairs_remain(spark):
     assert len(got) < 50
 
 
+def test_pandas_backend_equals_fold(spark):
+    # the large-merge-budget path (Arrow worker, all rules in one pass)
+    # must be bit-identical to the codegen fold chain on the same rules
+    docs = _docs(spark, FIXTURE)
+    fold = {
+        r["word"]: (r["count"], list(r["pieces"]))
+        for r in bpe_segment_words(docs, n_merges=6).collect()
+    }
+    pand = {
+        r["word"]: (r["count"], list(r["pieces"]))
+        for r in bpe_segment_words(docs, n_merges=6, backend="pandas").collect()
+    }
+    assert fold == pand
+
+
+def test_unknown_backend_rejected(spark):
+    with pytest.raises(ValueError):
+        bpe_segment_words(_docs(spark, FIXTURE), n_merges=2, backend="nope")
+
+
 def test_merge_table_shape(spark):
     t = bpe_merge_table(_docs(spark, FIXTURE), n_merges=4).collect()
     assert [r["merge_rank"] for r in t] == [1, 2, 3, 4]
