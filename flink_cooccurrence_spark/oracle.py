@@ -516,6 +516,10 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     # smoothed bigram-LM quality proxy (micro-nat contract)
     o["bigram_nll"] = ts.bigram_nll_sql()
 
+    # streaming BM25 index: accumulated LSM index == the batch scan —
+    # identical oracle text (losslessness-by-parity)
+    o["streaming_bm25_topk"] = rt.bm25_topk_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

@@ -100,39 +100,24 @@ def write_text_index(
     return meta
 
 
-def query_text_index(
-    spark: SparkSession,
-    index_dir: str,
-    terms: tuple[str, ...],
+def score_postings(
+    postings: DataFrame,
+    n_docs: int,
+    total_dl: int,
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """(rank, doc_id, n_matched, bm25): BM25 top-k from the persisted
-    index — bit-identical to ``bm25_topk`` on the indexed corpus."""
-    if not terms:
-        return spark.createDataFrame(
-            [], "rank long, doc_id long, n_matched int, bm25 double"
-        )
-    with open(os.path.join(index_dir, META_NAME)) as fh:
-        meta = json.load(fh)
-    buckets = sorted({_bucket_py(t, meta["num_term_buckets"]) for t in terms})
-    postings = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .filter(F.col("tbucket").isin(buckets))
-        .filter(F.col("token").isin(list(terms)))
-    )
-    # identical expression structure (and literal values) to bm25_topk's
-    # 1-row stats columns — same doubles, same micro rounding
-    n_d = F.lit(meta["n_docs"]).cast("double")
+    """BM25 top-``k`` over a pruned posting frame ``(doc_id, dl, token,
+    tf, df)`` with corpus stats as literals — identical expression
+    structure (and values) to ``bm25_topk``'s 1-row stats columns, so
+    the result is bit-identical to the scan-form operator. Shared by the
+    persisted-index query path and the streaming index."""
+    n_d = F.lit(n_docs).cast("double")
     idf = F.log(
         F.lit(1.0) + (n_d - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    dl_norm = (
-        F.col("dl").cast("double")
-        * F.lit(meta["n_docs"])
-        / F.lit(meta["total_dl"])
-    )
+    dl_norm = F.col("dl").cast("double") * F.lit(n_docs) / F.lit(total_dl)
     contrib = (
         idf
         * (F.col("tf") * F.lit(k1 + 1.0))
@@ -159,4 +144,31 @@ def query_text_index(
         "doc_id",
         "n_matched",
         F.round(F.col("_score_micro") / F.lit(1e6), 6).alias("bm25"),
+    )
+
+
+def query_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(rank, doc_id, n_matched, bm25): BM25 top-k from the persisted
+    index — bit-identical to ``bm25_topk`` on the indexed corpus."""
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, n_matched int, bm25 double"
+        )
+    with open(os.path.join(index_dir, META_NAME)) as fh:
+        meta = json.load(fh)
+    buckets = sorted({_bucket_py(t, meta["num_term_buckets"]) for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("token").isin(list(terms)))
+    )
+    return score_postings(
+        postings, meta["n_docs"], meta["total_dl"], k=k, k1=k1, b=b
     )

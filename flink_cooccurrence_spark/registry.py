@@ -546,6 +546,19 @@ QUERIES.update(EXTENSION_QUERIES)
 #: ``tests/test_oracle_parity.py``, and each has a semantic pytest gate
 #: pinning it to its driver-checked twin (salting/blocked-plan equality,
 #: multi-probe/nprobe candidate-superset, native-stream bit-identity).
+def _text_index_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming BM25 index over the documents corpus
+    (100 docs/batch); memoized per (session, sf_dir) like the engines."""
+    from flink_cooccurrence_spark.streaming.text_index import TextIndexStream
+
+    key = _memo_key(spark, sf_dir, "text_index_stream")
+    if key not in _ENGINE_MEMO:
+        eng = TextIndexStream(spark, workdir=_memo_tmpdir("tis_q_"))
+        eng.replay(_documents(spark, sf_dir), docs_per_batch=100)
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _dedup_stream_engine(spark: SparkSession, sf_dir: str):
     """Replay the streaming dedup engine over the documents corpus in
     doc_id order (100 docs/batch → a genuinely multi-batch run at every
@@ -768,6 +781,15 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "bpe_vocab": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.bpe", fromlist=["bpe_vocab"]
     ).bpe_vocab(_documents(s, d)),
+    # streaming BM25 index maintenance: the LSM-accumulated index
+    # answers the flagship query bit-identically to the batch scan —
+    # same oracle SQL as bm25_topk (losslessness-by-parity)
+    "streaming_bm25_topk": lambda s, d: _text_index_stream(s, d).query(
+        __import__(
+            "flink_cooccurrence_spark.operators.retrieval",
+            fromlist=["BM25_QUERY"],
+        ).BM25_QUERY
+    ),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

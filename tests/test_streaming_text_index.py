@@ -1,0 +1,86 @@
+"""Streaming BM25 index (streaming/text_index.py): the accumulated
+index must answer queries bit-identically to the batch scan operator,
+under slicing changes, kill-restart, re-delivery, and compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.retrieval import BM25_QUERY, bm25_topk
+from flink_cooccurrence_spark.streaming.text_index import TextIndexStream
+
+TERMS2 = ("table", "merge")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, docs, tmp_path_factory):
+    eng = TextIndexStream(
+        spark, workdir=str(tmp_path_factory.mktemp("tis_main"))
+    )
+    eng.replay(docs, docs_per_batch=100)
+    return eng
+
+
+def test_query_equals_batch_operator(spark, docs, engine):
+    for terms in (BM25_QUERY, TERMS2):
+        assert _rows(engine.query(terms)) == _rows(bm25_topk(docs, terms))
+        assert engine.query(terms).count() > 0
+
+
+def test_unseen_and_empty_terms(spark, engine):
+    assert engine.query(("zzz_never_indexed",)).count() == 0
+    out = engine.query(())
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank",
+        "doc_id",
+        "n_matched",
+        "bm25",
+    ]
+
+
+def test_slicing_invariance_and_compaction_churn(
+    spark, docs, engine, tmp_path_factory
+):
+    # different batch slicing AND an aggressive compaction threshold:
+    # the index a query sees must be indistinguishable
+    eng2 = TextIndexStream(
+        spark,
+        workdir=str(tmp_path_factory.mktemp("tis_slice")),
+        compact_threshold=1,
+    )
+    eng2.replay(docs, docs_per_batch=37)
+    assert _rows(eng2.query(BM25_QUERY)) == _rows(engine.query(BM25_QUERY))
+
+
+def test_kill_restart_and_redelivery(spark, docs, tmp_path_factory):
+    small = docs.filter(F.col("doc_id") < 300)
+    wd = str(tmp_path_factory.mktemp("tis_restart"))
+    eng = TextIndexStream(spark, workdir=wd)
+    eng.replay(small.filter(F.col("doc_id") < 150), docs_per_batch=75)
+    n_before = eng.n_docs()
+    # abrupt kill: a NEW engine object on the same workdir resumes from
+    # the committed high-water mark
+    eng2 = TextIndexStream(spark, workdir=wd)
+    assert eng2.n_docs() == n_before
+    # re-delivery of an already-committed batch id is a no-op
+    eng2.process_batch(small.filter(F.col("doc_id") < 75), batch_id=0)
+    assert eng2.n_docs() == n_before
+    # resume with the remaining documents; the final index equals batch
+    eng2.replay(
+        small.filter(F.col("doc_id") >= 150), docs_per_batch=75
+    )
+    assert _rows(eng2.query(BM25_QUERY)) == _rows(bm25_topk(small, BM25_QUERY))
