@@ -54,9 +54,13 @@ TARGET_SOURCE = "src0"
 DSIR_SALT = "dsir:"
 
 
-def _grams(text: Column) -> Column:
-    """Row-local unigram+bigram bag over whitespace tokens (NULL → '')."""
-    toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+def _grams_of(toks: Column) -> Column:
+    """Unigram+bigram bag over a STAGED token-array column. ``toks``
+    must be a bound column (not the split expression itself): the tree
+    references it ~2·|tokens| times, and an inlined split() would be
+    recomputed per reference — the codegen-duplication lesson of
+    SCALING.md's round-9 notes (measured 7s → 0.6s for the gram explode
+    at sf0.1)."""
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -70,6 +74,14 @@ def _grams(text: Column) -> Column:
     return F.concat(toks, bigrams)
 
 
+def _grams(text: Column) -> Column:
+    """Row-local unigram+bigram bag over whitespace tokens (NULL → '').
+
+    Kept for the hand-model tests; the operator paths stage the token
+    array first (see :func:`_grams_of`)."""
+    return _grams_of(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"))
+
+
 def _bucket_scores(
     documents: DataFrame,
     target_source: str,
@@ -78,14 +90,24 @@ def _bucket_scores(
 ) -> tuple[DataFrame, DataFrame]:
     """(gram_rows, λ table): exploded (doc_id, is_target, bucket) rows and
     the O(B) integer micro-nat log-ratio table."""
-    gram_rows = documents.select(
-        "doc_id",
-        (F.col("source") == target_source).alias("is_target"),
-        F.explode(_grams(F.col("text"))).alias("gram"),
-    ).select(
-        "doc_id",
-        "is_target",
-        (hash32(F.col("gram")) % F.lit(num_buckets)).alias("bucket"),
+    gram_rows = (
+        documents.select(
+            "doc_id",
+            (F.col("source") == target_source).alias("is_target"),
+            F.split(
+                F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+            ).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(_grams_of(F.col("_toks"))).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (hash32(F.col("gram")) % F.lit(num_buckets)).alias("bucket"),
+        )
     )
     counts = gram_rows.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
@@ -180,11 +202,17 @@ def dsir_sample(
         hash32(F.concat(F.lit(DSIR_SALT), F.col("doc_id").cast("string")))
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
+    # lazy cache mark: the bucketed rank's three passes (bounds, offsets,
+    # final join) share this per-doc frame — without the mark each pass
+    # re-evaluates the corpus gram explode + λ join (measured 14s → 3.4s
+    # at sf0.1). One row per raw document (O(corpus/doc_len) — the same
+    # size class as the other cached rank inputs); fills on the query's
+    # own first action, cleared by the harnesses' clearCache.
     keyed = s.withColumn(
         "_key",
         F.col("_logw_micro")
         + F.round(-F.log(-F.log(u)) * F.lit(1e6), 0).cast("long"),
-    )
+    ).cache()
     ranked = global_seq(
         keyed.withColumn("_neg", -F.col("_key")), ["_neg", "doc_id"], out="rank"
     )
