@@ -124,6 +124,31 @@ def test_dsir_sample_ranks_dense_and_truncates(spark):
         assert abs((r["gumbel_key"] - r["logw"]) - g_micro / 1e6) < 2e-6
 
 
+def test_dsir_random_corpora_match_hand_model(spark):
+    # randomized sweep: random vocab mixes across 3 sources, weights
+    # equal the micro-int hand model exactly
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        vocab = [f"v{i}" for i in range(rng.randint(4, 10))]
+        texts = {}
+        doc = 0
+        for src in ("src0", "src1", "src2"):
+            for _ in range(rng.randint(1, 5)):
+                texts[(doc, src)] = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                )
+                doc += 1
+        got = {
+            r["doc_id"]: (r["n_grams"], r["logw"])
+            for r in dsir_weights(
+                _docs(spark, texts), num_buckets=BUCKETS
+            ).collect()
+        }
+        assert got == _hand_weights(texts), trial
+
+
 def test_dsir_sample_is_partitioning_invariant(spark):
     docs = _docs(spark)
     a = dsir_sample(docs, n=3, num_buckets=BUCKETS).collect()

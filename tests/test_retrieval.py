@@ -116,3 +116,28 @@ def test_bm25_empty_query_returns_empty_frame(spark):
 
 def test_bm25_unmatched_query_returns_no_rows(spark):
     assert bm25_topk(_docs(spark), ("zzz_not_in_corpus",), k=5).count() == 0
+
+
+def test_bm25_random_corpora_match_hand_model(spark):
+    # randomized sweep (the duplicate_spans planted-run pattern): 8
+    # corpora of random-vocabulary docs, full-ranking equality vs the
+    # micro-int hand model
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(8):
+        texts = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 20))
+            )
+            for d in range(rng.randint(3, 15))
+        }
+        terms = tuple(rng.sample(vocab, rng.randint(1, 3)))
+        got = [
+            (r["rank"], r["doc_id"], r["n_matched"], r["bm25"])
+            for r in bm25_topk(_docs(spark, texts), terms, k=100)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == _hand_bm25(texts, terms), (trial, terms)
