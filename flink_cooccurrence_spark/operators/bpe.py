@@ -232,3 +232,35 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("count").alias("count"))
     )
+
+
+def bpe_token_counts(
+    documents: DataFrame,
+    n_merges: int = BPE_MERGES,
+    backend: str = "fold",
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens): per-document token counts under the
+    LEARNED tokenizer — the real input for ``packing.pack_chunks``'s
+    ``token_count_col`` seam (whose tests inject a synthetic proxy
+    because no tokenizer artifact ships in this container; this closes
+    that loop with a tokenizer trained on the corpus itself).
+
+    Scale shape: segmentation happens once on the O(|vocab|) word table;
+    the corpus-sized side is one word explode joined to the per-word
+    piece counts on the word (AQE broadcasts the vocab side when small)
+    and reduced per document. No per-document re-segmentation.
+    """
+    seg = bpe_segment_words(documents, n_merges, backend=backend).select(
+        "word", F.size("pieces").alias("_n_pieces")
+    )
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("word"),
+    )
+    return (
+        words.join(seg, on="word")
+        .groupBy("doc_id")
+        .agg(F.sum("_n_pieces").cast("long").alias("n_bpe_tokens"))
+    )

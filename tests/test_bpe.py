@@ -156,3 +156,29 @@ def test_merge_table_shape(spark):
     t = bpe_merge_table(_docs(spark, FIXTURE), n_merges=4).collect()
     assert [r["merge_rank"] for r in t] == [1, 2, 3, 4]
     assert all(r["pair_count"] > 0 for r in t)
+
+
+def test_token_counts_match_reference_and_feed_packing(spark):
+    from flink_cooccurrence_spark.operators.bpe import bpe_token_counts
+    from flink_cooccurrence_spark.operators.packing import pack_chunks
+
+    docs = _docs(spark, FIXTURE)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, n_merges=6).collect()
+    }
+    wc = _word_counts(FIXTURE)
+    _, ref_seg = _ref_bpe(wc, 6)
+    exp = {
+        i: sum(len(ref_seg[w]) for w in (t or "").strip().split() or [""])
+        for i, t in enumerate(FIXTURE)
+    }
+    assert got == exp
+    # the real-tokenizer seam: learned counts drive the pack plan and
+    # every document is covered exactly once
+    counted = docs.join(
+        bpe_token_counts(docs, n_merges=6), on="doc_id"
+    )
+    packed = pack_chunks(counted, token_count_col="n_bpe_tokens")
+    spans = {r["doc_id"]: r for r in packed.collect()}
+    assert set(spans) == set(got)
