@@ -82,15 +82,12 @@ def _grams(text: Column) -> Column:
     return _grams_of(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"))
 
 
-def _bucket_scores(
-    documents: DataFrame,
-    target_source: str,
-    num_buckets: int,
-    alpha: float,
-) -> tuple[DataFrame, DataFrame]:
-    """(gram_rows, λ table): exploded (doc_id, is_target, bucket) rows and
-    the O(B) integer micro-nat log-ratio table."""
-    gram_rows = (
+def gram_rows_of(
+    documents: DataFrame, target_source: str, num_buckets: int
+) -> DataFrame:
+    """(doc_id, is_target, bucket): the exploded hashed-gram rows. The
+    token array is STAGED as a real column (see :func:`_grams_of`)."""
+    return (
         documents.select(
             "doc_id",
             (F.col("source") == target_source).alias("is_target"),
@@ -109,15 +106,28 @@ def _bucket_scores(
             (hash32(F.col("gram")) % F.lit(num_buckets)).alias("bucket"),
         )
     )
-    counts = gram_rows.groupBy("bucket").agg(
+
+
+def bucket_counts_of(gram_rows: DataFrame) -> DataFrame:
+    """(bucket, t_cnt, r_cnt): the O(B) sufficient statistics of both
+    multinomials. ADDITIVE across disjoint document sets — the property
+    the streaming engine's per-batch merge relies on."""
+    return gram_rows.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("r_cnt"),
     )
+
+
+def lambda_from_counts(
+    counts: DataFrame, num_buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, lam_micro): the smoothed log-ratio table from the
+    sufficient statistics — identical expression to the oracle."""
     totals = counts.agg(
         F.sum("t_cnt").alias("_t_tot"), F.sum("r_cnt").alias("_r_tot")
     )
     ab = alpha * num_buckets
-    lam = (
+    return (
         counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
@@ -138,6 +148,20 @@ def _bucket_scores(
             .cast("long")
             .alias("lam_micro"),
         )
+    )
+
+
+def _bucket_scores(
+    documents: DataFrame,
+    target_source: str,
+    num_buckets: int,
+    alpha: float,
+) -> tuple[DataFrame, DataFrame]:
+    """(gram_rows, λ table): exploded (doc_id, is_target, bucket) rows and
+    the O(B) integer micro-nat log-ratio table."""
+    gram_rows = gram_rows_of(documents, target_source, num_buckets)
+    lam = lambda_from_counts(
+        bucket_counts_of(gram_rows), num_buckets, alpha
     )
     return gram_rows, lam
 

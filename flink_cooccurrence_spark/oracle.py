@@ -520,6 +520,10 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     # identical oracle text (losslessness-by-parity)
     o["streaming_bm25_topk"] = rt.bm25_topk_sql()
 
+    # streaming DSIR: accumulated bucket counts == the batch fit —
+    # identical oracle text (losslessness-by-parity)
+    o["streaming_dsir_weights"] = dsir_mod.dsir_weights_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

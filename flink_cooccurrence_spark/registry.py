@@ -559,6 +559,19 @@ def _text_index_stream(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _dsir_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming DSIR model over the documents corpus
+    (100 docs/batch); memoized per (session, sf_dir)."""
+    from flink_cooccurrence_spark.streaming.dsir import DsirStream
+
+    key = _memo_key(spark, sf_dir, "dsir_stream")
+    if key not in _ENGINE_MEMO:
+        eng = DsirStream(spark, workdir=_memo_tmpdir("dsir_q_"))
+        eng.replay(_documents(spark, sf_dir), docs_per_batch=100)
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _dedup_stream_engine(spark: SparkSession, sf_dir: str):
     """Replay the streaming dedup engine over the documents corpus in
     doc_id order (100 docs/batch → a genuinely multi-batch run at every
@@ -789,6 +802,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
             "flink_cooccurrence_spark.operators.retrieval",
             fromlist=["BM25_QUERY"],
         ).BM25_QUERY
+    ),
+    # streaming DSIR model maintenance: scoring under the accumulated
+    # bucket counts equals the batch fit — same oracle SQL as
+    # dsir_weights (losslessness-by-parity)
+    "streaming_dsir_weights": lambda s, d: _dsir_stream(s, d).score(
+        _documents(s, d)
     ),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan

@@ -1,0 +1,148 @@
+"""Streaming DSIR model maintenance — the online form of the
+importance-resampling featurizer (``operators/dsir.py``).
+
+DSIR's fitted state is two add-α-smoothed multinomials whose sufficient
+statistics are a single O(B)-row bucket-count table — and those counts
+are ADDITIVE across disjoint document sets. So the online engine is
+almost free: each micro-batch contributes its own bucket counts (one
+bounded collect — ≤ B rows, the model's whole size, corpus-independent)
+merged into a persistent count table; the λ log-ratio table and any
+document scoring derive from the accumulated counts on demand, through
+the SAME expressions as the batch operator. A selection pipeline can
+therefore keep its importance model current as raw data arrives and
+score each incoming batch (or any corpus slice) against the
+up-to-the-batch model.
+
+Exactness: after ingesting any document stream, ``score(docs)`` over
+the accumulated model equals the batch ``dsir_weights`` fitted on the
+same accumulated corpus — same integer micro-nat contract, same DuckDB
+oracle text (losslessness-by-parity, the ``streaming_heavy_hitters`` /
+``streaming_bm25_topk`` pattern).
+
+Transactionality: the engines' shared contract — per-batch
+commit/rollback on the ``StateStore``, batch-id high-water mark
+(re-delivered batches skip), counts survive kill-restart. Driver state:
+one ≤ B-row pandas frame (the k-means-centroid bounded class).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.dsir import (
+    NUM_BUCKETS,
+    SMOOTH_ALPHA,
+    TARGET_SOURCE,
+    bucket_counts_of,
+    gram_rows_of,
+    lambda_from_counts,
+)
+
+COUNTS_SCHEMA = "bucket long, t_cnt long, r_cnt long"
+
+
+class DsirStream:
+    """Online DSIR sufficient-statistics maintenance over a document
+    micro-batch stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        target_source: str = TARGET_SOURCE,
+        num_buckets: int = NUM_BUCKETS,
+        alpha: float = SMOOTH_ALPHA,
+    ) -> None:
+        from flink_cooccurrence_spark.streaming.state import StateStore
+
+        self.spark = spark
+        self.target_source = target_source
+        self.num_buckets = num_buckets
+        self.alpha = alpha
+        self.workdir = workdir or tempfile.mkdtemp(prefix="dsir_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+        # the live counts (≤ B rows of driver state) — reloaded from the
+        # committed state on construction, so kill-restart resumes
+        self._counts = pd.DataFrame(
+            columns=["bucket", "t_cnt", "r_cnt"]
+        ).astype("int64")
+        if self.state.get_scalar("initialized", 0):
+            self._counts = (
+                self.state.get("bucket_counts", COUNTS_SCHEMA)
+                .toPandas()
+                .astype("int64")
+            )
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch's bucket counts; one transaction."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
+        # the ONE action: the batch's own O(B)-row count table
+        batch_counts = (
+            bucket_counts_of(
+                gram_rows_of(docs, self.target_source, self.num_buckets)
+            )
+            .toPandas()
+            .astype("int64")
+        )
+        merged = (
+            pd.concat([self._counts, batch_counts])
+            .groupby("bucket", as_index=False)
+            .sum()
+            .astype("int64")
+        )
+        try:
+            self.state.put(
+                "bucket_counts",
+                self.spark.createDataFrame(merged, COUNTS_SCHEMA),
+            )
+            self.state.set_scalar("initialized", 1)
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
+        except BaseException:
+            self.state.rollback()
+            raise
+        self._counts = merged
+
+    def replay(self, docs: DataFrame, docs_per_batch: int = 100) -> None:
+        """Deterministic replay in doc_id order; batch numbering
+        continues from the high-water mark."""
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
+        ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+        for b, lo in enumerate(range(0, len(ids), docs_per_batch)):
+            chunk = ids[lo : lo + docs_per_batch]
+            batch = docs.filter(
+                (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
+            )
+            self.process_batch(batch, base + b)
+
+    # ------------------------------------------------------------- queries
+
+    def lambda_table(self) -> DataFrame:
+        """(bucket, lam_micro): the log-ratio model from the accumulated
+        counts — the batch operator's expression verbatim."""
+        return lambda_from_counts(
+            self.state.get("bucket_counts", COUNTS_SCHEMA),
+            self.num_buckets,
+            self.alpha,
+        )
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, n_grams, logw) for ``docs``' raw documents under the
+        ACCUMULATED model — equals batch ``dsir_weights`` when ``docs``
+        is the accumulated corpus."""
+        grams = gram_rows_of(docs, self.target_source, self.num_buckets)
+        return (
+            grams.filter(~F.col("is_target"))
+            .join(F.broadcast(self.lambda_table()), on="bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("int").alias("n_grams"),
+                F.round(F.sum("lam_micro") / F.lit(1e6), 6).alias("logw"),
+            )
+        )

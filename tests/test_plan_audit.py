@@ -96,6 +96,7 @@ ALLOWED_BNLJ = {
     # DSIR: λ-table totals ride as a broadcast 1-row aggregate
     "dsir_weights": "1-row λ-totals aggregate (O(B) bucket table)",
     "dsir_sample": "1-row λ-totals aggregate (O(B) bucket table)",
+    "streaming_dsir_weights": "1-row λ-totals aggregate (O(B) state table)",
     # streaming BM25 index query: the bucketed rank's 1-row bounds
     # aggregate (stats are scalars, not plans — no other broadcast)
     "streaming_bm25_topk": "1-row min/max range-bucket bounds aggregate",
@@ -140,6 +141,7 @@ ALLOWED_SINGLE_PARTITION = {
     "bm25_topk": "1-row corpus-stats aggregate + ≤4096-row bucket-offsets window",
     "dsir_weights": "1-row λ-totals aggregate",
     "dsir_sample": "1-row λ-totals aggregate + ≤4096-row bucket-offsets window",
+    "streaming_dsir_weights": "1-row λ-totals aggregate",
     "streaming_bm25_topk": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",

@@ -1,0 +1,69 @@
+"""Streaming DSIR model (streaming/dsir.py): scoring under the
+accumulated counts must equal the batch fit, under slicing changes,
+kill-restart, and re-delivery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.dsir import dsir_weights
+from flink_cooccurrence_spark.streaming.dsir import DsirStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_accumulated_model_equals_batch_fit(spark, docs, tmp_path_factory):
+    eng = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_main")))
+    eng.replay(docs, docs_per_batch=100)
+    assert _rows(eng.score(docs)) == _rows(dsir_weights(docs))
+    # slicing invariance: counts are additive, so batch size is invisible
+    eng2 = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_slice")))
+    eng2.replay(docs, docs_per_batch=37)
+    assert _rows(eng2.score(docs)) == _rows(eng.score(docs))
+
+
+def test_kill_restart_and_redelivery(spark, docs, tmp_path_factory):
+    small = docs.filter(F.col("doc_id") < 300)
+    wd = str(tmp_path_factory.mktemp("ds_restart"))
+    eng = DsirStream(spark, workdir=wd)
+    eng.replay(small.filter(F.col("doc_id") < 150), docs_per_batch=75)
+    # abrupt kill: a new object on the same workdir resumes committed state
+    eng2 = DsirStream(spark, workdir=wd)
+    # re-delivery of a committed batch id is a no-op
+    before = _rows(eng2.lambda_table())
+    eng2.process_batch(small.filter(F.col("doc_id") < 75), batch_id=0)
+    assert _rows(eng2.lambda_table()) == before
+    # resume with the rest; the final model equals the batch fit
+    eng2.replay(small.filter(F.col("doc_id") >= 150), docs_per_batch=75)
+    assert _rows(eng2.score(small)) == _rows(dsir_weights(small))
+
+
+def test_scores_incoming_batch_against_running_model(
+    spark, docs, tmp_path_factory
+):
+    # the production shape: score an arriving slice under the model
+    # accumulated so far (here: the full corpus model) — weights for the
+    # slice's raw docs must equal the batch fit's rows for those docs
+    eng = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_slice2")))
+    eng.replay(docs, docs_per_batch=250)
+    arriving = docs.filter(F.col("doc_id") % 7 == 0)
+    got = _rows(eng.score(arriving))
+    full = {r[0]: r for r in dsir_weights(docs).collect()}
+    exp = sorted(
+        tuple(full[r["doc_id"]])
+        for r in arriving.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == exp
