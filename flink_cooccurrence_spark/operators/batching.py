@@ -1,0 +1,127 @@
+"""Length-bucketed inference batching — minimize padding waste.
+
+Batched inference (embedding the corpus, reranking, LLM scoring) pads
+every sequence in a batch to the batch's longest member; batching
+documents in random order wastes compute proportional to the length
+spread. The standard remedy is LENGTH BUCKETING: order documents by
+token count, cut the order into fixed-size batches, so each batch's
+members have near-equal lengths and `padded_to − n_tokens ≈ 0`.
+
+Determinism: the order is (n_tokens, doc_id) — a pure function of the
+corpus, stable under repartitioning. The global order is assigned by
+the bucketed two-pass rank (``operators/ordering.global_seq``), never a
+single-task sort; `batch_id = (rank − 1) div batch_size` is exact
+integer arithmetic (the ``shard_manifest`` contract, exact past 2^53);
+`padded_to` is a max over a batch_id-KEYED window (thousands of rows
+per partition key — no SinglePartition).
+
+``padding_waste`` reduces the assignment to the one-row efficiency
+summary (total padded slots vs real tokens) — the number that justifies
+the bucketing in a capacity plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.ordering import global_seq
+
+#: default inference batch size for the registered queries.
+BATCH_SIZE = 32
+
+
+def _n_tokens(token_count_col: str | None):
+    if token_count_col is not None:
+        return F.col(token_count_col).cast("long")
+    return F.size(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    ).cast("long")
+
+
+def length_bucketed_batches(
+    documents: DataFrame,
+    batch_size: int = BATCH_SIZE,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, batch_id, pos_in_batch, padded_to): the
+    length-bucketed batch assignment. ``token_count_col`` injects real
+    tokenizer counts (e.g. ``bpe.bpe_token_counts``); default is the
+    whitespace count with the package-wide NULL→'' fold."""
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    d = documents.select("doc_id", _n_tokens(token_count_col).alias("n_tokens"))
+    ranked = global_seq(d, ["n_tokens", "doc_id"], out="_rank")
+    assigned = ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(_rank - 1) div {batch_size}").alias("batch_id"),
+        (F.pmod(F.col("_rank") - 1, F.lit(batch_size)) + 1)
+        .cast("int")
+        .alias("pos_in_batch"),
+    )
+    w = Window.partitionBy("batch_id")
+    return assigned.select(
+        "doc_id",
+        "n_tokens",
+        "batch_id",
+        "pos_in_batch",
+        F.max("n_tokens").over(w).alias("padded_to"),
+    )
+
+
+def padding_waste(
+    documents: DataFrame,
+    batch_size: int = BATCH_SIZE,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """1-row efficiency summary — (n_batches, total_tokens, total_padded,
+    waste): padded slots are ``Σ_batches |batch|·padded_to``; waste is
+    the padded-slot fraction carrying no real token (6-decimal round)."""
+    b = length_bucketed_batches(documents, batch_size, token_count_col)
+    return b.agg(
+        F.count_distinct("batch_id").cast("long").alias("n_batches"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("padded_to").alias("total_padded"),
+        F.round(
+            (F.sum("padded_to") - F.sum("n_tokens"))
+            / F.sum("padded_to").cast("double"),
+            6,
+        ).alias("waste"),
+    )
+
+
+def length_bucketed_batches_sql(batch_size: int = BATCH_SIZE) -> str:
+    """DuckDB oracle text of :func:`length_bucketed_batches`."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       CAST((rn - 1) // {batch_size} AS BIGINT) AS batch_id,
+       CAST((rn - 1) % {batch_size} + 1 AS INT) AS pos_in_batch,
+       CAST(max(n_tokens) OVER (
+         PARTITION BY (rn - 1) // {batch_size}) AS BIGINT) AS padded_to
+FROM ranked
+"""
+
+
+def padding_waste_sql(batch_size: int = BATCH_SIZE) -> str:
+    """DuckDB oracle text of :func:`padding_waste`."""
+    return f"""
+WITH b AS ({length_bucketed_batches_sql(batch_size)})
+SELECT CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(padded_to) AS BIGINT) AS total_padded,
+       round((SUM(padded_to) - SUM(n_tokens))
+             / CAST(SUM(padded_to) AS DOUBLE), 6) AS waste
+FROM b
+"""

@@ -524,6 +524,12 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     # identical oracle text (losslessness-by-parity)
     o["streaming_dsir_weights"] = dsir_mod.dsir_weights_sql()
 
+    # length-bucketed inference batching + the padding-waste meter
+    from flink_cooccurrence_spark.operators import batching as bt
+
+    o["length_bucketed_batches"] = bt.length_bucketed_batches_sql()
+    o["padding_waste"] = bt.padding_waste_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

@@ -809,6 +809,17 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "streaming_dsir_weights": lambda s, d: _dsir_stream(s, d).score(
         _documents(s, d)
     ),
+    # length-bucketed inference batching + the padding-waste meter
+    # (operators/batching.py): deterministic (n_tokens, doc_id) order
+    # via the bucketed two-pass rank, exact integer batch cut
+    "length_bucketed_batches": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.batching",
+        fromlist=["length_bucketed_batches"],
+    ).length_bucketed_batches(_documents(s, d)),
+    "padding_waste": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.batching",
+        fromlist=["padding_waste"],
+    ).padding_waste(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

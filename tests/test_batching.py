@@ -1,0 +1,70 @@
+"""Length-bucketed inference batching (operators/batching.py):
+hand-model assignment, waste reduction property, injected-token-count
+seam. DuckDB parity runs in test_oracle_parity.py via the registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.batching import (
+    length_bucketed_batches,
+    padding_waste,
+)
+
+
+def _docs(spark, lens):
+    return spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "en", "src0", 2 * n) for i, n in lens.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_assignment_matches_hand_model(spark):
+    lens = {0: 5, 1: 2, 2: 9, 3: 2, 4: 7, 5: 1}
+    rows = {
+        r["doc_id"]: (r["batch_id"], r["pos_in_batch"], r["padded_to"])
+        for r in length_bucketed_batches(_docs(spark, lens), batch_size=2)
+        .collect()
+    }
+    # order by (n_tokens, doc_id): 5,1,3,0,4,2 → batches [5,1],[3,0],[4,2]
+    assert rows == {
+        5: (0, 1, 2),
+        1: (0, 2, 2),
+        3: (1, 1, 5),
+        0: (1, 2, 5),
+        4: (2, 1, 9),
+        2: (2, 2, 9),
+    }
+
+
+def test_bucketing_beats_random_order_waste(spark):
+    # skewed lengths: bucketing packs equals together, so padded slots
+    # shrink vs a single all-in-one batch (the no-bucketing worst case)
+    lens = {i: (1 if i % 2 else 50) for i in range(40)}
+    docs = _docs(spark, lens)
+    w_bucketed = padding_waste(docs, batch_size=4).collect()[0]
+    w_one_batch = padding_waste(docs, batch_size=40).collect()[0]
+    assert w_bucketed["waste"] < w_one_batch["waste"]
+    assert w_bucketed["waste"] == 0.0  # equal lengths within every batch
+    assert w_bucketed["total_tokens"] == sum(lens.values())
+
+
+def test_injected_token_counts_and_ragged_tail(spark):
+    lens = {i: i + 1 for i in range(7)}  # 7 docs, batch_size 3 → tail of 1
+    docs = _docs(spark, lens).withColumn(
+        "bpe_len", F.col("n_chars") * 2
+    )
+    out = length_bucketed_batches(
+        docs, batch_size=3, token_count_col="bpe_len"
+    ).collect()
+    assert {r["n_tokens"] for r in out} == {4 * (i + 1) for i in range(7)}
+    sizes = {}
+    for r in out:
+        sizes[r["batch_id"]] = sizes.get(r["batch_id"], 0) + 1
+    assert sorted(sizes.values()) == [1, 3, 3]
+
+
+def test_rejects_nonpositive_batch_size(spark):
+    with pytest.raises(ValueError):
+        length_bucketed_batches(_docs(spark, {0: 1}), batch_size=0)

@@ -97,6 +97,9 @@ ALLOWED_BNLJ = {
     "dsir_weights": "1-row λ-totals aggregate (O(B) bucket table)",
     "dsir_sample": "1-row λ-totals aggregate (O(B) bucket table)",
     "streaming_dsir_weights": "1-row λ-totals aggregate (O(B) state table)",
+    # length bucketing: the two-pass rank's 1-row bounds aggregate
+    "length_bucketed_batches": "1-row min/max range-bucket bounds aggregate",
+    "padding_waste": "1-row min/max range-bucket bounds aggregate",
     # streaming BM25 index query: the bucketed rank's 1-row bounds
     # aggregate (stats are scalars, not plans — no other broadcast)
     "streaming_bm25_topk": "1-row min/max range-bucket bounds aggregate",
@@ -143,6 +146,8 @@ ALLOWED_SINGLE_PARTITION = {
     "dsir_sample": "1-row λ-totals aggregate + ≤4096-row bucket-offsets window",
     "streaming_dsir_weights": "1-row λ-totals aggregate",
     "streaming_bm25_topk": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "length_bucketed_batches": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
+    "padding_waste": "1-row bounds + 1-row waste-summary aggregates",
     "value_quantiles": "1-row bounds aggregate (offsets window is keyed)",
     "quality_gate_by_lang": "1-row bounds aggregate (offsets window is keyed)",
     "unigram_nll": "1-row corpus-token-total aggregate",
