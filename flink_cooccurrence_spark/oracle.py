@@ -530,6 +530,12 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     o["length_bucketed_batches"] = bt.length_bucketed_batches_sql()
     o["padding_waste"] = bt.padding_waste_sql()
 
+    # real WAV/BMP round trips vs independently-predicted parameters
+    from flink_cooccurrence_spark.operators import media as md
+
+    o["wav_metadata"] = md.wav_metadata_sql()
+    o["bmp_metadata"] = md.bmp_metadata_sql()
+
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2
     # distinct shingles, containment relative to the EVAL shingle set

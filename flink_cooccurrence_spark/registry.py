@@ -820,6 +820,16 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.batching",
         fromlist=["padding_waste"],
     ).padding_waste(_documents(s, d)),
+    # REAL container-format encode/decode (operators/media.py): genuine
+    # WAV/BMP files synthesized per document and parsed back with the
+    # stdlib — the oracle predicts the parameters independently, so
+    # parity gates the real round trip (the de-stubbed multimodal half)
+    "wav_metadata": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.media", fromlist=["wav_metadata"]
+    ).wav_metadata(_documents(s, d)),
+    "bmp_metadata": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.media", fromlist=["bmp_metadata"]
+    ).bmp_metadata(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(
