@@ -1831,6 +1831,9 @@ def _quantiles_oracles() -> None:
     from flink_cooccurrence_spark.operators.quantiles import value_quantiles_sql
 
     ORACLES["value_quantiles"] = value_quantiles_sql()
+    # streaming exact-quantile tracker: accumulated LSM == the batch —
+    # identical oracle text (losslessness-by-parity)
+    ORACLES["streaming_value_quantiles"] = value_quantiles_sql()
 
 
 _quantiles_oracles()

@@ -559,6 +559,24 @@ def _text_index_stream(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _quantile_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming exact-quantile tracker over the events
+    table (2000 rows/batch → multi-batch at every test SF); memoized."""
+    from flink_cooccurrence_spark.streaming.quantiles import QuantileStream
+
+    key = _memo_key(spark, sf_dir, "quantile_stream")
+    if key not in _ENGINE_MEMO:
+        eng = QuantileStream(spark, workdir=_memo_tmpdir("quant_q_"))
+        eng.replay(
+            load_table(spark, sf_dir, "events"),
+            key="event_type",
+            col="value",
+            rows_per_batch=2000,
+        )
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _dsir_stream(spark: SparkSession, sf_dir: str):
     """Replay the streaming DSIR model over the documents corpus
     (100 docs/batch); memoized per (session, sf_dir)."""
@@ -820,6 +838,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.batching",
         fromlist=["padding_waste"],
     ).padding_waste(_documents(s, d)),
+    # streaming exact quantiles: the bucket-pruned LSM query equals the
+    # batch operator — same oracle SQL as value_quantiles
+    # (losslessness-by-parity)
+    "streaming_value_quantiles": lambda s, d: _quantile_stream(
+        s, d
+    ).quantiles(),
     # REAL container-format encode/decode (operators/media.py): genuine
     # WAV/BMP files synthesized per document and parsed back with the
     # stdlib — the oracle predicts the parameters independently, so

@@ -1,0 +1,238 @@
+"""Streaming EXACT quantile tracking — the online form of the bucketed
+exact-quantile escape (``operators/quantiles.py``).
+
+`percentile_approx`-style sketches answer streaming quantiles with rank
+error; this engine answers them EXACTLY by keeping the data, but
+arranged so a quantile query never re-sorts the accumulated stream: an
+LSM of (key, value) rows partitioned by a MONOTONE value-range bucket,
+plus an additively-maintained (key, bucket) count table (bounded:
+groups × num_buckets rows — the driver-state class of the MG tracker).
+A query walks the count table's cumulative sums driver-side to find
+which bucket holds each target rank, reads ONLY those buckets via
+partition pruning (directory pruning on the LSM segments), sorts within
+the touched (key, bucket) slivers, and interpolates the same type-7
+expression as the batch operator. Work per query is O(touched buckets'
+rows + counts table), not O(stream).
+
+Value buckets come from the FIRST batch's observed [min, max]
+(persisted); later values outside clamp to the edge buckets — the
+bucket map stays monotone, so results remain EXACT under drift; only
+the pruning efficiency of the edge buckets degrades (re-bucketing is a
+compaction-time rewrite, not implemented here).
+
+Exactness gate: after replaying the events table, ``quantiles()``
+equals the batch ``value_quantiles`` — same DuckDB oracle text
+(losslessness-by-parity). Transactionality: the engines' shared
+contract (per-batch commit/rollback, batch-id high-water mark,
+kill-restart resume).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.quantiles import (
+    DEFAULT_QS,
+    ROUND_DIGITS,
+    _qname,
+)
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+ROWS_SCHEMA = "key string, value double"
+COUNTS_SCHEMA = "key string, bucket long, cnt long"
+BOUNDS_SCHEMA = "lo double, hi double"
+
+
+class QuantileStream:
+    """Online exact quantiles per key over a value micro-batch stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        num_buckets: int = 256,
+    ) -> None:
+        self.spark = spark
+        self.num_buckets = num_buckets
+        self.workdir = workdir or tempfile.mkdtemp(prefix="quant_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+        self._counts = pd.DataFrame(columns=["key", "bucket", "cnt"])
+        self._bounds: tuple[float, float] | None = None
+        if self.state.get_scalar("initialized", 0):
+            self._counts = self.state.get("counts", COUNTS_SCHEMA).toPandas()
+            b = self.state.get("bounds", BOUNDS_SCHEMA).collect()[0]
+            self._bounds = (b["lo"], b["hi"])
+
+    def _bucket_col(self, lo: float, hi: float):
+        v = F.col("value")
+        if hi <= lo:
+            return F.lit(0)
+        raw = F.floor(
+            (v - F.lit(lo)) / F.lit(hi - lo) * F.lit(self.num_buckets)
+        ).cast("int")
+        return F.greatest(
+            F.lit(0), F.least(F.lit(self.num_buckets - 1), raw)
+        )
+
+    def process_batch(
+        self, batch: DataFrame, batch_id: int, key: str, col: str
+    ) -> None:
+        """Ingest one micro-batch of (key, value) rows; one transaction.
+        NULL values are excluded (the batch operator's contract)."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
+        rows = batch.select(
+            F.col(key).cast("string").alias("key"),
+            F.col(col).cast("double").alias("value"),
+        ).filter(F.col("value").isNotNull())
+        if self._bounds is None:
+            b = rows.agg(
+                F.min("value").alias("lo"), F.max("value").alias("hi")
+            ).collect()[0]
+            # an all-NULL first batch keeps bounds unset (try again next)
+            if b["lo"] is None:
+                self.state.set_scalar("last_batch_id", int(batch_id))
+                self.state.commit()
+                return
+            self._bounds = (float(b["lo"]), float(b["hi"]))
+            self.state.put(
+                "bounds",
+                self.spark.createDataFrame([self._bounds], BOUNDS_SCHEMA),
+            )
+        lo, hi = self._bounds
+        bucketed = rows.withColumn("_bucket", self._bucket_col(lo, hi))
+        batch_counts = (
+            bucketed.groupBy("key", F.col("_bucket").alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+            .toPandas()
+        )
+        merged = (
+            pd.concat([self._counts, batch_counts])
+            .groupby(["key", "bucket"], as_index=False)["cnt"]
+            .sum()
+            .astype({"bucket": "int64", "cnt": "int64"})
+        )
+        try:
+            self.state.append_parts(
+                "qrows", bucketed, list(range(self.num_buckets))
+            )
+            if self.state.append_segment_count("qrows") > 8:
+                self.state.compact_append("qrows", ROWS_SCHEMA)
+            self.state.put(
+                "counts",
+                self.spark.createDataFrame(merged, COUNTS_SCHEMA),
+            )
+            self.state.set_scalar("initialized", 1)
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
+        except BaseException:
+            self.state.rollback()
+            raise
+        self._counts = merged
+
+    def replay(
+        self,
+        df: DataFrame,
+        key: str,
+        col: str,
+        rows_per_batch: int = 20000,
+        order_col: str = "event_id",
+    ) -> None:
+        """Deterministic replay in ``order_col`` order; batch numbering
+        continues from the high-water mark."""
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
+        ids = [r[0] for r in df.select(order_col).orderBy(order_col).collect()]
+        for b, lo in enumerate(range(0, len(ids), rows_per_batch)):
+            chunk = ids[lo : lo + rows_per_batch]
+            batch = df.filter(
+                (F.col(order_col) >= chunk[0]) & (F.col(order_col) <= chunk[-1])
+            )
+            self.process_batch(batch, base + b, key=key, col=col)
+
+    # ------------------------------------------------------------- queries
+
+    def quantiles(
+        self, qs: tuple[float, ...] = DEFAULT_QS, key_name: str = "event_type"
+    ) -> DataFrame:
+        """(key_name, p50, p90, ...): exact type-7 quantiles over
+        everything ingested — equals the batch ``group_quantiles`` on
+        the accumulated rows. Reads ONLY the buckets holding the target
+        ranks (partition pruning over the LSM segments)."""
+        counts = self._counts.sort_values(["key", "bucket"])
+        # driver-side rank walk over the bounded counts table: for each
+        # group and quantile, which bucket holds ranks ⌊h⌋+1 / ⌊h⌋+2,
+        # and at which within-bucket offset
+        targets = []  # (key, bucket, rn_in_bucket, qname, role, frac)
+        for k, g in counts.groupby("key"):
+            n = int(g["cnt"].sum())
+            if n == 0:
+                continue
+            cum = g["cnt"].cumsum()
+            starts = cum - g["cnt"]  # rows before each bucket
+            for q in qs:
+                h = (n - 1) * float(q)
+                flo = math.floor(h)
+                frac = h - flo
+                for role, rank in (
+                    ("lo", flo + 1),
+                    ("hi", min(flo + 2, n)),
+                ):
+                    i = int((cum >= rank).idxmax())
+                    targets.append(
+                        (
+                            k,
+                            int(g.loc[i, "bucket"]),
+                            int(rank - starts.loc[i]),
+                            _qname(q),
+                            role,
+                            float(frac),
+                        )
+                    )
+        if not targets:
+            return self.spark.createDataFrame(
+                [],
+                f"{key_name} string, "
+                + ", ".join(f"{_qname(q)} double" for q in qs),
+            )
+        tf = self.spark.createDataFrame(
+            targets,
+            "key string, bucket int, rn int, qname string, role string, frac double",
+        )
+        buckets = sorted({t[1] for t in targets})
+        rows = self.state.get_append("qrows", ROWS_SCHEMA, buckets=buckets)
+        # re-derive the bucket within the pruned scan (the partition
+        # column was dropped by get_append; the map is deterministic)
+        lo, hi = self._bounds
+        rows = rows.withColumn("bucket", self._bucket_col(lo, hi))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key", "bucket").orderBy("value")
+        ranked = rows.withColumn("rn", F.row_number().over(w))
+        hit = ranked.join(
+            F.broadcast(tf), on=["key", "bucket", "rn"]
+        )
+        per_q = hit.groupBy("key", "qname").agg(
+            F.max(F.when(F.col("role") == "lo", F.col("value"))).alias("v_lo"),
+            F.max(F.when(F.col("role") == "hi", F.col("value"))).alias("v_hi"),
+            F.max("frac").alias("frac"),
+        )
+        aggs = [
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("qname") == _qname(q),
+                        F.col("v_lo")
+                        + F.col("frac") * (F.col("v_hi") - F.col("v_lo")),
+                    )
+                ),
+                ROUND_DIGITS,
+            ).alias(_qname(q))
+            for q in qs
+        ]
+        return per_q.groupBy(F.col("key").alias(key_name)).agg(*aggs)

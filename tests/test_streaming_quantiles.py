@@ -1,0 +1,94 @@
+"""Streaming exact quantiles (streaming/quantiles.py): the
+bucket-pruned query must equal the batch operator on the accumulated
+stream, under slicing, drift past the first-batch bounds,
+kill-restart, and re-delivery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.quantiles import group_quantiles
+from flink_cooccurrence_spark.streaming.quantiles import QuantileStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    e.count()
+    yield e
+    e.unpersist()
+
+
+def _batch(events):
+    return group_quantiles(events, ["event_type"], "value")
+
+
+def test_stream_equals_batch(spark, events, tmp_path_factory):
+    eng = QuantileStream(spark, workdir=str(tmp_path_factory.mktemp("qs_main")))
+    eng.replay(events, key="event_type", col="value", rows_per_batch=1500)
+    assert _rows(eng.quantiles()) == _rows(_batch(events))
+
+
+def test_slicing_invariance(spark, events, tmp_path_factory):
+    eng = QuantileStream(
+        spark, workdir=str(tmp_path_factory.mktemp("qs_slice")), num_buckets=64
+    )
+    eng.replay(events, key="event_type", col="value", rows_per_batch=700)
+    assert _rows(eng.quantiles()) == _rows(_batch(events))
+
+
+def test_drift_past_first_batch_bounds_stays_exact(spark, tmp_path_factory):
+    # first batch spans [0, 10]; later batches go far outside — clamped
+    # edge buckets must keep results exact
+    rows = [(i, "a", float(i % 11)) for i in range(100)]
+    rows += [(100 + i, "a", -50.0 + i) for i in range(20)]
+    rows += [(200 + i, "b", 1000.0 * i) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    eng = QuantileStream(
+        spark, workdir=str(tmp_path_factory.mktemp("qs_drift")), num_buckets=16
+    )
+    eng.replay(df, key="event_type", col="value", rows_per_batch=100)
+    assert _rows(eng.quantiles()) == _rows(_batch(df))
+
+
+def test_kill_restart_and_redelivery(spark, events, tmp_path_factory):
+    small = events.filter(F.col("event_id") < 2000)
+    wd = str(tmp_path_factory.mktemp("qs_restart"))
+    eng = QuantileStream(spark, workdir=wd)
+    eng.replay(
+        small.filter(F.col("event_id") < 1000),
+        key="event_type",
+        col="value",
+        rows_per_batch=500,
+    )
+    eng2 = QuantileStream(spark, workdir=wd)
+    before = _rows(eng2.quantiles())
+    eng2.process_batch(
+        small.filter(F.col("event_id") < 500),
+        batch_id=0,
+        key="event_type",
+        col="value",
+    )
+    assert _rows(eng2.quantiles()) == before
+    eng2.replay(
+        small.filter(F.col("event_id") >= 1000),
+        key="event_type",
+        col="value",
+        rows_per_batch=500,
+    )
+    assert _rows(eng2.quantiles()) == _rows(_batch(small))
+
+
+def test_null_values_excluded(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", None), (2, "a", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    eng = QuantileStream(spark, workdir=str(tmp_path_factory.mktemp("qs_null")))
+    eng.replay(df, key="event_type", col="value", rows_per_batch=10)
+    assert _rows(eng.quantiles()) == _rows(_batch(df))
