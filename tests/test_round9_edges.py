@@ -1,0 +1,61 @@
+"""Empty-corpus edge for the round-9 operator families — each must
+return an EMPTY frame (matching its oracle over an empty table), never
+raise at construction or execution (the k-means empty-corpus ADVICE
+class, closed preemptively for the new families)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cooccurrence_spark.operators.batching import (
+    length_bucketed_batches,
+    padding_waste,
+)
+from flink_cooccurrence_spark.operators.bpe import bpe_merges, bpe_vocab
+from flink_cooccurrence_spark.operators.dedup import source_overlap_matrix
+from flink_cooccurrence_spark.operators.dsir import dsir_sample, dsir_weights
+from flink_cooccurrence_spark.operators.media import bmp_metadata, wav_metadata
+from flink_cooccurrence_spark.operators.retrieval import bm25_topk
+from flink_cooccurrence_spark.operators.textstats import bigram_nll
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        bm25_topk,
+        dsir_weights,
+        dsir_sample,
+        source_overlap_matrix,
+        bigram_nll,
+        bpe_vocab,
+        wav_metadata,
+        bmp_metadata,
+        length_bucketed_batches,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_empty_corpus_yields_empty_frame(spark, empty_docs, op):
+    assert op(empty_docs).count() == 0
+
+
+def test_bpe_merges_empty_corpus_is_empty_list(spark, empty_docs):
+    assert bpe_merges(empty_docs) == []
+
+
+def test_padding_waste_empty_corpus_is_one_null_row_or_empty(
+    spark, empty_docs
+):
+    # a global aggregate over zero rows yields one row of NULL/0 — pin
+    # the shape so the contract is explicit rather than accidental
+    rows = padding_waste(empty_docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_batches"] == 0
+    assert rows[0]["total_tokens"] is None
+    assert rows[0]["waste"] is None
