@@ -138,6 +138,15 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB oracle text of :func:`bm25_topk` — structurally identical
     per-term expression, integer micro-score sum, integer-keyed rank."""
+    if not query_terms:
+        # the Spark twin early-returns an empty frame on empty terms;
+        # `WHERE token IN ()` would be invalid SQL, so match the gate
+        # with an explicit empty result of the same schema
+        return """
+SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS INT) AS n_matched, CAST(NULL AS DOUBLE) AS bm25
+WHERE FALSE
+"""
     terms = ", ".join(f"'{t}'" for t in query_terms)
     return f"""
 WITH toks AS (

@@ -92,7 +92,9 @@ def write_text_index(
     ).collect()[0]
     meta = {
         "n_docs": int(stats["n"]),
-        "total_dl": int(stats["t"]),
+        # sum() over zero rows aggregates to NULL — an empty corpus
+        # builds an empty (but valid, queryable) index
+        "total_dl": int(stats["t"] or 0),
         "num_term_buckets": num_term_buckets,
     }
     with open(os.path.join(out_dir, META_NAME), "w") as fh:
@@ -163,6 +165,12 @@ def query_text_index(
         )
     with open(os.path.join(index_dir, META_NAME)) as fh:
         meta = json.load(fh)
+    if meta["n_docs"] == 0:
+        # an empty corpus wrote no posting files (schema inference on the
+        # bare partition dir would fail) — nothing can match
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, n_matched int, bm25 double"
+        )
     buckets = sorted({_bucket_py(t, meta["num_term_buckets"]) for t in terms})
     postings = (
         spark.read.parquet(os.path.join(index_dir, "postings"))

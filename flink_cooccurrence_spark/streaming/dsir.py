@@ -125,12 +125,26 @@ class DsirStream:
 
     def lambda_table(self) -> DataFrame:
         """(bucket, lam_micro): the log-ratio model from the accumulated
-        counts — the batch operator's expression verbatim."""
-        return lambda_from_counts(
-            self.state.get("bucket_counts", COUNTS_SCHEMA),
-            self.num_buckets,
-            self.alpha,
+        counts — the batch operator's expression verbatim, DENSIFIED over
+        all B buckets (zero-count rows added before the smoothing) so
+        :meth:`score` covers buckets the model has never seen: a gram
+        hashing to an unseen bucket carries the nonzero smoothed
+        ``ln((0+α)/(t_tot+αB)) − ln((0+α)/(r_tot+αB))`` instead of being
+        silently dropped. Seen buckets are unchanged (the zero rows add
+        nothing to the totals), so the accumulated-corpus parity gate is
+        bit-identical; the table stays O(B) rows either way."""
+        counts = self.state.get("bucket_counts", COUNTS_SCHEMA)
+        dense = (
+            self.spark.range(self.num_buckets)
+            .select(F.col("id").alias("bucket"))
+            .join(counts, on="bucket", how="left")
+            .select(
+                "bucket",
+                F.coalesce("t_cnt", F.lit(0)).cast("long").alias("t_cnt"),
+                F.coalesce("r_cnt", F.lit(0)).cast("long").alias("r_cnt"),
+            )
         )
+        return lambda_from_counts(dense, self.num_buckets, self.alpha)
 
     def score(self, docs: DataFrame) -> DataFrame:
         """(doc_id, n_grams, logw) for ``docs``' raw documents under the

@@ -91,6 +91,7 @@ class QuantileStream:
             F.col(key).cast("string").alias("key"),
             F.col(col).cast("double").alias("value"),
         ).filter(F.col("value").isNotNull())
+        new_bounds: tuple[float, float] | None = None
         if self._bounds is None:
             b = rows.agg(
                 F.min("value").alias("lo"), F.max("value").alias("hi")
@@ -100,12 +101,14 @@ class QuantileStream:
                 self.state.set_scalar("last_batch_id", int(batch_id))
                 self.state.commit()
                 return
-            self._bounds = (float(b["lo"]), float(b["hi"]))
-            self.state.put(
-                "bounds",
-                self.spark.createDataFrame([self._bounds], BOUNDS_SCHEMA),
-            )
-        lo, hi = self._bounds
+            new_bounds = (float(b["lo"]), float(b["hi"]))
+        # self._bounds is assigned only AFTER commit succeeds (below):
+        # mutating it here would survive a rollback, so a same-process
+        # retry would skip the bounds branch and commit counts with NO
+        # bounds table in state — a later restart then crashes in
+        # __init__ (the DsirStream ordering: in-memory state follows the
+        # durable commit, never precedes it).
+        lo, hi = self._bounds if self._bounds is not None else new_bounds
         bucketed = rows.withColumn("_bucket", self._bucket_col(lo, hi))
         batch_counts = (
             bucketed.groupBy("key", F.col("_bucket").alias("bucket"))
@@ -119,6 +122,11 @@ class QuantileStream:
             .astype({"bucket": "int64", "cnt": "int64"})
         )
         try:
+            if new_bounds is not None:
+                self.state.put(
+                    "bounds",
+                    self.spark.createDataFrame([new_bounds], BOUNDS_SCHEMA),
+                )
             self.state.append_parts(
                 "qrows", bucketed, list(range(self.num_buckets))
             )
@@ -135,6 +143,8 @@ class QuantileStream:
             self.state.rollback()
             raise
         self._counts = merged
+        if new_bounds is not None:
+            self._bounds = new_bounds
 
     def replay(
         self,

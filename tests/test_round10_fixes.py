@@ -1,0 +1,169 @@
+"""Round-10 ADVICE gates: streaming-quantile bounds transactionality,
+streaming-DSIR unseen-bucket scoring, text-index empty-corpus builder,
+and the BM25 oracle's empty-terms edge."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.dsir import (
+    NUM_BUCKETS,
+    SMOOTH_ALPHA,
+)
+from flink_cooccurrence_spark.operators.quantiles import group_quantiles
+from flink_cooccurrence_spark.operators.retrieval import bm25_topk, bm25_topk_sql
+from flink_cooccurrence_spark.plans.text_index import (
+    query_text_index,
+    write_text_index,
+)
+from flink_cooccurrence_spark.streaming.dsir import DsirStream
+from flink_cooccurrence_spark.streaming.quantiles import QuantileStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------- quantile bounds txn
+
+
+def test_quantile_failed_first_commit_keeps_bounds_unset_then_retries(
+    spark, tmp_path_factory
+):
+    """A first batch whose COMMIT fails must leave NO in-memory bounds:
+    the retry re-enters the bounds branch and persists them, and a
+    restart on the workdir reconstructs a working engine (the r9 bug
+    committed counts/initialized with no bounds table, crashing the
+    restart's __init__)."""
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(50)],
+        "event_id long, event_type string, value double",
+    )
+    wd = str(tmp_path_factory.mktemp("qs_txnfail"))
+    eng = QuantileStream(spark, workdir=wd, num_buckets=16)
+
+    real_commit = eng.state.commit
+    calls = {"n": 0}
+
+    def failing_commit():
+        calls["n"] += 1
+        raise RuntimeError("injected commit failure")
+
+    eng.state.commit = failing_commit
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.process_batch(df, batch_id=0, key="event_type", col="value")
+    assert calls["n"] == 1
+    # the rolled-back transaction must not leak into the in-memory model
+    assert eng._bounds is None
+    assert eng.state.get_scalar("initialized", 0) == 0
+
+    # same-process retry with a working commit
+    eng.state.commit = real_commit
+    eng.process_batch(df, batch_id=0, key="event_type", col="value")
+    assert eng._bounds is not None
+
+    # kill-restart on the committed workdir must reconstruct (the r9
+    # failure mode crashed here on the missing bounds table)
+    eng2 = QuantileStream(spark, workdir=wd, num_buckets=16)
+    assert _rows(eng2.quantiles()) == _rows(
+        group_quantiles(df, ["event_type"], "value")
+    )
+
+
+# ------------------------------------------- DSIR unseen-bucket scoring
+
+
+def test_dsir_scores_unseen_buckets_with_smoothed_lambda(
+    spark, tmp_path_factory
+):
+    """Scoring a not-yet-ingested document whose grams hash to buckets
+    the model never saw must count every gram and carry the smoothed
+    unseen-bucket λ = ln(α/(t_tot+αB)) − ln(α/(r_tot+αB)) — not silently
+    drop the grams (the r9 inner-join bug)."""
+    from flink_cooccurrence_spark.operators.media import _h32
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "src0", 3), (1, "c d e", "en", "src1", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    eng = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_unseen")))
+    eng.replay(docs, docs_per_batch=10)
+    # model: 3 target grams (a, b, "a b"), 5 raw grams (c, d, e, "c d",
+    # "d e") → t_tot=3, r_tot=5
+    new_grams = ["zzz", "qqq", "zzz qqq"]
+    seen_grams = ["a", "b", "a b", "c", "d", "e", "c d", "d e"]
+    seen_buckets = {_h32(g.encode()) % NUM_BUCKETS for g in seen_grams}
+    new_buckets = {_h32(g.encode()) % NUM_BUCKETS for g in new_grams}
+    # the test's premise: the new grams land in genuinely unseen buckets
+    assert not (new_buckets & seen_buckets)
+    ab = SMOOTH_ALPHA * NUM_BUCKETS
+    lam_unseen_micro = round(
+        (
+            math.log(SMOOTH_ALPHA / (3 + ab))
+            - math.log(SMOOTH_ALPHA / (5 + ab))
+        )
+        * 1e6
+    )
+    assert lam_unseen_micro != 0  # t_tot ≠ r_tot makes the λ visible
+    incoming = spark.createDataFrame(
+        [(7, "zzz qqq", "en", "src1", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = eng.score(incoming).collect()
+    assert len(got) == 1
+    assert got[0]["n_grams"] == 3
+    assert got[0]["logw"] == round(3 * lam_unseen_micro / 1e6, 6)
+
+
+def test_dsir_dense_lambda_preserves_accumulated_parity(
+    spark, sf_dir, tmp_path_factory
+):
+    """Densifying the λ table must not move any seen bucket's λ — the
+    losslessness-by-parity gate is unchanged."""
+    from flink_cooccurrence_spark.operators.dsir import dsir_weights
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+    )
+    eng = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_dense")))
+    eng.replay(docs, docs_per_batch=100)
+    assert _rows(eng.score(docs)) == _rows(dsir_weights(docs))
+
+
+# ------------------------------------------- text index empty corpus
+
+
+def test_write_text_index_empty_corpus(spark, tmp_path_factory):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path_factory.mktemp("ti_empty"))
+    meta = write_text_index(empty, out)
+    assert meta["n_docs"] == 0 and meta["total_dl"] == 0
+    got = query_text_index(spark, out, ("spark", "hash"))
+    assert got.count() == 0
+
+
+# ------------------------------------------- BM25 oracle empty terms
+
+
+def test_bm25_empty_terms_both_engines_empty(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert bm25_topk(docs, query_terms=()).count() == 0
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [0], "text": ["a b"]}),
+    )
+    oracle = con.execute(bm25_topk_sql(query_terms=())).fetchdf()
+    assert len(oracle) == 0
+    assert list(oracle.columns) == ["rank", "doc_id", "n_matched", "bm25"]
