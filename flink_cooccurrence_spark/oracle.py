@@ -905,6 +905,12 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
     from flink_cooccurrence_spark.operators import pq as _pq0
 
     o["ivf_pq_topk"] = _pq0.ivf_pq_sql(_pq0.ANN_K, nprobe=1)
+    # round-10: residual encoding over fitted k-means cells (the
+    # published composition) — residual frame, L2-metric salted-seed
+    # codebooks, reconstruction norm, cell-mean + LUT ADC, all re-derived
+    o["ivf_pq_residual_topk"] = _pq0.ivf_pq_sql(
+        _pq0.ANN_K, nprobe=1, encode="residual", centroids="kmeans"
+    )
 
     # recall@k of every ANN variant vs exact KNN at the same k (the engine's
     # ann_recall); method SQLs embed as derived tables (DuckDB nested WITH)
@@ -914,6 +920,9 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
         "ivf_nprobe1": _ivf_sql(sim.ANN_K, nprobe=1),
         "ivf_nprobe2": _ivf_sql(sim.ANN_K, nprobe=2),
         "ivf_pq": _pq.ivf_pq_sql(sim.ANN_K, nprobe=1),
+        "ivf_pq_residual": _pq.ivf_pq_sql(
+            sim.ANN_K, nprobe=1, encode="residual", centroids="kmeans"
+        ),
         "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
         "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
     }

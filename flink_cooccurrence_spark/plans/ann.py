@@ -1,4 +1,5 @@
-"""ANN index as a PERSISTED artifact — build once, query many times.
+"""ANN index as a PERSISTED artifact — build once, add batches, query
+many times.
 
 ``ivf_pq_topk`` (``operators/pq.py``) fits codebooks, assigns cells, and
 scores in one construction: the right shape for a self-join benchmark,
@@ -8,27 +9,44 @@ and every later query batch only reads the compact artifact. This module
 is that split — the faiss ``index.train()/add()/write_index()`` vs
 ``search()`` lifecycle, realized as parquet + a JSON sidecar:
 
-- ``write_pq_index(embeddings, out_dir)``: fits the IVF cells and PQ
-  codebooks, writes the compressed corpus ``(vec_id, cell,
-  code_0..code_{m-1})`` partitioned BY CELL (a probe prunes to its
-  cell's files — the inverted-list layout as partition pruning), plus a
-  ``meta.json`` sidecar holding the centroids and codebooks (KB-scale
-  driver state, the faiss contract).
+- ``write_pq_index(embeddings, out_dir, ..., encode=, centroids=,
+  train=)``: fits the IVF cells and PQ codebooks on ``train`` (defaults
+  to the corpus itself — faiss's train-on-sample split when passed
+  explicitly), writes the compressed corpus ``(vec_id, cell,
+  code_0..code_{m-1}[, recon_n2])`` partitioned BY CELL (a probe prunes
+  to its cell's files — the inverted-list layout as partition pruning),
+  plus a ``meta.json`` sidecar holding the centroids, codebooks, and
+  the ENCODE MODE (KB-scale driver state, the faiss contract).
+- ``add_pq_index(spark, index_dir, new_embeddings)``: incremental add —
+  the new batch is coded against the FROZEN sidecar state (centroids +
+  codebooks never refit, the faiss ``add()`` rule) and its code rows
+  append as new files inside the existing cell partition dirs (O(batch)
+  write I/O). Exactly lossless vs a one-shot build with the same train
+  set (pytest-pinned): a vector's code row is a pure function of the
+  frozen state.
 - ``query_pq_index(spark, index_dir, queries)``: loads the sidecar,
   assigns each query its probe cells (broadcast centroid pass), builds
   the per-query ADC LUT arrays, and scores ONLY the probed cells' code
-  partitions — never touching the raw vectors.
+  partitions — never touching the raw vectors. Scoring follows the
+  sidecar's encode mode.
+
+Encode modes (sidecar ``encode`` key; the operator module's spec):
+``'raw'`` codes raw subvectors with the spherical assignment;
+``'residual'`` codes ``v − c_cell(v)`` with the L2 assignment and
+carries the exact reconstruction norm ``recon_n2`` per code row
+(computed once at add time — the faiss precomputed-norms trick).
 
 Consistency gate (pytest): querying the written index with the corpus's
 own query slice reproduces ``ivf_pq_topk`` exactly — the artifact
 round-trip loses nothing. No DuckDB oracle (file-artifact op, same class
 as ``write_training_shards``); the scoring math is the oracle-gated
-``ivf_pq_topk``'s.
+``ivf_pq_topk`` / ``ivf_pq_residual_topk``'s.
 
 Scale shape: the index build is the one-time heavy pass (the operator
 module's costs); the artifact is ~m bytes/vector + the cell column —
 ~100× smaller than the embeddings; a query batch reads only
-``nprobe/|cells|`` of it via partition pruning (plan-asserted in tests).
+``nprobe/|cells|`` of it via partition pruning (plan-asserted in tests);
+an add touches only its own batch.
 """
 
 from __future__ import annotations
@@ -43,6 +61,7 @@ from flink_cooccurrence_spark.operators.pq import (
     PQ_ITERS,
     PQ_KSUB,
     PQ_M,
+    PQ_RES_SEED_SALT,
     ROUND_DIGITS,
     _fold_sq,
     _slices,
@@ -53,11 +72,104 @@ from flink_cooccurrence_spark.operators.similarity import (
     _as_double,
     _with_norm,
     dot,
-    ivf_assignments,
+    ivf_centroids,
+    ivf_centroids_kmeans,
 )
 from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
 META_NAME = "meta.json"
+
+
+def _cents_df(spark: SparkSession, meta: dict) -> DataFrame:
+    """(cell, c_v, c_norm): the frozen centroid table from the sidecar."""
+    rows = [
+        (int(c["c_id"]), [float(x) for x in c["c_emb"]], float(c["c_norm"]))
+        for c in meta["centroids"]
+    ]
+    return spark.createDataFrame(
+        rows, "cell long, c_v array<double>, c_norm double"
+    )
+
+
+def _books_of(meta: dict) -> list[list[tuple[int, list[float], float]]]:
+    """The codebooks in the operator module's tuple form."""
+    return [
+        [
+            (int(e["code"]), [float(x) for x in e["c_v"]], float(e["norm"]))
+            for e in book
+        ]
+        for book in meta["codebooks"]
+    ]
+
+
+def _home_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment against the FROZEN
+    broadcast centroid table — the same rounded-cosine/lower-id rule as
+    ``similarity.ivf_assignments``, evaluated on literal state so adds
+    never touch the training corpus."""
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    cos_c = F.round(
+        dot(_as_double(F.col("embedding")), F.col("c_v"))
+        / (F.col("norm") * F.col("c_norm")),
+        ROUND_DIGITS,
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", cos_c.alias("cos_c")
+    )
+    return top_k_per_group(
+        scored, ["vec_id"], "cos_c", 1, tie_breakers=["cell"]
+    ).select("vec_id", "cell")
+
+
+def _codes_frame(embeddings: DataFrame, meta: dict) -> DataFrame:
+    """The code rows for ``embeddings`` under the sidecar's FROZEN state
+    — shared verbatim by the one-shot build and ``add_pq_index`` so the
+    incremental path is bit-identical by construction."""
+    spark = embeddings.sparkSession
+    m = meta["m"]
+    books = _books_of(meta)
+    cents = _cents_df(spark, meta)
+    home = _home_cells(embeddings, cents)
+    if meta.get("encode", "raw") == "raw":
+        return pq_codes(
+            embeddings.select("vec_id", "embedding"), books, m
+        ).join(home.hint("shuffle_hash"), on="vec_id")
+    # residual: code v − c, carry the exact reconstruction norm
+    res = (
+        embeddings.select(
+            "vec_id", _as_double(F.col("embedding")).alias("_v")
+        )
+        .join(home.hint("shuffle_hash"), on="vec_id")
+        .join(F.broadcast(cents.select("cell", "c_v")), on="cell")
+        .select(
+            "vec_id",
+            "cell",
+            "c_v",
+            F.zip_with(F.col("_v"), F.col("c_v"), lambda x, y: x - y).alias(
+                "embedding"
+            ),
+        )
+    )
+    coded = pq_codes(res, books, m, metric="l2")
+    book_arrays = [
+        F.array(
+            *[F.array(*[F.lit(x) for x in emb]) for _, emb, _n in books[s]]
+        )
+        for s in range(m)
+    ]
+    rhat = F.concat(
+        *[
+            F.element_at(book_arrays[s], F.col(f"code_{s}") + 1)
+            for s in range(m)
+        ]
+    )
+    vhat = F.zip_with(F.col("c_v"), rhat, lambda a, b: a + b)
+    return coded.select(
+        "vec_id",
+        "cell",
+        *[f"code_{s}" for s in range(m)],
+        dot(vhat, vhat).alias("recon_n2"),
+    )
 
 
 def write_pq_index(
@@ -66,62 +178,118 @@ def write_pq_index(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     n_iter: int = PQ_ITERS,
+    encode: str = "raw",
+    centroids: str = "hash",
+    train: DataFrame | None = None,
 ) -> dict:
     """Build and persist the IVF-PQ index; returns the sidecar dict.
 
-    Layout: ``out_dir/meta.json`` (dim, m, ksub, IVF centroids, per-
-    subspace codebooks — components + their fold-exact squared norms) and
-    ``out_dir/codes/cell=N/*.parquet`` (the compressed corpus, one
-    partition directory per inverted list)."""
-    books = pq_codebooks(embeddings, m, ksub, n_iter)
+    ``train`` (defaults to the corpus) is what the cells and codebooks
+    are fitted on — pass a sample for the faiss train/add split; the
+    full ``embeddings`` are coded against the fitted (then frozen)
+    state. Layout: ``out_dir/meta.json`` and
+    ``out_dir/codes/cell=N/*.parquet`` (one partition dir per inverted
+    list)."""
+    fit_on = train if train is not None else embeddings
+    if centroids == "kmeans":
+        cent_rows = ivf_centroids_kmeans(fit_on).collect()
+    elif centroids == "hash":
+        cent_rows = ivf_centroids(fit_on).collect()
+    else:
+        raise ValueError(f"unknown centroids {centroids!r}")
+    if not cent_rows:
+        raise ValueError("cannot index an empty corpus")
+    meta_cents = [
+        {
+            "c_id": int(r["c_id"]),
+            "c_emb": [float(x) for x in r["c_emb"]],
+            "c_norm": float(r["c_norm"]),
+        }
+        for r in cent_rows
+    ]
+    if encode == "residual":
+        # fit the codebooks on the TRAIN set's residuals (frozen cents)
+        spark = embeddings.sparkSession
+        cents = _cents_df(
+            spark, {"centroids": meta_cents}
+        )
+        home = _home_cells(fit_on, cents)
+        res = (
+            fit_on.select(
+                "vec_id", _as_double(F.col("embedding")).alias("_v")
+            )
+            .join(home.hint("shuffle_hash"), on="vec_id")
+            .join(F.broadcast(cents.select("cell", "c_v")), on="cell")
+            .select(
+                "vec_id",
+                F.zip_with(
+                    F.col("_v"), F.col("c_v"), lambda x, y: x - y
+                ).alias("embedding"),
+            )
+        )
+        books = pq_codebooks(
+            res, m, ksub, n_iter, metric="l2", seed_salt=PQ_RES_SEED_SALT
+        )
+    elif encode == "raw":
+        books = pq_codebooks(fit_on, m, ksub, n_iter)
+    else:
+        raise ValueError(f"unknown encode {encode!r}")
     if not books:
         raise ValueError("cannot index an empty corpus")
     dim = len(books[0][0][1]) * m
-    home = (
-        ivf_assignments(embeddings, nprobe=1)
-        .filter(F.col("probe_rank") == 1)
-        .select("vec_id", "cell")
-    )
-    codes = pq_codes(embeddings, books, m).join(
-        home.hint("shuffle_hash"), on="vec_id"
-    )
+    meta = {
+        "dim": dim,
+        "m": m,
+        "ksub": ksub,
+        "encode": encode,
+        "centroids_mode": centroids,
+        "centroids": meta_cents,
+        "codebooks": [
+            [
+                {
+                    "code": int(c),
+                    "c_v": [float(x) for x in emb],
+                    "norm": float(norm),
+                    "norm2": _fold_sq(emb),
+                }
+                for c, emb, norm in book
+            ]
+            for book in books
+        ],
+    }
+    codes = _codes_frame(embeddings, meta)
     (
         codes.repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "codes"))
     )
-    # the IVF centroid table the queries will re-assign against — the
-    # SAME deterministic sample ivf_assignments used at build time
-    from flink_cooccurrence_spark.operators.similarity import ivf_centroids
-
-    cents = [
-        {
-            "c_id": int(r["c_id"]),
-            "c_emb": [float(x) for x in r["c_emb"]],
-            "c_norm": float(r["c_norm"]),
-        }
-        for r in ivf_centroids(embeddings).collect()
-    ]
-    meta = {
-        "dim": dim,
-        "m": m,
-        "ksub": ksub,
-        "centroids": cents,
-        "codebooks": [
-            [
-                {
-                    "code": int(c),
-                    "c_v": [float(x) for x in emb],
-                    "norm2": _fold_sq(emb),
-                }
-                for c, emb, _n in book
-            ]
-            for book in books
-        ],
-    }
     with open(os.path.join(out_dir, META_NAME), "w") as fh:
         json.dump(meta, fh)
+    return meta
+
+
+def add_pq_index(
+    spark: SparkSession, index_dir: str, new_embeddings: DataFrame
+) -> dict:
+    """Incrementally add vectors to an existing index: code them against
+    the FROZEN sidecar state (centroids/codebooks never refit — the
+    faiss ``add()`` rule) and append the rows as new files inside the
+    existing cell partition dirs (O(batch) write I/O). Returns the
+    sidecar dict (unchanged: nothing in it depends on the corpus).
+
+    Exactly lossless (pytest-pinned): build-half + add-half reproduces
+    a one-shot build with the same train set bit-for-bit. Ingest
+    contract: a vec_id arrives in exactly ONE add."""
+    with open(os.path.join(index_dir, META_NAME)) as fh:
+        meta = json.load(fh)
+    codes = _codes_frame(new_embeddings, meta)
+    (
+        codes.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
     return meta
 
 
@@ -133,7 +301,8 @@ def query_pq_index(
     nprobe: int = 1,
 ) -> DataFrame:
     """(q_id, rank, n_id, cosine, cell): ADC top-k of ``queries``
-    (``q_id``, ``embedding``) against the persisted index.
+    (``q_id``, ``embedding``) against the persisted index, scored per
+    the sidecar's encode mode.
 
     The probed cell set is collected (bounded by |queries|·nprobe distinct
     cells) and pushed into the codes scan as a partition filter —
@@ -141,61 +310,87 @@ def query_pq_index(
     with open(os.path.join(index_dir, META_NAME)) as fh:
         meta = json.load(fh)
     m, dim = meta["m"], meta["dim"]
+    encode = meta.get("encode", "raw")
+    books = _books_of(meta)
     q = _with_norm(queries.select(F.col("q_id"), "embedding"))
-    cent_rows = [
-        (c["c_id"], c["c_emb"], c["c_norm"]) for c in meta["centroids"]
-    ]
-    cents = spark.createDataFrame(
-        cent_rows, "c_id int, c_emb array<double>, c_norm double"
-    )
+    cents = _cents_df(spark, meta)
     cos_c = F.round(
-        dot(_as_double(F.col("embedding")), F.col("c_emb"))
+        dot(_as_double(F.col("embedding")), F.col("c_v"))
         / (F.col("norm") * F.col("c_norm")),
         ROUND_DIGITS,
     )
     scored = q.crossJoin(F.broadcast(cents)).select(
-        "q_id", "c_id", cos_c.alias("cos_c")
+        "q_id", "cell", cos_c.alias("cos_c")
     )
     probes = top_k_per_group(
-        scored, ["q_id"], "cos_c", nprobe, tie_breakers=["c_id"]
-    ).select("q_id", F.col("c_id").alias("cell"))
+        scored, ["q_id"], "cos_c", nprobe, tie_breakers=["cell"]
+    ).select("q_id", "cell")
     cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
     v = _as_double(F.col("embedding"))
     lut_cols = [
         F.array(
             *[
-                dot(F.slice(v, lo, w), F.array(*[F.lit(x) for x in e["c_v"]]))
-                for e in meta["codebooks"][s]
+                dot(F.slice(v, lo, w), F.array(*[F.lit(x) for x in emb]))
+                for _, emb, _n in books[s]
             ]
         ).alias(f"lut_{s}")
         for s, (lo, w) in enumerate(_slices(dim, m))
     ]
-    qside = q.select("q_id", F.col("norm").alias("q_norm"), *lut_cols).join(
-        probes.hint("shuffle_hash"), on="q_id"
-    )
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("cell").isin(cells)
     )
-    pairs = codes.join(qside.hint("shuffle_hash"), on="cell").filter(
-        F.col("vec_id") != F.col("q_id")
-    )
-    adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
-    for s in range(1, m):
-        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
-    n2_luts = [
-        F.array(*[F.lit(e["norm2"]) for e in meta["codebooks"][s]])
-        for s in range(m)
-    ]
-    n2 = F.element_at(n2_luts[0], F.col("code_0") + 1)
-    for s in range(1, m):
-        n2 = n2 + F.element_at(n2_luts[s], F.col(f"code_{s}") + 1)
+    if encode == "residual":
+        qside = (
+            q.select(
+                "q_id",
+                F.col("norm").alias("q_norm"),
+                v.alias("_qv"),
+                *lut_cols,
+            )
+            .join(probes.hint("shuffle_hash"), on="q_id")
+            .join(F.broadcast(cents.select("cell", "c_v")), on="cell")
+            .select(
+                "q_id",
+                "cell",
+                "q_norm",
+                dot(F.col("_qv"), F.col("c_v")).alias("qc"),
+                *[f"lut_{s}" for s in range(m)],
+            )
+        )
+        pairs = codes.join(qside.hint("shuffle_hash"), on="cell").filter(
+            F.col("vec_id") != F.col("q_id")
+        )
+        adc = F.col("qc")
+        for s in range(m):
+            adc = adc + F.element_at(
+                F.col(f"lut_{s}"), F.col(f"code_{s}") + 1
+            )
+        norm_expr = F.col("q_norm") * F.sqrt(F.col("recon_n2"))
+    else:
+        qside = q.select(
+            "q_id", F.col("norm").alias("q_norm"), *lut_cols
+        ).join(probes.hint("shuffle_hash"), on="q_id")
+        pairs = codes.join(qside.hint("shuffle_hash"), on="cell").filter(
+            F.col("vec_id") != F.col("q_id")
+        )
+        adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+        for s in range(1, m):
+            adc = adc + F.element_at(
+                F.col(f"lut_{s}"), F.col(f"code_{s}") + 1
+            )
+        n2_luts = [
+            F.array(*[F.lit(e["norm2"]) for e in meta["codebooks"][s]])
+            for s in range(m)
+        ]
+        n2 = F.element_at(n2_luts[0], F.col("code_0") + 1)
+        for s in range(1, m):
+            n2 = n2 + F.element_at(n2_luts[s], F.col(f"code_{s}") + 1)
+        norm_expr = F.col("q_norm") * F.sqrt(n2)
     scored_pairs = pairs.select(
         "q_id",
         "cell",
         F.col("vec_id").alias("n_id"),
-        F.round(adc / (F.col("q_norm") * F.sqrt(n2)), ROUND_DIGITS).alias(
-            "cosine"
-        ),
+        F.round(adc / norm_expr, ROUND_DIGITS).alias("cosine"),
     )
     return top_k_per_group(
         scored_pairs, ["q_id"], "cosine", k, tie_breakers=["n_id"]

@@ -9,16 +9,32 @@ that split — the Lucene ``IndexWriter`` vs ``IndexSearcher`` lifecycle,
 realized as parquet + a JSON sidecar (the ``plans/ann.py`` pattern):
 
 - ``write_text_index(documents, out_dir)``: one corpus pass builds the
-  posting table ``(token, doc_id, dl, tf, df)`` with the per-token
-  document frequency denormalized onto each row, written partitioned BY
+  posting table ``(token, doc_id, dl, tf)``, written partitioned BY
   TERM BUCKET (``hash32(token) % num_term_buckets``) — a query prunes
   to its terms' bucket directories via partition pruning; plus a
   ``meta.json`` sidecar with the corpus statistics (N, total token
   count — two integers, the entire driver state).
 - ``query_text_index(spark, index_dir, terms)``: computes the terms'
   buckets DRIVER-SIDE from the same portable md5 hash (no corpus
-  touch), scans only those partitions, filters to the exact terms, and
-  scores with the operator module's integer micro-score contract.
+  touch), scans only those partitions, filters to the exact terms,
+  derives the per-term document frequency over the PRUNED postings
+  (a term's full posting list lives inside its bucket, so this equals
+  the global df), and scores with the operator module's integer
+  micro-score contract.
+- ``add_text_index(spark, index_dir, documents)``: incremental add —
+  the new batch's posting rows are appended as new files into the
+  existing term-bucket partition directories (write I/O O(batch), the
+  Lucene segment-add shape) and the ADDITIVE corpus statistics fold
+  into the sidecar.
+
+df lives NOWHERE in the artifact (round 10; the streaming LSM engine's
+rule, ``streaming/text_index.py``): a term's df changes every time a
+new document contains it, so a denormalized-df row set would make
+posting rows mutable and an incremental add either quadratic (rewrite
+every touched term's rows) or STALE (frozen idf). Computing df at query
+time over the pruned postings costs one ≤|matches|-row aggregate and
+makes ``add_text_index`` exactly lossless: build-half-then-add-half is
+bit-identical to the one-shot build (pytest-pinned).
 
 Consistency gate (pytest): querying the written index reproduces
 ``bm25_topk`` on the same corpus EXACTLY — the artifact round-trip
@@ -26,12 +42,12 @@ loses nothing. No DuckDB oracle (file-artifact op, the
 ``write_training_shards`` class); the scoring math is the oracle-gated
 ``bm25_topk``'s.
 
-Scale shape: the build is one corpus scan + one token-keyed shuffle
-(the df join); the artifact is O(distinct (doc, token)) rows of five
-scalars — far smaller than the text; a query reads
-``|terms'buckets| / num_term_buckets`` of it via partition pruning
-(plan-asserted in tests) and its per-doc reduce touches only matching
-postings.
+Scale shape: the build is one corpus scan + the bucket repartition (the
+df join of earlier rounds is GONE from the build); the artifact is
+O(distinct (doc, token)) rows of four scalars — far smaller than the
+text; a query reads ``|terms'buckets| / num_term_buckets`` of it via
+partition pruning (plan-asserted in tests) and its per-doc reduce
+touches only matching postings.
 """
 
 from __future__ import annotations
@@ -59,6 +75,32 @@ def _bucket_py(token: str, num_buckets: int) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % num_buckets
 
 
+def _posting_rows(documents: DataFrame, num_term_buckets: int) -> DataFrame:
+    """(doc_id, dl, token, tf, tbucket): one batch's posting rows."""
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    return (
+        documents.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("token")
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "tbucket", hash32(F.col("token")) % F.lit(num_term_buckets)
+        )
+    )
+
+
+def _corpus_stats(documents: DataFrame) -> tuple[int, int]:
+    """(n_docs, total_dl) — the additive sidecar statistics."""
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    stats = documents.agg(
+        F.count("*").alias("n"), F.sum(F.size(toks)).alias("t")
+    ).collect()[0]
+    # sum() over zero rows aggregates to NULL — an empty corpus/batch
+    # yields a valid (0, 0) delta
+    return int(stats["n"]), int(stats["t"] or 0)
+
+
 def write_text_index(
     documents: DataFrame,
     out_dir: str,
@@ -69,35 +111,51 @@ def write_text_index(
     Layout: ``out_dir/meta.json`` (n_docs, total_dl, num_term_buckets)
     and ``out_dir/postings/tbucket=N/*.parquet``.
     """
-    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
-    tf = (
-        documents.select(
-            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("token")
-        )
-        .groupBy("doc_id", "dl", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    postings = tf.join(dfreq.hint("shuffle_hash"), on="token").withColumn(
-        "tbucket", hash32(F.col("token")) % F.lit(num_term_buckets)
-    )
+    postings = _posting_rows(documents, num_term_buckets)
     (
         postings.repartition("tbucket")
         .write.partitionBy("tbucket")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )
-    stats = documents.agg(
-        F.count("*").alias("n"), F.sum(F.size(toks)).alias("t")
-    ).collect()[0]
+    n, t = _corpus_stats(documents)
     meta = {
-        "n_docs": int(stats["n"]),
-        # sum() over zero rows aggregates to NULL — an empty corpus
-        # builds an empty (but valid, queryable) index
-        "total_dl": int(stats["t"] or 0),
+        "n_docs": n,
+        "total_dl": t,
         "num_term_buckets": num_term_buckets,
     }
     with open(os.path.join(out_dir, META_NAME), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def add_text_index(
+    spark: SparkSession, index_dir: str, documents: DataFrame
+) -> dict:
+    """Incrementally add ``documents`` to an existing index: their
+    posting rows append as NEW FILES inside the existing term-bucket
+    partition dirs (O(batch) write I/O — the Lucene segment add), and
+    the additive corpus stats fold into the sidecar. Returns the updated
+    sidecar dict.
+
+    Exactly lossless (pytest-pinned): build-half + add-half reproduces
+    the one-shot build bit-for-bit, because nothing derived (df, idf)
+    is persisted — see the module docstring. Ingest contract: a doc_id
+    arrives in exactly ONE add (the streaming engine's append-only
+    corpus rule)."""
+    with open(os.path.join(index_dir, META_NAME)) as fh:
+        meta = json.load(fh)
+    postings = _posting_rows(documents, meta["num_term_buckets"])
+    (
+        postings.repartition("tbucket")
+        .write.partitionBy("tbucket")
+        .mode("append")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    n, t = _corpus_stats(documents)
+    meta["n_docs"] += n
+    meta["total_dl"] += t
+    with open(os.path.join(index_dir, META_NAME), "w") as fh:
         json.dump(meta, fh)
     return meta
 
@@ -172,11 +230,16 @@ def query_text_index(
             [], "rank long, doc_id long, n_matched int, bm25 double"
         )
     buckets = sorted({_bucket_py(t, meta["num_term_buckets"]) for t in terms})
-    postings = (
+    hits = (
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("token").isin(list(terms)))
     )
+    # df over the pruned postings only — a term's full posting list
+    # lives inside its bucket, so this equals the global df (the
+    # streaming engine's rule; keeps the artifact add-only)
+    dfreq = hits.groupBy("token").agg(F.count("*").alias("df"))
+    postings = hits.join(F.broadcast(dfreq), on="token")
     return score_postings(
         postings, meta["n_docs"], meta["total_dl"], k=k, k1=k1, b=b
     )

@@ -458,15 +458,26 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
         fromlist=["kmeans_assign"],
     ).kmeans_assign(_embeddings(s, d)),
     "minhash_lsh_dup_pairs": lambda s, d: _dedup.minhash_lsh_dup_pairs(_documents(s, d)),
-    "winnow_overlap_pairs": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.winnow",
-        fromlist=["winnow_overlap_pairs"],
-    ).winnow_overlap_pairs(_documents(s, d)),
-    "simhash_near_dup_pairs": lambda s, d: _dedup.simhash_near_dup_pairs(_documents(s, d)),
+    # round-10 rotation: the strongest round-9 pytest-only flagships take
+    # driver seats (VERDICT r9 ask #3) — exact duplicate-SPAN detection
+    # (Lee et al. ExactSubstr), CDC chunk dedup (LBFS), IVF-PQ with ADC
+    # scoring, and the bigram-LM fluency axis. Near-twins ceded seats
+    # (winnow_overlap_pairs→duplicate_spans both find local overlap;
+    # simhash_near_dup_pairs→its signature family stays via minhash rows;
+    # ivf_topk→ivf_pq_topk computes the IVF half transitively;
+    # lang_id→median_quality_by_lang groups by the same lang_pred) and
+    # stay oracle-gated pytest-only.
+    "duplicate_spans": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.spans",
+        fromlist=["duplicate_spans"],
+    ).duplicate_spans(_documents(s, d)),
+    "cdc_dup_chunks": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.cdc", fromlist=["cdc_dup_chunks"]
+    ).cdc_dup_chunks(_documents(s, d)),
     "dup_clusters": lambda s, d: _dedup.dup_clusters(_documents(s, d)),
     # text analysis
     "text_stats": lambda s, d: _ts.text_stats(_documents(s, d)),
-    "lang_id": lambda s, d: _ts.lang_id(_documents(s, d)),
+    "bigram_nll": lambda s, d: _ts.bigram_nll(_documents(s, d)),
     # round-9 mid-round rotation: the two newest families take driver
     # seats — BM25 retrieval and DSIR Gumbel-top-k selection; near-twins
     # ceded (token_counts→text_stats computes the same row-local family,
@@ -481,7 +492,11 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
-    "ivf_topk": lambda s, d: _sim.ivf_topk(_embeddings(s, d)),
+    # round-10 rotation (see above): IVF-PQ takes ivf_topk's seat
+    "ivf_pq_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pq",
+        fromlist=["ivf_pq_topk"],
+    ).ivf_pq_topk(_embeddings(s, d)),
     "ann_recall": lambda s, d: _sim.ann_recall(_embeddings(s, d)),
     # UDF/UDAF/UDTF surface (functions/udx.py)
     "median_quality_by_lang": lambda s, d: _q_median_quality_by_lang(s, d),
@@ -663,10 +678,15 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # IVF-PQ (operators/pq.py): per-subspace k-means codebooks + ADC
     # scoring inside the IVF cells — the faiss composition; also on the
     # ann_recall meter as 'ivf_pq'
-    "ivf_pq_topk": lambda s, d: __import__(
+    # round-10: RESIDUAL encoding over fitted k-means cells — the
+    # published (faiss-default) composition (Jégou §IV-B). Measured on
+    # the ann_recall meter at sf0.01: 0.213 vs raw PQ's 0.12 (+78%);
+    # hash-sampled cells leave residuals as large as the vectors
+    # (0.10), so the fitted-cell pairing is load-bearing.
+    "ivf_pq_residual_topk": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.pq",
         fromlist=["ivf_pq_topk"],
-    ).ivf_pq_topk(_embeddings(s, d)),
+    ).ivf_pq_topk(_embeddings(s, d), encode="residual", centroids="kmeans"),
     # large-k assignment backend (broadcast centroid table + max-of-struct
     # argmax) — same oracle as the literal when-chain, proving the two
     # backends bit-identical
@@ -754,14 +774,9 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.winnow",
         fromlist=["winnow_overlap_pairs"],
     ).winnow_overlap_pairs(_documents(s, d), max_hash_freq=2),
-    # exact duplicate SPANS (Lee et al. 2022 ExactSubstr re-expressed as
-    # the L-gram inverted index + diagonal island merge): maximal shared
-    # token runs with positions, the hot-gram cut lever, and the per-doc
-    # covered-token fraction a span-level scrubber gates on
-    "duplicate_spans": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.spans",
-        fromlist=["duplicate_spans"],
-    ).duplicate_spans(_documents(s, d)),
+    # exact duplicate SPANS (Lee et al. 2022 ExactSubstr): the pair
+    # query itself is a DRIVER row since the round-10 rotation; the
+    # cut/coverage/scrub variants stay here under the same oracle gate
     "duplicate_spans_cut": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.spans",
         fromlist=["duplicate_spans"],
@@ -802,10 +817,6 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "source_overlap_matrix": lambda s, d: _dedup.source_overlap_matrix(
         _documents(s, d)
     ),
-    # transition-fluency quality axis: per-doc mean NLL under the
-    # corpus's own smoothed bigram model (word-salad detector —
-    # unigram_nll's blind spot)
-    "bigram_nll": lambda s, d: _ts.bigram_nll(_documents(s, d)),
     # distributed BPE vocabulary induction (Sennrich) — iterative
     # data-dependent argmax, non-SQL-expressible (rows-only; the gate is
     # the Python reference implementation in tests/test_bpe.py)
@@ -937,9 +948,7 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "cdc_chunks": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.cdc", fromlist=["cdc_chunks"]
     ).cdc_chunks(_documents(s, d)),
-    "cdc_dup_chunks": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.cdc", fromlist=["cdc_dup_chunks"]
-    ).cdc_dup_chunks(_documents(s, d)),
+    # cdc_dup_chunks is a DRIVER row since the round-10 rotation
     "cdc_doc_dup_stats": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.cdc",
         fromlist=["cdc_doc_dup_stats"],
@@ -968,6 +977,18 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.clustering",
         fromlist=["kmeans_cells"],
     ).kmeans_cells(_embeddings(s, d)),
+    # round-10 rotation: near-twins demoted off the driver surface (their
+    # promoted counterparts above cover the families there) — the
+    # identical oracle gate continues here so nothing is un-checked
+    "ivf_topk": lambda s, d: _sim.ivf_topk(_embeddings(s, d)),
+    "winnow_overlap_pairs": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.winnow",
+        fromlist=["winnow_overlap_pairs"],
+    ).winnow_overlap_pairs(_documents(s, d)),
+    "simhash_near_dup_pairs": lambda s, d: _dedup.simhash_near_dup_pairs(
+        _documents(s, d)
+    ),
+    "lang_id": lambda s, d: _ts.lang_id(_documents(s, d)),
     # round-7 rotation: near-twin trivia demoted off the 50-row driver
     # surface (inactive_customers is active_customers with the sign
     # flipped; the other two are plain single-agg shapes) — identical

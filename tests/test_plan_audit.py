@@ -66,6 +66,11 @@ ALLOWED_BNLJ = {
     "ivf_topk_kmeans": "fixed-K fitted centroid literals (corpus-independent)",
     # IVF-PQ: the IVF centroid broadcast + per-subspace literal codebooks
     "ivf_pq_topk": "fixed-K centroid set + fixed m*ksub codebook literals",
+    # residual IVF-PQ over fitted cells: the same bounds (fixed-K fitted
+    # centroid literals enter both the assignment and the qc join)
+    "ivf_pq_residual_topk": (
+        "fixed-K fitted centroid literals + fixed m*ksub codebook literals"
+    ),
     # large-k assignment backend: corpus × k-row broadcast centroid table
     # with k fixed (corpus-independent by the module's fixed-k contract)
     "kmeans_assign_broadcast": "fixed-k broadcast centroid table (corpus-independent)",

@@ -83,7 +83,85 @@ def test_empty_corpus(spark):
         [], "vec_id long, embedding array<float>, label int"
     )
     assert ivf_pq_topk(empty).count() == 0
+    assert ivf_pq_topk(empty, encode="residual").count() == 0
     assert pq_codebooks(empty) == []
+
+
+def test_residual_topk_contract(spark, emb):
+    """encode='residual' (kmeans cells — the registered flagship form)
+    obeys the same output contract as the raw path."""
+    out = ivf_pq_topk(emb, k=3, encode="residual", centroids="kmeans").collect()
+    assert out, "no residual-PQ results"
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+        assert r["n_id"] != r["q_id"]
+    for q, rows in per_q.items():
+        ranks = sorted(x["rank"] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_residual_recall_at_least_raw(spark, emb):
+    """The published claim, measured: residual encoding over fitted
+    cells must not lose recall vs raw PQ (ties at the tiny fixture SF;
+    +78% measured at sf0.01 — see the module docstring)."""
+    from flink_cooccurrence_spark.operators.similarity import (
+        ANN_K,
+        embedding_knn,
+    )
+
+    exact = (
+        embedding_knn(emb, k=ANN_K, strategy="broadcast")
+        .select("q_id", "n_id")
+        .cache()
+    )
+    try:
+        raw_hit = (
+            ivf_pq_topk(emb, ANN_K)
+            .select("q_id", "n_id")
+            .join(exact, on=["q_id", "n_id"])
+            .count()
+        )
+        res_hit = (
+            ivf_pq_topk(emb, ANN_K, encode="residual", centroids="kmeans")
+            .select("q_id", "n_id")
+            .join(exact, on=["q_id", "n_id"])
+            .count()
+        )
+    finally:
+        exact.unpersist()
+    assert res_hit >= raw_hit
+
+
+def test_residual_zero_residual_codes_are_deterministic(spark, emb):
+    """Vectors that ARE a cell centroid have an exactly-zero residual —
+    the L2 assignment must still code them deterministically (the
+    smallest-norm codebook entry, ties to the lower code), never NULL."""
+    from pyspark.sql import functions as F
+
+    from flink_cooccurrence_spark.operators.pq import (
+        PQ_RES_SEED_SALT,
+        residual_frame,
+    )
+    from flink_cooccurrence_spark.operators.similarity import ivf_assignments
+
+    assign = ivf_assignments(emb, 1)
+    res = residual_frame(emb, assign)
+    books = pq_codebooks(
+        res, metric="l2", seed_salt=PQ_RES_SEED_SALT
+    )
+    zero_rows = res.filter(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+        )
+        == 0.0
+    )
+    assert zero_rows.count() > 0, "expected the centroid sample's own rows"
+    coded = pq_codes(zero_rows, books, metric="l2").collect()
+    for r in coded:
+        for s in range(PQ_M):
+            assert r[f"code_{s}"] is not None
+            assert 0 <= r[f"code_{s}"] < PQ_KSUB
 
 
 def test_fused_fit_equals_per_subspace_kmeans(spark, emb, books):

@@ -81,3 +81,62 @@ def test_external_query_vectors_work(spark, emb, index_dir):
         per_q.setdefault(r["q_id"], []).append(r["rank"])
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_residual_round_trip_reproduces_operator(
+    spark, emb, tmp_path_factory
+):
+    """encode='residual' (kmeans cells — the registered flagship form):
+    the persisted artifact reproduces ivf_pq_residual_topk exactly, and
+    the sidecar carries the encode mode."""
+    d = str(tmp_path_factory.mktemp("pq_index_res"))
+    meta = write_pq_index(emb, d, encode="residual", centroids="kmeans")
+    assert meta["encode"] == "residual"
+    assert meta["centroids_mode"] == "kmeans"
+    queries = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r) for r in query_pq_index(spark, d, queries, k=3).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, k=3, encode="residual", centroids="kmeans"
+        ).collect()
+    )
+    assert got == exp and got
+
+
+@pytest.mark.parametrize("encode", ["raw", "residual"])
+def test_incremental_add_equals_one_shot_build(
+    spark, emb, tmp_path_factory, encode
+):
+    """build(half, train=half) + add(other half) must reproduce the
+    one-shot build(full, train=half) BIT-IDENTICALLY — a vector's code
+    row is a pure function of the frozen sidecar state."""
+    from flink_cooccurrence_spark.plans.ann import add_pq_index
+
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    d_one = str(tmp_path_factory.mktemp(f"pq_oneshot_{encode}"))
+    d_inc = str(tmp_path_factory.mktemp(f"pq_incr_{encode}"))
+    write_pq_index(emb, d_one, encode=encode, train=first)
+    write_pq_index(first, d_inc, encode=encode, train=first)
+    add_pq_index(spark, d_inc, second)
+    queries = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r) for r in query_pq_index(spark, d_inc, queries, k=3).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in query_pq_index(spark, d_one, queries, k=3).collect()
+    )
+    assert got == exp and got
+    # adding an empty batch is a no-op
+    add_pq_index(spark, d_inc, emb.filter(F.lit(False)))
+    again = sorted(
+        tuple(r) for r in query_pq_index(spark, d_inc, queries, k=3).collect()
+    )
+    assert again == exp

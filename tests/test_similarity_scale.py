@@ -169,12 +169,15 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     recalls = {r["method"]: r["recall"] for r in ann_recall(emb).collect()}
     assert set(recalls) == {
         "ivf_nprobe1", "ivf_nprobe2", "ivf_kmeans", "ivf_pq",
-        "lsh", "lsh_multiprobe",
+        "ivf_pq_residual", "lsh", "lsh_multiprobe",
     }
     assert recalls["lsh_multiprobe"] >= recalls["lsh"]
     assert recalls["ivf_nprobe2"] >= recalls["ivf_nprobe1"]
     assert recalls["ivf_kmeans"] > 0
     assert recalls["ivf_pq"] > 0
+    # residual encoding over fitted cells must not lose recall vs raw PQ
+    # (ties at the tiny fixture SF; +78% measured at sf0.01)
+    assert recalls["ivf_pq_residual"] >= recalls["ivf_pq"]
     for v in recalls.values():
         assert 0.0 <= v <= 1.0
 

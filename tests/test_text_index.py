@@ -68,6 +68,39 @@ def test_unseen_term_returns_empty(spark, index_dir):
     )
 
 
+def test_incremental_add_equals_one_shot_build(
+    spark, docs, index_dir, tmp_path_factory
+):
+    """build(half) + add(other half) must reproduce the one-shot build
+    BIT-IDENTICALLY — possible because nothing derived (df/idf) is
+    persisted; df is computed at query time over the pruned postings."""
+    from pyspark.sql import functions as F
+
+    from flink_cooccurrence_spark.plans.text_index import add_text_index
+
+    d2 = str(tmp_path_factory.mktemp("text_index_incr"))
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    write_text_index(first, d2)
+    meta = add_text_index(spark, d2, second)
+    assert meta["n_docs"] == docs.count()
+    got = sorted(
+        tuple(r) for r in query_text_index(spark, d2, BM25_QUERY, k=10).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in query_text_index(spark, index_dir, BM25_QUERY, k=10).collect()
+    )
+    assert got == exp and got
+    # adding an empty batch is a no-op
+    empty = docs.filter(F.lit(False))
+    add_text_index(spark, d2, empty)
+    again = sorted(
+        tuple(r) for r in query_text_index(spark, d2, BM25_QUERY, k=10).collect()
+    )
+    assert again == exp
+
+
 def test_empty_terms_returns_empty_frame(spark, index_dir):
     out = query_text_index(spark, index_dir, (), k=5)
     assert out.count() == 0
