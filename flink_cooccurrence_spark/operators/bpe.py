@@ -34,6 +34,17 @@ centroid contract: k rows of driver state total); merge application is
 a row-local array fold. The word table is localCheckpointed per
 iteration so the plan never deepens. Nothing is O(corpus) after the
 first pass, nothing is O(n²) anywhere.
+
+The END-TO-END ceiling is the ROUND count: rounds are sequential
+driver-coordinated jobs, so a production 30k-merge tokenizer at one
+merge per round is ~60k sequential jobs — scheduler latency, not data,
+dominates. ``merges_per_round`` is the standard remedy: apply up to T
+merges per round, restricted to the provably-conflict-free batch
+(symbol-disjoint priority-prefix pairs strictly above the first
+conflicting count — :func:`_safe_batch` proves why greedy order is
+preserved), pinned EQUAL to the sequential merge list on fixture and
+randomized corpora. Rounds drop toward n_merges/T on natural pair
+distributions; exactness is never traded for speed.
 """
 
 from __future__ import annotations
@@ -114,37 +125,111 @@ def _pair_counts(table: DataFrame) -> DataFrame:
     )
 
 
+def _safe_batch(
+    rows, want: int, window: int
+) -> list[tuple[str, str, int]]:
+    """The provably-greedy-preserving batch from a priority-ordered
+    window of pair counts (``merges_per_round`` machinery).
+
+    Walk the priority order accepting pairs whose symbol sets
+    ``{l, r, l+r}`` are pairwise disjoint, up to ``want``; note the
+    first pair CONFLICTING with an accepted one (``q*``), then keep only
+    accepted pairs with count STRICTLY above ``count(q*)``. Why this is
+    exact: applying a disjoint prefix leaves every other old pair's
+    count unchanged or decreased, and every decreased/created pair is
+    bounded by the count of some old pair sharing a symbol with an
+    applied one — i.e. by ``count(q*)`` — so at sequential step ``i``
+    nothing can outrank an accepted ``p_i`` with ``count > count(q*)``.
+    If the window was exhausted without seeing a conflict, pairs beyond
+    it are unknown, so their count upper bound (the window's last count)
+    plays ``q*``. Worst case the batch truncates to the global argmax
+    alone — plain sequential, never wrong."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    qstar_cnt = None
+    for row in rows:
+        l, r, cnt = row["l"], row["r"], int(-row["neg"])
+        syms = {l, r, l + r}
+        if syms & used:
+            qstar_cnt = cnt
+            break
+        if len(accepted) < want:
+            accepted.append((l, r, cnt))
+            used |= syms
+    if qstar_cnt is None and len(rows) >= window:
+        # conflicts may hide beyond the window; its last count bounds them
+        qstar_cnt = int(-rows[-1]["neg"])
+    if qstar_cnt is not None:
+        accepted = [a for a in accepted if a[2] > qstar_cnt]
+    if not accepted:
+        # no pair is provably safe to batch — one sequential step
+        accepted = [(rows[0]["l"], rows[0]["r"], int(-rows[0]["neg"]))]
+    return accepted
+
+
 def bpe_merges(
-    documents: DataFrame, n_merges: int = BPE_MERGES
+    documents: DataFrame,
+    n_merges: int = BPE_MERGES,
+    merges_per_round: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` merge rules — [(left, right, pair_count)]
     in merge order. Stops early when no adjacent pair remains.
 
-    Driver state: the merge list itself (≤ n_merges triples — the
-    k-means-centroid bounded-driver-state contract)."""
+    ``merges_per_round`` is the 30k-merge production lever: each round is
+    2 Spark jobs + an eager localCheckpoint, so a large tokenizer budget
+    at 1 merge/round is ~2·n_merges sequential jobs — the module's
+    end-to-end ceiling. Setting T>1 applies up to T merges per round,
+    restricted to the provably-conflict-free batch (:func:`_safe_batch`)
+    so the learned merge list is IDENTICAL to the sequential algorithm's
+    (pytest-pinned on the fixture + randomized corpora): symbol-disjoint
+    priority-prefix pairs strictly above the first conflicting count.
+    Natural-language pair distributions make most top pairs disjoint, so
+    rounds shrink toward n_merges/T; the degenerate corpus (every top
+    pair sharing a symbol) falls back to one merge per round — exactness
+    is never traded.
+
+    Driver state: the merge list + a ≤window-row count sample per round
+    (the k-means-centroid bounded-driver-state contract)."""
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     table = word_symbol_table(documents).localCheckpoint(eager=True)
     out: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(table)
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("neg"),
-                        F.col("l"),
-                        F.col("r"),
-                    )
-                ).alias("w")
-            )
-            .select("w.*")
-            .collect()
+    while len(out) < n_merges:
+        want = min(merges_per_round, n_merges - len(out))
+        neg_struct = F.struct(
+            (-F.col("cnt")).alias("neg"), F.col("l"), F.col("r")
         )
-        if not top or top[0]["l"] is None:
-            break
-        l, r, cnt = top[0]["l"], top[0]["r"], -top[0]["neg"]
-        out.append((l, r, int(cnt)))
+        if want == 1:
+            # the sequential path: a 1-row argmax aggregate
+            rows = (
+                _pair_counts(table)
+                .agg(F.min(neg_struct).alias("w"))
+                .select("w.*")
+                .collect()
+            )
+            if not rows or rows[0]["l"] is None:
+                break
+            batch = [(rows[0]["l"], rows[0]["r"], int(-rows[0]["neg"]))]
+        else:
+            # batched path: a bounded priority window to the driver
+            window = max(4 * want, 16)
+            rows = (
+                _pair_counts(table)
+                .select(neg_struct.alias("w"))
+                .orderBy("w")
+                .limit(window)
+                .select("w.*")
+                .collect()
+            )
+            if not rows:
+                break
+            batch = _safe_batch(rows, want, window)
+        out.extend(batch)
+        syms = F.col("syms")
+        for l, r, _ in batch:
+            syms = _apply_merge(syms, l, r)
         table = table.select(
-            "word", "count", _apply_merge(F.col("syms"), l, r).alias("syms")
+            "word", "count", syms.alias("syms")
         ).localCheckpoint(eager=True)
     return out
 

@@ -17,8 +17,24 @@ rows + counts table), not O(stream).
 Value buckets come from the FIRST batch's observed [min, max]
 (persisted); later values outside clamp to the edge buckets — the
 bucket map stays monotone, so results remain EXACT under drift; only
-the pruning efficiency of the edge buckets degrades (re-bucketing is a
-compaction-time rewrite, not implemented here).
+the pruning efficiency of the edge buckets degrades. COMPACTION-TIME
+RE-BUCKETING (round 10) repairs that: every batch folds the stream's
+TRUE [min, max] into the persisted bounds row, and when the LSM
+compaction fires with the true range wider than the bucketing range,
+the compaction reducer recomputes ``_bucket`` under the true bounds and
+the counts table is rebuilt from the rewritten rows — one extra
+O(state) aggregation inside a pass that is already O(state), after
+which edge-bucket pruning is as sharp as a fresh build (drift-gated in
+``tests/test_streaming_quantiles.py``).
+
+Driver-state guard: the counts table is ``groups × num_buckets`` rows —
+bounded only in the low-cardinality-keys regime this engine exists for
+(``event_type``-class keys). The first batch probes its group
+cardinality and shrinks ``num_buckets`` to keep the table under
+``max_counts_rows`` (the ``group_quantiles`` probe, floor 32), and
+every batch fails LOUDLY if accumulated groups push the table past the
+cap — a high-cardinality misuse raises at the call site instead of
+OOMing the driver hours later.
 
 Exactness gate: after replaying the events table, ``quantiles()``
 equals the batch ``value_quantiles`` — same DuckDB oracle text
@@ -46,7 +62,10 @@ from flink_cooccurrence_spark.streaming.state import StateStore
 
 ROWS_SCHEMA = "key string, value double"
 COUNTS_SCHEMA = "key string, bucket long, cnt long"
-BOUNDS_SCHEMA = "lo double, hi double"
+#: (lo, hi) is the BUCKETING range; (true_lo, true_hi) the accumulated
+#: observed range — compaction re-buckets when the latter outgrows the
+#: former (module docstring)
+BOUNDS_SCHEMA = "lo double, hi double, true_lo double, true_hi double"
 
 
 class QuantileStream:
@@ -57,17 +76,26 @@ class QuantileStream:
         spark: SparkSession,
         workdir: str | None = None,
         num_buckets: int = 256,
+        max_counts_rows: int = 2_000_000,
     ) -> None:
         self.spark = spark
         self.num_buckets = num_buckets
+        self.max_counts_rows = max_counts_rows
         self.workdir = workdir or tempfile.mkdtemp(prefix="quant_stream_")
         self.state = StateStore(spark, os.path.join(self.workdir, "state"))
         self._counts = pd.DataFrame(columns=["key", "bucket", "cnt"])
         self._bounds: tuple[float, float] | None = None
+        self._true_bounds: tuple[float, float] | None = None
         if self.state.get_scalar("initialized", 0):
+            # the persisted (possibly probe-shrunk) fan-out wins over the
+            # constructor's — a restart must reuse the committed map
+            self.num_buckets = int(
+                self.state.get_scalar("num_buckets", num_buckets)
+            )
             self._counts = self.state.get("counts", COUNTS_SCHEMA).toPandas()
             b = self.state.get("bounds", BOUNDS_SCHEMA).collect()[0]
             self._bounds = (b["lo"], b["hi"])
+            self._true_bounds = (b["true_lo"], b["true_hi"])
 
     def _bucket_col(self, lo: float, hi: float):
         v = F.col("value")
@@ -94,13 +122,22 @@ class QuantileStream:
         new_bounds: tuple[float, float] | None = None
         if self._bounds is None:
             b = rows.agg(
-                F.min("value").alias("lo"), F.max("value").alias("hi")
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+                F.approx_count_distinct("key").alias("ng"),
             ).collect()[0]
             # an all-NULL first batch keeps bounds unset (try again next)
             if b["lo"] is None:
                 self.state.set_scalar("last_batch_id", int(batch_id))
                 self.state.commit()
                 return
+            # the group_quantiles cardinality probe: shrink the bucket
+            # fan-out so the driver counts table stays under the cap
+            n_groups = max(int(b["ng"]), 1)
+            if n_groups * self.num_buckets > self.max_counts_rows:
+                self.num_buckets = max(
+                    32, self.max_counts_rows // n_groups
+                )
             new_bounds = (float(b["lo"]), float(b["hi"]))
         # self._bounds is assigned only AFTER commit succeeds (below):
         # mutating it here would survive a rollback, so a same-process
@@ -110,32 +147,90 @@ class QuantileStream:
         # durable commit, never precedes it).
         lo, hi = self._bounds if self._bounds is not None else new_bounds
         bucketed = rows.withColumn("_bucket", self._bucket_col(lo, hi))
+        # ONE action: per-(key, bucket) counts + the batch's value
+        # extremes (for the true-bounds fold) ride the same aggregation
         batch_counts = (
             bucketed.groupBy("key", F.col("_bucket").alias("bucket"))
-            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("value").alias("_mn"),
+                F.max("value").alias("_mx"),
+            )
             .toPandas()
         )
         merged = (
-            pd.concat([self._counts, batch_counts])
+            pd.concat([self._counts, batch_counts[["key", "bucket", "cnt"]]])
             .groupby(["key", "bucket"], as_index=False)["cnt"]
             .sum()
             .astype({"bucket": "int64", "cnt": "int64"})
         )
+        if len(merged) > self.max_counts_rows:
+            # fail LOUDLY before any state write: accumulated groups have
+            # pushed the driver table past the cap — this engine is for
+            # event_type-class keys; high-cardinality keys belong on the
+            # batch group_quantiles
+            raise ValueError(
+                f"counts table would reach {len(merged)} rows "
+                f"(> max_counts_rows={self.max_counts_rows}) — the group "
+                "key's cardinality is outside this engine's bounded-"
+                "driver-state regime"
+            )
+        base_tb = (
+            self._true_bounds if self._true_bounds is not None else (lo, hi)
+        )
+        if len(batch_counts):
+            new_true = (
+                min(base_tb[0], float(batch_counts["_mn"].min())),
+                max(base_tb[1], float(batch_counts["_mx"].max())),
+            )
+        else:
+            new_true = base_tb
+        bounds_dirty = (
+            new_bounds is not None or new_true != self._true_bounds
+        )
         try:
-            if new_bounds is not None:
-                self.state.put(
-                    "bounds",
-                    self.spark.createDataFrame([new_bounds], BOUNDS_SCHEMA),
-                )
             self.state.append_parts(
                 "qrows", bucketed, list(range(self.num_buckets))
             )
             if self.state.append_segment_count("qrows") > 8:
-                self.state.compact_append("qrows", ROWS_SCHEMA)
+                if new_true[0] < lo or new_true[1] > hi:
+                    # drift outran the bucketing range: re-bucket at
+                    # compaction time — the reducer recomputes _bucket
+                    # under the TRUE bounds (compaction is already the
+                    # O(state) pass; the map rewrite rides it), then the
+                    # counts table is rebuilt under the new map
+                    nlo, nhi = new_true
+                    self.state.compact_append(
+                        "qrows",
+                        ROWS_SCHEMA,
+                        reducer=lambda df: df.select("key", "value").withColumn(
+                            "_bucket", self._bucket_col(nlo, nhi)
+                        ),
+                    )
+                    lo, hi = nlo, nhi
+                    bounds_dirty = True
+                    merged = (
+                        self.state.get_append("qrows", ROWS_SCHEMA)
+                        .withColumn("bucket", self._bucket_col(lo, hi))
+                        .groupBy("key", "bucket")
+                        .agg(F.count("*").alias("cnt"))
+                        .toPandas()
+                        .astype({"bucket": "int64", "cnt": "int64"})
+                    )
+                else:
+                    self.state.compact_append("qrows", ROWS_SCHEMA)
+            if bounds_dirty:
+                self.state.put(
+                    "bounds",
+                    self.spark.createDataFrame(
+                        [(lo, hi, *new_true)], BOUNDS_SCHEMA
+                    ),
+                )
             self.state.put(
                 "counts",
                 self.spark.createDataFrame(merged, COUNTS_SCHEMA),
             )
+            self.state.set_scalar("num_buckets", int(self.num_buckets))
             self.state.set_scalar("initialized", 1)
             self.state.set_scalar("last_batch_id", int(batch_id))
             self.state.commit()
@@ -143,8 +238,8 @@ class QuantileStream:
             self.state.rollback()
             raise
         self._counts = merged
-        if new_bounds is not None:
-            self._bounds = new_bounds
+        self._bounds = (lo, hi)
+        self._true_bounds = new_true
 
     def replay(
         self,

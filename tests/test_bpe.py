@@ -116,6 +116,37 @@ def test_random_corpora_match_reference(spark, seed):
     assert got == exp
 
 
+@pytest.mark.parametrize("t", [2, 4, 8])
+def test_batched_rounds_equal_sequential_on_fixture(spark, t):
+    """merges_per_round=T must learn the IDENTICAL merge list as the
+    sequential trainer — the provably-conflict-free batch rule."""
+    docs = _docs(spark, FIXTURE)
+    got = bpe_merges(docs, n_merges=10, merges_per_round=t)
+    exp, _ = _ref_bpe(_word_counts(FIXTURE), 10)
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [5, 6, 7, 8])
+def test_batched_rounds_equal_sequential_on_random_corpora(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "abc"  # small alphabet → dense conflicts → the hard case
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(3, 10))
+        )
+        for _ in range(10)
+    ]
+    got = bpe_merges(_docs(spark, texts), n_merges=8, merges_per_round=4)
+    exp, _ = _ref_bpe(_word_counts(texts), 8)
+    assert got == exp
+
+
+def test_batched_rounds_reject_bad_config(spark):
+    with pytest.raises(ValueError):
+        bpe_merges(_docs(spark, FIXTURE), n_merges=2, merges_per_round=0)
+
+
 def test_partitioning_invariance(spark):
     docs = _docs(spark, FIXTURE)
     a = bpe_merges(docs, n_merges=5)

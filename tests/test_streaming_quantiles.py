@@ -56,6 +56,73 @@ def test_drift_past_first_batch_bounds_stays_exact(spark, tmp_path_factory):
     assert _rows(eng.quantiles()) == _rows(_batch(df))
 
 
+def test_compaction_rebuckets_after_drift(spark, tmp_path_factory):
+    """Values 10× outside the first batch's range clamp to edge buckets;
+    once the LSM compaction fires, the rows are re-bucketed under the
+    accumulated TRUE bounds — pruning sharpness recovers and exactness
+    is untouched."""
+    # batch 1 spans [0, 10]; the rest live 10×+ outside on both sides
+    rows = [(i, "a", float(i % 11)) for i in range(40)]
+    rows += [(100 + i, "a", 100.0 + i) for i in range(200)]
+    rows += [(400 + i, "a", -100.0 - i) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    eng = QuantileStream(
+        spark, workdir=str(tmp_path_factory.mktemp("qs_rebucket")), num_buckets=16
+    )
+    # 11 batches of 40 → the >8-segment compaction fires mid-replay
+    eng.replay(df, key="event_type", col="value", rows_per_batch=40)
+    # the bucketing bounds were rewritten to the true range ACCUMULATED
+    # AS OF the compaction (batch 9; drift after it waits for the next
+    # one); the observed range keeps folding every batch
+    assert eng._bounds == (-219.0, 299.0)
+    assert eng._true_bounds == (-299.0, 299.0)
+    # pruning recovered: drifted mass spread over many buckets, not the
+    # two clamped edges (pre-rebucket: buckets {0, 15} held 400 rows)
+    per_bucket = eng._counts.groupby("bucket")["cnt"].sum()
+    assert len(per_bucket) > 8
+    assert per_bucket.max() < 400
+    # exactness gate unchanged
+    assert _rows(eng.quantiles()) == _rows(_batch(df))
+    # a restart on the rewritten state reproduces the same answers
+    eng2 = QuantileStream(spark, workdir=eng.workdir, num_buckets=16)
+    assert _rows(eng2.quantiles()) == _rows(_batch(df))
+
+
+def test_cardinality_probe_shrinks_buckets_and_guard_raises(
+    spark, tmp_path_factory
+):
+    """The first batch's cardinality probe shrinks num_buckets to keep
+    the driver counts table under max_counts_rows (persisted across
+    restart); accumulated groups past the cap fail LOUDLY."""
+    wd = str(tmp_path_factory.mktemp("qs_guard"))
+    eng = QuantileStream(
+        spark, workdir=wd, num_buckets=256, max_counts_rows=64
+    )
+    first = spark.createDataFrame(
+        [(i, f"k{i % 2}", float(i)) for i in range(40)],
+        "event_id long, event_type string, value double",
+    )
+    eng.process_batch(first, batch_id=0, key="event_type", col="value")
+    assert eng.num_buckets == 32  # 256 shrank: 2 groups × 32 == the cap
+    assert _rows(eng.quantiles()) == _rows(_batch(first))
+    # restart reuses the persisted (shrunk) fan-out, not the constructor's
+    eng2 = QuantileStream(
+        spark, workdir=wd, num_buckets=256, max_counts_rows=64
+    )
+    assert eng2.num_buckets == 32
+    # a later batch exploding the group cardinality raises, pre-commit
+    wide = spark.createDataFrame(
+        [(100 + i, f"g{i}", float(i)) for i in range(40)],
+        "event_id long, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="max_counts_rows"):
+        eng2.process_batch(wide, batch_id=1, key="event_type", col="value")
+    # the rejected batch left no partial state behind
+    assert _rows(eng2.quantiles()) == _rows(_batch(first))
+
+
 def test_kill_restart_and_redelivery(spark, events, tmp_path_factory):
     small = events.filter(F.col("event_id") < 2000)
     wd = str(tmp_path_factory.mktemp("qs_restart"))
