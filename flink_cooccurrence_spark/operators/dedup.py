@@ -374,6 +374,12 @@ def minhash_lsh_dup_pairs(
     ``minhash_sig_array`` / ``sig_bands`` / ``est_jaccard`` builders so the
     streaming engine (``streaming/dedup.py``) computes the identical pairs.
     """
+    # lazy cache mark (intra-plan sharing policy, SCALING.md "Known
+    # trade-offs"): FOUR consumers read this per-doc signature frame —
+    # the band self-join's two sides and the est_jaccard attach's two
+    # sides — and without the mark each re-runs the 32-hash shingle
+    # scan. Fills on the query's own first action; O(corpus/doc) rows;
+    # cleared by the harnesses' clearCache (the dsir_sample precedent).
     sigs = minhash_sig_array(documents).cache()
     bands = sig_bands(sigs).select("doc_id", "band_idx", "band_key")
 
@@ -506,6 +512,11 @@ def simhash_near_dup_pairs(
     at least one band and is found. More bands = more candidate join rows;
     the trade is explicit in the ``max_hamming`` parameter.
     """
+    # lazy cache mark (intra-plan sharing policy): the banded candidate
+    # self-join inside simhash_pairs_from_fingerprints reads this
+    # fingerprint frame from BOTH sides (plus the hamming re-check) —
+    # unmarked, each side re-runs the token explode + 63-bit fold. One
+    # row per doc; fills lazily; harnesses clearCache.
     fp = simhash_fingerprints(documents).cache()
     return simhash_pairs_from_fingerprints(fp, max_hamming)
 
@@ -535,6 +546,11 @@ def embedding_near_dup_pairs(
         dot,
     )
 
+    # lazy cache mark (intra-plan sharing policy): the bucket-local
+    # cosine self-join reads this normed+bucketed frame from both
+    # aliases — unmarked, each side re-runs the adaptive-plane hash
+    # pass (which itself embeds a 1-row corpus-count subquery). One row
+    # per vector; fills lazily; harnesses clearCache.
     bucketed = _with_norm(adaptive_lsh_buckets(embeddings)).cache()
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = F.round(
@@ -786,6 +802,12 @@ def dup_clusters(
             f"backend must be 'propagation' or 'star', got {backend!r}"
         )
     edges = minhash_lsh_dup_pairs(documents, threshold).select("doc_a", "doc_b")
+    # lazy cache mark (intra-plan sharing policy): every propagation
+    # round joins labels against this symmetric edge set — unmarked,
+    # round t re-derives the whole LSH pipeline t times. Edge-set-sized
+    # (duplication mass, not corpus); fills on the first round's action;
+    # harnesses clearCache. (The star backend localCheckpoints instead
+    # because its loop REPLACES state; this edge set is round-invariant.)
     sym = (
         edges.union(edges.select("doc_b", "doc_a")).toDF("src", "dst").cache()
     )

@@ -2,16 +2,22 @@
 multimodal family.
 
 ``operators/multimodal.py`` keeps its decode step a deterministic fake
-because the container ships no codec libraries. Two container formats
+because the container ships no codec libraries. Three container formats
 need none: RIFF/WAVE is fully handled by the stdlib ``wave`` module,
-and the BMP header is 54 struct-packed bytes. This module synthesizes
-GENUINE files of both formats (parameters derived deterministically
-from the document content) and decodes them by actually parsing the
-container — so the oracle, which predicts the parameters from the same
-portable hash, independently verifies that a real encode → real parse
-round trip is lossless. Model-dependent codecs (JPEG pixels, learned
-embeddings) remain honestly stubbed next door; the format I/O itself
-is no longer a stub.
+the BMP header is 54 struct-packed bytes, and PNG (round 10 — the
+format an image pipeline actually meets) is chunked struct + CRC-32 +
+zlib, all stdlib: the encoder emits a genuine signature/IHDR/IDAT/IEND
+stream with per-scanline filter bytes and real CRCs, and the decoder
+walks the chunks, CHECKS every CRC, inflates the IDAT stream, and
+verifies the scanline geometry — a real parse, not an echo of the
+synthesis parameters. This module synthesizes GENUINE files of all
+three formats (parameters derived deterministically from the document
+content) and decodes them by actually parsing the container — so the
+oracle, which predicts the parameters from the same portable hash,
+independently verifies that a real encode → real parse round trip is
+lossless. Model-dependent codecs (JPEG pixels, learned embeddings)
+remain honestly stubbed next door; the format I/O itself is no longer
+a stub.
 
 Scale shape: both directions are Arrow-batched ``mapInPandas`` maps —
 no shuffle, no driver state; payload synthesis stands in for an object-
@@ -24,6 +30,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -37,6 +44,13 @@ WAV_FRAME_SPAN = 320
 #: BMP dimensions (content-derived, small — the payload stays KB-scale).
 BMP_MIN_EDGE = 8
 BMP_EDGE_SPAN = 64
+
+#: PNG dimensions (content-derived; distinct spans so a PNG/BMP mixup in
+#: either engine hash-mismatches instead of passing by coincidence).
+PNG_MIN_EDGE = 4
+PNG_EDGE_SPAN = 48
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _h32(data: bytes) -> int:
@@ -79,6 +93,133 @@ def _bmp_bytes(text: str) -> bytes:
         :pixel_bytes
     ]
     return header + fill
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length + type + data + CRC-32 over (type, data)."""
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(text: str) -> bytes:
+    """A genuine 8-bit RGB PNG: signature, IHDR, one zlib IDAT stream of
+    filter-0 scanlines, IEND — every chunk carrying a real CRC."""
+    h = _h32(text.encode("utf-8"))
+    width = PNG_MIN_EDGE + h % PNG_EDGE_SPAN
+    height = PNG_MIN_EDGE + (h // PNG_EDGE_SPAN) % PNG_EDGE_SPAN
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row_bytes = width * 3
+    fill = (
+        hashlib.md5(text.encode("utf-8")).digest()
+        * (height * row_bytes // 16 + 1)
+    )
+    raw = b"".join(
+        b"\x00" + fill[y * row_bytes : (y + 1) * row_bytes]
+        for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_parse(data: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a PNG byte stream: (width, height, bit_depth, color_type,
+    n_pixel_bytes) — chunk walk, CRC check per chunk, zlib inflate, and
+    scanline-geometry verification. Raises ValueError on any corruption."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = b""
+    ended = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk body")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC on {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR or IEND")
+    width, height, bit_depth, color_type, _c, _f, _i = ihdr
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (1 + width * 3):
+        raise ValueError("scanline geometry mismatch")
+    for y in range(height):
+        if raw[y * (1 + width * 3)] != 0:
+            raise ValueError("unexpected scanline filter")
+    return width, height, bit_depth, color_type, height * width * 3
+
+
+def png_metadata(documents: DataFrame) -> DataFrame:
+    """(doc_id, width, height, bit_depth, color_type, n_pixel_bytes):
+    synthesize a REAL PNG per document, then parse it chunk by chunk
+    (CRC-checked, zlib-inflated) — decoded values from the bytes, oracle
+    from the content hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                parsed = _png_parse(
+                    _png_bytes(text if text is not None else "")
+                )
+                rows.append((doc_id, *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "n_pixel_bytes",
+                ],
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, width int, height int, bit_depth int, "
+        "color_type int, n_pixel_bytes long",
+    )
+
+
+def png_metadata_sql() -> str:
+    """DuckDB oracle for :func:`png_metadata`: the synthesis parameters
+    predicted independently from the same portable hash — parity proves
+    the real encode→CRC-checked-parse round trip is lossless."""
+    from flink_cooccurrence_spark.functions.hashing import hash32_sql
+
+    h = hash32_sql("COALESCE(text, '')")
+    w = f"({PNG_MIN_EDGE} + {h} % {PNG_EDGE_SPAN})"
+    ht = f"({PNG_MIN_EDGE} + ({h} // {PNG_EDGE_SPAN}) % {PNG_EDGE_SPAN})"
+    return f"""
+SELECT doc_id,
+       CAST({w} AS INT) AS width,
+       CAST({ht} AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(2 AS INT) AS color_type,
+       CAST({ht} * {w} * 3 AS BIGINT) AS n_pixel_bytes
+FROM documents
+"""
 
 
 def wav_metadata(documents: DataFrame) -> DataFrame:

@@ -865,6 +865,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "bmp_metadata": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.media", fromlist=["bmp_metadata"]
     ).bmp_metadata(_documents(s, d)),
+    # round-10: PNG — genuine chunked encode (struct + CRC-32 + zlib
+    # IDAT) parsed back chunk-by-chunk with CRC checks; same
+    # hash-predicted oracle pattern as WAV/BMP
+    "png_metadata": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.media", fromlist=["png_metadata"]
+    ).png_metadata(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

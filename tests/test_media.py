@@ -74,3 +74,64 @@ def test_operators_run_on_a_frame(spark):
 def test_malformed_bmp_raises_loudly():
     with pytest.raises(Exception):
         struct.unpack_from("<2sI", b"XX", 0)  # short buffer: loud, not silent
+
+
+def test_png_bytes_are_a_genuine_png_file():
+    from flink_cooccurrence_spark.operators.media import (
+        PNG_SIG,
+        _png_bytes,
+        _png_parse,
+    )
+
+    data = _png_bytes("hello world")
+    assert data[:8] == PNG_SIG
+    assert data[12:16] == b"IHDR" and data[-8:-4] == b"IEND"
+    w, h, depth, ctype, npix = _png_parse(data)
+    assert depth == 8 and ctype == 2
+    assert npix == w * h * 3
+
+
+def test_png_decode_checks_crc_and_geometry():
+    import zlib
+
+    from flink_cooccurrence_spark.operators.media import (
+        _png_bytes,
+        _png_parse,
+    )
+
+    data = bytearray(_png_bytes("abc"))
+    # flip one byte inside the IDAT body: the chunk CRC must catch it
+    idat_pos = bytes(data).find(b"IDAT")
+    data[idat_pos + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _png_parse(bytes(data))
+    # drop the IEND chunk: the walk must notice
+    truncated = _png_bytes("abc")[:-12]
+    with pytest.raises(ValueError, match="IEND"):
+        _png_parse(truncated)
+    # a valid chunk stream whose IDAT inflates to the wrong geometry
+    from flink_cooccurrence_spark.operators.media import PNG_SIG, _png_chunk
+    import struct as _s
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        _png_parse(bad)
+
+
+def test_png_operator_runs_on_a_frame(spark):
+    from flink_cooccurrence_spark.operators.media import png_metadata
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    png = {r["doc_id"]: r for r in png_metadata(docs).collect()}
+    assert set(png) == {1, 2}
+    assert png[1]["bit_depth"] == 8 and png[1]["color_type"] == 2
+    assert png[1]["n_pixel_bytes"] == png[1]["width"] * png[1]["height"] * 3

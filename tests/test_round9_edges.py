@@ -14,7 +14,11 @@ from flink_cooccurrence_spark.operators.batching import (
 from flink_cooccurrence_spark.operators.bpe import bpe_merges, bpe_vocab
 from flink_cooccurrence_spark.operators.dedup import source_overlap_matrix
 from flink_cooccurrence_spark.operators.dsir import dsir_sample, dsir_weights
-from flink_cooccurrence_spark.operators.media import bmp_metadata, wav_metadata
+from flink_cooccurrence_spark.operators.media import (
+    bmp_metadata,
+    png_metadata,
+    wav_metadata,
+)
 from flink_cooccurrence_spark.operators.retrieval import bm25_topk
 from flink_cooccurrence_spark.operators.textstats import bigram_nll
 
@@ -37,6 +41,7 @@ def empty_docs(spark):
         bpe_vocab,
         wav_metadata,
         bmp_metadata,
+        png_metadata,
         length_bucketed_batches,
     ],
     ids=lambda f: f.__name__,
