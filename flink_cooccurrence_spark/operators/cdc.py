@@ -108,15 +108,10 @@ def cdc_chunks(
     )
 
 
-def cdc_dup_chunks(
-    documents: DataFrame, k: int = CDC_K, divisor: int = CDC_DIVISOR
-) -> DataFrame:
-    """(chunk_hash, n_copies, n_docs, chunk_tokens, dup_tokens): every
-    chunk content occurring MORE THAN ONCE in the corpus — the
-    duplicated-content inventory, one aggregation over the chunk table
-    (``dup_tokens`` = tokens that could be reclaimed keeping one copy:
-    (n_copies − 1) · chunk_tokens)."""
-    ch = cdc_chunks(documents, k, divisor)
+def dup_chunks_of(ch: DataFrame) -> DataFrame:
+    """The duplicated-chunk inventory aggregation over ANY chunk table
+    — shared verbatim by the batch operator and the streaming tracker
+    (``streaming/cdc.py``), so the two can never drift."""
     return (
         ch.groupBy("chunk_hash")
         .agg(
@@ -137,17 +132,20 @@ def cdc_dup_chunks(
     )
 
 
-def cdc_doc_dup_stats(
+def cdc_dup_chunks(
     documents: DataFrame, k: int = CDC_K, divisor: int = CDC_DIVISOR
 ) -> DataFrame:
-    """(doc_id, n_chunks, dup_chunks, dup_chunk_tokens, dup_frac): per
-    document, how much of its content (in tokens) lives in chunks whose
-    content appears elsewhere in the corpus (other docs or repeated
-    within this one) — the CDC analog of ``duplicate_span_coverage`` at
-    chunk granularity, via one self-aggregation instead of a pair join.
+    """(chunk_hash, n_copies, n_docs, chunk_tokens, dup_tokens): every
+    chunk content occurring MORE THAN ONCE in the corpus — the
+    duplicated-content inventory, one aggregation over the chunk table
+    (``dup_tokens`` = tokens that could be reclaimed keeping one copy:
+    (n_copies − 1) · chunk_tokens)."""
+    return dup_chunks_of(cdc_chunks(documents, k, divisor))
 
-    ``dup_frac`` = dup_chunk_tokens / total tokens, rounded to 6."""
-    ch = cdc_chunks(documents, k, divisor)
+
+def doc_dup_stats_of(ch: DataFrame) -> DataFrame:
+    """The per-document dup-mass aggregation over ANY chunk table —
+    shared verbatim by the batch operator and the streaming tracker."""
     per_hash = ch.groupBy("chunk_hash").agg(
         F.count("*").alias("_copies")
     )
@@ -176,6 +174,19 @@ def cdc_doc_dup_stats(
             ),
         )
     )
+
+
+def cdc_doc_dup_stats(
+    documents: DataFrame, k: int = CDC_K, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(doc_id, n_chunks, dup_chunks, dup_chunk_tokens, dup_frac): per
+    document, how much of its content (in tokens) lives in chunks whose
+    content appears elsewhere in the corpus (other docs or repeated
+    within this one) — the CDC analog of ``duplicate_span_coverage`` at
+    chunk granularity, via one self-aggregation instead of a pair join.
+
+    ``dup_frac`` = dup_chunk_tokens / total tokens, rounded to 6."""
+    return doc_dup_stats_of(cdc_chunks(documents, k, divisor))
 
 
 # ---------------------------------------------------------------- oracle SQL

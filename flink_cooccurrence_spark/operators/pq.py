@@ -223,35 +223,61 @@ def pq_codebooks(
     return books
 
 
+def _cents_lit(cents) -> Column:
+    """The codebook as ONE literal array-of-arrays column."""
+    return F.array(
+        *[F.array(*[F.lit(x) for x in emb]) for _, emb, _n in cents]
+    )
+
+
 def _scores_arr(sub_v: Column, cents, metric: str = "cos") -> Column:
     """The subspace's rounded assignment-score array against its
     codebook (one entry per code, code order): rounded cosine for
     ``metric='cos'`` (the raw path) or the rounded L2 surrogate
     ``dot − 0.5·‖c‖²`` for ``metric='l2'`` (residuals — defined on
-    zero vectors)."""
+    zero vectors).
+
+    Built as ONE ``transform`` over the literal codebook array rather
+    than ``ksub`` unrolled dot folds: the arithmetic is identical (the
+    same left fold runs per element at runtime), but the expression
+    tree shrinks ~ksub× — the m·ksub unrolled form was ANALYSIS/CODEGEN
+    bound, a constant ~8s per construction at any corpus size (round-10
+    measurement: fit 8.3s→3.2s, flat from sf0.01 to sf0.1 either way,
+    bit-identity pinned)."""
+    ks = F.sequence(F.lit(1), F.lit(len(cents)))
+    cents_arr = _cents_lit(cents)
     if metric == "l2":
-        return F.array(
-            *[
-                F.round(
-                    dot(sub_v, F.array(*[F.lit(x) for x in emb]))
-                    - F.lit(0.5) * F.lit(_fold_sq(emb)),
-                    ROUND_DIGITS,
-                )
-                for _, emb, _cnorm in cents
-            ]
+        n2_arr = F.array(*[F.lit(_fold_sq(emb)) for _, emb, _n in cents])
+        return F.transform(
+            ks,
+            lambda j: F.round(
+                dot(sub_v, F.element_at(cents_arr, j))
+                - F.lit(0.5) * F.element_at(n2_arr, j),
+                ROUND_DIGITS,
+            ),
         )
     if metric != "cos":
         raise ValueError(f"unknown metric {metric!r}")
     norm = F.sqrt(dot(sub_v, sub_v))
-    return F.array(
-        *[
-            F.round(
-                dot(sub_v, F.array(*[F.lit(x) for x in emb]))
-                / (norm * F.lit(cnorm)),
-                ROUND_DIGITS,
-            )
-            for _, emb, cnorm in cents
-        ]
+    norms_arr = F.array(*[F.lit(cnorm) for _, _emb, cnorm in cents])
+    return F.transform(
+        ks,
+        lambda j: F.round(
+            dot(sub_v, F.element_at(cents_arr, j))
+            / (norm * F.element_at(norms_arr, j)),
+            ROUND_DIGITS,
+        ),
+    )
+
+
+def _lut_arr(sub_v: Column, cents) -> Column:
+    """Query-side ADC lookup table for one subspace: dot(q_s, c_j) per
+    code — the same transform-over-literal-codebook shape as
+    :func:`_scores_arr` (identical arithmetic, ~ksub× smaller tree)."""
+    cents_arr = _cents_lit(cents)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda j: dot(sub_v, F.element_at(cents_arr, j)),
     )
 
 
@@ -340,12 +366,7 @@ def ivf_pq_topk(
     ).join(home.hint("shuffle_hash"), on="vec_id")
     v = _as_double(F.col("embedding"))
     lut_cols = [
-        F.array(
-            *[
-                dot(F.slice(v, lo, w), F.array(*[F.lit(x) for x in emb]))
-                for _, emb, _n in books[s]
-            ]
-        ).alias(f"lut_{s}")
+        _lut_arr(F.slice(v, lo, w), books[s]).alias(f"lut_{s}")
         for s, (lo, w) in enumerate(_slices(dim, m))
     ]
     q_cells = assign.filter(
@@ -490,12 +511,7 @@ def _ivf_pq_residual_topk(
     cent_frame = _cell_centroids(embeddings, centroids)
     v = _as_double(F.col("embedding"))
     lut_cols = [
-        F.array(
-            *[
-                dot(F.slice(v, lo, w), F.array(*[F.lit(x) for x in emb]))
-                for _, emb, _n in books[s]
-            ]
-        ).alias(f"lut_{s}")
+        _lut_arr(F.slice(v, lo, w), books[s]).alias(f"lut_{s}")
         for s, (lo, w) in enumerate(_slices(dim, m))
     ]
     q_cells = assign.filter(

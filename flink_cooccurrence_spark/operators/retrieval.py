@@ -189,3 +189,151 @@ ranked AS (
 SELECT rank, doc_id, n_matched, round(score_micro / 1000000.0, 6) AS bm25
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------- hybrid RRF
+
+#: RRF constant (Cormack, Clarke & Buettcher, SIGIR 2009 — "k = 60 in
+#: all our experiments"; the default in Elasticsearch/OpenSearch/Vespa).
+RRF_K = 60
+
+#: how deep each system's ranking goes before fusion.
+RRF_DEPTH = 50
+
+#: the dense query: the corpus vector standing in for "the embedding of
+#: the query" (no encoder ships in this container). vec_id 0 exists at
+#: every test SF; documents and embeddings share the id space
+#: (doc_id == vec_id — the synthetic corpus contract).
+RRF_QUERY_VEC = 0
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    query_vec_id: int = RRF_QUERY_VEC,
+    k: int = 10,
+    k_rrf: int = RRF_K,
+    depth: int = RRF_DEPTH,
+) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval — (rank, doc_id,
+    lex_rank, dense_rank, rrf): the standard lexical+dense combination
+    (Cormack et al. 2009; the Elasticsearch/Vespa hybrid default).
+
+    Each system contributes ``1/(k_rrf + rank)`` for its top-``depth``
+    docs; a doc missing from one list gets no contribution from it (the
+    published convention). Lexical = :func:`bm25_topk` over
+    ``query_terms``; dense = exact cosine of ``query_vec_id``'s vector
+    against the corpus (brute force — the fusion is agnostic to which
+    ANN path produced the list; the exact list makes the oracle exact).
+
+    Engine parity: each reciprocal is ``round(1e9/(k_rrf + rank))`` —
+    an exact integer in NANO-units — so the fused score is a sum of two
+    exact integers (order-independent) and the ranking key is integer
+    end to end; ties break by doc_id ascending. ``rrf`` reports the
+    integer divided back (6-decimal round).
+
+    Scale shape: both input rankings are already bounded (top-``depth``
+    rows each) and fuse with one full-outer join on doc_id; the final
+    rank is over ≤ 2·depth rows. The heavy lifting (corpus scans) is
+    the two systems', each with its own documented shape.
+    """
+    lex = bm25_topk(documents, query_terms, k=depth)
+    lexr = lex.select("doc_id", F.col("rank").alias("lex_rank"))
+    v = F.col("embedding").cast("array<double>")
+    from flink_cooccurrence_spark.operators.similarity import _with_norm, dot
+
+    base = _with_norm(embeddings.select("vec_id", "embedding"))
+    qvec = base.filter(F.col("vec_id") == query_vec_id).select(
+        v.alias("_qv"), F.col("norm").alias("_qn")
+    )
+    cos = F.round(
+        dot(v, F.col("_qv")) / (F.col("norm") * F.col("_qn")), 6
+    )
+    dense_scored = base.crossJoin(F.broadcast(qvec)).select(
+        F.col("vec_id").alias("doc_id"), cos.alias("_cos")
+    )
+    dense = global_seq(
+        dense_scored.withColumn("_neg", -F.col("_cos")),
+        ["_neg", "doc_id"],
+        out="dense_rank",
+    ).filter(F.col("dense_rank") <= depth).select("doc_id", "dense_rank")
+    fused = lexr.join(dense, on="doc_id", how="full_outer")
+    nano = lambda r: F.round(  # noqa: E731
+        F.lit(1e9) / (F.lit(k_rrf) + F.col(r)), 0
+    ).cast("long")
+    keyed = fused.select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(nano("lex_rank"), F.lit(0))
+            + F.coalesce(nano("dense_rank"), F.lit(0))
+        ).alias("_rrf_nano"),
+    )
+    ranked = global_seq(
+        keyed.withColumn("_neg", -F.col("_rrf_nano")),
+        ["_neg", "doc_id"],
+        out="rank",
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "rank",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        F.round(F.col("_rrf_nano") / F.lit(1e9), 6).alias("rrf"),
+    )
+
+
+def hybrid_rrf_topk_sql(
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    query_vec_id: int = RRF_QUERY_VEC,
+    k: int = 10,
+    k_rrf: int = RRF_K,
+    depth: int = RRF_DEPTH,
+) -> str:
+    """DuckDB oracle text of :func:`hybrid_rrf_topk` — the bm25 oracle
+    nested as a derived table, the same exact-cosine dense ranking, and
+    the identical integer nano-unit fusion."""
+    bm25 = bm25_topk_sql(query_terms, k=depth)
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank FROM ({bm25})
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+qvec AS (SELECT v AS qv, norm AS qn FROM normed WHERE vec_id = {query_vec_id}),
+dense_scored AS (
+  SELECT n.vec_id AS doc_id,
+         round(list_dot_product(n.v, q.qv) / (n.norm * q.qn), 6) AS cos
+  FROM normed n CROSS JOIN qvec q
+),
+dense AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+           AS BIGINT) AS dense_rank
+    FROM dense_scored
+  ) WHERE dense_rank <= {depth}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+),
+keyed AS (
+  SELECT doc_id, lex_rank, dense_rank,
+         COALESCE(CAST(round(1e9 / ({k_rrf} + lex_rank), 0) AS BIGINT), 0)
+         + COALESCE(CAST(round(1e9 / ({k_rrf} + dense_rank), 0) AS BIGINT), 0)
+           AS rrf_nano
+  FROM fused
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+         AS BIGINT) AS rank
+  FROM keyed
+)
+SELECT rank, doc_id, lex_rank, dense_rank,
+       round(rrf_nano / 1000000000.0, 6) AS rrf
+FROM ranked WHERE rank <= {k}
+"""

@@ -407,6 +407,228 @@ def bigram_nll(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
     )
 
 
+#: Stupid Backoff constant (Brants et al. 2007 §4 — "we use α = 0.4").
+SB_ALPHA = 0.4
+
+#: the held-out model slice: documents with doc_id % SB_MODEL_MOD == 0
+#: fit the count tables; everything else is scored (the decontaminate
+#: eval-slice convention — SQL-expressible, so the oracle sees the same
+#: split). Self-scoring would be degenerate: every n-gram of a scored
+#: doc would be in the model, so backoff could never fire.
+SB_MODEL_MOD = 13
+
+
+def stupid_backoff_nll(
+    documents: DataFrame,
+    alpha: float = SB_ALPHA,
+    model_mod: int = SB_MODEL_MOD,
+) -> DataFrame:
+    """(doc_id, n_trigrams, mean_nll, backoff_frac): per-document mean
+    negative log-score under a trigram STUPID BACKOFF model (Brants et
+    al. 2007, "Large Language Models in Machine Translation") fitted on
+    the held-out model slice — the LM smoothing DESIGNED for distributed
+    count tables (no discount normalization pass; scores are relative
+    frequencies with a constant backoff penalty, which is exactly what a
+    MapReduce/Spark count pipeline can serve):
+
+    - ``S(w3|w1 w2) = tc/bc12``            if the trigram was seen
+    - ``         = α · bc23/uc2``          else if the bigram was seen
+    - ``         = α² · uc3/N``            else if the unigram was seen
+    - ``         = α³ / max(N, 1)``        else (OOV uniform floor —
+      Brants leaves OOV open; the clamp keeps an empty model slice
+      deterministic instead of dividing by zero)
+
+    Positions with a full 2-token context are scored (docs with < 3
+    tokens → ``(0, 0.0, 0.0)``, the ``bigram_nll`` convention).
+    ``backoff_frac`` is the fraction of positions that left the trigram
+    level — a direct fluency/novelty diagnostic (word salad backs off
+    constantly; fluent text rarely). Model-slice documents get no row.
+
+    Engine parity: each level's ``−ln`` is rounded+scaled to integer
+    micro-nats BEFORE the per-doc sum, parenthesization mirrored
+    token-for-token in the oracle; ``backoff_frac`` is a ratio of two
+    exact integers.
+
+    Scale shape: the three count tables are one scan of the model slice
+    (tri/bi/uni aggregations, each behind its own key shuffle, all
+    O(distinct n-grams)); scored trigrams LEFT-join them co-partitioned
+    on their keys; N rides as a broadcast 1-row aggregate; one final
+    doc_id shuffle. Nothing is O(corpus²), nothing collects."""
+    from pyspark.sql import Window
+
+    is_model = (F.col("doc_id") % model_mod) == 0
+    words = documents.select(
+        "doc_id",
+        is_model.alias("_m"),
+        F.posexplode(
+            _tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("pos", "w"),
+    )
+    mw = words.filter(F.col("_m"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tri_of = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w", 1).over(win).alias("w2"),
+        F.lead("w", 2).over(win).alias("w3"),
+    ).filter(F.col("w3").isNotNull())
+    tc = tri_of(mw).groupBy("w1", "w2", "w3").agg(F.count("*").alias("tc"))
+    bc_all = (
+        mw.select("doc_id", "pos", "w")
+        .select("doc_id", F.col("w").alias("a"), F.lead("w", 1).over(win).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("bc"))
+    )
+    uc = mw.groupBy("w").agg(F.count("*").alias("uc"))
+    n_tot = mw.agg(F.count("*").alias("_n"))
+
+    scored_tris = tri_of(words.filter(~F.col("_m")))
+    j = (
+        scored_tris.join(tc, on=["w1", "w2", "w3"], how="left")
+        .join(
+            bc_all.select(
+                F.col("a").alias("w1"), F.col("b").alias("w2"),
+                F.col("bc").alias("bc12"),
+            ),
+            on=["w1", "w2"],
+            how="left",
+        )
+        .join(
+            bc_all.select(
+                F.col("a").alias("w2"), F.col("b").alias("w3"),
+                F.col("bc").alias("bc23"),
+            ),
+            on=["w2", "w3"],
+            how="left",
+        )
+        .join(uc.select(F.col("w").alias("w2"), F.col("uc").alias("uc2")),
+              on="w2", how="left")
+        .join(uc.select(F.col("w").alias("w3"), F.col("uc").alias("uc3")),
+              on="w3", how="left")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    n_clamped = F.greatest(F.coalesce(F.col("_n"), F.lit(0)), F.lit(1))
+    s = (
+        F.when(
+            F.col("tc").isNotNull(),
+            F.col("tc").cast("double") / F.col("bc12"),
+        )
+        .when(
+            F.col("bc23").isNotNull(),
+            F.lit(alpha) * (F.col("bc23").cast("double") / F.col("uc2")),
+        )
+        .when(
+            F.col("uc3").isNotNull(),
+            F.lit(alpha * alpha)
+            * (F.col("uc3").cast("double") / F.col("_n")),
+        )
+        .otherwise(F.lit(alpha * alpha * alpha) / n_clamped)
+    )
+    per_tri = j.select(
+        "doc_id",
+        F.round(-F.log(s) * F.lit(1e6), 0).cast("long").alias("nll_micro"),
+        F.when(F.col("tc").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "_backed"
+        ),
+    )
+    per_doc = per_tri.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.round(
+            F.sum("nll_micro") / (F.count("*") * F.lit(1_000_000.0)), 6
+        ).alias("mean_nll"),
+        F.round(F.sum("_backed") / F.count("*"), 6).alias("backoff_frac"),
+    )
+    return (
+        documents.filter(~is_model)
+        .select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+            F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
+            F.coalesce("backoff_frac", F.lit(0.0)).alias("backoff_frac"),
+        )
+    )
+
+
+def stupid_backoff_nll_sql(
+    alpha: float = SB_ALPHA, model_mod: int = SB_MODEL_MOD
+) -> str:
+    """DuckDB text of :func:`stupid_backoff_nll` — identical CASE
+    structure, parenthesization, and micro-nat contract."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, (doc_id % {model_mod} = 0) AS m,
+         unnest(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS w,
+         generate_subscripts(
+           string_split_regex(trim(COALESCE(text, '')), '\\s+'), 1) AS pos
+  FROM documents
+),
+mtri AS (
+  SELECT w AS w1,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM words WHERE m
+  QUALIFY w3 IS NOT NULL
+),
+tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS tc FROM mtri GROUP BY 1, 2, 3),
+mbi AS (
+  SELECT w AS a, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM words WHERE m
+  QUALIFY b IS NOT NULL
+),
+bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS bc FROM mbi GROUP BY 1, 2),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS uc FROM words WHERE m GROUP BY 1),
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words WHERE m),
+stri AS (
+  SELECT doc_id, w AS w1,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM words WHERE NOT m
+  QUALIFY w3 IS NOT NULL
+),
+j AS (
+  SELECT s.doc_id, tc.tc, b12.bc AS bc12, b23.bc AS bc23,
+         u2.uc AS uc2, u3.uc AS uc3, n.n
+  FROM stri s
+  LEFT JOIN tc ON tc.w1 = s.w1 AND tc.w2 = s.w2 AND tc.w3 = s.w3
+  LEFT JOIN bc b12 ON b12.a = s.w1 AND b12.b = s.w2
+  LEFT JOIN bc b23 ON b23.a = s.w2 AND b23.b = s.w3
+  LEFT JOIN uc u2 ON u2.w = s.w2
+  LEFT JOIN uc u3 ON u3.w = s.w3
+  CROSS JOIN ntot n
+),
+per_tri AS (
+  SELECT doc_id,
+         CAST(round(-ln(
+           CASE
+             WHEN tc IS NOT NULL THEN CAST(tc AS DOUBLE) / bc12
+             WHEN bc23 IS NOT NULL
+               THEN {alpha!r} * (CAST(bc23 AS DOUBLE) / uc2)
+             WHEN uc3 IS NOT NULL
+               THEN {alpha * alpha!r} * (CAST(uc3 AS DOUBLE) / n)
+             ELSE {alpha * alpha * alpha!r}
+                  / greatest(COALESCE(n, 0), 1)
+           END) * 1e6, 0) AS BIGINT) AS nll_micro,
+         CASE WHEN tc IS NOT NULL THEN 0 ELSE 1 END AS backed
+  FROM j
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(SUM(nll_micro) / (count(*) * 1000000.0), 6) AS mean_nll,
+         round(CAST(SUM(backed) AS DOUBLE) / count(*), 6) AS backoff_frac
+  FROM per_tri GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       COALESCE(p.mean_nll, 0.0) AS mean_nll,
+       COALESCE(p.backoff_frac, 0.0) AS backoff_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % {model_mod} != 0
+"""
+
+
 def bigram_nll_sql(alpha: float = 1.0) -> str:
     """DuckDB text of :func:`bigram_nll` (identical micro-nat contract)."""
     return f"""

@@ -502,6 +502,7 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     from flink_cooccurrence_spark.operators import retrieval as rt
 
     o["bm25_topk"] = rt.bm25_topk_sql()
+    o["hybrid_rrf_topk"] = rt.hybrid_rrf_topk_sql()
 
     # DSIR importance resampling (operators/dsir.py): identical λ and
     # Gumbel-key expressions, integer micro-nat sums
@@ -515,6 +516,7 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
 
     # smoothed bigram-LM quality proxy (micro-nat contract)
     o["bigram_nll"] = ts.bigram_nll_sql()
+    o["stupid_backoff_nll"] = ts.stupid_backoff_nll_sql()
 
     # streaming BM25 index: accumulated LSM index == the batch scan —
     # identical oracle text (losslessness-by-parity)
@@ -1631,6 +1633,10 @@ WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
     o["ngram_novelty"] = _dd9.ngram_novelty_sql()
     o["cdc_chunks"] = _cdc.cdc_chunks_sql()
     o["cdc_dup_chunks"] = _cdc.cdc_dup_chunks_sql()
+    # the streaming CDC tracker's accumulated state under the UNCHANGED
+    # batch oracles — the parity gate proves the LSM is lossless
+    o["streaming_cdc_dup_chunks"] = _cdc.cdc_dup_chunks_sql()
+    o["streaming_cdc_doc_stats"] = _cdc.cdc_doc_dup_stats_sql()
     o["cdc_doc_dup_stats"] = _cdc.cdc_doc_dup_stats_sql()
     o["duplicate_spans"] = sp.duplicate_spans_sql()
     o["duplicate_spans_cut"] = sp.duplicate_spans_sql(max_gram_freq=5)

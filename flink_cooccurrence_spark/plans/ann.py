@@ -64,6 +64,7 @@ from flink_cooccurrence_spark.operators.pq import (
     PQ_RES_SEED_SALT,
     ROUND_DIGITS,
     _fold_sq,
+    _lut_arr,
     _slices,
     pq_codebooks,
     pq_codes,
@@ -328,12 +329,7 @@ def query_pq_index(
     cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
     v = _as_double(F.col("embedding"))
     lut_cols = [
-        F.array(
-            *[
-                dot(F.slice(v, lo, w), F.array(*[F.lit(x) for x in emb]))
-                for _, emb, _n in books[s]
-            ]
-        ).alias(f"lut_{s}")
+        _lut_arr(F.slice(v, lo, w), books[s]).alias(f"lut_{s}")
         for s, (lo, w) in enumerate(_slices(dim, m))
     ]
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(

@@ -605,6 +605,19 @@ def _dsir_stream(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _cdc_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming CDC tracker over the documents corpus
+    (100 docs/batch); memoized per (session, sf_dir)."""
+    from flink_cooccurrence_spark.streaming.cdc import CdcStream
+
+    key = _memo_key(spark, sf_dir, "cdc_stream")
+    if key not in _ENGINE_MEMO:
+        eng = CdcStream(spark, workdir=_memo_tmpdir("cdc_q_"))
+        eng.replay(_documents(spark, sf_dir), docs_per_batch=100)
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _dedup_stream_engine(spark: SparkSession, sf_dir: str):
     """Replay the streaming dedup engine over the documents corpus in
     doc_id order (100 docs/batch → a genuinely multi-batch run at every
@@ -817,12 +830,26 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "source_overlap_matrix": lambda s, d: _dedup.source_overlap_matrix(
         _documents(s, d)
     ),
+    # round-10: trigram Stupid Backoff scoring (Brants et al. 2007 — the
+    # LM smoothing DESIGNED for distributed count tables) fitted on the
+    # held-out 1/13 model slice, scoring the rest; completes the
+    # unigram→bigram→trigram fluency axis with real backoff behavior
+    "stupid_backoff_nll": lambda s, d: _ts.stupid_backoff_nll(
+        _documents(s, d)
+    ),
     # distributed BPE vocabulary induction (Sennrich) — iterative
     # data-dependent argmax, non-SQL-expressible (rows-only; the gate is
     # the Python reference implementation in tests/test_bpe.py)
     "bpe_vocab": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.bpe", fromlist=["bpe_vocab"]
     ).bpe_vocab(_documents(s, d)),
+    # round-10: reciprocal-rank-fusion hybrid retrieval (Cormack et al.
+    # 2009) — BM25 lexical × exact-cosine dense lists fused on integer
+    # nano-unit reciprocals; the Elasticsearch/Vespa hybrid default
+    "hybrid_rrf_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.retrieval",
+        fromlist=["hybrid_rrf_topk"],
+    ).hybrid_rrf_topk(_documents(s, d), _embeddings(s, d)),
     # streaming BM25 index maintenance: the LSM-accumulated index
     # answers the flagship query bit-identically to the batch scan —
     # same oracle SQL as bm25_topk (losslessness-by-parity)
@@ -954,6 +981,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "cdc_chunks": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.cdc", fromlist=["cdc_chunks"]
     ).cdc_chunks(_documents(s, d)),
+    # round-10 streaming CDC tracker: the chunk-hash LSM's accumulated
+    # queries equal the batch operators — same oracle SQL
+    # (losslessness-by-parity)
+    "streaming_cdc_dup_chunks": lambda s, d: _cdc_stream(s, d).dup_chunks(),
+    "streaming_cdc_doc_stats": lambda s, d: _cdc_stream(s, d).doc_dup_stats(),
     # cdc_dup_chunks is a DRIVER row since the round-10 rotation
     "cdc_doc_dup_stats": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.cdc",
@@ -1059,6 +1091,13 @@ HEADLINE_QUERIES = [
     # both under fingerprint + timing watch
     "bm25_topk",
     "dsir_sample",
+    # round-10 driver flagships: IVF-PQ ADC scoring (raw + the
+    # residual-over-fitted-cells published form), CDC chunk dedup (scan +
+    # window + one groupBy, no pair join), and the bigram-LM fluency axis
+    "ivf_pq_topk",
+    "ivf_pq_residual_topk",
+    "cdc_dup_chunks",
+    "bigram_nll",
 ]
 
 #: pre-components EDGE plans of the CC-composed headline queries. The

@@ -1,0 +1,130 @@
+"""Streaming content-defined-chunking dedup — the online form of the
+CDC operators (``operators/cdc.py``).
+
+Chunk boundaries are content-defined and PER-DOCUMENT (the LBFS point:
+an edit moves no boundary outside its own neighborhood), so a batch's
+chunk rows are computable from the batch alone and immutable once
+written — the LSH-posting append argument verbatim. The engine is an
+LSM over the shared state machinery:
+
+- per batch: chunk ONLY the batch's documents (the batch operator's
+  exact expressions — ``cdc_chunks``), append the rows as one
+  chunk-hash-bucketed segment (write I/O O(batch), never O(|state|)).
+  One Spark write per batch, no driver state beyond the batch-id mark
+  (chunk-hash cardinality is O(corpus) — it must NEVER be a driver
+  table, unlike the MG/quantile-counts engines' bounded keys).
+- queries aggregate the accumulated segments with the batch operators'
+  SHARED aggregation tails (``dup_chunks_of`` / ``doc_dup_stats_of``) —
+  the duplicated-content inventory and the per-doc dup mass over
+  everything ingested so far.
+- segment counts are bounded by synchronous LSM compaction past
+  ``compact_threshold`` (chunk rows are immutable: compaction is a pure
+  rewrite, no reducer).
+
+Exactness gate (losslessness-by-parity, the ``streaming_bm25_topk``
+pattern): after replaying the corpus, ``dup_chunks()`` /
+``doc_dup_stats()`` equal the batch ``cdc_dup_chunks`` /
+``cdc_doc_dup_stats`` under the UNCHANGED DuckDB oracles.
+Transactionality: the engines' shared contract — per-batch
+commit/rollback, batch-id high-water mark (re-delivered batches skip),
+state survives kill-restart. Ingest contract: a doc_id arrives in
+exactly ONE batch (append-only corpus)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32
+from flink_cooccurrence_spark.operators.cdc import (
+    CDC_DIVISOR,
+    CDC_K,
+    cdc_chunks,
+    doc_dup_stats_of,
+    dup_chunks_of,
+)
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+CHUNK_SCHEMA = (
+    "doc_id long, chunk_id int, start int, n_tokens long, chunk_hash string"
+)
+
+#: chunk-hash bucket fan-out for the LSM segments (the text-index choice)
+NUM_HASH_BUCKETS = 64
+
+
+class CdcStream:
+    """Online CDC dedup state over a document micro-batch stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        k: int = CDC_K,
+        divisor: int = CDC_DIVISOR,
+        num_buckets: int = NUM_HASH_BUCKETS,
+        compact_threshold: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.k = k
+        self.divisor = divisor
+        self.num_buckets = num_buckets
+        self.compact_threshold = compact_threshold
+        self.workdir = workdir or tempfile.mkdtemp(prefix="cdc_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        """Chunk and index one micro-batch; one transaction."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
+        ch = cdc_chunks(docs, self.k, self.divisor).withColumn(
+            "_bucket",
+            (hash32(F.col("chunk_hash")) % F.lit(self.num_buckets)).cast(
+                "int"
+            ),
+        )
+        try:
+            self.state.append_parts(
+                "chunks", ch, list(range(self.num_buckets))
+            )
+            if (
+                self.state.append_segment_count("chunks")
+                > self.compact_threshold
+            ):
+                self.state.compact_append("chunks", CHUNK_SCHEMA)
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
+        except BaseException:
+            self.state.rollback()
+            raise
+
+    def replay(self, docs: DataFrame, docs_per_batch: int = 100) -> None:
+        """Deterministic replay in doc_id order; batch numbering
+        continues from the high-water mark."""
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
+        ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+        for b, lo in enumerate(range(0, len(ids), docs_per_batch)):
+            chunk = ids[lo : lo + docs_per_batch]
+            batch = docs.filter(
+                (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
+            )
+            self.process_batch(batch, base + b)
+
+    # ------------------------------------------------------------- queries
+
+    def chunks(self) -> DataFrame:
+        """The accumulated chunk table."""
+        return self.state.get_append("chunks", CHUNK_SCHEMA)
+
+    def dup_chunks(self) -> DataFrame:
+        """Equals the batch ``cdc_dup_chunks`` on the accumulated
+        corpus — the shared aggregation tail over the LSM scan."""
+        return dup_chunks_of(self.chunks())
+
+    def doc_dup_stats(self) -> DataFrame:
+        """Equals the batch ``cdc_doc_dup_stats`` on the accumulated
+        corpus."""
+        return doc_dup_stats_of(self.chunks())

@@ -141,3 +141,51 @@ def test_bm25_random_corpora_match_hand_model(spark):
             .collect()
         ]
         assert got == _hand_bm25(texts, terms), (trial, terms)
+
+
+def test_hybrid_rrf_fusion_convention(spark):
+    """A doc in both lists outranks docs in one; docs missing from a
+    list get no contribution from it (the Cormack et al. convention);
+    the fused key is an exact integer sum (no float-tie hazard)."""
+    from flink_cooccurrence_spark.operators.retrieval import (
+        RRF_K,
+        hybrid_rrf_topk,
+    )
+
+    texts = {
+        0: "spark hash window",        # lexical hit, dense query vec
+        1: "spark spark hash window",  # strongest lexical
+        2: "zzz yyy xxx",              # lexical miss
+        3: "spark",                    # weak lexical
+    }
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.8, 0.2]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hybrid_rrf_topk(docs, emb, k=10).collect()
+    }
+    # every doc appears (each is in at least one top-depth list)
+    assert set(out) == {0, 1, 2, 3}
+    # doc 2 misses the lexical list entirely: lex_rank NULL, dense-only
+    assert out[2]["lex_rank"] is None and out[2]["dense_rank"] is not None
+    # hand-check one fused value: integer nano-units, both systems
+    r0 = out[0]
+    exp = round(
+        (round(1e9 / (RRF_K + r0["lex_rank"])) + round(1e9 / (RRF_K + r0["dense_rank"])))
+        / 1e9,
+        6,
+    )
+    assert r0["rrf"] == exp
+    # both-list docs dominate the dense-only doc
+    assert out[2]["rrf"] < min(out[0]["rrf"], out[1]["rrf"])

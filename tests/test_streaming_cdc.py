@@ -1,0 +1,65 @@
+"""Streaming CDC dedup (streaming/cdc.py): accumulated-state queries
+must equal the batch operators, under slicing, kill-restart,
+re-delivery, and compaction churn. DuckDB parity for the registered
+rows runs in test_oracle_parity.py under the UNCHANGED batch oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.cdc import (
+    cdc_doc_dup_stats,
+    cdc_dup_chunks,
+)
+from flink_cooccurrence_spark.streaming.cdc import CdcStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_stream_equals_batch(spark, docs, tmp_path_factory):
+    eng = CdcStream(spark, workdir=str(tmp_path_factory.mktemp("cdc_main")))
+    eng.replay(docs, docs_per_batch=100)
+    assert _rows(eng.dup_chunks()) == _rows(cdc_dup_chunks(docs))
+    assert _rows(eng.doc_dup_stats()) == _rows(cdc_doc_dup_stats(docs))
+
+
+def test_slicing_invariance_and_compaction_churn(
+    spark, docs, tmp_path_factory
+):
+    # 37-doc batches force >8 segments → compaction fires mid-replay;
+    # results must stay bit-identical to the coarse slicing
+    eng = CdcStream(
+        spark,
+        workdir=str(tmp_path_factory.mktemp("cdc_slice")),
+        compact_threshold=4,
+    )
+    eng.replay(docs.filter(F.col("doc_id") < 400), docs_per_batch=37)
+    exp = _rows(cdc_dup_chunks(docs.filter(F.col("doc_id") < 400)))
+    assert _rows(eng.dup_chunks()) == exp
+
+
+def test_kill_restart_and_redelivery(spark, docs, tmp_path_factory):
+    small = docs.filter(F.col("doc_id") < 300)
+    wd = str(tmp_path_factory.mktemp("cdc_restart"))
+    eng = CdcStream(spark, workdir=wd)
+    eng.replay(small.filter(F.col("doc_id") < 150), docs_per_batch=75)
+    # abrupt kill: a new object on the same workdir resumes committed state
+    eng2 = CdcStream(spark, workdir=wd)
+    before = _rows(eng2.dup_chunks())
+    # re-delivery of a committed batch id is a no-op
+    eng2.process_batch(small.filter(F.col("doc_id") < 75), batch_id=0)
+    assert _rows(eng2.dup_chunks()) == before
+    eng2.replay(small.filter(F.col("doc_id") >= 150), docs_per_batch=75)
+    assert _rows(eng2.dup_chunks()) == _rows(cdc_dup_chunks(small))
+    assert _rows(eng2.doc_dup_stats()) == _rows(cdc_doc_dup_stats(small))

@@ -1,0 +1,115 @@
+"""Trigram Stupid Backoff scoring (operators/textstats.py,
+Brants et al. 2007): hand-computed model over a tiny fixture where every
+backoff level fires, plus the held-out split and short-doc conventions.
+DuckDB parity at the test SF runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import math
+
+from flink_cooccurrence_spark.operators.textstats import (
+    SB_ALPHA,
+    stupid_backoff_nll,
+)
+
+# doc 0 is the MODEL slice (doc_id % 13 == 0): tokens a b c a b d
+# model tables: N=6; uc: a2 b2 c1 d1; bc: (a,b)2 (b,c)1 (c,a)1 (b,d)1;
+# tc: (a,b,c)1 (b,c,a)1 (c,a,b)1 (a,b,d)1
+FIXTURE = {
+    0: "a b c a b d",
+    # scored docs:
+    1: "a b c a",     # trigrams (a,b,c): seen tc=1/bc12=2; (b,c,a): tc=1/bc=1
+    2: "a b x",       # trigram (a,b,x): tc miss, bc23 (b,x) miss, uc3 x miss → OOV floor
+    3: "c a b",       # (c,a,b): seen tc=1/bc(c,a)=1
+    4: "b d c",       # (b,d,c): tc miss; bc23 (d,c) miss; uc3 c=1 → level 3
+    5: "a c a b",     # (a,c,a): tc miss, bc23 (c,a)=1/uc2 c=1 → level 2; (c,a,b): seen
+    6: "a b",         # < 3 tokens → (0, 0.0, 0.0)
+}
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in FIXTURE.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _micro(s: float) -> int:
+    # Spark/DuckDB round-half-up on the micro-nat scale
+    import decimal
+
+    return int(
+        decimal.Decimal(-math.log(s) * 1e6).quantize(
+            0, rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _r6(x: float) -> float:
+    # Spark/DuckDB round HALF_UP over the double's SHORTEST DECIMAL
+    # repr (BigDecimal.valueOf semantics) — Decimal(repr(x)), not the
+    # binary expansion Decimal(x), and not Python's half-even round()
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _hand():
+    a = SB_ALPHA
+    tri = {
+        1: [1 / 2, 1 / 1],                      # both trigram hits
+        2: [a * a * a / 6],                     # OOV floor
+        3: [1 / 1],
+        4: [a * a * (1 / 6)],                   # unigram level: uc3(c)=1, N=6
+        5: [a * (1 / 1), 1 / 1],                # bigram level then trigram
+        6: [],
+    }
+    out = {}
+    for d, scores in tri.items():
+        if not scores:
+            out[d] = (0, 0.0, 0.0)
+            continue
+        micros = [_micro(s) for s in scores]
+        backed = {1: 0, 2: 1, 3: 0, 4: 1, 5: 1}[d]
+        out[d] = (
+            len(scores),
+            _r6(sum(micros) / (len(scores) * 1e6)),
+            _r6(backed / len(scores)),
+        )
+    return out
+
+
+def test_matches_hand_model_all_backoff_levels(spark):
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["mean_nll"], r["backoff_frac"])
+        for r in stupid_backoff_nll(_docs(spark)).collect()
+    }
+    assert got == _hand()
+
+
+def test_model_slice_gets_no_row(spark):
+    ids = {r["doc_id"] for r in stupid_backoff_nll(_docs(spark)).collect()}
+    assert 0 not in ids
+    assert ids == set(FIXTURE) - {0}
+
+
+def test_empty_corpus_and_empty_model_slice(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert stupid_backoff_nll(empty).count() == 0
+    # a corpus with NO model-slice docs: everything lands on the clamped
+    # OOV floor, deterministically, instead of dividing by zero
+    no_model = spark.createDataFrame(
+        [(1, "x y z", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = stupid_backoff_nll(no_model).collect()
+    assert len(rows) == 1
+    exp = round(_micro(SB_ALPHA**3 / 1) / 1e6, 6)
+    assert rows[0]["mean_nll"] == exp
+    assert rows[0]["backoff_frac"] == 1.0
