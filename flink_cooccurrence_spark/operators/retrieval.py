@@ -238,8 +238,16 @@ def hybrid_rrf_topk(
     rank is over ≤ 2·depth rows. The heavy lifting (corpus scans) is
     the two systems', each with its own documented shape.
     """
+    # lazy cache marks (the dsir_sample / SCALING.md intra-plan-sharing
+    # policy): every bucketed-rank stage makes three passes over its
+    # input, and the FUSION rank's three passes would otherwise
+    # re-evaluate both whole system pipelines each time (plan-audited:
+    # unmarked, the executed plan inlined the corpus scans dozens of
+    # times). Each marked frame is BOUNDED — ≤ depth rows per system
+    # list, one (id, score) row per vector for the dense scan. Fills on
+    # the query's own first action; harnesses clearCache.
     lex = bm25_topk(documents, query_terms, k=depth)
-    lexr = lex.select("doc_id", F.col("rank").alias("lex_rank"))
+    lexr = lex.select("doc_id", F.col("rank").alias("lex_rank")).cache()
     v = F.col("embedding").cast("array<double>")
     from flink_cooccurrence_spark.operators.similarity import _with_norm, dot
 
@@ -250,14 +258,21 @@ def hybrid_rrf_topk(
     cos = F.round(
         dot(v, F.col("_qv")) / (F.col("norm") * F.col("_qn")), 6
     )
-    dense_scored = base.crossJoin(F.broadcast(qvec)).select(
-        F.col("vec_id").alias("doc_id"), cos.alias("_cos")
+    dense_scored = (
+        base.crossJoin(F.broadcast(qvec))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("_cos"))
+        .cache()
     )
-    dense = global_seq(
-        dense_scored.withColumn("_neg", -F.col("_cos")),
-        ["_neg", "doc_id"],
-        out="dense_rank",
-    ).filter(F.col("dense_rank") <= depth).select("doc_id", "dense_rank")
+    dense = (
+        global_seq(
+            dense_scored.withColumn("_neg", -F.col("_cos")),
+            ["_neg", "doc_id"],
+            out="dense_rank",
+        )
+        .filter(F.col("dense_rank") <= depth)
+        .select("doc_id", "dense_rank")
+        .cache()
+    )
     fused = lexr.join(dense, on="doc_id", how="full_outer")
     nano = lambda r: F.round(  # noqa: E731
         F.lit(1e9) / (F.lit(k_rrf) + F.col(r)), 0

@@ -118,6 +118,16 @@ ALLOWED_BNLJ = {
     # heavy hitters: the global total (from the MG sweep's partition
     # markers) rides as a broadcast 1-row aggregate crossJoin
     "heavy_hitter_items": "1-row total aggregate (from sweep markers)",
+    # Stupid Backoff: the model slice's 1-row token total crossJoins
+    # into per-trigram scoring (the llr_scores class)
+    "stupid_backoff_nll": "1-row model-token-total aggregate",
+    # hybrid RRF: the 1-row dense query vector + the component systems'
+    # own 1-row stats aggregates (bm25's corpus stats); every broadcast
+    # side is corpus-independent, and the three rank stages' inputs are
+    # cache-marked so execution materializes each pipeline once
+    "hybrid_rrf_topk": (
+        "1-row query-vector row + 1-row corpus-stats aggregates"
+    ),
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may
@@ -134,7 +144,7 @@ ALLOWED_SINGLE_PARTITION = {
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
-    "ann_recall": "6-row recall summary aggregate",
+    "ann_recall": "7-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
@@ -162,6 +172,13 @@ ALLOWED_SINGLE_PARTITION = {
     # group table (|groups| rows — languages/sources, the mixing family's
     # low-cardinality contract), never over corpus rows
     "mixture_weights_alpha": "≤|groups|-row normalization window over the group table",
+    # Stupid Backoff: the 1-row model token total's aggregate exchange
+    "stupid_backoff_nll": "1-row model-token-total aggregate",
+    # hybrid RRF: the component systems' 1-row stats aggregates + the
+    # ≤4096-row bucket-offset windows of the three bounded rank stages
+    "hybrid_rrf_topk": (
+        "1-row stats aggregates + ≤4096-row bucket-offsets windows"
+    ),
 }
 
 
