@@ -1,0 +1,261 @@
+"""KMV / theta cardinality sketches — distinct counts and set overlap
+at O(k) state per group.
+
+The bottom-k (K-Minimum-Values) sketch (Bar-Yossef et al. 2002; the
+Apache DataSketches theta family): hash every element uniformly into
+[0, 2³²), keep only the k SMALLEST distinct hash values per group. The
+k-th minimum ``h_k`` estimates the distinct count as
+``(k−1) · 2³² / h_k`` (the unbiased KMV estimator; relative error
+~1/√k); when a group has fewer than k distinct hashes the sketch IS the
+set and the count is exact (the standard small-range rule). Set algebra
+rides for free — the bottom-k of a UNION is contained in the union of
+the bottom-k's (any of the union's k smallest is among its own set's k
+smallest), so pairwise Jaccard/intersection estimates need only the
+per-group sketches: over ``K_AB = bottom-k(A ∪ B)``, the fraction of
+members lying in both sets estimates the Jaccard (the theta-sketch
+intersection rule), exactly when the union is small.
+
+Why it belongs in this engine: the sketch portfolio covered frequency
+(Misra-Gries), membership (bloom), and ranks (bucketed quantiles) but
+had NO cardinality estimator — and distinct-shingle counting is the
+100 TB pain case (`source_overlap_matrix` is exact but pays the full
+inverted index; the sketch answers the same forensics question from
+|sources|·k rows). Everything here is DETERMINISTIC given the portable
+hash — no randomness — so the estimates themselves are DuckDB-oracle-
+exact (an estimator under an exactness gate: the two engines must agree
+bit-for-bit on the estimate, while pytest separately checks the
+estimate is close to the exact count).
+
+Element domain: n-gram shingles hashed with ``hash32`` (the
+``source_overlap_matrix`` shingle build verbatim). The sketch estimates
+distinct HASH counts; for |D| ≪ 2³² collisions are negligible and the
+exact-side comparisons in pytest use the same hash domain.
+
+Scale shape: distinct (source, hash) is one aggregation on the shingle
+index; per-group bottom-k is a WindowGroupLimit (partial per-partition
+top-k, never a global sort); everything pairwise runs over the
+|sources|·k-row sketch table. Nothing is O(corpus²); the streaming
+tracker's driver state is |sources|·k rows (the bounded MG class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+from flink_cooccurrence_spark.operators.textstats import _tokens
+from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+#: sketch size (per group) — ~6% relative error; a deployment sizes up
+KMV_K = 256
+
+#: shingle width (matches source_overlap_matrix)
+KMV_SHINGLE_N = 3
+
+#: the hash space size (hash32 is uniform in [0, 2^32))
+_HASH_SPACE = 4294967296.0
+
+
+def source_shingle_hashes(
+    documents: DataFrame, n: int = KMV_SHINGLE_N
+) -> DataFrame:
+    """(source, h): the distinct shingle-hash set per source — the
+    ``source_overlap_matrix`` shingle build with the portable hash."""
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        "source",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    return (
+        words.select(
+            "source",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("w", n - 1).over(win).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("source", hash32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def kmv_sketch(
+    documents: DataFrame, n: int = KMV_SHINGLE_N, k: int = KMV_K
+) -> DataFrame:
+    """(source, rank, h): each source's k smallest distinct shingle
+    hashes, rank 1 = smallest. Hashes are distinct within a group, so
+    the order is total without a tie rule."""
+    hashes = source_shingle_hashes(documents, n)
+    return top_k_per_group(
+        hashes.withColumn("_neg", -F.col("h")),
+        ["source"],
+        "_neg",
+        k,
+        tie_breakers=["h"],
+    ).select("source", "rank", "h")
+
+
+def distinct_estimates_of(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The KMV estimator aggregation over ANY (source, h) sketch frame
+    — shared verbatim by the batch operator and the streaming tracker
+    (``streaming/kmv.py``), so the two can never drift."""
+    return sk.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_seen"),
+        F.round(
+            F.when(
+                F.count("*") < k, F.count("*").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.max("h")
+            ),
+            6,
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_shingles(
+    documents: DataFrame, n: int = KMV_SHINGLE_N, k: int = KMV_K
+) -> DataFrame:
+    """(source, n_seen, est_distinct): per-source distinct-shingle
+    estimate from the bottom-k sketch — exact when n_seen < k (the
+    sketch holds the whole set), else ``(k−1)·2³²/h_k``."""
+    return distinct_estimates_of(kmv_sketch(documents, n, k), k)
+
+
+def source_jaccard_of(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The theta pairwise estimator over ANY (source, h) sketch frame —
+    shared verbatim by the batch operator and the streaming tracker."""
+    sk = sk.select("source", "h")
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    m_a = sk.select(F.col("source").alias("source_a"), "h").join(
+        pairs, on="source_a"
+    ).select("source_a", "source_b", "h", F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+    m_b = sk.select(F.col("source").alias("source_b"), "h").join(
+        pairs, on="source_b"
+    ).select("source_a", "source_b", "h", F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    u = (
+        m_a.unionByName(m_b)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("_a").alias("in_a"), F.max("_b").alias("in_b"))
+    )
+    kab = top_k_per_group(
+        u.withColumn("_neg", -F.col("h")),
+        ["source_a", "source_b"],
+        "_neg",
+        k,
+        tie_breakers=["h"],
+    )
+    return kab.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("int").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("int").alias("n_both"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("est_jaccard"),
+    )
+
+
+def kmv_source_jaccard(
+    documents: DataFrame, n: int = KMV_SHINGLE_N, k: int = KMV_K
+) -> DataFrame:
+    """(source_a, source_b, k_used, n_both, est_jaccard): pairwise
+    Jaccard estimates over the union bottom-k — the theta-sketch
+    intersection rule, computed ENTIRELY from the per-source sketches
+    (bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B), and membership of a
+    union-sketch hash in A is decidable from A's sketch alone). Exact
+    when the union has fewer than k distinct hashes."""
+    return source_jaccard_of(kmv_sketch(documents, n, k), k)
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _hashes_sql(n: int) -> str:
+    gram = " || ' ' || ".join(
+        "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(n)
+    )
+    return f"""
+words AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT source, ({gram}) AS shingle,
+         lead(w, {n - 1}) OVER win AS last_w
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+hashes AS (
+  SELECT DISTINCT source, {hash32_sql("shingle")} AS h
+  FROM grams WHERE last_w IS NOT NULL
+)
+""".strip()
+
+
+def _sketch_sql(n: int, k: int) -> str:
+    return f"""
+{_hashes_sql(n)},
+sk AS (
+  SELECT source, rn AS rank, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= {k}
+)
+""".strip()
+
+
+def kmv_distinct_shingles_sql(
+    n: int = KMV_SHINGLE_N, k: int = KMV_K
+) -> str:
+    return f"""
+WITH {_sketch_sql(n, k)}
+SELECT source, CAST(COUNT(*) AS INT) AS n_seen,
+       round(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE {float(k - 1)!r} * {_HASH_SPACE!r} / MAX(h) END,
+             6) AS est_distinct
+FROM sk GROUP BY source
+"""
+
+
+def kmv_source_jaccard_sql(n: int = KMV_SHINGLE_N, k: int = KMV_K) -> str:
+    return f"""
+WITH {_sketch_sql(n, k)},
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+u AS (
+  SELECT p.source_a, p.source_b, s.h,
+         MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+  GROUP BY 1, 2, 3
+),
+kab AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {k}
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS INT) AS k_used,
+       CAST(SUM(in_a * in_b) AS INT) AS n_both,
+       round(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS est_jaccard
+FROM kab GROUP BY 1, 2
+"""

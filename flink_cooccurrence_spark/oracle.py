@@ -518,6 +518,15 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     o["bigram_nll"] = ts.bigram_nll_sql()
     o["stupid_backoff_nll"] = ts.stupid_backoff_nll_sql()
 
+    # KMV/theta cardinality sketches: deterministic bottom-k estimators,
+    # so the ESTIMATES are oracle-exact; the streaming tracker runs
+    # under the unchanged batch oracle (losslessness-by-parity)
+    from flink_cooccurrence_spark.operators import kmv as _kmv
+
+    o["kmv_distinct_shingles"] = _kmv.kmv_distinct_shingles_sql()
+    o["kmv_source_jaccard"] = _kmv.kmv_source_jaccard_sql()
+    o["streaming_kmv_distinct"] = _kmv.kmv_distinct_shingles_sql()
+
     # streaming BM25 index: accumulated LSM index == the batch scan —
     # identical oracle text (losslessness-by-parity)
     o["streaming_bm25_topk"] = rt.bm25_topk_sql()

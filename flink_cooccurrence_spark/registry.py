@@ -605,6 +605,19 @@ def _dsir_stream(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _kmv_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming KMV sketch over the documents corpus
+    (100 docs/batch); memoized per (session, sf_dir)."""
+    from flink_cooccurrence_spark.streaming.kmv import KmvStream
+
+    key = _memo_key(spark, sf_dir, "kmv_stream")
+    if key not in _ENGINE_MEMO:
+        eng = KmvStream(spark, workdir=_memo_tmpdir("kmv_q_"))
+        eng.replay(_documents(spark, sf_dir), docs_per_batch=100)
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _cdc_stream(spark: SparkSession, sf_dir: str):
     """Replay the streaming CDC tracker over the documents corpus
     (100 docs/batch); memoized per (session, sf_dir)."""
@@ -830,6 +843,28 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "source_overlap_matrix": lambda s, d: _dedup.source_overlap_matrix(
         _documents(s, d)
     ),
+    # round-10: KMV/theta cardinality sketches (Bar-Yossef et al.;
+    # the DataSketches theta family) — the sketch portfolio's missing
+    # class (MG=frequency, bloom=membership, buckets=ranks). The
+    # estimators are DETERMINISTIC given the portable hash, so even the
+    # ESTIMATES are oracle-exact; pytest separately bounds them against
+    # the exact counts (~1/√k). source_overlap_matrix answers the same
+    # forensics question exactly at inverted-index cost; this answers it
+    # from |sources|·k rows.
+    "kmv_distinct_shingles": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.kmv",
+        fromlist=["kmv_distinct_shingles"],
+    ).kmv_distinct_shingles(_documents(s, d)),
+    "kmv_source_jaccard": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.kmv",
+        fromlist=["kmv_source_jaccard"],
+    ).kmv_source_jaccard(_documents(s, d)),
+    # the streaming tracker's accumulated sketch under the UNCHANGED
+    # batch oracle — bottom-k is a mergeable summary, so the merge is
+    # exactly the batch lattice operation (losslessness-by-parity)
+    "streaming_kmv_distinct": lambda s, d: _kmv_stream(
+        s, d
+    ).distinct_estimates(),
     # round-10: trigram Stupid Backoff scoring (Brants et al. 2007 — the
     # LM smoothing DESIGNED for distributed count tables) fitted on the
     # held-out 1/13 model slice, scoring the rest; completes the

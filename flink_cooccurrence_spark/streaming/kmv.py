@@ -1,0 +1,120 @@
+"""Streaming KMV cardinality tracking — the online form of the bottom-k
+sketch (``operators/kmv.py``).
+
+Bottom-k is the textbook MERGEABLE summary: bottom-k(A ∪ B) is a pure
+function of bottom-k(A) and bottom-k(B) (sort the union of the two
+sketches, truncate to k) — so the online engine keeps one |sources|·k
+row table as its whole state (the Misra-Gries bounded-driver-state
+class) and each micro-batch costs ONE bounded collect (the batch's own
+per-source sketch, ≤ |sources|·k rows) merged driver-side.
+
+Exactness gate (losslessness-by-parity): after replaying the corpus,
+``distinct_estimates()`` / ``source_jaccard()`` equal the batch
+``kmv_distinct_shingles`` / ``kmv_source_jaccard`` under the UNCHANGED
+DuckDB oracles — bit-identical, because the merge is exactly the
+lattice operation the batch sketch computes in one pass.
+
+Transactionality: the engines' shared contract — per-batch
+commit/rollback on the ``StateStore``, batch-id high-water mark
+(re-delivered batches skip), sketch survives kill-restart.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.kmv import (
+    KMV_K,
+    KMV_SHINGLE_N,
+    distinct_estimates_of,
+    kmv_sketch,
+    source_jaccard_of,
+)
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+SKETCH_SCHEMA = "source string, h long"
+
+
+class KmvStream:
+    """Online per-source bottom-k sketch over a document micro-batch
+    stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        n: int = KMV_SHINGLE_N,
+        k: int = KMV_K,
+    ) -> None:
+        self.spark = spark
+        self.n = n
+        self.k = k
+        self.workdir = workdir or tempfile.mkdtemp(prefix="kmv_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+        self._sk = pd.DataFrame(columns=["source", "h"])
+        if self.state.get_scalar("initialized", 0):
+            self._sk = self.state.get("sketch", SKETCH_SCHEMA).toPandas()
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch's sketch into the accumulated one; one
+        transaction, ONE bounded collect."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
+        batch_sk = (
+            kmv_sketch(docs, self.n, self.k).select("source", "h").toPandas()
+        )
+        merged = (
+            pd.concat([self._sk, batch_sk])
+            .drop_duplicates(["source", "h"])
+            .sort_values(["source", "h"])
+            .groupby("source", as_index=False)
+            .head(self.k)
+            .reset_index(drop=True)
+            .astype({"h": "int64"})
+        )
+        try:
+            self.state.put(
+                "sketch", self.spark.createDataFrame(merged, SKETCH_SCHEMA)
+            )
+            self.state.set_scalar("initialized", 1)
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
+        except BaseException:
+            self.state.rollback()
+            raise
+        self._sk = merged
+
+    def replay(self, docs: DataFrame, docs_per_batch: int = 100) -> None:
+        """Deterministic replay in doc_id order; batch numbering
+        continues from the high-water mark."""
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
+        ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+        for b, lo in enumerate(range(0, len(ids), docs_per_batch)):
+            chunk = ids[lo : lo + docs_per_batch]
+            batch = docs.filter(
+                (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
+            )
+            self.process_batch(batch, base + b)
+
+    # ------------------------------------------------------------- queries
+
+    def _sketch_df(self) -> DataFrame:
+        return self.state.get("sketch", SKETCH_SCHEMA)
+
+    def distinct_estimates(self) -> DataFrame:
+        """(source, n_seen, est_distinct): the batch estimator's SHARED
+        aggregation tail over the accumulated sketch — equals the batch
+        ``kmv_distinct_shingles`` on the accumulated corpus."""
+        return distinct_estimates_of(self._sketch_df(), self.k)
+
+    def source_jaccard(self) -> DataFrame:
+        """(source_a, source_b, k_used, n_both, est_jaccard): the theta
+        pairwise estimator's SHARED tail over the accumulated sketches —
+        equals the batch ``kmv_source_jaccard`` on the accumulated
+        corpus."""
+        return source_jaccard_of(self._sketch_df(), self.k)

@@ -1,0 +1,141 @@
+"""KMV/theta cardinality sketches (operators/kmv.py + streaming/kmv.py):
+the estimators' ACCURACY against exact counts (the oracle gate proves
+engine agreement, not closeness — that's this file's job), the
+small-range exactness rule, and the streaming tracker's mergeability /
+kill-restart / re-delivery contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.kmv import (
+    KMV_K,
+    kmv_distinct_shingles,
+    kmv_sketch,
+    kmv_source_jaccard,
+    source_shingle_hashes,
+)
+from flink_cooccurrence_spark.streaming.kmv import KmvStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_estimates_close_to_exact(spark, docs):
+    """KMV rel. error is ~1/√k (≈6% at k=256); allow 4σ ≈ 25%."""
+    exact = {
+        r["source"]: r["n"]
+        for r in source_shingle_hashes(docs)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    est = {
+        r["source"]: (r["n_seen"], r["est_distinct"])
+        for r in kmv_distinct_shingles(docs).collect()
+    }
+    assert set(est) == set(exact)
+    for src, (n_seen, e) in est.items():
+        if n_seen < KMV_K:
+            assert e == float(exact[src])  # small-range rule: exact
+        else:
+            assert abs(e - exact[src]) / exact[src] < 0.25, (src, e, exact[src])
+
+
+def test_jaccard_estimates_close_to_exact(spark, docs):
+    sh = source_shingle_hashes(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_i"))
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    exact = {}
+    nmap = {r["source"]: r["n"] for r in sizes.collect()}
+    for r in inter.collect():
+        u = nmap[r["source_a"]] + nmap[r["source_b"]] - r["n_i"]
+        exact[(r["source_a"], r["source_b"])] = r["n_i"] / u
+    got = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in kmv_source_jaccard(docs).collect()
+    }
+    # every pair with any overlap appears in the estimate table too
+    assert set(exact) <= set(got)
+    for pair, j in exact.items():
+        # absolute error on a [0,1] quantity: ~2/√k ≈ 0.13 at k=256
+        assert abs(got[pair] - j) < 0.15, (pair, got[pair], j)
+
+
+def test_small_union_is_exact_jaccard(spark):
+    """Unions smaller than k make the sketch the whole set — the
+    estimator must be EXACTLY the hash-set Jaccard."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f", "en", "s0", 11),
+            (1, "c d e f g h", "en", "s1", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = kmv_source_jaccard(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 4 shingles per doc (n=3 over 6 tokens), overlap = shingles of the
+    # shared run 'c d e f' → 2 of them ('c d e', 'd e f')
+    assert r["k_used"] == 6 and r["n_both"] == 2
+    assert r["est_jaccard"] == round(2 / 6, 6)
+
+
+def test_streaming_tracker_equals_batch(spark, docs, tmp_path_factory):
+    eng = KmvStream(spark, workdir=str(tmp_path_factory.mktemp("kmv_main")))
+    eng.replay(docs, docs_per_batch=100)
+    assert _rows(eng.distinct_estimates()) == _rows(kmv_distinct_shingles(docs))
+    assert _rows(eng.source_jaccard()) == _rows(kmv_source_jaccard(docs))
+    # slicing invariance: bottom-k merge is a lattice op
+    eng2 = KmvStream(spark, workdir=str(tmp_path_factory.mktemp("kmv_slice")))
+    eng2.replay(docs, docs_per_batch=37)
+    assert _rows(eng2.distinct_estimates()) == _rows(eng.distinct_estimates())
+
+
+def test_streaming_kill_restart_and_redelivery(spark, docs, tmp_path_factory):
+    small = docs.filter(F.col("doc_id") < 300)
+    wd = str(tmp_path_factory.mktemp("kmv_restart"))
+    eng = KmvStream(spark, workdir=wd)
+    eng.replay(small.filter(F.col("doc_id") < 150), docs_per_batch=75)
+    eng2 = KmvStream(spark, workdir=wd)
+    before = _rows(eng2.distinct_estimates())
+    eng2.process_batch(small.filter(F.col("doc_id") < 75), batch_id=0)
+    assert _rows(eng2.distinct_estimates()) == before
+    eng2.replay(small.filter(F.col("doc_id") >= 150), docs_per_batch=75)
+    assert _rows(eng2.distinct_estimates()) == _rows(
+        kmv_distinct_shingles(small)
+    )
+
+
+def test_sketch_is_bottom_k(spark, docs):
+    sk = kmv_sketch(docs, k=16)
+    hashes = source_shingle_hashes(docs)
+    for src_row in sk.select("source").distinct().collect():
+        src = src_row["source"]
+        got = sorted(
+            r["h"] for r in sk.filter(F.col("source") == src).collect()
+        )
+        exp = sorted(
+            r["h"]
+            for r in hashes.filter(F.col("source") == src).collect()
+        )[:16]
+        assert got == exp

@@ -128,6 +128,11 @@ ALLOWED_BNLJ = {
     "hybrid_rrf_topk": (
         "1-row query-vector row + 1-row corpus-stats aggregates"
     ),
+    # KMV pairwise estimator: the source-pair generator is a non-equi
+    # self-join of the DISTINCT SOURCE list (|sources| rows — the mixing
+    # family's low-cardinality contract; output |sources|² pairs, the
+    # source_overlap_matrix bound)
+    "kmv_source_jaccard": "|sources|-row distinct-source self-join",
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may

@@ -19,7 +19,12 @@ from flink_cooccurrence_spark.operators.media import (
     png_metadata,
     wav_metadata,
 )
+from flink_cooccurrence_spark.operators.kmv import (
+    kmv_distinct_shingles,
+    kmv_source_jaccard,
+)
 from flink_cooccurrence_spark.operators.retrieval import bm25_topk
+from flink_cooccurrence_spark.operators.textstats import stupid_backoff_nll
 from flink_cooccurrence_spark.operators.textstats import bigram_nll
 
 
@@ -43,6 +48,9 @@ def empty_docs(spark):
         bmp_metadata,
         png_metadata,
         length_bucketed_batches,
+        kmv_distinct_shingles,
+        kmv_source_jaccard,
+        stupid_backoff_nll,
     ],
     ids=lambda f: f.__name__,
 )
