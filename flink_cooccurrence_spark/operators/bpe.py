@@ -49,7 +49,7 @@ distributions; exactness is never traded for speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: default merge budget for the registered query (a real tokenizer runs
