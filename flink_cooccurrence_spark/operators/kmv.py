@@ -56,6 +56,15 @@ KMV_SHINGLE_N = 3
 #: the hash space size (hash32 is uniform in [0, 2^32))
 _HASH_SPACE = 4294967296.0
 
+#: |sources| cap for the pairwise estimator — the pair frame is
+#: |sources|²/2 rows (~2k pairs at the cap) and each pair carries up to
+#: 2k sketch rows; the estimator targets dataset-source ENUMS, not
+#: data-scale keys. Past the cap the constructor fails loudly (the
+#: quantile engine's cardinality-guard discipline,
+#: ``streaming/quantiles.py``) instead of silently building a quadratic
+#: frame over a high-cardinality key.
+KMV_MAX_SOURCES = 64
+
 
 def source_shingle_hashes(
     documents: DataFrame, n: int = KMV_SHINGLE_N
@@ -125,11 +134,29 @@ def kmv_distinct_shingles(
     return distinct_estimates_of(kmv_sketch(documents, n, k), k)
 
 
-def source_jaccard_of(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+def source_jaccard_of(
+    sk: DataFrame, k: int = KMV_K, max_sources: int = KMV_MAX_SOURCES
+) -> DataFrame:
     """The theta pairwise estimator over ANY (source, h) sketch frame —
-    shared verbatim by the batch operator and the streaming tracker."""
+    shared verbatim by the batch operator and the streaming tracker
+    (so the guard below covers both paths).
+
+    Raises ``ValueError`` when the sketch holds more than
+    ``max_sources`` groups — the |sources|²/2 pair frame is only sane
+    over a dataset-source enum (see ``KMV_MAX_SOURCES``); the probe is
+    one count over the O(|sources|·k)-row sketch, negligible next to
+    the pair join it gates."""
     sk = sk.select("source", "h")
     srcs = sk.select("source").distinct()
+    n_sources = srcs.count()
+    if n_sources > max_sources:
+        raise ValueError(
+            f"pairwise Jaccard over {n_sources} sources would build a "
+            f"{n_sources * (n_sources - 1) // 2}-pair frame "
+            f"(> max_sources={max_sources}) — this estimator is for "
+            "dataset-source enums; a high-cardinality key is outside "
+            "its quadratic-pair regime"
+        )
     pairs = (
         srcs.select(F.col("source").alias("source_a"))
         .join(

@@ -359,6 +359,8 @@ def ivf_pq_topk(
         )
     dim = sum(1 for _ in books[0][0][1]) * m
     base = _with_norm(embeddings.select("vec_id", "embedding"))
+    # two consumers (home cells + query probes) — cache so the centroid
+    # assignment pass runs once
     assign = ivf_assignments(embeddings, nprobe).cache()
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
     corpus = pq_codes(
@@ -474,6 +476,9 @@ def _ivf_pq_residual_topk(
     0.12 on the ann_recall meter), while fitted ('kmeans') cells realize
     the published gain (measured 0.213 — +78% over raw PQ). The
     registered flagship uses 'kmeans'."""
+    # three consumers (residual frame's home cells, home cells again via
+    # the coded corpus, query probes) — cache so the centroid assignment
+    # pass runs once
     assign = ivf_assignments(embeddings, nprobe, centroids=centroids).cache()
     res = residual_frame(embeddings, assign, centroids=centroids)
     books = pq_codebooks(

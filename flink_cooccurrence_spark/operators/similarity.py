@@ -454,6 +454,8 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
     exact. nprobe/multi-probe variants must come out ≥ their single-probe
     baselines (pytest pins this; the driver oracle checks the values).
     """
+    # one consumer per ANN method plus the denominator count — cache so
+    # the exact-KNN ground truth computes once, not |methods|+1 times
     exact = embedding_knn(embeddings, k=k, strategy="broadcast").select(
         "q_id", "n_id"
     ).cache()

@@ -100,6 +100,28 @@ def test_small_union_is_exact_jaccard(spark):
     assert r["est_jaccard"] == round(2 / 6, 6)
 
 
+def test_pairwise_guard_rejects_high_cardinality_key(spark):
+    """The |sources| probe fails LOUDLY before the quadratic pair frame
+    is ever built (the quantile engine's cardinality-guard discipline):
+    keying the pairwise estimator by a data-scale column raises."""
+    from flink_cooccurrence_spark.operators.kmv import (
+        KMV_MAX_SOURCES,
+        source_jaccard_of,
+    )
+
+    many = spark.range(KMV_MAX_SOURCES + 1).select(
+        F.concat(F.lit("s"), F.col("id")).alias("source"),
+        F.col("id").alias("h"),
+    )
+    with pytest.raises(ValueError, match="max_sources"):
+        source_jaccard_of(many)
+    # the streaming tracker shares the same tail — same guard
+    ok = spark.createDataFrame(
+        [("s0", 1), ("s1", 2)], "source string, h long"
+    )
+    assert source_jaccard_of(ok).count() == 1
+
+
 def test_streaming_tracker_equals_batch(spark, docs, tmp_path_factory):
     eng = KmvStream(spark, workdir=str(tmp_path_factory.mktemp("kmv_main")))
     eng.replay(docs, docs_per_batch=100)

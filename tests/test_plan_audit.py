@@ -131,8 +131,14 @@ ALLOWED_BNLJ = {
     # KMV pairwise estimator: the source-pair generator is a non-equi
     # self-join of the DISTINCT SOURCE list (|sources| rows — the mixing
     # family's low-cardinality contract; output |sources|² pairs, the
-    # source_overlap_matrix bound)
-    "kmv_source_jaccard": "|sources|-row distinct-source self-join",
+    # source_overlap_matrix bound). Round 11: the bound is ENFORCED —
+    # source_jaccard_of probes |sources| and raises past
+    # KMV_MAX_SOURCES=64 (≤2,016 pairs), so the nested loop can never
+    # see a data-scale key (tests/test_kmv.py misuse gate).
+    "kmv_source_jaccard": (
+        "|sources|-row distinct-source self-join, enforced ≤ "
+        "KMV_MAX_SOURCES=64"
+    ),
 }
 
 #: Exchange SinglePartition allowlist → only 1-row global aggregates may
