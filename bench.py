@@ -33,6 +33,14 @@ def main() -> None:
     # warm the JVM + file metadata outside the measured region
     QUERIES["topk_similar"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # build the persisted IVF-PQ index ONCE, timed separately: the
+    # pq_index_query headline row then measures the QUERY path only
+    # (round-10 verdict ask #2 — construction was masking it), and the
+    # build cost is its own bench_detail number
+    from flink_cooccurrence_spark.registry import pq_index_dir
+
+    _idx_dir, pq_index_build_sec = pq_index_dir(spark, sf_dir)
+
     # Host-speed calibration: a FIXED query touching no repo code and no
     # files (pure range scan + modulo shuffle agg). Its time moves with
     # the host window (documented 20-40% drift), never with engine
@@ -282,6 +290,9 @@ def main() -> None:
         # replay-row path metadata (e.g. how many sampled batches
         # took the below-capacity fast path vs the Arrow processor)
         "replay_meta": replay_meta,
+        # one-time persisted-index build cost (NOT in the headline
+        # total — the pq_index_query row times the query path only)
+        "pq_index_build_sec": pq_index_build_sec,
     }
     # Output contract (BENCH_r05 postmortem): the driver keeps only the
     # LAST ~2.4 KB of stdout and parses the final line. The full detail

@@ -460,7 +460,10 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
         "q_id", "n_id"
     ).cache()
     n_exact = exact.agg(F.count("*").alias("n_exact"))
-    from flink_cooccurrence_spark.operators.pq import ivf_pq_topk
+    from flink_cooccurrence_spark.operators.pq import (
+        ivf_pq_refined_topk,
+        ivf_pq_topk,
+    )
 
     methods: list[tuple[str, DataFrame]] = [
         ("ivf_nprobe1", ivf_topk(embeddings, k, nprobe=1)),
@@ -475,6 +478,9 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
                 embeddings, k, nprobe=1, encode="residual", centroids="kmeans"
             ),
         ),
+        # round-11: exact re-rank of the residual-ADC top R·k (faiss
+        # IndexRefineFlat) — candidate recall becomes the only ceiling
+        ("ivf_pq_refined", ivf_pq_refined_topk(embeddings, k)),
         ("lsh", ann_lsh_topk(embeddings, k)),
         ("lsh_multiprobe", ann_lsh_topk(embeddings, k, multi_probe=True)),
     ]

@@ -923,6 +923,15 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
     o["ivf_pq_residual_topk"] = _pq0.ivf_pq_sql(
         _pq0.ANN_K, nprobe=1, encode="residual", centroids="kmeans"
     )
+    # round-11: exact re-rank of the residual ADC top R·k (faiss
+    # IndexRefineFlat) — the ADC query embeds as a derived table, the
+    # re-score is the proven exact cosine
+    o["ivf_pq_refined_topk"] = _pq0.ivf_pq_refined_sql(_pq0.ANN_K)
+    # the persisted-index query path is a physical rewrite of the
+    # residual flagship (frozen sidecar state + pruned codes scan, same
+    # scoring math) — the parity gate running the SAME SQL proves the
+    # artifact round-trip lossless (the decontaminate_bloom precedent)
+    o["pq_index_query"] = o["ivf_pq_residual_topk"]
 
     # recall@k of every ANN variant vs exact KNN at the same k (the engine's
     # ann_recall); method SQLs embed as derived tables (DuckDB nested WITH)
@@ -935,6 +944,7 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
         "ivf_pq_residual": _pq.ivf_pq_sql(
             sim.ANN_K, nprobe=1, encode="residual", centroids="kmeans"
         ),
+        "ivf_pq_refined": _pq.ivf_pq_refined_sql(sim.ANN_K),
         "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
         "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
     }

@@ -300,6 +300,8 @@ def query_pq_index(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 1,
+    refine_factor: int = 1,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, rank, n_id, cosine, cell): ADC top-k of ``queries``
     (``q_id``, ``embedding``) against the persisted index, scored per
@@ -307,7 +309,21 @@ def query_pq_index(
 
     The probed cell set is collected (bounded by |queries|·nprobe distinct
     cells) and pushed into the codes scan as a partition filter —
-    ``cell IN (...)`` prunes to the probed inverted lists' files."""
+    ``cell IN (...)`` prunes to the probed inverted lists' files.
+
+    ``refine_factor > 1`` adds the exact re-rank stage (the faiss
+    ``IndexRefineFlat`` flag): the ADC stage retrieves
+    ``refine_factor·k`` candidates, which are re-scored with exact
+    cosine against ``flat`` — the original (vec_id, embedding) vectors,
+    which the index itself does NOT store (the artifact stays ~m
+    bytes/vector; the refine join back to the vector table is
+    O(queries·R·k) rows). Reproduces ``ivf_pq_refined_topk`` exactly on
+    the corpus's own query slice (pytest-pinned)."""
+    if refine_factor > 1 and flat is None:
+        raise ValueError(
+            "refine needs the original vectors: pass flat=(vec_id, "
+            "embedding) — the index stores only codes"
+        )
     with open(os.path.join(index_dir, META_NAME)) as fh:
         meta = json.load(fh)
     m, dim = meta["m"], meta["dim"]
@@ -388,6 +404,14 @@ def query_pq_index(
         F.col("vec_id").alias("n_id"),
         F.round(adc / norm_expr, ROUND_DIGITS).alias("cosine"),
     )
-    return top_k_per_group(
-        scored_pairs, ["q_id"], "cosine", k, tie_breakers=["n_id"]
+    adc_k = k if refine_factor <= 1 else refine_factor * k
+    ranked = top_k_per_group(
+        scored_pairs, ["q_id"], "cosine", adc_k, tie_breakers=["n_id"]
     ).select("q_id", "rank", "n_id", "cosine", "cell")
+    if refine_factor <= 1:
+        return ranked
+    from flink_cooccurrence_spark.operators.pq import refine_exact
+
+    return refine_exact(
+        ranked, flat, k, queries=queries.select("q_id", "embedding")
+    )

@@ -492,11 +492,16 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
     # similarity search
     "embedding_knn": lambda s, d: _sim.embedding_knn(_embeddings(s, d)),
     "ann_lsh_topk": lambda s, d: _sim.ann_lsh_topk(_embeddings(s, d)),
-    # round-10 rotation (see above): IVF-PQ takes ivf_topk's seat
-    "ivf_pq_topk": lambda s, d: __import__(
+    # round-11 rotation: the refined flagship (exact re-rank of the
+    # residual ADC top R·k — faiss IndexRefineFlat, the ANN family's
+    # strongest variant on the ann_recall meter) takes the raw
+    # ivf_pq_topk's round-10 seat; raw ADC is its near-twin (the refined
+    # pipeline computes an ADC ranking transitively) and stays
+    # oracle-gated pytest-only.
+    "ivf_pq_refined_topk": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.pq",
-        fromlist=["ivf_pq_topk"],
-    ).ivf_pq_topk(_embeddings(s, d)),
+        fromlist=["ivf_pq_refined_topk"],
+    ).ivf_pq_refined_topk(_embeddings(s, d)),
     "ann_recall": lambda s, d: _sim.ann_recall(_embeddings(s, d)),
     # UDF/UDAF/UDTF surface (functions/udx.py)
     "median_quality_by_lang": lambda s, d: _q_median_quality_by_lang(s, d),
@@ -648,6 +653,45 @@ def _dedup_stream_engine(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def pq_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, float]:
+    """Build (once per session × sf_dir, memoized) the PERSISTED
+    residual IVF-PQ index over the embeddings table — the flagship
+    params (residual encode, fitted k-means cells). Returns
+    (index_dir, build_sec): the query rows below reuse the artifact, so
+    their timings measure the QUERY path only, and ``bench.py`` reports
+    the build cost as its own number instead of letting construction
+    mask query-path regressions (round-10 verdict ask #2)."""
+    import time as _time
+
+    from flink_cooccurrence_spark.plans.ann import write_pq_index
+
+    key = _memo_key(spark, sf_dir, "pq_index")
+    if key not in _ENGINE_MEMO:
+        out = _memo_tmpdir("pq_index_")
+        t0 = _time.perf_counter()
+        write_pq_index(
+            _embeddings(spark, sf_dir), out,
+            encode="residual", centroids="kmeans",
+        )
+        _ENGINE_MEMO[key] = (out, round(_time.perf_counter() - t0, 3))
+    return _ENGINE_MEMO[key]
+
+
+def _q_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ADC query path over the corpus's own query
+    slice — equals ``ivf_pq_residual_topk`` (same frozen state, same
+    scoring math), so it runs under that oracle unchanged."""
+    from flink_cooccurrence_spark.plans.ann import query_pq_index
+
+    idx, _build_sec = pq_index_dir(spark, sf_dir)
+    qs = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") % _sim.QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+    return query_pq_index(spark, idx, qs, k=_sim.ANN_K, nprobe=1)
+
+
 def _freq_stream_engine(spark: SparkSession, sf_dir: str):
     """Replay the streaming MG tracker over the interactions in seq order
     (multi-batch at every test SF); memoized like the other engines."""
@@ -713,6 +757,18 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.pq",
         fromlist=["ivf_pq_topk"],
     ).ivf_pq_topk(_embeddings(s, d), encode="residual", centroids="kmeans"),
+    # round-11 rotation: raw ADC ceded its driver seat to
+    # ivf_pq_refined_topk (the exact re-rank supersedes the raw ranking
+    # on the surface); same parity gate here.
+    "ivf_pq_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pq",
+        fromlist=["ivf_pq_topk"],
+    ).ivf_pq_topk(_embeddings(s, d)),
+    # round-11: the persisted-index QUERY path against a prebuilt
+    # artifact (memoized one-time build) — on the bench so a query-side
+    # regression can't hide inside codebook-construction time; oracle is
+    # the residual flagship's unchanged (same frozen state, same math)
+    "pq_index_query": _q_pq_index_query,
     # large-k assignment backend (broadcast centroid table + max-of-struct
     # argmax) — same oracle as the literal when-chain, proving the two
     # backends bit-identical
@@ -1126,13 +1182,19 @@ HEADLINE_QUERIES = [
     # both under fingerprint + timing watch
     "bm25_topk",
     "dsir_sample",
-    # round-10 driver flagships: IVF-PQ ADC scoring (raw + the
-    # residual-over-fitted-cells published form), CDC chunk dedup (scan +
-    # window + one groupBy, no pair join), and the bigram-LM fluency axis
+    # round-10 driver flagships: IVF-PQ ADC scoring (raw form), CDC
+    # chunk dedup (scan + window + one groupBy, no pair join), and the
+    # bigram-LM fluency axis
     "ivf_pq_topk",
-    "ivf_pq_residual_topk",
     "cdc_dup_chunks",
     "bigram_nll",
+    # round-11: ivf_pq_residual_topk's bench seat goes to the refined
+    # flagship (it computes the residual ADC pipeline transitively —
+    # the ivf_topk→ivf_pq_topk precedent), and the persisted-index
+    # query-only row joins so build cost stops masking the query path
+    # (build_sec reported separately in bench_detail)
+    "ivf_pq_refined_topk",
+    "pq_index_query",
 ]
 
 #: pre-components EDGE plans of the CC-composed headline queries. The

@@ -71,6 +71,15 @@ ALLOWED_BNLJ = {
     "ivf_pq_residual_topk": (
         "fixed-K fitted centroid literals + fixed m*ksub codebook literals"
     ),
+    # refined: the residual ADC stage's bounded broadcasts, inherited —
+    # the refine joins themselves are shuffled hash joins on vec ids
+    "ivf_pq_refined_topk": (
+        "fixed-K fitted centroid literals + fixed m*ksub codebook literals"
+    ),
+    # persisted-index query path: the probe assignment crossJoins the
+    # FROZEN sidecar centroid table (fixed-K, corpus-independent — KB of
+    # JSON state, never refit)
+    "pq_index_query": "fixed-K frozen sidecar centroid table",
     # large-k assignment backend: corpus × k-row broadcast centroid table
     # with k fixed (corpus-independent by the module's fixed-k contract)
     "kmeans_assign_broadcast": "fixed-k broadcast centroid table (corpus-independent)",
@@ -155,7 +164,7 @@ ALLOWED_SINGLE_PARTITION = {
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
-    "ann_recall": "7-row recall summary aggregate",
+    "ann_recall": "8-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",

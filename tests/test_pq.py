@@ -130,6 +130,65 @@ def test_residual_contract_and_recall_at_least_raw(spark, emb):
     assert res_hit >= raw_hit
 
 
+def test_refined_scores_exact_and_recall_at_least_adc(spark, emb):
+    """ONE refined construction serves three gates (the suite-wall
+    consolidation rule): (a) the output contract (dense ranks, no
+    self-pairs); (b) every refined cosine IS the exact cosine — refine's
+    whole point is that only the candidate set stays approximate; (c)
+    recall on the meter's definition is ≥ the residual ADC stage's —
+    re-ranking a candidate superset with the true metric can only
+    promote true neighbors into the top k."""
+    import math
+
+    from flink_cooccurrence_spark.operators.pq import ivf_pq_refined_topk
+    from flink_cooccurrence_spark.operators.similarity import (
+        ANN_K,
+        embedding_knn,
+    )
+
+    out = ivf_pq_refined_topk(emb, ANN_K).collect()
+    assert out, "no refined results"
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+        assert r["n_id"] != r["q_id"]
+    for _q, rows in per_q.items():
+        assert sorted(x["rank"] for x in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # (b) exactness of the refined scores, checked by an INDEPENDENT
+    # arithmetic path (numpy driver-side) — 2e-6 absorbs the rounding
+    # half-step, far below the ADC approximation's error scale
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    for r in out:
+        q, n = vecs[r["q_id"]], vecs[r["n_id"]]
+        cos = sum(a * b for a, b in zip(q, n)) / (
+            math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(b * b for b in n))
+        )
+        assert abs(cos - r["cosine"]) < 2e-6, (r, cos)
+    # (c) recall ≥ the ADC stage it re-ranks
+    exact = (
+        embedding_knn(emb, k=ANN_K, strategy="broadcast")
+        .select("q_id", "n_id")
+        .cache()
+    )
+    try:
+        exact_pairs = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+        adc_hit = (
+            ivf_pq_topk(emb, ANN_K, encode="residual", centroids="kmeans")
+            .select("q_id", "n_id")
+            .join(exact, on=["q_id", "n_id"])
+            .count()
+        )
+    finally:
+        exact.unpersist()
+    ref_hit = sum(1 for r in out if (r["q_id"], r["n_id"]) in exact_pairs)
+    assert ref_hit >= adc_hit
+
+
 def test_residual_zero_residual_codes_are_deterministic(spark, emb):
     """Vectors that ARE a cell centroid have an exactly-zero residual —
     the L2 assignment must still code them deterministically (the

@@ -83,14 +83,20 @@ def test_external_query_vectors_work(spark, emb, index_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
-def test_residual_round_trip_reproduces_operator(
-    spark, emb, tmp_path_factory
-):
+def test_residual_round_trip_reproduces_operator(spark, emb, sf_dir):
     """encode='residual' (kmeans cells — the registered flagship form):
     the persisted artifact reproduces ivf_pq_residual_topk exactly, and
-    the sidecar carries the encode mode."""
-    d = str(tmp_path_factory.mktemp("pq_index_res"))
-    meta = write_pq_index(emb, d, encode="residual", centroids="kmeans")
+    the sidecar carries the encode mode. Uses the registry's memoized
+    flagship index (same params) instead of building its own — the
+    suite-wall consolidation rule: one residual build serves this gate,
+    the refine gate below, and the pq_index_query parity row."""
+    import json as _json
+
+    from flink_cooccurrence_spark.registry import pq_index_dir
+
+    d, _build_sec = pq_index_dir(spark, sf_dir)
+    with open(os.path.join(d, "meta.json")) as fh:
+        meta = _json.load(fh)
     assert meta["encode"] == "residual"
     assert meta["centroids_mode"] == "kmeans"
     queries = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
@@ -106,6 +112,34 @@ def test_residual_round_trip_reproduces_operator(
         ).collect()
     )
     assert got == exp and got
+
+
+def test_refine_flag_reproduces_refined_operator(spark, emb, sf_dir):
+    """refine_factor + flat on the persisted query path reproduces
+    ivf_pq_refined_topk bit-for-bit on the corpus's own query slice —
+    and refine without the flat vectors fails loudly (the index stores
+    only codes)."""
+    from flink_cooccurrence_spark.operators.pq import (
+        PQ_REFINE_FACTOR,
+        ivf_pq_refined_topk,
+    )
+    from flink_cooccurrence_spark.registry import pq_index_dir
+
+    d, _build_sec = pq_index_dir(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r)
+        for r in query_pq_index(
+            spark, d, queries, k=3,
+            refine_factor=PQ_REFINE_FACTOR, flat=emb,
+        ).collect()
+    )
+    exp = sorted(tuple(r) for r in ivf_pq_refined_topk(emb, k=3).collect())
+    assert got == exp and got
+    with pytest.raises(ValueError, match="flat"):
+        query_pq_index(spark, d, queries, k=3, refine_factor=4)
 
 
 @pytest.mark.parametrize("encode", ["raw", "residual"])

@@ -169,7 +169,7 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     recalls = {r["method"]: r["recall"] for r in ann_recall(emb).collect()}
     assert set(recalls) == {
         "ivf_nprobe1", "ivf_nprobe2", "ivf_kmeans", "ivf_pq",
-        "ivf_pq_residual", "lsh", "lsh_multiprobe",
+        "ivf_pq_residual", "ivf_pq_refined", "lsh", "lsh_multiprobe",
     }
     assert recalls["lsh_multiprobe"] >= recalls["lsh"]
     assert recalls["ivf_nprobe2"] >= recalls["ivf_nprobe1"]
@@ -178,6 +178,9 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     # residual encoding over fitted cells must not lose recall vs raw PQ
     # (ties at the tiny fixture SF; +78% measured at sf0.01)
     assert recalls["ivf_pq_residual"] >= recalls["ivf_pq"]
+    # the exact re-rank can only promote true neighbors into the top k
+    # (round-11: 0.213 → 0.36 measured at sf0.01)
+    assert recalls["ivf_pq_refined"] >= recalls["ivf_pq_residual"]
     for v in recalls.values():
         assert 0.0 <= v <= 1.0
 
