@@ -10,14 +10,20 @@ zlib, all stdlib: the encoder emits a genuine signature/IHDR/IDAT/IEND
 stream with per-scanline filter bytes and real CRCs, and the decoder
 walks the chunks, CHECKS every CRC, inflates the IDAT stream, and
 verifies the scanline geometry — a real parse, not an echo of the
-synthesis parameters. This module synthesizes GENUINE files of all
-three formats (parameters derived deterministically from the document
-content) and decodes them by actually parsing the container — so the
-oracle, which predicts the parameters from the same portable hash,
-independently verifies that a real encode → real parse round trip is
-lossless. Model-dependent codecs (JPEG pixels, learned embeddings)
-remain honestly stubbed next door; the format I/O itself is no longer
-a stub.
+synthesis parameters. JPEG (round 11 — the format an image pipeline
+meets FIRST) gets the header half: a genuine marker stream (SOI, APP0/
+JFIF, DQT, SOF0/SOF2, DHT, SOS with byte-stuffed entropy data, EOI) and
+a real marker-segment walk that skips fill bytes, handles restart
+markers and 0xFF00 stuffing, and extracts dimensions / precision /
+component count / the progressive flag from the frame header — the
+struct-level parse every ingest runs before deciding whether to decode.
+This module synthesizes GENUINE files of all four formats (parameters
+derived deterministically from the document content) and decodes them
+by actually parsing the container — so the oracle, which predicts the
+parameters from the same portable hash, independently verifies that a
+real encode → real parse round trip is lossless. Model-dependent codecs
+(JPEG ENTROPY decode / pixels, learned embeddings) remain honestly
+stubbed next door; the container/format I/O itself is no longer a stub.
 
 Scale shape: both directions are Arrow-batched ``mapInPandas`` maps —
 no shuffle, no driver state; payload synthesis stands in for an object-
@@ -51,6 +57,11 @@ PNG_MIN_EDGE = 4
 PNG_EDGE_SPAN = 48
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: JPEG dimensions (content-derived; a third distinct span so a format
+#: mixup in either engine hash-mismatches instead of passing).
+JPEG_MIN_EDGE = 16
+JPEG_EDGE_SPAN = 80
 
 
 def _h32(data: bytes) -> int:
@@ -326,5 +337,160 @@ SELECT doc_id,
        CAST({ht} AS INT) AS height,
        CAST(24 AS INT) AS bpp,
        CAST(54 + {row} * {ht} AS BIGINT) AS file_size
+FROM documents
+"""
+
+def _jpeg_bytes(text: str) -> bytes:
+    """A genuine JPEG/JFIF marker stream; deterministic dims and frame
+    type. Baseline (SOF0) or progressive (SOF2) by the hash's next bit;
+    the entropy-coded scan data is content-derived filler with REAL
+    0xFF00 byte stuffing (so the parser's scan walk is exercised, not
+    just the segment walk). Entropy DECODE stays out of scope — the
+    header half is what metadata extraction needs (and all stdlib can
+    honestly do)."""
+    h = _h32(text.encode("utf-8"))
+    width = JPEG_MIN_EDGE + h % JPEG_EDGE_SPAN
+    height = JPEG_MIN_EDGE + (h // JPEG_EDGE_SPAN) % JPEG_EDGE_SPAN
+    progressive = (h // (JPEG_EDGE_SPAN * JPEG_EDGE_SPAN)) % 2 == 1
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    app0 = seg(
+        0xE0,
+        b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0),
+    )
+    dqt = seg(0xDB, b"\x00" + (digest * 4)[:64])
+    sof_body = struct.pack(">BHHB", 8, height, width, 3) + b"".join(
+        struct.pack(">BBB", cid, 0x11, 0) for cid in (1, 2, 3)
+    )
+    sof = seg(0xC2 if progressive else 0xC0, sof_body)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes([1] + [0] * 15) + b"\x00",
+    )
+    sos = seg(
+        0xDA,
+        struct.pack(">B", 3)
+        + b"".join(struct.pack(">BB", cid, 0) for cid in (1, 2, 3))
+        + struct.pack(">BBB", 0, 63, 0),
+    )
+    raw_scan = (digest * ((16 + h % 64) // 16 + 1))[: 16 + h % 64]
+    scan = raw_scan.replace(b"\xff", b"\xff\x00")  # real byte stuffing
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+def _jpeg_parse(data: bytes) -> tuple[int, int, int, int, bool]:
+    """Parse a JPEG marker stream: (width, height, precision,
+    n_components, progressive) from the SOF frame header — a real
+    segment walk (fill bytes, standalone markers, SOS entropy scan with
+    0xFF00 stuffing and RST markers). Raises ValueError on corruption:
+    bad SOI, truncated segments, duplicate/missing SOF, or a scan that
+    never reaches EOI."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    sof: tuple[int, int, int, int, bool] | None = None
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker stream (no EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1  # fill bytes (0xFF padding before a marker is legal)
+        if pos >= len(data):
+            raise ValueError("truncated marker stream (no EOI)")
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone: TEM / RSTn
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment length")
+        (length,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated segment body")
+        pos += length
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if sof is not None:
+                raise ValueError("duplicate SOF")
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", body, 0
+            )
+            if len(body) != 6 + 3 * n_comp:
+                raise ValueError("SOF component table size mismatch")
+            sof = (width, height, precision, n_comp, marker == 0xC2)
+        elif marker == 0xDA:  # SOS: walk the entropy-coded scan
+            while True:
+                if pos + 1 >= len(data):
+                    raise ValueError("scan ran off the stream (no EOI)")
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                nxt = data[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos += 2  # stuffed 0xFF / restart marker: still data
+                    continue
+                break  # a real marker terminates the scan
+    if sof is None:
+        raise ValueError("missing SOF")
+    return sof
+
+
+def jpeg_metadata(documents: DataFrame) -> DataFrame:
+    """(doc_id, width, height, precision, n_components, progressive):
+    synthesize a REAL JPEG marker stream per document, then parse it by
+    walking the segments — decoded values from the bytes, oracle from
+    the content hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                parsed = _jpeg_parse(
+                    _jpeg_bytes(text if text is not None else "")
+                )
+                rows.append((doc_id, *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "precision",
+                    "n_components",
+                    "progressive",
+                ],
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, width int, height int, precision int, "
+        "n_components int, progressive boolean",
+    )
+
+
+def jpeg_metadata_sql() -> str:
+    """DuckDB oracle for :func:`jpeg_metadata`: the synthesis parameters
+    predicted independently from the same portable hash — parity proves
+    the real marker-stream encode→walk round trip is lossless."""
+    from flink_cooccurrence_spark.functions.hashing import hash32_sql
+
+    h = hash32_sql("COALESCE(text, '')")
+    w = f"({JPEG_MIN_EDGE} + {h} % {JPEG_EDGE_SPAN})"
+    ht = f"({JPEG_MIN_EDGE} + ({h} // {JPEG_EDGE_SPAN}) % {JPEG_EDGE_SPAN})"
+    prog = f"(({h} // {JPEG_EDGE_SPAN * JPEG_EDGE_SPAN}) % 2 = 1)"
+    return f"""
+SELECT doc_id,
+       CAST({w} AS INT) AS width,
+       CAST({ht} AS INT) AS height,
+       CAST(8 AS INT) AS precision,
+       CAST(3 AS INT) AS n_components,
+       CAST({prog} AS BOOLEAN) AS progressive
 FROM documents
 """

@@ -547,6 +547,7 @@ SELECT doc_id, rank, token, tf_doc, df, tfidf FROM ranked WHERE rank <= 5
     o["wav_metadata"] = md.wav_metadata_sql()
     o["bmp_metadata"] = md.bmp_metadata_sql()
     o["png_metadata"] = md.png_metadata_sql()
+    o["jpeg_metadata"] = md.jpeg_metadata_sql()
 
     # benchmark decontamination: train = doc_id % 13 != 0, eval = the rest
     # (the registry query's deterministic split); pairs sharing >= 2

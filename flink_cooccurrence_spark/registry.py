@@ -989,6 +989,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "png_metadata": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.media", fromlist=["png_metadata"]
     ).png_metadata(_documents(s, d)),
+    # round-11: JPEG header metadata — genuine marker stream (SOI/APP0/
+    # DQT/SOF0|SOF2/DHT/SOS + byte-stuffed scan/EOI) walked segment by
+    # segment; entropy decode stays honestly stubbed next door
+    "jpeg_metadata": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.media", fromlist=["jpeg_metadata"]
+    ).jpeg_metadata(_documents(s, d)),
     # the capstone: the full corpus-prep pipeline (dedup+quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank) as ONE declarative plan
     "training_manifest": lambda s, d: __import__(

@@ -135,3 +135,77 @@ def test_png_operator_runs_on_a_frame(spark):
     assert set(png) == {1, 2}
     assert png[1]["bit_depth"] == 8 and png[1]["color_type"] == 2
     assert png[1]["n_pixel_bytes"] == png[1]["width"] * png[1]["height"] * 3
+def test_jpeg_bytes_are_a_genuine_marker_stream():
+    from flink_cooccurrence_spark.operators.media import (
+        _jpeg_bytes,
+        _jpeg_parse,
+    )
+
+    data = _jpeg_bytes("hello world")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data
+    w, h, precision, n_comp, progressive = _jpeg_parse(data)
+    assert precision == 8 and n_comp == 3
+    assert w >= 16 and h >= 16
+    assert isinstance(progressive, bool)
+    # both frame types occur over a small corpus (the hash bit flips)
+    kinds = {
+        _jpeg_parse(_jpeg_bytes(f"doc {i}"))[4] for i in range(16)
+    }
+    assert kinds == {True, False}
+
+
+def test_jpeg_parse_rejects_corruption():
+    from flink_cooccurrence_spark.operators.media import (
+        _jpeg_bytes,
+        _jpeg_parse,
+    )
+
+    data = _jpeg_bytes("abc")
+    with pytest.raises(ValueError, match="SOI"):
+        _jpeg_parse(b"\x00\x00" + data[2:])
+    # chop the EOI: the scan walk must notice it ran off the stream
+    with pytest.raises(ValueError, match="EOI"):
+        _jpeg_parse(data[:-2])
+    # excise the SOF segment: marker 0xC0/0xC2 at its offset
+    sof_at = max(data.find(b"\xff\xc0"), data.find(b"\xff\xc2"))
+    seg_len = int.from_bytes(data[sof_at + 2 : sof_at + 4], "big")
+    with pytest.raises(ValueError, match="SOF"):
+        _jpeg_parse(data[:sof_at] + data[sof_at + 2 + seg_len :])
+    # duplicate SOF
+    sof_seg = data[sof_at : sof_at + 2 + seg_len]
+    with pytest.raises(ValueError, match="duplicate"):
+        _jpeg_parse(data[:sof_at] + sof_seg + data[sof_at:])
+
+
+def test_jpeg_stuffed_scan_bytes_do_not_terminate_the_walk():
+    """Entropy data containing 0xFF bytes must be stuffed by the encoder
+    and consumed by the parser — a naive marker scan would stop early."""
+    from flink_cooccurrence_spark.operators.media import (
+        _jpeg_bytes,
+        _jpeg_parse,
+    )
+
+    # find a text whose scan filler contains 0xFF (md5-derived; scan a few)
+    for i in range(200):
+        data = _jpeg_bytes(f"probe {i}")
+        sos_at = data.find(b"\xff\xda")
+        scan = data[sos_at:-2]
+        if b"\xff\x00" in scan:
+            _jpeg_parse(data)  # must not raise
+            break
+    else:
+        pytest.fail("no probe text produced a stuffed scan byte")
+
+
+def test_jpeg_operator_runs_on_a_frame(spark):
+    from flink_cooccurrence_spark.operators.media import jpeg_metadata
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    jpg = {r["doc_id"]: r for r in jpeg_metadata(docs).collect()}
+    assert set(jpg) == {1, 2}  # NULL text folds to ''
+    assert jpg[1]["precision"] == 8 and jpg[1]["n_components"] == 3
+    assert jpg[1]["width"] >= 16 and jpg[1]["height"] >= 16
