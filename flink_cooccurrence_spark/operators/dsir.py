@@ -212,6 +212,7 @@ def dsir_sample(
     target_source: str = TARGET_SOURCE,
     num_buckets: int = NUM_BUCKETS,
     alpha: float = SMOOTH_ALPHA,
+    pool: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel top-``n`` importance resample of the raw pool —
     (rank, doc_id, logw, gumbel_key).
@@ -220,8 +221,16 @@ def dsir_sample(
     coin mapped to (0, 1) — Gumbel-max sampling proportional to w(x)
     (Xie et al. §2), deterministic and engine-portable. Ties on the
     integer key break by doc_id ascending.
+
+    ``pool`` (a doc_id frame) restricts the RANKED candidate set — the
+    composed corpus-prep capstone resamples the already-CLEANED pool
+    this way. λ fitting and scoring still see the full ``documents``
+    corpus (the importance model is a corpus-level object); only the
+    Gumbel top-n competition shrinks to the pool.
     """
     s = _scored(documents, target_source, num_buckets, alpha)
+    if pool is not None:
+        s = s.join(pool.select("doc_id"), on="doc_id", how="leftsemi")
     u = (
         hash32(F.concat(F.lit(DSIR_SALT), F.col("doc_id").cast("string")))
         + F.lit(0.5)
@@ -335,9 +344,15 @@ def dsir_sample_sql(
     target_source: str = TARGET_SOURCE,
     num_buckets: int = NUM_BUCKETS,
     alpha: float = SMOOTH_ALPHA,
+    pool_sql: str | None = None,
 ) -> str:
-    """DuckDB oracle text of :func:`dsir_sample`."""
+    """DuckDB oracle text of :func:`dsir_sample`. ``pool_sql`` (a
+    doc_id-producing SELECT) mirrors the operator's ``pool`` restriction
+    as a semi-join on the keyed frame."""
     coin = hash32_sql(f"('{DSIR_SALT}' || CAST(doc_id AS VARCHAR))")
+    pool_join = (
+        f"SEMI JOIN ({pool_sql}) pool USING (doc_id)\n  " if pool_sql else ""
+    )
     return f"""
 WITH {_grams_cte(num_buckets)},
 {_lambda_cte(target_source, num_buckets, alpha)},
@@ -347,7 +362,7 @@ keyed AS (
            -ln(-ln(({coin} + 0.5) / 4294967296.0)) * 1000000.0, 0)
          AS BIGINT) AS key
   FROM scored
-),
+  {pool_join}),
 ranked AS (
   SELECT *, CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
          AS rank

@@ -194,7 +194,7 @@ def duplicate_span_coverage(
 
 # ---------------------------------------------------------------- oracle SQL
 
-def _grams_sql(L: int) -> str:
+def _grams_sql(L: int, table: str = "documents") -> str:
     gram = " || ' ' || ".join(
         "w" if i == 0 else f"lead(w, {i}) OVER win" for i in range(L)
     )
@@ -203,7 +203,7 @@ words AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(text), '\\s+')) AS w,
          generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-  FROM documents
+  FROM {table}
 ),
 grams AS (
   SELECT doc_id, pos, {gram} AS gram,
@@ -215,7 +215,9 @@ valid AS (SELECT doc_id, pos, gram FROM grams WHERE last_w IS NOT NULL)
 """.strip()
 
 
-def _spans_sql(min_len: int, max_gram_freq: int | None) -> str:
+def _spans_sql(
+    min_len: int, max_gram_freq: int | None, table: str = "documents"
+) -> str:
     cut = ""
     src = "valid"
     if max_gram_freq is not None:
@@ -227,7 +229,7 @@ rare AS (
 kept AS (SELECT v.* FROM valid v JOIN rare USING (gram))"""
         src = "kept"
     return f"""
-{_grams_sql(min_len)}{cut},
+{_grams_sql(min_len, table)}{cut},
 matches AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
          a.pos - b.pos AS diag
@@ -380,10 +382,15 @@ def scrub_duplicate_spans(
 
 
 def scrub_duplicate_spans_sql(
-    min_len: int = MIN_SPAN_TOKENS, max_gram_freq: int | None = None
+    min_len: int = MIN_SPAN_TOKENS,
+    max_gram_freq: int | None = None,
+    table: str = "documents",
 ) -> str:
+    """``table`` rebinds the source relation (e.g. ``main.documents``)
+    so the text can embed under a shadowing ``documents`` CTE — the
+    ``_scrubbed_manifest_oracle`` composition pattern."""
     return f"""
-WITH {_spans_sql(min_len, max_gram_freq)},
+WITH {_spans_sql(min_len, max_gram_freq, table)},
 covered AS (
   SELECT DISTINCT doc_b AS doc_id, unnest(generate_series(b_start, b_start + span_len - 1)) AS pos
   FROM spans
@@ -392,7 +399,7 @@ toks AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS w,
          generate_subscripts(string_split_regex(trim(COALESCE(text, '')), '\\s+'), 1) AS pos
-  FROM documents
+  FROM {table}
 ),
 kept AS (
   SELECT t.* FROM toks t
@@ -408,7 +415,7 @@ totals AS (
   SELECT doc_id,
          CAST(len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS BIGINT)
            AS n_tok
-  FROM documents
+  FROM {table}
 )
 SELECT t.doc_id, COALESCE(r.text, '') AS text,
        CAST(t.n_tok - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed

@@ -1873,3 +1873,62 @@ def _quantiles_oracles() -> None:
 
 
 _quantiles_oracles()
+
+# The capstone composition (plans/corpus.prepare_corpus_manifest): span
+# scrub rebinds the ``documents`` CTE (main.documents qualification —
+# the _scrubbed_manifest_oracle pattern), then the UNCHANGED
+# training_manifest and dsir_sample oracles embed as derived tables over
+# the scrubbed CTE (the ann_recall nested-WITH precedent) and the shard
+# layout is the window-function prefix sum — the composition can never
+# drift from the component oracles it joins.
+def _dsir_pool_sample_sql() -> str:
+    """The DSIR resample restricted to the cleaned pool: ``pool_sql``
+    references the OUTER ``manifest`` CTE (CTE scope extends into
+    derived tables — the same visibility the scrubbed ``documents``
+    rebind relies on)."""
+    from flink_cooccurrence_spark.operators import dsir as _ds
+
+    return _ds.dsir_sample_sql(pool_sql="SELECT doc_id FROM manifest")
+
+
+def _prepare_corpus_manifest_oracle() -> str:
+    from flink_cooccurrence_spark.operators.spans import (
+        scrub_duplicate_spans_sql,
+    )
+    from flink_cooccurrence_spark.plans.corpus import SHARD_TOKENS
+
+    scrub = scrub_duplicate_spans_sql(table="main.documents")
+    t = SHARD_TOKENS
+    return f"""
+WITH documents AS (
+  SELECT d.doc_id, s.text, d.lang, d.source, d.n_chars
+  FROM ({scrub}) s JOIN main.documents d USING (doc_id)
+),
+manifest AS (SELECT * FROM ({ORACLES["training_manifest"]}) t0),
+selected AS (
+  SELECT doc_id, logw
+  FROM ({_dsir_pool_sample_sql()}) t1
+),
+final AS (
+  SELECT m.train_seq, m.doc_id, m.lang,
+         CAST(m.n_tokens AS BIGINT) AS n_tokens,
+         m.quality_score, m.weight, s.logw
+  FROM manifest m JOIN selected s USING (doc_id)
+),
+laid AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY train_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start
+  FROM final
+)
+SELECT CAST(start // {t} AS BIGINT) AS shard_id, train_seq, doc_id, lang,
+       n_tokens,
+       CAST(start - (start // {t}) * {t} AS BIGINT) AS shard_off,
+       quality_score, weight, logw
+FROM laid
+"""
+
+
+ORACLES["prepare_corpus_manifest"] = _prepare_corpus_manifest_oracle()

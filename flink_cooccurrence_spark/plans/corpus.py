@@ -428,3 +428,110 @@ def source_dedup_report(documents: DataFrame) -> DataFrame:
             F.round(F.avg("novelty"), 6).alias("mean_novelty"),
         )
     )
+
+def prepare_corpus_manifest(
+    documents: DataFrame,
+    eval_mod: int = 13,
+    min_shared: int = 2,
+    dsir_n: int = 50,
+    tokens_per_shard: int = SHARD_TOKENS,
+) -> DataFrame:
+    """The CAPSTONE composition — every pipeline stage the engine ships,
+    in the order a production corpus prep runs them, as ONE plan:
+
+    1. **span scrub** — cross-document duplicated runs are CUT from the
+       text (``spans.scrub_duplicate_spans``, Lee et al.'s actionable
+       output) before anything downstream sees it;
+    2. **dedup + quality gate + decontamination + mixture + shuffle
+       rank** — :func:`training_manifest` over the scrubbed corpus;
+    3. **DSIR selection** — the importance resampler's Gumbel top
+       ``dsir_n`` over the CLEANED pool (``dsir.dsir_sample`` with
+       ``pool=`` the manifest survivors: the λ model fits on the full
+       scrubbed corpus, the resampling competition runs among the
+       documents that survived cleaning — the order a production prep
+       runs: clean first, then select for target-likeness; target-source
+       documents are DSIR's fitting set and drop here, the Xie et al.
+       convention);
+    4. **shard layout** — the greedy whole-document shard cut over the
+       final stream in ``train_seq`` order (:func:`shard_manifest`'s
+       arithmetic).
+
+    Output: (shard_id, train_seq, doc_id, lang, n_tokens, shard_off,
+    quality_score, weight, logw) — the manifest a training job consumes,
+    with the mixture weight and DSIR log-importance carried for
+    attribution. Bit-identical across re-runs, partitionings, and
+    engines: the DuckDB oracle composes the SAME component oracles
+    (scrub rebinding the ``documents`` CTE, manifest + DSIR embedded as
+    derived tables — the ``training_manifest_scrubbed`` / ``ann_recall``
+    precedents), so the COMPOSITION itself is what the driver checks.
+
+    Scale shape: each stage keeps its own documented plan; the glue adds
+    one doc_id join per stage over one-row-per-doc frames plus the final
+    bucketed two-pass prefix sum — no new quadratic anything, nothing
+    collects to the driver.
+    """
+    from flink_cooccurrence_spark.operators.dsir import dsir_sample
+    from flink_cooccurrence_spark.operators.ordering import (
+        running_sum_exclusive,
+    )
+    from flink_cooccurrence_spark.operators.spans import (
+        scrub_duplicate_spans,
+    )
+
+    t = int(tokens_per_shard)
+    if t <= 0:
+        raise ValueError(f"tokens_per_shard must be positive, got {t}")
+    # CHECKPOINTED (not just cached): the scrubbed corpus has two
+    # consumers (the manifest pipeline and the DSIR model fit), and the
+    # downstream composition — training_manifest ∘ DSIR ∘ prefix sum —
+    # stacked on top of the span-scrub tree produces a logical plan so
+    # large that CANONICALIZING it (Spark does this for every cache
+    # lookup) exhausts a modest driver heap before any data moves.
+    # localCheckpoint materializes the stage and truncates lineage, so
+    # every downstream plan starts at a checkpoint scan — the
+    # components-loop precedent (operators/dedup.py star rounds). One
+    # row per document; a deployment at corpus scale would checkpoint
+    # this stage to durable storage — the stage boundary is the same.
+    scrubbed = (
+        documents.drop("text")
+        .join(
+            scrub_duplicate_spans(documents).select("doc_id", "text"),
+            on="doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # CHECKPOINTED: the manifest has two consumers (the DSIR pool
+    # restriction and the final attribution join) and IS the full dedup
+    # ∘ quality ∘ decontamination ∘ mixture ∘ rank pipeline — the same
+    # plan-size argument as `scrubbed`; one slim row per survivor.
+    manifest = training_manifest(
+        scrubbed, eval_mod=eval_mod, min_shared=min_shared
+    ).localCheckpoint(eager=True)
+    selected = dsir_sample(
+        scrubbed, n=dsir_n, pool=manifest.select("doc_id")
+    ).select("doc_id", "logw")
+    # CACHED: the final frame feeds the prefix sum's three passes
+    # (bounds, bucketed main, per-bucket offsets) — the pack_manifest
+    # slim-cache decision, one slim row per selected document.
+    final = manifest.join(selected, on="doc_id").select(
+        "train_seq",
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+        "weight",
+        "logw",
+    ).cache()
+    spans = running_sum_exclusive(final, ["train_seq"], "n_tokens", out="start")
+    sid = F.expr(f"start div {t}")
+    return spans.select(
+        sid.cast("long").alias("shard_id"),
+        "train_seq",
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("start") - sid * F.lit(t)).cast("long").alias("shard_off"),
+        "quality_score",
+        "weight",
+        "logw",
+    )

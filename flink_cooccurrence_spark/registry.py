@@ -536,9 +536,17 @@ EXTENSION_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.mixing",
         fromlist=["token_budget_sample"],
     ).token_budget_sample(_documents(s, d)),
-    "shard_manifest": lambda s, d: __import__(
-        "flink_cooccurrence_spark.plans.corpus", fromlist=["shard_manifest"]
-    ).shard_manifest(_documents(s, d)),
+    # round-11 rotation: the CAPSTONE composition takes shard_manifest's
+    # seat — span scrub ∘ (dedup ∘ quality ∘ decontaminate ∘ mixture ∘
+    # shuffle rank) ∘ DSIR selection ∘ shard layout in ONE plan, its
+    # oracle composed from the SAME component oracles, so the driver
+    # checks the composition itself. shard_manifest is its near-twin
+    # (the same shard-layout tail over training_manifest, minus
+    # scrub/DSIR) and stays oracle-gated pytest-only.
+    "prepare_corpus_manifest": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus",
+        fromlist=["prepare_corpus_manifest"],
+    ).prepare_corpus_manifest(_documents(s, d)),
     # round-7 driver-row rotation (round-6 VERDICT ask #7): the newest
     # first-class families promoted under the driver's independent oracle,
     # in place of three near-twin trivia rows (inactive_customers /
@@ -1023,6 +1031,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.linededup",
         fromlist=["strip_boilerplate"],
     ).strip_boilerplate(_documents(s, d)),
+    # round-11 rotation: shard_manifest ceded its driver seat to the
+    # prepare_corpus_manifest capstone (same shard-layout tail over
+    # training_manifest); same parity gate here.
+    "shard_manifest": lambda s, d: __import__(
+        "flink_cooccurrence_spark.plans.corpus", fromlist=["shard_manifest"]
+    ).shard_manifest(_documents(s, d)),
     # the line scrub composed IN FRONT of the whole corpus-prep capstone —
     # boilerplate-stripped documents flow through dedup/quality gate ∘
     # decontamination ∘ mixture ∘ shuffle rank. On this corpus (unique

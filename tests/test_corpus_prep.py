@@ -817,3 +817,30 @@ def test_mixture_weights_alpha_semantics(spark, docs):
 
     with _pytest.raises(ValueError):
         mixture_weights_alpha(docs, alpha=0.0)
+
+def test_prepare_corpus_manifest_self_consistency(spark, docs):
+    """ONE capstone construction serves all the structural gates (the
+    DuckDB parity in test_oracle_parity.py pins the VALUES against the
+    composed component oracles): dense distinct ordering, the shard
+    prefix-sum arithmetic recomputed independently pandas-side, the
+    DSIR selection bound, and attribution columns present."""
+    from flink_cooccurrence_spark.plans.corpus import (
+        SHARD_TOKENS,
+        prepare_corpus_manifest,
+    )
+
+    out = (
+        prepare_corpus_manifest(docs)
+        .toPandas()
+        .sort_values("train_seq")
+        .reset_index(drop=True)
+    )
+    assert 0 < len(out) <= 50  # the dsir_n Gumbel-top-k bound
+    assert out["doc_id"].is_unique and out["train_seq"].is_unique
+    start = out["n_tokens"].cumsum().shift(fill_value=0)
+    assert (out["shard_id"] == start // SHARD_TOKENS).all()
+    assert (out["shard_off"] == start - out["shard_id"] * SHARD_TOKENS).all()
+    assert (out["shard_off"] < SHARD_TOKENS).all()
+    assert out["logw"].notna().all() and out["weight"].notna().all()
+    # shard ids are a non-decreasing layout in training order
+    assert (out["shard_id"].diff().fillna(0) >= 0).all()

@@ -157,3 +157,36 @@ def test_dsir_sample_is_partitioning_invariant(spark):
     ).collect()
     key = lambda rows: sorted((r["rank"], r["doc_id"]) for r in rows)
     assert key(a) == key(b)
+
+def test_dsir_sample_pool_restriction(spark):
+    """``pool=`` restricts the Gumbel COMPETITION, not the model: the
+    restricted top-k equals the unrestricted ranking filtered to the
+    pool (keys are identical — λ still fits on the full corpus),
+    re-ranked densely from 1."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"w{i % 7} w{(i * 3) % 11} common tok",
+                "en",
+                "src0" if i % 5 == 0 else f"src{i % 3 + 1}",
+                20,
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    full = sorted(
+        dsir_sample(docs, n=1000, num_buckets=BUCKETS).collect(),
+        key=lambda r: r["rank"],
+    )
+    pool_ids = [r["doc_id"] for r in full if r["doc_id"] % 2 == 0]
+    pool = spark.createDataFrame([(i,) for i in pool_ids], "doc_id long")
+    got = sorted(
+        dsir_sample(docs, n=5, num_buckets=BUCKETS, pool=pool).collect(),
+        key=lambda r: r["rank"],
+    )
+    exp = [r for r in full if r["doc_id"] % 2 == 0][:5]
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    assert [r["gumbel_key"] for r in got] == [r["gumbel_key"] for r in exp]
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]

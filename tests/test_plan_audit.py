@@ -110,6 +110,11 @@ ALLOWED_BNLJ = {
     # DSIR: λ-table totals ride as a broadcast 1-row aggregate
     "dsir_weights": "1-row λ-totals aggregate (O(B) bucket table)",
     "dsir_sample": "1-row λ-totals aggregate (O(B) bucket table)",
+    # the capstone composes training_manifest + dsir_sample + the shard
+    # prefix sum — the union of their bounded broadcasts, nothing new
+    "prepare_corpus_manifest": (
+        "1-row bounds/λ-totals aggregates (manifest + DSIR + prefix sum)"
+    ),
     "streaming_dsir_weights": "1-row λ-totals aggregate (O(B) state table)",
     # length bucketing: the two-pass rank's 1-row bounds aggregate
     "length_bucketed_batches": "1-row min/max range-bucket bounds aggregate",
@@ -179,6 +184,10 @@ ALLOWED_SINGLE_PARTITION = {
     "bm25_topk": "1-row corpus-stats aggregate + ≤4096-row bucket-offsets window",
     "dsir_weights": "1-row λ-totals aggregate",
     "dsir_sample": "1-row λ-totals aggregate + ≤4096-row bucket-offsets window",
+    "prepare_corpus_manifest": (
+        "1-row bounds/λ-totals aggregates + ≤4096-row bucket-offsets "
+        "windows (manifest + DSIR + prefix sum)"
+    ),
     "streaming_dsir_weights": "1-row λ-totals aggregate",
     "streaming_bm25_topk": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "length_bucketed_batches": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
