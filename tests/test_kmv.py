@@ -122,9 +122,14 @@ def test_pairwise_guard_rejects_high_cardinality_key(spark):
     assert source_jaccard_of(ok).count() == 1
 
 
-def test_streaming_tracker_equals_batch(spark, docs, tmp_path_factory):
-    eng = KmvStream(spark, workdir=str(tmp_path_factory.mktemp("kmv_main")))
-    eng.replay(docs, docs_per_batch=100)
+def test_streaming_tracker_equals_batch(spark, sf_dir, docs, tmp_path_factory):
+    # the main full replay is the registry's memoized engine (same
+    # corpus, same 100-doc batches) — shared session-wide with the
+    # oracle-parity rows instead of replayed again here (suite-wall
+    # consolidation)
+    from flink_cooccurrence_spark.registry import _kmv_stream
+
+    eng = _kmv_stream(spark, sf_dir)
     assert _rows(eng.distinct_estimates()) == _rows(kmv_distinct_shingles(docs))
     assert _rows(eng.source_jaccard()) == _rows(kmv_source_jaccard(docs))
     # slicing invariance: bottom-k merge is a lattice op

@@ -27,9 +27,14 @@ def docs(spark, sf_dir):
     d.unpersist()
 
 
-def test_stream_equals_batch(spark, docs, tmp_path_factory):
-    eng = CdcStream(spark, workdir=str(tmp_path_factory.mktemp("cdc_main")))
-    eng.replay(docs, docs_per_batch=100)
+def test_stream_equals_batch(spark, sf_dir, docs):
+    # the main full replay is the registry's memoized engine (same
+    # corpus, same 100-doc batches) — shared session-wide with the
+    # oracle-parity rows instead of replayed again here (suite-wall
+    # consolidation)
+    from flink_cooccurrence_spark.registry import _cdc_stream
+
+    eng = _cdc_stream(spark, sf_dir)
     assert _rows(eng.dup_chunks()) == _rows(cdc_dup_chunks(docs))
     assert _rows(eng.doc_dup_stats()) == _rows(cdc_doc_dup_stats(docs))
 

@@ -23,9 +23,16 @@ def docs(spark, sf_dir):
     d.unpersist()
 
 
-def test_accumulated_model_equals_batch_fit(spark, docs, tmp_path_factory):
-    eng = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_main")))
-    eng.replay(docs, docs_per_batch=100)
+def test_accumulated_model_equals_batch_fit(
+    spark, sf_dir, docs, tmp_path_factory
+):
+    # the main full replay is the registry's memoized engine (same
+    # corpus, same 100-doc batches) — shared session-wide with the
+    # oracle-parity rows instead of replayed again here (suite-wall
+    # consolidation)
+    from flink_cooccurrence_spark.registry import _dsir_stream
+
+    eng = _dsir_stream(spark, sf_dir)
     assert _rows(eng.score(docs)) == _rows(dsir_weights(docs))
     # slicing invariance: counts are additive, so batch size is invisible
     eng2 = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_slice")))
@@ -49,14 +56,15 @@ def test_kill_restart_and_redelivery(spark, docs, tmp_path_factory):
     assert _rows(eng2.score(small)) == _rows(dsir_weights(small))
 
 
-def test_scores_incoming_batch_against_running_model(
-    spark, docs, tmp_path_factory
-):
+def test_scores_incoming_batch_against_running_model(spark, sf_dir, docs):
     # the production shape: score an arriving slice under the model
     # accumulated so far (here: the full corpus model) — weights for the
-    # slice's raw docs must equal the batch fit's rows for those docs
-    eng = DsirStream(spark, workdir=str(tmp_path_factory.mktemp("ds_slice2")))
-    eng.replay(docs, docs_per_batch=250)
+    # slice's raw docs must equal the batch fit's rows for those docs.
+    # The full-corpus model is the registry's memoized engine (batch
+    # slicing is invisible by the invariance gate above).
+    from flink_cooccurrence_spark.registry import _dsir_stream
+
+    eng = _dsir_stream(spark, sf_dir)
     arriving = docs.filter(F.col("doc_id") % 7 == 0)
     got = _rows(eng.score(arriving))
     full = {r[0]: r for r in dsir_weights(docs).collect()}

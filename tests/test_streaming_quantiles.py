@@ -28,9 +28,15 @@ def _batch(events):
     return group_quantiles(events, ["event_type"], "value")
 
 
-def test_stream_equals_batch(spark, events, tmp_path_factory):
-    eng = QuantileStream(spark, workdir=str(tmp_path_factory.mktemp("qs_main")))
-    eng.replay(events, key="event_type", col="value", rows_per_batch=1500)
+def test_stream_equals_batch(spark, sf_dir, events):
+    # the main full replay is the registry's memoized engine (same
+    # events table; 2000-row batches — slicing is invisible by the
+    # invariance gate below) — shared session-wide with the
+    # oracle-parity rows instead of replayed again here (suite-wall
+    # consolidation)
+    from flink_cooccurrence_spark.registry import _quantile_stream
+
+    eng = _quantile_stream(spark, sf_dir)
     assert _rows(eng.quantiles()) == _rows(_batch(events))
 
 

@@ -26,12 +26,14 @@ def docs(spark, sf_dir):
 
 
 @pytest.fixture(scope="module")
-def engine(spark, docs, tmp_path_factory):
-    eng = TextIndexStream(
-        spark, workdir=str(tmp_path_factory.mktemp("tis_main"))
-    )
-    eng.replay(docs, docs_per_batch=100)
-    return eng
+def engine(spark, sf_dir, docs):
+    # the main full replay is the registry's memoized engine (same
+    # corpus, same 100-doc batches) — shared session-wide with the
+    # oracle-parity rows instead of replayed again here (suite-wall
+    # consolidation)
+    from flink_cooccurrence_spark.registry import _text_index_stream
+
+    return _text_index_stream(spark, sf_dir)
 
 
 def test_query_equals_batch_operator(spark, docs, engine):
