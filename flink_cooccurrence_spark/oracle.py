@@ -938,28 +938,73 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
     # ann_recall); method SQLs embed as derived tables (DuckDB nested WITH)
     from flink_cooccurrence_spark.operators import pq as _pq
 
+    def _ann_recall_sql(methods: dict[str, str]) -> str:
+        """The recall-meter UNION. The residual ADC chain is the
+        oracle's single most expensive construction, and both the
+        ivf_pq_residual AND ivf_pq_refined members need it — so it runs
+        ONCE at k=R·k as a shared CTE: residual@k is the rank≤k
+        truncation (identical row_number ordering), refined is the
+        exact-cosine re-rank of the full R·k list (the operator's
+        definition verbatim). Entries named 'ivf_pq_residual' /
+        'ivf_pq_refined' in ``methods`` are placeholders for ordering;
+        their SQL text is ignored in favor of the shared-chain forms."""
+        resid_rk = _pq.ivf_pq_sql(
+            _pq.PQ_REFINE_FACTOR * sim.ANN_K,
+            nprobe=1,
+            encode="residual",
+            centroids="kmeans",
+        )
+        member = {
+            name: f"SELECT q_id, n_id FROM ({msql}) t"
+            for name, msql in methods.items()
+        }
+        member["ivf_pq_residual"] = (
+            f"SELECT q_id, n_id FROM resid_rk WHERE rank <= {sim.ANN_K}"
+        )
+        member["ivf_pq_refined"] = f"""SELECT q_id, n_id FROM (
+      SELECT c.q_id, c.n_id,
+             row_number() OVER (
+               PARTITION BY c.q_id
+               ORDER BY round(list_dot_product(q.v, n.v)
+                              / (q.norm * n.norm), 6) DESC, c.n_id
+             ) AS rrank
+      FROM resid_rk c
+      JOIN fnorm q ON q.vec_id = c.q_id
+      JOIN fnorm n ON n.vec_id = c.n_id
+    ) WHERE rrank <= {sim.ANN_K}"""
+        selects = "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS method, "
+            f"round(CAST((SELECT count(*) FROM ({msel}) m "
+            f"JOIN exact e ON m.q_id = e.q_id AND m.n_id = e.n_id) AS DOUBLE) "
+            f"/ (SELECT count(*) FROM exact), 6) AS recall"
+            for name, msel in member.items()
+        )
+        # AS MATERIALIZED: each CTE here is referenced by SEVERAL member
+        # subqueries — without the hint DuckDB may inline a copy of the
+        # whole chain per reference (measured: the residual chain
+        # re-planned per member blows past memory at sf0.01)
+        return f"""
+WITH exact AS MATERIALIZED (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)})),
+resid_rk AS MATERIALIZED (SELECT q_id, rank, n_id FROM ({resid_rk}) t),
+fnorm AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)
+{selects}
+"""
+
     recall_methods = {
         "ivf_nprobe1": _ivf_sql(sim.ANN_K, nprobe=1),
         "ivf_nprobe2": _ivf_sql(sim.ANN_K, nprobe=2),
         "ivf_pq": _pq.ivf_pq_sql(sim.ANN_K, nprobe=1),
-        "ivf_pq_residual": _pq.ivf_pq_sql(
-            sim.ANN_K, nprobe=1, encode="residual", centroids="kmeans"
-        ),
-        "ivf_pq_refined": _pq.ivf_pq_refined_sql(sim.ANN_K),
+        "ivf_pq_residual": "",  # shared-chain member (see _ann_recall_sql)
+        "ivf_pq_refined": "",  # shared-chain member (see _ann_recall_sql)
         "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
         "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
     }
-    recall_selects = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS method, "
-        f"round(CAST((SELECT count(*) FROM ({msql}) m "
-        f"JOIN exact e ON m.q_id = e.q_id AND m.n_id = e.n_id) AS DOUBLE) "
-        f"/ (SELECT count(*) FROM exact), 6) AS recall"
-        for name, msql in recall_methods.items()
-    )
-    o["ann_recall"] = f"""
-WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
-{recall_selects}
-"""
+    o["ann_recall"] = _ann_recall_sql(recall_methods)
 
     o["image_resize"] = f"""
 WITH h AS (SELECT doc_id, {hash32_sql("text")} AS hv FROM documents),
@@ -1608,17 +1653,7 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
     # extra method — keep the member list in lockstep with
     # similarity.ann_recall)
     recall_methods["ivf_kmeans"] = _ivf_kmeans_sql(sim.ANN_K)
-    recall_selects = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS method, "
-        f"round(CAST((SELECT count(*) FROM ({msql}) m "
-        f"JOIN exact e ON m.q_id = e.q_id AND m.n_id = e.n_id) AS DOUBLE) "
-        f"/ (SELECT count(*) FROM exact), 6) AS recall"
-        for name, msql in recall_methods.items()
-    )
-    o["ann_recall"] = f"""
-WITH exact AS (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)}))
-{recall_selects}
-"""
+    o["ann_recall"] = _ann_recall_sql(recall_methods)
 
     # winnowing (operators/winnow.py): window-min over packed
     # hash·2^20+pos keys — exact integer arithmetic end to end

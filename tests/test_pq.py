@@ -85,6 +85,11 @@ def test_empty_corpus(spark):
     assert ivf_pq_topk(empty).count() == 0
     assert ivf_pq_topk(empty, encode="residual").count() == 0
     assert pq_codebooks(empty) == []
+    from flink_cooccurrence_spark.operators.pq import ivf_pq_refined_topk
+
+    out = ivf_pq_refined_topk(empty)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "rank", "n_id", "cosine", "cell"]
 
 
 def test_residual_contract_and_recall_at_least_raw(spark, emb):
