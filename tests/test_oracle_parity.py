@@ -46,10 +46,25 @@ ALL_QUERIES = registry.all_queries()
 ORACLE_QUERIES = sorted(n for n in ALL_QUERIES if n in ORACLES)
 
 
+#: oracle results memoized by SQL TEXT: ~18 query pairs share identical
+#: oracle text by design (the losslessness-by-parity pattern — a
+#: streaming tracker or physical rewrite under its batch twin's
+#: UNCHANGED oracle), including one ~30s residual-PQ chain
+#: (pq_index_query == ivf_pq_residual_topk). Each distinct text runs
+#: once per session; results are small sf0.001 frames.
+_ORACLE_RESULT_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _oracle_df(duck, sql: str) -> pd.DataFrame:
+    if sql not in _ORACLE_RESULT_CACHE:
+        _ORACLE_RESULT_CACHE[sql] = duck.execute(sql).df()
+    return _ORACLE_RESULT_CACHE[sql]
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     got = ALL_QUERIES[name](spark, sf_dir).toPandas()
-    exp = duck.execute(ORACLES[name]).df()
+    exp = _oracle_df(duck, ORACLES[name])
     assert_frames_match(got, exp, name)
 
 
