@@ -1,0 +1,182 @@
+"""Count-Min Sketch — point-queryable frequency estimates at O(d·w)
+state (Cormode & Muthukrishnan, "An Improved Data Stream Summary: the
+Count-Min Sketch and its Applications", J. Algorithms 2005).
+
+``d`` hash rows × ``w`` columns of counters; every element increments
+one counter per row (``col = h_r(x) mod w``), and a point query returns
+``min_r cell[r, h_r(x)]`` — an OVERESTIMATE, never an underestimate
+(every counter the element touches holds its true count plus whatever
+collided into the cell; the min takes the least-polluted row). The
+standard bound: overestimate ≤ 2N/w per row in expectation, and the min
+over d rows makes a large overshoot require colliding heavy mass in
+EVERY row.
+
+Why it belongs in this engine: the sketch portfolio holds frequency
+UNDERESTIMATES (Misra-Gries: only candidates above the cut survive,
+`operators/frequency.py`), membership (bloom), ranks (bucketed
+quantiles), and cardinality (KMV) — but no point-queryable
+per-element count estimate. MG answers "which items are heavy"; CMS
+answers "about how often did THIS item occur" for every item, at fixed
+d·w state regardless of the domain size — the complementary class
+(MG never overestimates candidate counts; CMS never underestimates).
+
+Determinism / oracle spec: rows hash with the portable ``hash32`` under
+a per-row salt (``cms{r}:item``) — no randomness — so the ESTIMATES
+themselves are DuckDB-oracle-exact (the KMV discipline: an estimator
+under an exactness gate; pytest separately checks the overestimate
+bound against exact counts).
+
+Scale shape: cell building is ONE map-only pass (d literal hash
+expressions, ``posexplode``) + one aggregation into ≤ d·w groups; the
+point-query path broadcasts the ≤ d·w-row sketch (KB — the bounded
+bloom/codebook state class) into a map-side join, so estimating every
+distinct item costs one aggregation over the items, never a shuffle of
+the sketch. Nothing is O(domain) except the (intended) per-item output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
+
+#: sketch geometry — w controls the additive error (≤ 2N/w per row in
+#: expectation), d the failure probability of the min. 3×256 = 768
+#: cells; a deployment sizes w to N·ε⁻¹.
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+
+
+def _col_of(row: int, key: Column, width: int) -> Column:
+    """Row ``row``'s column index for ``key`` — salted portable hash."""
+    return (
+        hash32(F.concat(F.lit(f"cms{row}:"), key.cast("string")))
+        % F.lit(width)
+    ).cast("int")
+
+
+def _col_sql(row: int, key_expr: str, width: int) -> str:
+    salted = f"('cms{row}:' || CAST({key_expr} AS VARCHAR))"
+    return f"({hash32_sql(salted)} % {width})"
+
+
+def cms_cells(
+    keyed: DataFrame,
+    key: str = "item",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, col, cnt): the sketch cell table — one map-only pass
+    (``posexplode`` over the d per-row column indices) plus one
+    aggregation into ≤ depth·width groups. Shared verbatim by the batch
+    estimator and the streaming tracker (cells are ADDITIVE, so the
+    tracker merges per-batch cell tables by summation)."""
+    k = F.col(key)
+    pairs = keyed.select(
+        F.posexplode(
+            F.array(*[_col_of(r, k, width) for r in range(depth)])
+        ).alias("row", "col")
+    )
+    return pairs.groupBy("row", "col").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def estimates_of(
+    cells: DataFrame,
+    keyed: DataFrame,
+    key: str = "item",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(item, est_count, exact_count): the point-query estimate
+    ``min_r cell[r, h_r(x)]`` for every distinct key, alongside the
+    exact count — the CMS guarantee ``est ≥ exact`` is thereby
+    oracle-visible. Shared verbatim by the batch operator and the
+    streaming tracker.
+
+    The sketch side is ≤ depth·width rows (KB — the bounded
+    bloom/codebook state class), so it broadcasts; the lookup is a
+    map-side join per (item, row) pair."""
+    k = F.col(key)
+    exact = keyed.groupBy(k.alias("item")).agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    probes = exact.select(
+        "item",
+        "exact_count",
+        F.posexplode(
+            F.array(*[_col_of(r, F.col("item"), width) for r in range(depth)])
+        ).alias("row", "col"),
+    )
+    return (
+        probes.join(F.broadcast(cells), on=["row", "col"])
+        .groupBy("item", "exact_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .select("item", "est_count", "exact_count")
+    )
+
+
+def cms_item_estimates(
+    interactions: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The registered form: CMS over the interaction items —
+    (item, est_count, exact_count) per distinct item."""
+    keyed = interactions.select("item")
+    return estimates_of(cms_cells(keyed, "item", depth, width), keyed,
+                        "item", depth, width)
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _cells_sql(
+    table_expr: str, key: str, depth: int, width: int
+) -> str:
+    """CTE text for the cell table over ``table_expr`` — the d per-row
+    hash columns unioned (the posexplode twin)."""
+    per_row = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {_col_sql(r, key, width)} AS col"
+        f" FROM {table_expr}"
+        for r in range(depth)
+    )
+    return f"""
+pairs AS (
+{per_row}
+),
+cells AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY row, col
+)
+""".strip()
+
+
+def cms_item_estimates_sql(
+    table_expr: str,
+    key: str = "item",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_item_estimates` — identical salted
+    hashes, identical min-over-rows estimate."""
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT item, exact_count, {r} AS row,"
+        f" {_col_sql(r, 'item', width)} AS col FROM exact"
+        for r in range(depth)
+    )
+    return f"""
+WITH {_cells_sql(table_expr, key, depth, width)},
+exact AS (
+  SELECT {key} AS item, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM {table_expr} GROUP BY {key}
+),
+probes AS (
+{probe_rows}
+)
+SELECT p.item, MIN(c.cnt) AS est_count, p.exact_count
+FROM probes p JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY p.item, p.exact_count
+"""

@@ -1736,6 +1736,18 @@ GROUP BY d.source
 
     # the streaming tracker's verify pass — identical oracle text (the
     # losslessness-by-parity pattern: superset candidates + exact verify)
+    # Count-Min sketch (operators/cms.py): salted-hash cells + the
+    # min-over-rows point query re-derived in SQL — the estimates are
+    # deterministic, so the estimator itself is oracle-exact; the
+    # streaming tracker's accumulated cells run the IDENTICAL text
+    # (cells are additive — losslessness-by-parity)
+    from flink_cooccurrence_spark.operators import cms as _cms
+
+    o["cms_item_estimates"] = _cms.cms_item_estimates_sql(
+        f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
+    )
+    o["streaming_cms_estimates"] = o["cms_item_estimates"]
+
     o["streaming_heavy_hitters"] = freq.heavy_hitters_sql(
         f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
     )

@@ -631,6 +631,19 @@ def _kmv_stream(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _cms_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming CMS tracker over the interactions in seq
+    order (2000 rows/batch → multi-batch at every test SF); memoized."""
+    from flink_cooccurrence_spark.streaming.cms import CmsStream
+
+    key = _memo_key(spark, sf_dir, "cms_stream")
+    if key not in _ENGINE_MEMO:
+        eng = CmsStream(spark, workdir=_memo_tmpdir("cms_q_"))
+        eng.replay(_interactions(spark, sf_dir), rows_per_batch=2000)
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _cdc_stream(spark: SparkSession, sf_dir: str):
     """Replay the streaming CDC tracker over the documents corpus
     (100 docs/batch); memoized per (session, sf_dir)."""
@@ -777,6 +790,19 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # regression can't hide inside codebook-construction time; oracle is
     # the residual flagship's unchanged (same frozen state, same math)
     "pq_index_query": _q_pq_index_query,
+    # round-11: Count-Min sketch — the sketch portfolio's frequency
+    # OVERESTIMATE class (MG underestimates; CMS point-queries every
+    # item at d·w state); deterministic salted hashes make the
+    # estimates themselves oracle-exact (the KMV discipline)
+    "cms_item_estimates": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.cms",
+        fromlist=["cms_item_estimates"],
+    ).cms_item_estimates(_interactions(s, d)),
+    # the streaming CMS tracker's accumulated cells under the UNCHANGED
+    # batch oracle (cells are additive — losslessness-by-parity)
+    "streaming_cms_estimates": lambda s, d: _cms_stream(s, d).estimates(
+        _interactions(s, d)
+    ),
     # large-k assignment backend (broadcast centroid table + max-of-struct
     # argmax) — same oracle as the literal when-chain, proving the two
     # backends bit-identical

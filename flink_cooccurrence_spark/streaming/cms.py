@@ -1,0 +1,120 @@
+"""Streaming Count-Min tracking — the online form of the CMS
+(``operators/cms.py``).
+
+CMS cells are ADDITIVE: the sketch of a union is the cell-wise sum of
+the parts' sketches — so the online engine keeps one ≤ d·w-row cell
+table as its whole state (the Misra-Gries bounded-driver-state class)
+and each micro-batch costs ONE bounded collect (the batch's own cell
+table, ≤ d·w rows) summed driver-side.
+
+Exactness gate (losslessness-by-parity): after replaying the stream,
+``estimates()`` over the accumulated cells equals the batch
+``cms_item_estimates`` under the UNCHANGED DuckDB oracle — bit-identical,
+because cell-wise addition is exactly what the batch aggregation
+computes in one pass.
+
+Transactionality: the engines' shared contract — per-batch
+commit/rollback on the ``StateStore``, batch-id high-water mark
+(re-delivered batches skip), sketch survives kill-restart.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cooccurrence_spark.operators.cms import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_cells,
+    estimates_of,
+)
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+CELLS_SCHEMA = "row int, col int, cnt long"
+
+
+class CmsStream:
+    """Online CMS over an interaction micro-batch stream (keyed column
+    ``item``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        depth: int = CMS_DEPTH,
+        width: int = CMS_WIDTH,
+    ) -> None:
+        self.spark = spark
+        self.depth = depth
+        self.width = width
+        self.workdir = workdir or tempfile.mkdtemp(prefix="cms_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+        self._cells = pd.DataFrame(columns=["row", "col", "cnt"])
+        if self.state.get_scalar("initialized", 0):
+            self._cells = self.state.get("cells", CELLS_SCHEMA).toPandas()
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Sum one micro-batch's cell table into the accumulated one;
+        one transaction, ONE bounded collect (≤ depth·width rows)."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
+        batch_cells = cms_cells(
+            batch.select("item"), "item", self.depth, self.width
+        ).toPandas()
+        merged = (
+            pd.concat([self._cells, batch_cells])
+            .groupby(["row", "col"], as_index=False)["cnt"]
+            .sum()
+            .astype({"row": "int64", "col": "int64", "cnt": "int64"})
+        )
+        try:
+            self.state.put(
+                "cells", self.spark.createDataFrame(merged, CELLS_SCHEMA)
+            )
+            self.state.set_scalar("initialized", 1)
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
+        except BaseException:
+            self.state.rollback()
+            raise
+        self._cells = merged
+
+    def replay(self, interactions: DataFrame, rows_per_batch: int = 2000) -> None:
+        """Deterministic replay in seq order; batch numbering continues
+        from the high-water mark."""
+        from pyspark.sql import functions as F
+
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
+        seqs = [
+            r[0]
+            for r in interactions.select("seq").orderBy("seq").collect()
+        ]
+        for b, lo in enumerate(range(0, len(seqs), rows_per_batch)):
+            chunk = seqs[lo : lo + rows_per_batch]
+            batch = interactions.filter(
+                (F.col("seq") >= chunk[0]) & (F.col("seq") <= chunk[-1])
+            )
+            self.process_batch(batch, base + b)
+
+    # ------------------------------------------------------------- queries
+
+    def cells(self) -> DataFrame:
+        return self.state.get("cells", CELLS_SCHEMA)
+
+    def estimates(self, interactions: DataFrame) -> DataFrame:
+        """(item, est_count, exact_count): the batch estimator's SHARED
+        point-query tail over the accumulated cells — equals the batch
+        ``cms_item_estimates`` on the accumulated stream (the exact
+        side recomputes from ``interactions``, the verify-pass shape the
+        MG tracker uses)."""
+        return estimates_of(
+            self.cells(),
+            interactions.select("item"),
+            "item",
+            self.depth,
+            self.width,
+        )

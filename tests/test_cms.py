@@ -1,0 +1,111 @@
+"""Count-Min sketch (operators/cms.py + streaming/cms.py): the
+overestimate GUARANTEE and error bound against exact counts (the oracle
+gate proves engine agreement, not the sketch's properties — that's this
+file's job), forced-collision behavior at tiny width, and the streaming
+tracker's additivity / kill-restart / re-delivery contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.cms import (
+    CMS_WIDTH,
+    cms_cells,
+    cms_item_estimates,
+    estimates_of,
+)
+from flink_cooccurrence_spark.registry import _interactions
+from flink_cooccurrence_spark.streaming.cms import CmsStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def inter(spark, sf_dir):
+    d = _interactions(spark, sf_dir).select("seq", "item").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_never_underestimates_and_error_bounded(spark, inter):
+    est = cms_item_estimates(inter).toPandas()
+    assert len(est) == inter.select("item").distinct().count()
+    assert (est["est_count"] >= est["exact_count"]).all()
+    # the CM bound is PROBABILISTIC (overshoot ≤ 2N/w per row holds in
+    # expectation; a few of |items| point queries legitimately exceed
+    # it) — gate the mean at the expectation scale and the max at a
+    # loose multiple (measured at sf0.001: mean 0.44, max 13 vs N/w≈4)
+    n = int(inter.count())
+    overshoot = est["est_count"] - est["exact_count"]
+    assert overshoot.mean() <= n / CMS_WIDTH, overshoot.describe()
+    assert overshoot.max() <= 4 * 2 * n / CMS_WIDTH, (
+        est.sort_values("est_count").tail(3)
+    )
+
+
+def test_forced_collisions_still_never_underestimate(spark):
+    """width=2 forces heavy collisions: estimates inflate but the
+    guarantee (and the min-over-rows behavior) must hold exactly."""
+    keyed = spark.createDataFrame(
+        [(i % 5,) for i in range(100)], "item long"
+    )
+    out = estimates_of(
+        cms_cells(keyed, "item", depth=3, width=2), keyed, "item",
+        depth=3, width=2,
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["exact_count"] == 20
+        assert r["est_count"] >= 20
+        assert r["est_count"] <= 100  # a cell never exceeds the stream
+
+
+def test_cells_are_bounded_and_additive(spark, inter):
+    cells = cms_cells(inter.select("item")).toPandas()
+    from flink_cooccurrence_spark.operators.cms import CMS_DEPTH
+
+    assert len(cells) <= CMS_DEPTH * CMS_WIDTH
+    assert cells["cnt"].sum() == inter.count() * CMS_DEPTH
+    # additivity: cells(A) + cells(B) == cells(A ∪ B), cell-wise
+    a = cms_cells(inter.filter(F.col("seq") % 2 == 0).select("item")).toPandas()
+    b = cms_cells(inter.filter(F.col("seq") % 2 == 1).select("item")).toPandas()
+    import pandas as pd
+
+    summed = (
+        pd.concat([a, b])
+        .groupby(["row", "col"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    whole = cells.sort_values(["row", "col"]).reset_index(drop=True)
+    assert summed.equals(whole)
+
+
+def test_streaming_tracker_equals_batch(spark, sf_dir, inter):
+    # the main full replay is the registry's memoized engine — shared
+    # session-wide with the oracle-parity rows (suite-wall rule)
+    from flink_cooccurrence_spark.registry import _cms_stream
+
+    eng = _cms_stream(spark, sf_dir)
+    assert _rows(eng.estimates(inter)) == _rows(cms_item_estimates(inter))
+
+
+def test_streaming_kill_restart_and_redelivery(spark, inter, tmp_path_factory):
+    small = inter.filter(F.col("seq") < 2000)
+    wd = str(tmp_path_factory.mktemp("cms_restart"))
+    eng = CmsStream(spark, workdir=wd)
+    eng.replay(small.filter(F.col("seq") < 1000), rows_per_batch=500)
+    # abrupt kill: a new object on the same workdir resumes committed state
+    eng2 = CmsStream(spark, workdir=wd)
+    before = _rows(eng2.cells())
+    # re-delivery of a committed batch id is a no-op
+    eng2.process_batch(small.filter(F.col("seq") < 500), batch_id=0)
+    assert _rows(eng2.cells()) == before
+    # resume with the rest; the final sketch equals the batch build
+    eng2.replay(small.filter(F.col("seq") >= 1000), rows_per_batch=500)
+    assert _rows(eng2.estimates(small)) == _rows(cms_item_estimates(small))
