@@ -481,6 +481,15 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
         # round-11: exact re-rank of the residual-ADC top R·k (faiss
         # IndexRefineFlat) — candidate recall becomes the only ceiling
         ("ivf_pq_refined", ivf_pq_refined_topk(embeddings, k)),
+        # round-11: SQ8 — 4× memory at near-exact fidelity; its recall
+        # should sit AT the IVF cell ceiling (the quantizer costs ~0)
+        (
+            "ivf_sq8",
+            __import__(
+                "flink_cooccurrence_spark.operators.sq",
+                fromlist=["ivf_sq8_topk"],
+            ).ivf_sq8_topk(embeddings, k),
+        ),
         ("lsh", ann_lsh_topk(embeddings, k)),
         ("lsh_multiprobe", ann_lsh_topk(embeddings, k, multi_probe=True)),
     ]

@@ -933,6 +933,10 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
     # scoring math) — the parity gate running the SAME SQL proves the
     # artifact round-trip lossless (the decontaminate_bloom precedent)
     o["pq_index_query"] = o["ivf_pq_residual_topk"]
+    # round-11: IVF-SQ8 — per-dim affine uint8 codes, dequantized score
+    from flink_cooccurrence_spark.operators import sq as _sq
+
+    o["ivf_sq8_topk"] = _sq.ivf_sq8_sql(_sq.ANN_K, nprobe=1)
 
     # recall@k of every ANN variant vs exact KNN at the same k (the engine's
     # ann_recall); method SQLs embed as derived tables (DuckDB nested WITH)
@@ -1001,6 +1005,7 @@ fnorm AS MATERIALIZED (
         "ivf_pq": _pq.ivf_pq_sql(sim.ANN_K, nprobe=1),
         "ivf_pq_residual": "",  # shared-chain member (see _ann_recall_sql)
         "ivf_pq_refined": "",  # shared-chain member (see _ann_recall_sql)
+        "ivf_sq8": _sq.ivf_sq8_sql(sim.ANN_K, nprobe=1),
         "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
         "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
     }

@@ -790,6 +790,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # regression can't hide inside codebook-construction time; oracle is
     # the residual flagship's unchanged (same frozen state, same math)
     "pq_index_query": _q_pq_index_query,
+    # round-11: IVF-SQ8 — the OTHER faiss quantizer (per-dim uint8
+    # affine codes, 4x memory at near-exact fidelity vs PQ's ~32x at
+    # real loss); on the ann_recall meter as 'ivf_sq8' so the
+    # memory/recall tradeoff is measured on one axis
+    "ivf_sq8_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.sq", fromlist=["ivf_sq8_topk"]
+    ).ivf_sq8_topk(_embeddings(s, d)),
     # round-11: Count-Min sketch — the sketch portfolio's frequency
     # OVERESTIMATE class (MG underestimates; CMS point-queries every
     # item at d·w state); deterministic salted hashes make the

@@ -169,7 +169,8 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     recalls = {r["method"]: r["recall"] for r in ann_recall(emb).collect()}
     assert set(recalls) == {
         "ivf_nprobe1", "ivf_nprobe2", "ivf_kmeans", "ivf_pq",
-        "ivf_pq_residual", "ivf_pq_refined", "lsh", "lsh_multiprobe",
+        "ivf_pq_residual", "ivf_pq_refined", "ivf_sq8", "lsh",
+        "lsh_multiprobe",
     }
     assert recalls["lsh_multiprobe"] >= recalls["lsh"]
     assert recalls["ivf_nprobe2"] >= recalls["ivf_nprobe1"]
@@ -181,6 +182,9 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     # the exact re-rank can only promote true neighbors into the top k
     # (round-11: 0.213 → 0.36 measured at sf0.01)
     assert recalls["ivf_pq_refined"] >= recalls["ivf_pq_residual"]
+    # SQ8 is near-exact per candidate — it must beat the lossy PQ codes
+    # over the same hash cells (its ceiling is the IVF cell choice)
+    assert recalls["ivf_sq8"] >= recalls["ivf_pq"]
     for v in recalls.values():
         assert 0.0 <= v <= 1.0
 
