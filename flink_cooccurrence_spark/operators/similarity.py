@@ -490,6 +490,15 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
                 fromlist=["ivf_sq8_topk"],
             ).ivf_sq8_topk(embeddings, k),
         ),
+        # ... and over fitted cells: the cell choice is sq8's whole
+        # recall story (the quantizer itself measures free)
+        (
+            "ivf_sq8_kmeans",
+            __import__(
+                "flink_cooccurrence_spark.operators.sq",
+                fromlist=["ivf_sq8_topk"],
+            ).ivf_sq8_topk(embeddings, k, centroids="kmeans"),
+        ),
         ("lsh", ann_lsh_topk(embeddings, k)),
         ("lsh_multiprobe", ann_lsh_topk(embeddings, k, multi_probe=True)),
     ]

@@ -126,13 +126,22 @@ def sq8_codes(
 
 
 def ivf_sq8_topk(
-    embeddings: DataFrame, k: int = ANN_K, nprobe: int = 1
+    embeddings: DataFrame,
+    k: int = ANN_K,
+    nprobe: int = 1,
+    centroids: str = "hash",
 ) -> DataFrame:
     """(q_id, rank, n_id, cosine, cell): IVF-SQ8 approximate top-k —
     the IVF cell join bounds WHICH candidates a query scores, SQ8
     bounds their memory footprint; the pair score folds the query's
     precomputed ``q·s`` array against the candidate's int codes plus
-    the per-query ``dot(q, mins)`` scalar (module docstring)."""
+    the per-query ``dot(q, mins)`` scalar (module docstring).
+
+    ``centroids`` picks the cell set ('hash' sample or 'kmeans' fitted
+    — ``similarity.ivf_assignments``'s sets). Because the quantizer is
+    measured FREE on the meter, the cell choice is the whole recall
+    story: fitted cells lift sq8 to ivf_kmeans's 0.387 at sf0.01 — the
+    best non-exact point on the meter, at 4× less candidate memory."""
     mins, scales = sq8_params(embeddings)
     if not mins:
         return embeddings.sparkSession.createDataFrame(
@@ -140,7 +149,7 @@ def ivf_sq8_topk(
         )
     # two consumers (home cells + query probes) — cache so the centroid
     # assignment pass runs once
-    assign = ivf_assignments(embeddings, nprobe).cache()
+    assign = ivf_assignments(embeddings, nprobe, centroids=centroids).cache()
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
     corpus = sq8_codes(
         embeddings.select("vec_id", "embedding"), mins, scales
@@ -188,14 +197,35 @@ def ivf_sq8_topk(
 # ---------------------------------------------------------------- oracle SQL
 
 
-def ivf_sq8_sql(k: int = ANN_K, nprobe: int = 1) -> str:
+def ivf_sq8_sql(
+    k: int = ANN_K, nprobe: int = 1, centroids: str = "hash"
+) -> str:
     """DuckDB twin of :func:`ivf_sq8_topk` — identical range fit, code
-    arithmetic, dequantized score, and IVF cell machinery."""
-    return f"""
-WITH base AS (
+    arithmetic, dequantized score, and IVF cell machinery. ``centroids``
+    swaps the cell-set head CTEs (the ``_ivf_pq_residual_sql``
+    pattern)."""
+    if centroids == "kmeans":
+        from flink_cooccurrence_spark.operators import clustering as _cl
+
+        head = f"""{_cl._kmeans_prefix(_cl.KMEANS_K, _cl.KMEANS_ITERS).strip()},
+cents AS (
+  SELECT CAST(cluster AS INT) AS c_id, c_v, c_norm FROM cents{_cl.KMEANS_ITERS}
+)"""
+    elif centroids == "hash":
+        head = f"""base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+cents AS (
+  SELECT vec_id AS c_id, v AS c_v, norm AS c_norm
+  FROM normed
+  ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {IVF_NUM_CENTROIDS}
+)"""
+    else:
+        raise ValueError(f"unknown centroids {centroids!r}")
+    return f"""
+WITH {head},
 dims AS (
   SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM base
 ),
@@ -225,12 +255,6 @@ corpus0 AS (
                           z -> z[2] + z[3] * CAST(z[1] AS DOUBLE))
          ) AS recon_n2
   FROM coded c CROSS JOIN prm p
-),
-cents AS (
-  SELECT vec_id AS c_id, v AS c_v, norm AS c_norm
-  FROM normed
-  ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
-  LIMIT {IVF_NUM_CENTROIDS}
 ),
 assign_scored AS (
   SELECT n.vec_id, c.c_id,

@@ -937,6 +937,9 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
     from flink_cooccurrence_spark.operators import sq as _sq
 
     o["ivf_sq8_topk"] = _sq.ivf_sq8_sql(_sq.ANN_K, nprobe=1)
+    o["ivf_sq8_kmeans_topk"] = _sq.ivf_sq8_sql(
+        _sq.ANN_K, nprobe=1, centroids="kmeans"
+    )
 
     # recall@k of every ANN variant vs exact KNN at the same k (the engine's
     # ann_recall); method SQLs embed as derived tables (DuckDB nested WITH)
@@ -1006,6 +1009,9 @@ fnorm AS MATERIALIZED (
         "ivf_pq_residual": "",  # shared-chain member (see _ann_recall_sql)
         "ivf_pq_refined": "",  # shared-chain member (see _ann_recall_sql)
         "ivf_sq8": _sq.ivf_sq8_sql(sim.ANN_K, nprobe=1),
+        "ivf_sq8_kmeans": _sq.ivf_sq8_sql(
+            sim.ANN_K, nprobe=1, centroids="kmeans"
+        ),
         "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
         "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
     }

@@ -797,6 +797,12 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "ivf_sq8_topk": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.sq", fromlist=["ivf_sq8_topk"]
     ).ivf_sq8_topk(_embeddings(s, d)),
+    # ... and over FITTED cells: the quantizer is measured free, so
+    # fitted cells lift sq8 to ivf_kmeans's ceiling (0.387 at sf0.01) —
+    # the meter's best non-exact point at 4× less candidate memory
+    "ivf_sq8_kmeans_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.sq", fromlist=["ivf_sq8_topk"]
+    ).ivf_sq8_topk(_embeddings(s, d), centroids="kmeans"),
     # round-11: Count-Min sketch — the sketch portfolio's frequency
     # OVERESTIMATE class (MG underestimates; CMS point-queries every
     # item at d·w state); deterministic salted hashes make the

@@ -83,6 +83,9 @@ ALLOWED_BNLJ = {
     # IVF-SQ8: the IVF centroid broadcast; the SQ ranges are driver
     # literals (2*dim doubles), not a join side
     "ivf_sq8_topk": "fixed-K centroid set (corpus-independent)",
+    "ivf_sq8_kmeans_topk": (
+        "fixed-K fitted centroid literals (corpus-independent)"
+    ),
     # large-k assignment backend: corpus × k-row broadcast centroid table
     # with k fixed (corpus-independent by the module's fixed-k contract)
     "kmeans_assign_broadcast": "fixed-k broadcast centroid table (corpus-independent)",
@@ -172,7 +175,7 @@ ALLOWED_SINGLE_PARTITION = {
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
-    "ann_recall": "9-row recall summary aggregate",
+    "ann_recall": "10-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",

@@ -169,8 +169,8 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     recalls = {r["method"]: r["recall"] for r in ann_recall(emb).collect()}
     assert set(recalls) == {
         "ivf_nprobe1", "ivf_nprobe2", "ivf_kmeans", "ivf_pq",
-        "ivf_pq_residual", "ivf_pq_refined", "ivf_sq8", "lsh",
-        "lsh_multiprobe",
+        "ivf_pq_residual", "ivf_pq_refined", "ivf_sq8",
+        "ivf_sq8_kmeans", "lsh", "lsh_multiprobe",
     }
     assert recalls["lsh_multiprobe"] >= recalls["lsh"]
     assert recalls["ivf_nprobe2"] >= recalls["ivf_nprobe1"]
@@ -185,6 +185,8 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     # SQ8 is near-exact per candidate — it must beat the lossy PQ codes
     # over the same hash cells (its ceiling is the IVF cell choice)
     assert recalls["ivf_sq8"] >= recalls["ivf_pq"]
+    # ... and over fitted cells it must not lose to hash cells
+    assert recalls["ivf_sq8_kmeans"] >= recalls["ivf_sq8"]
     for v in recalls.values():
         assert 0.0 <= v <= 1.0
 
