@@ -30,16 +30,22 @@ def main() -> None:
     headline = [q for q in HEADLINE_QUERIES if q in QUERIES]
 
     spark = get_spark(app_name="bench")
-    # warm the JVM + file metadata outside the measured region
-    QUERIES["topk_similar"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
     # build the persisted IVF-PQ index ONCE, timed separately: the
-    # pq_index_query headline row then measures the QUERY path only
+    # pq_index_query headline rows then measure the QUERY path only
     # (round-10 verdict ask #2 — construction was masking it), and the
-    # build cost is its own bench_detail number
+    # build cost is its own bench_detail number. The build runs BEFORE
+    # the warm-up query (round-11 verdict: interposing this 12.8s
+    # codegen-heavy job between warm-up and the first measured rows
+    # plausibly evicted their JIT-warmed code — topk_similar/llr_scores
+    # read +61%/+56% against a +35% calibration window with bit-identical
+    # fingerprints), so the warm-up is again the LAST thing before the
+    # calibration probe and the measured loop.
     from flink_cooccurrence_spark.registry import pq_index_dir
 
     _idx_dir, pq_index_build_sec = pq_index_dir(spark, sf_dir)
+
+    # warm the JVM + file metadata outside the measured region
+    QUERIES["topk_similar"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Host-speed calibration: a FIXED query touching no repo code and no
     # files (pure range scan + modulo shuffle agg). Its time moves with

@@ -468,6 +468,12 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
     methods: list[tuple[str, DataFrame]] = [
         ("ivf_nprobe1", ivf_topk(embeddings, k, nprobe=1)),
         ("ivf_nprobe2", ivf_topk(embeddings, k, nprobe=2)),
+        # round-12: nprobe=4 — refine made CELL choice the binding
+        # constraint (0.36 vs the 0.387 single-probe exact ceiling at
+        # sf0.01), and nprobe is the production knob that raises that
+        # ceiling (the first parameter faiss tunes); the exact point
+        # shows the ceiling itself moving
+        ("ivf_nprobe4", ivf_topk(embeddings, k, nprobe=4)),
         ("ivf_kmeans", ivf_topk(embeddings, k, nprobe=1, centroids="kmeans")),
         ("ivf_pq", ivf_pq_topk(embeddings, k, nprobe=1)),
         # residual encoding over fitted cells (round-10): the published
@@ -481,6 +487,13 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
         # round-11: exact re-rank of the residual-ADC top R·k (faiss
         # IndexRefineFlat) — candidate recall becomes the only ceiling
         ("ivf_pq_refined", ivf_pq_refined_topk(embeddings, k)),
+        # round-12: the production pairing — refine + nprobe=4 probes
+        # four cells' codes per query, so the candidate ceiling is the
+        # multi-probe one; the full-pipeline point the knob is FOR
+        (
+            "ivf_pq_refined_nprobe4",
+            ivf_pq_refined_topk(embeddings, k, nprobe=4),
+        ),
         # round-11: SQ8 — 4× memory at near-exact fidelity; its recall
         # should sit AT the IVF cell ceiling (the quantizer costs ~0)
         (

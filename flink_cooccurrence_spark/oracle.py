@@ -933,6 +933,10 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
     # scoring math) — the parity gate running the SAME SQL proves the
     # artifact round-trip lossless (the decontaminate_bloom precedent)
     o["pq_index_query"] = o["ivf_pq_residual_topk"]
+    # round-12: the refined persisted-index query path (refine_factor=4
+    # + flat join) is the same physical rewrite of the refined flagship
+    # — identical frozen state, identical ADC + exact re-rank math
+    o["pq_index_query_refined"] = o["ivf_pq_refined_topk"]
     # round-11: IVF-SQ8 — per-dim affine uint8 codes, dequantized score
     from flink_cooccurrence_spark.operators import sq as _sq
 
@@ -961,6 +965,29 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
             encode="residual",
             centroids="kmeans",
         )
+        # round-12: the nprobe=4 chain — same construction, 4 probed
+        # cells per query; its own MATERIALIZED CTE for the same
+        # inline-per-reference reason as resid_rk
+        resid_rk4 = _pq.ivf_pq_sql(
+            _pq.PQ_REFINE_FACTOR * sim.ANN_K,
+            nprobe=4,
+            encode="residual",
+            centroids="kmeans",
+        )
+
+        def _refined_member(chain: str) -> str:
+            return f"""SELECT q_id, n_id FROM (
+      SELECT c.q_id, c.n_id,
+             row_number() OVER (
+               PARTITION BY c.q_id
+               ORDER BY round(list_dot_product(q.v, n.v)
+                              / (q.norm * n.norm), 6) DESC, c.n_id
+             ) AS rrank
+      FROM {chain} c
+      JOIN fnorm q ON q.vec_id = c.q_id
+      JOIN fnorm n ON n.vec_id = c.n_id
+    ) WHERE rrank <= {sim.ANN_K}"""
+
         member = {
             name: f"SELECT q_id, n_id FROM ({msql}) t"
             for name, msql in methods.items()
@@ -968,17 +995,8 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
         member["ivf_pq_residual"] = (
             f"SELECT q_id, n_id FROM resid_rk WHERE rank <= {sim.ANN_K}"
         )
-        member["ivf_pq_refined"] = f"""SELECT q_id, n_id FROM (
-      SELECT c.q_id, c.n_id,
-             row_number() OVER (
-               PARTITION BY c.q_id
-               ORDER BY round(list_dot_product(q.v, n.v)
-                              / (q.norm * n.norm), 6) DESC, c.n_id
-             ) AS rrank
-      FROM resid_rk c
-      JOIN fnorm q ON q.vec_id = c.q_id
-      JOIN fnorm n ON n.vec_id = c.n_id
-    ) WHERE rrank <= {sim.ANN_K}"""
+        member["ivf_pq_refined"] = _refined_member("resid_rk")
+        member["ivf_pq_refined_nprobe4"] = _refined_member("resid_rk4")
         selects = "\nUNION ALL\n".join(
             f"SELECT '{name}' AS method, "
             f"round(CAST((SELECT count(*) FROM ({msel}) m "
@@ -993,6 +1011,7 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
         return f"""
 WITH exact AS MATERIALIZED (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)})),
 resid_rk AS MATERIALIZED (SELECT q_id, rank, n_id FROM ({resid_rk}) t),
+resid_rk4 AS MATERIALIZED (SELECT q_id, rank, n_id FROM ({resid_rk4}) t),
 fnorm AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1005,9 +1024,11 @@ fnorm AS MATERIALIZED (
     recall_methods = {
         "ivf_nprobe1": _ivf_sql(sim.ANN_K, nprobe=1),
         "ivf_nprobe2": _ivf_sql(sim.ANN_K, nprobe=2),
+        "ivf_nprobe4": _ivf_sql(sim.ANN_K, nprobe=4),
         "ivf_pq": _pq.ivf_pq_sql(sim.ANN_K, nprobe=1),
         "ivf_pq_residual": "",  # shared-chain member (see _ann_recall_sql)
         "ivf_pq_refined": "",  # shared-chain member (see _ann_recall_sql)
+        "ivf_pq_refined_nprobe4": "",  # shared-chain member (nprobe=4)
         "ivf_sq8": _sq.ivf_sq8_sql(sim.ANN_K, nprobe=1),
         "ivf_sq8_kmeans": _sq.ivf_sq8_sql(
             sim.ANN_K, nprobe=1, centroids="kmeans"

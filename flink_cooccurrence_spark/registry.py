@@ -713,6 +713,30 @@ def _q_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_pq_index(spark, idx, qs, k=_sim.ANN_K, nprobe=1)
 
 
+def _q_pq_index_query_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION persisted-index query shape (round-11 verdict ask
+    #2): ADC retrieval at ``refine_factor·k`` against the prebuilt
+    artifact plus the exact re-rank against the flat vectors —
+    reproduces ``ivf_pq_refined_topk`` bit-for-bit on the corpus's own
+    query slice (``tests/test_pq_index.py``), so it runs under that
+    oracle unchanged. On the bench so the refine joins' regression
+    surface (two extra shuffled hash joins, distinct from ADC's) is
+    measured separately from both the build and the raw-ADC query row."""
+    from flink_cooccurrence_spark.operators.pq import PQ_REFINE_FACTOR
+    from flink_cooccurrence_spark.plans.ann import query_pq_index
+
+    idx, _build_sec = pq_index_dir(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % _sim.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return query_pq_index(
+        spark, idx, qs, k=_sim.ANN_K, nprobe=1,
+        refine_factor=PQ_REFINE_FACTOR,
+        flat=emb.select("vec_id", "embedding"),
+    )
+
+
 def _freq_stream_engine(spark: SparkSession, sf_dir: str):
     """Replay the streaming MG tracker over the interactions in seq order
     (multi-batch at every test SF); memoized like the other engines."""
@@ -790,6 +814,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # regression can't hide inside codebook-construction time; oracle is
     # the residual flagship's unchanged (same frozen state, same math)
     "pq_index_query": _q_pq_index_query,
+    # round-12: the refined (production) query shape against the same
+    # prebuilt artifact — refine_factor=4 + the flat-vector join; the
+    # oracle is the refined flagship's unchanged (bit-identical result,
+    # pytest-pinned in tests/test_pq_index.py)
+    "pq_index_query_refined": _q_pq_index_query_refined,
     # round-11: IVF-SQ8 — the OTHER faiss quantizer (per-dim uint8
     # affine codes, 4x memory at near-exact fidelity vs PQ's ~32x at
     # real loss); on the ann_recall meter as 'ivf_sq8' so the
@@ -1254,6 +1283,14 @@ HEADLINE_QUERIES = [
     # (build_sec reported separately in bench_detail)
     "ivf_pq_refined_topk",
     "pq_index_query",
+    # round-12: the refined persisted-index query path (refine_factor=4
+    # + flat join — the production shape, previously shipped untimed)
+    # and the capstone composition: the deepest plan stack in the repo
+    # (the one that OOM'd a 1 GB driver's plan canonicalization) was a
+    # driver row with no bench/fingerprint gate — a plan regression in
+    # scrub∘manifest∘DSIR∘shard would have surfaced nowhere else
+    "pq_index_query_refined",
+    "prepare_corpus_manifest",
 ]
 
 #: pre-components EDGE plans of the CC-composed headline queries. The
@@ -1278,4 +1315,22 @@ EDGE_PLANS: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.clustering",
         fromlist=["semantic_dedup_clustered_edges"],
     ).semantic_dedup_clustered_edges(_embeddings(s, d)),
+    # the capstone's returned plan starts at the two stage checkpoints
+    # (plans/corpus.py:prepare_corpus_manifest — the canonicalization-OOM
+    # boundaries), so its tail fingerprint covers only DSIR ∘ final join
+    # ∘ prefix sum. The manifest stage is pinned by the training_manifest
+    # headline row (identical operator tree); the SCRUB stage — the one
+    # plan half no other pin sees — is pinned here, constructed exactly
+    # as the capstone builds it (minus the checkpoint call itself).
+    "prepare_corpus_manifest": lambda s, d: _documents(s, d)
+    .drop("text")
+    .join(
+        __import__(
+            "flink_cooccurrence_spark.operators.spans",
+            fromlist=["scrub_duplicate_spans"],
+        )
+        .scrub_duplicate_spans(_documents(s, d))
+        .select("doc_id", "text"),
+        on="doc_id",
+    ),
 }

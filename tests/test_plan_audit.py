@@ -80,6 +80,10 @@ ALLOWED_BNLJ = {
     # FROZEN sidecar centroid table (fixed-K, corpus-independent — KB of
     # JSON state, never refit)
     "pq_index_query": "fixed-K frozen sidecar centroid table",
+    # refined query path: the same frozen sidecar broadcast; the refine
+    # joins themselves are shuffled hash joins on vec ids (bounded
+    # O(queries·R·k) rows — never a broadcast side)
+    "pq_index_query_refined": "fixed-K frozen sidecar centroid table",
     # IVF-SQ8: the IVF centroid broadcast; the SQ ranges are driver
     # literals (2*dim doubles), not a join side
     "ivf_sq8_topk": "fixed-K centroid set (corpus-independent)",
@@ -175,7 +179,7 @@ ALLOWED_SINGLE_PARTITION = {
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
-    "ann_recall": "10-row recall summary aggregate",
+    "ann_recall": "12-row recall summary aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",

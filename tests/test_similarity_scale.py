@@ -168,12 +168,19 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     so its hit set against exact KNN can only grow."""
     recalls = {r["method"]: r["recall"] for r in ann_recall(emb).collect()}
     assert set(recalls) == {
-        "ivf_nprobe1", "ivf_nprobe2", "ivf_kmeans", "ivf_pq",
-        "ivf_pq_residual", "ivf_pq_refined", "ivf_sq8",
-        "ivf_sq8_kmeans", "lsh", "lsh_multiprobe",
+        "ivf_nprobe1", "ivf_nprobe2", "ivf_nprobe4", "ivf_kmeans",
+        "ivf_pq", "ivf_pq_residual", "ivf_pq_refined",
+        "ivf_pq_refined_nprobe4", "ivf_sq8", "ivf_sq8_kmeans",
+        "lsh", "lsh_multiprobe",
     }
     assert recalls["lsh_multiprobe"] >= recalls["lsh"]
+    # recall is non-decreasing in nprobe (round-12: the candidate pool
+    # only grows with probed cells — the production knob's contract)
     assert recalls["ivf_nprobe2"] >= recalls["ivf_nprobe1"]
+    assert recalls["ivf_nprobe4"] >= recalls["ivf_nprobe2"]
+    # ... and the refined pipeline inherits it: more probed cells can
+    # only widen the ADC candidate list the exact re-rank chooses from
+    assert recalls["ivf_pq_refined_nprobe4"] >= recalls["ivf_pq_refined"]
     assert recalls["ivf_kmeans"] > 0
     assert recalls["ivf_pq"] > 0
     # residual encoding over fitted cells must not lose recall vs raw PQ
