@@ -1,0 +1,126 @@
+"""Compaction for persisted incremental indexes — the small-files repair.
+
+``add_pq_index`` / ``add_text_index`` append each batch's rows as NEW
+FILES inside the existing partition dirs (``plans/ann.py`` /
+``plans/text_index.py`` — the Lucene segment-add shape). After N adds a
+cell / term-bucket partition is N small files: the classic small-files
+regression at scale (N× task-scheduling and footer-read overhead per
+probed partition, tiny row groups defeating columnar encoding and the
+probed-cell partition pruning's point). Compaction is the corresponding
+Lucene segment MERGE: rewrite each partition's files into one chunky
+file per partition, content bit-identical.
+
+Mechanics: read the partitioned dataset, shuffle it back to one task
+per partition key (``repartition(part_col)`` — the build's own layout
+pass, so the compacted layout IS the fresh-build layout), write into a
+sibling staging dir, then swap directories (two renames). The write is
+an eager action, so the old files are fully read before the swap; the
+single-writer ingest contract these indexes already carry (a vec_id /
+doc_id arrives in exactly ONE add; compaction is the same writer) makes
+the rename window safe. On an object store the same pattern is
+write-staging + pointer flip.
+
+The JSON sidecar is untouched: compaction moves bytes, never state —
+centroids, codebooks, and corpus statistics are layout-independent.
+
+Losslessness gate (``tests/test_index_compaction.py``): query results
+before == after bit-for-bit (residual ADC, refined, BM25), the full
+row set is bit-identical, and the file count strictly drops after
+multi-``add()`` ingestion.
+
+Scale shape: one read + one shuffle + one write over the ARTIFACT
+(~m bytes/vector for PQ codes, four scalars per posting — far smaller
+than the data it indexes), amortized over every query between
+compactions. ``max_records_per_file`` bounds file size where a single
+partition outgrows one healthy file (Spark splits the partition's
+output at that row count — at 100 TB you set it to keep files in the
+128 MB–1 GB band instead of one file per cell).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _parquet_files(data_dir: str) -> list[str]:
+    """All data files under ``data_dir`` (recursive, metadata excluded)."""
+    out = []
+    for root, _dirs, files in os.walk(data_dir):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def compact_partitioned_dir(
+    spark: SparkSession,
+    data_dir: str,
+    part_col: str,
+    max_records_per_file: int = 0,
+) -> dict:
+    """Rewrite a ``partitionBy(part_col)`` parquet dataset so each
+    partition holds one chunky file again (or ceil(rows /
+    ``max_records_per_file``) files when bounded). Returns
+    ``{"files_before": N, "files_after": M}``.
+
+    Content is bit-identical by construction: every column (partition
+    key included) round-trips through parquet unchanged, and the
+    rewrite is the build's own ``repartition(part_col)`` layout pass.
+    """
+    files_before = len(_parquet_files(data_dir))
+    staging = data_dir + ".compacting"
+    backup = data_dir + ".pre-compact"
+    for d in (staging, backup):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    writer = (
+        spark.read.parquet(data_dir)
+        .repartition(part_col)
+        .write.partitionBy(part_col)
+        .mode("overwrite")
+    )
+    if max_records_per_file > 0:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(staging)
+    # the write action completed ⇒ the old files are fully read; swap
+    os.rename(data_dir, backup)
+    os.rename(staging, data_dir)
+    shutil.rmtree(backup)
+    return {
+        "files_before": files_before,
+        "files_after": len(_parquet_files(data_dir)),
+    }
+
+
+def compact_pq_index(
+    spark: SparkSession, index_dir: str, max_records_per_file: int = 0
+) -> dict:
+    """Merge the IVF-PQ index's per-cell code files (``add()`` appends
+    one file set per batch per touched cell). Sidecar untouched; query
+    results bit-identical before/after (pytest-pinned, raw + residual +
+    refined)."""
+    return compact_partitioned_dir(
+        spark,
+        os.path.join(index_dir, "codes"),
+        "cell",
+        max_records_per_file,
+    )
+
+
+def compact_text_index(
+    spark: SparkSession, index_dir: str, max_records_per_file: int = 0
+) -> dict:
+    """Merge the inverted text index's per-term-bucket posting files.
+    Sidecar (corpus statistics) untouched; BM25 query results
+    bit-identical before/after (pytest-pinned)."""
+    return compact_partitioned_dir(
+        spark,
+        os.path.join(index_dir, "postings"),
+        "tbucket",
+        max_records_per_file,
+    )

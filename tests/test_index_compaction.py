@@ -1,0 +1,141 @@
+"""Index compaction (plans/compaction.py): the small-files repair for
+incremental persisted indexes must be LOSSLESS.
+
+``add()`` appends one file set per batch per touched partition; after
+multi-add ingestion a cell / term bucket is many small files. The gate:
+compaction strictly reduces the file count AND changes nothing a query
+can see — query results bit-identical before/after (residual ADC,
+refined, BM25) and the full code row set bit-identical."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.pq import PQ_REFINE_FACTOR
+from flink_cooccurrence_spark.operators.retrieval import BM25_QUERY
+from flink_cooccurrence_spark.operators.similarity import QUERY_MOD
+from flink_cooccurrence_spark.plans.ann import (
+    add_pq_index,
+    query_pq_index,
+    write_pq_index,
+)
+from flink_cooccurrence_spark.plans.compaction import (
+    _parquet_files,
+    compact_pq_index,
+    compact_text_index,
+)
+from flink_cooccurrence_spark.plans.text_index import (
+    add_text_index,
+    query_text_index,
+    write_text_index,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    e.count()
+    yield e
+    e.unpersist()
+
+
+def test_pq_compaction_lossless_and_merges_files(
+    spark, emb, tmp_path_factory
+):
+    """Residual index (the production default), built on a third and
+    grown with two add() batches, queried raw AND refined: compaction
+    must drop the file count and move no bit."""
+    d = str(tmp_path_factory.mktemp("pq_compact"))
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    write_pq_index(first, d, encode="residual", train=first)
+    add_pq_index(spark, d, emb.filter(F.col("vec_id") % 3 == 1))
+    add_pq_index(spark, d, emb.filter(F.col("vec_id") % 3 == 2))
+
+    queries = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+    def snapshot():
+        raw = sorted(
+            tuple(r)
+            for r in query_pq_index(spark, d, queries, k=3).collect()
+        )
+        refined = sorted(
+            tuple(r)
+            for r in query_pq_index(
+                spark,
+                d,
+                queries,
+                k=3,
+                refine_factor=PQ_REFINE_FACTOR,
+                flat=emb,
+            ).collect()
+        )
+        codes = sorted(
+            tuple(r) for r in spark.read.parquet(f"{d}/codes").collect()
+        )
+        return raw, refined, codes
+
+    before = snapshot()
+    n_before = len(_parquet_files(f"{d}/codes"))
+    stats = compact_pq_index(spark, d)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] < stats["files_before"], stats
+    assert snapshot() == before and before[0]
+
+    # a second compaction is a fixpoint: layout already one file per
+    # cell, content still identical
+    stats2 = compact_pq_index(spark, d)
+    assert stats2["files_after"] == stats["files_after"]
+    assert snapshot() == before
+
+
+def test_pq_compaction_max_records_bounds_file_size(
+    spark, emb, tmp_path_factory
+):
+    """The 100 TB knob: maxRecordsPerFile splits an oversized partition
+    into several files — still lossless, file count per cell > 1."""
+    d = str(tmp_path_factory.mktemp("pq_compact_bounded"))
+    write_pq_index(emb, d, encode="raw")
+    queries = emb.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    before = sorted(
+        tuple(r) for r in query_pq_index(spark, d, queries, k=3).collect()
+    )
+    n_cells = (
+        spark.read.parquet(f"{d}/codes").select("cell").distinct().count()
+    )
+    stats = compact_pq_index(spark, d, max_records_per_file=10)
+    assert stats["files_after"] > n_cells, stats
+    after = sorted(
+        tuple(r) for r in query_pq_index(spark, d, queries, k=3).collect()
+    )
+    assert after == before and before
+
+
+def test_text_compaction_lossless_and_merges_files(
+    spark, sf_dir, tmp_path_factory
+):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path_factory.mktemp("text_compact"))
+    write_text_index(docs.filter(F.col("doc_id") % 2 == 0), d)
+    add_text_index(spark, d, docs.filter(F.col("doc_id") % 2 == 1))
+
+    def q():
+        return sorted(
+            tuple(r)
+            for r in query_text_index(
+                spark, d, BM25_QUERY, k=10
+            ).collect()
+        )
+
+    before = q()
+    stats = compact_text_index(spark, d)
+    assert stats["files_after"] < stats["files_before"], stats
+    assert q() == before and before
