@@ -1779,6 +1779,12 @@ GROUP BY d.source
         f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
     )
     o["streaming_cms_estimates"] = o["cms_item_estimates"]
+    # round-12: the streaming corpus-filter tracker replays the whole
+    # corpus, so its accumulated manifest runs under the batch
+    # corpus_filter oracle UNCHANGED (losslessness-by-parity — the
+    # canonical min is associative over micro-batches, the features are
+    # row-local)
+    o["streaming_corpus_filter"] = o["corpus_filter"]
 
     o["streaming_heavy_hitters"] = freq.heavy_hitters_sql(
         f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"

@@ -657,6 +657,19 @@ def _cdc_stream(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _corpus_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming corpus-filter tracker over the documents
+    corpus (100 docs/batch); memoized per (session, sf_dir)."""
+    from flink_cooccurrence_spark.streaming.corpus import CorpusFilterStream
+
+    key = _memo_key(spark, sf_dir, "corpus_stream")
+    if key not in _ENGINE_MEMO:
+        eng = CorpusFilterStream(spark, workdir=_memo_tmpdir("corpus_q_"))
+        eng.replay(_documents(spark, sf_dir), docs_per_batch=100)
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _dedup_stream_engine(spark: SparkSession, sf_dir: str):
     """Replay the streaming dedup engine over the documents corpus in
     doc_id order (100 docs/batch → a genuinely multi-batch run at every
@@ -845,6 +858,13 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_estimates": lambda s, d: _cms_stream(s, d).estimates(
         _interactions(s, d)
     ),
+    # round-12: the streaming corpus-filter tracker's accumulated
+    # manifest under the UNCHANGED batch corpus_filter oracle — the
+    # canonical set is an LSM min-per-hash state table, the features are
+    # row-local, so the online fold is exactly the batch semi-join
+    # (losslessness-by-parity; kill-restart pinned in
+    # tests/test_streaming_corpus.py)
+    "streaming_corpus_filter": lambda s, d: _corpus_stream(s, d).manifest(),
     # large-k assignment backend (broadcast centroid table + max-of-struct
     # argmax) — same oracle as the literal when-chain, proving the two
     # backends bit-identical

@@ -1,0 +1,211 @@
+"""Streaming corpus-prep tracking — the online form of
+``plans/corpus.py:corpus_filter``.
+
+The batch ``corpus_filter`` answers "which documents of this corpus
+survive exact dedup + the row-local quality gates"; a training-data
+ingest also needs the online form: document batches arrive continuously
+and the kept-document manifest must stay current without rescanning the
+accumulated corpus. Both halves of the filter decompose incrementally:
+
+- **Exact-canonical state** — ``seen_hashes`` (text_hash, canonical_id)
+  postings, hash-bucketed, APPEND-ONLY with the state store's LSM
+  segment path (``append_parts``): each batch appends only its own
+  per-hash min, and the global canonical resolves at read time as the
+  min over segments (min is associative — the same fold the LSM
+  compaction reducer runs). Per-batch write I/O is O(batch); a
+  copy-on-write MERGE here would be the quadratic-over-time flaw class
+  (uniformly-hashed keys touch every bucket every batch).
+- **Feature log** — the quality/language features are ROW-LOCAL
+  projections (the batch plan's own argument), so a document's feature
+  row is immutable once computed: an append-only log of the rows that
+  pass the row-local gates (rows that fail can never enter the manifest
+  regardless of canonicality, so they are dropped at the door; their
+  HASHES still enter ``seen_hashes`` — a low-quality doc can still own
+  a hash group and thereby keep its duplicates out, exactly as in the
+  batch semi-join).
+
+``manifest()`` is then one equi-join of the feature log against the
+resolved canonical set, filtered to ``doc_id == canonical_id`` — and
+equals the batch ``corpus_filter`` over the accumulated corpus under
+the UNCHANGED DuckDB oracle (losslessness-by-parity, the tracker
+family's shared gate).
+
+Transactionality: the engines' shared contract — per-batch
+commit/rollback on the ``StateStore``, batch-id high-water mark
+(re-delivered batches skip), state survives kill-restart
+(``tests/test_streaming_corpus.py``). Segment counts are bounded by
+inline LSM compaction past ``compact_threshold`` (min-per-hash reducer
+for ``seen_hashes``, pure concatenation for the feature log).
+
+Scale shape: per batch, one row-local projection + one O(batch)
+grouped min + two segment appends; the manifest join shuffles on
+``text_hash`` once and prunes nothing it doesn't need — no driver-side
+state (unlike the bounded-sketch trackers, corpus state is O(docs) and
+stays in bucketed parquet).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.textstats import (
+    lang_id_columns,
+    text_stats_columns,
+)
+from flink_cooccurrence_spark.plans.corpus import MIN_QUALITY, MIN_TOKENS
+from flink_cooccurrence_spark.streaming.state import StateStore
+
+SEEN_SCHEMA = "text_hash string, canonical_id long"
+FEAT_SCHEMA = (
+    "doc_id long, text_hash string, lang_pred string, "
+    "n_tokens int, quality_score double"
+)
+
+#: state hash buckets (the dedup engine's sizing note applies: this is
+#: the state-file-size / pruning knob at 100×, not a constant)
+CORPUS_STATE_BUCKETS = 16
+
+
+def _bucket_of(col: str, n: int):
+    return F.pmod(F.hash(F.col(col)), F.lit(n)).cast("int")
+
+
+class CorpusFilterStream:
+    """Online corpus filter over a document micro-batch stream; one
+    instance per logical stream. Ingest contract (the append-only corpus
+    rule every streaming index here carries): a doc_id arrives in
+    exactly ONE batch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        min_tokens: int = MIN_TOKENS,
+        min_quality: float = MIN_QUALITY,
+        state_buckets: int = CORPUS_STATE_BUCKETS,
+        compact_threshold: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.min_tokens = min_tokens
+        self.min_quality = min_quality
+        self.compact_threshold = compact_threshold
+        self.workdir = workdir or tempfile.mkdtemp(prefix="corpus_stream_")
+        self.state = StateStore(spark, os.path.join(self.workdir, "state"))
+        # a restarted tracker must keep the bucketing its state was
+        # written with — the persisted value wins over the constructor arg
+        persisted = self.state.get_scalar("state_buckets", 0)
+        if persisted:
+            self.state_buckets = persisted
+        else:
+            self.state_buckets = state_buckets
+            self.state.set_scalar("state_buckets", int(state_buckets))
+            self.state.commit()
+
+    # ------------------------------------------------------------ ingest
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        """Append one micro-batch's hash postings and gated feature rows;
+        one transaction, write I/O O(batch)."""
+        if batch_id <= self.state.get_scalar("last_batch_id", -1):
+            return
+        buckets = list(range(self.state_buckets))
+        hashed = docs.select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
+            *text_stats_columns(),
+            *lang_id_columns(),
+        ).localCheckpoint(eager=True)
+        batch_seen = (
+            hashed.groupBy("text_hash")
+            .agg(F.min("doc_id").alias("canonical_id"))
+            .withColumn(
+                "_bucket", _bucket_of("text_hash", self.state_buckets)
+            )
+        )
+        # the batch plan's own keep gate, verbatim — rows failing the
+        # row-local gates can never reach the manifest and are dropped
+        # at the door (their hashes stay in batch_seen above)
+        feats = (
+            hashed.filter(
+                (F.col("n_tokens") >= self.min_tokens)
+                & (F.col("quality_score") >= self.min_quality)
+            )
+            .select(
+                "doc_id",
+                "text_hash",
+                "lang_pred",
+                "n_tokens",
+                "quality_score",
+            )
+            .withColumn(
+                "_bucket", _bucket_of("text_hash", self.state_buckets)
+            )
+        )
+        try:
+            self.state.append_parts("seen_hashes", batch_seen, buckets)
+            self.state.append_parts("features", feats, buckets)
+            self.state.set_scalar("last_batch_id", int(batch_id))
+            self.state.commit()
+        except BaseException:
+            self.state.rollback()
+            raise
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """Inline LSM compaction past the segment threshold — min per
+        hash subsumes earlier postings; feature rows are immutable so
+        the log folds by pure concatenation."""
+        if (
+            self.state.append_segment_count("seen_hashes")
+            > self.compact_threshold
+        ):
+            self.state.compact_append(
+                "seen_hashes",
+                SEEN_SCHEMA,
+                reducer=lambda df: df.groupBy("_bucket", "text_hash").agg(
+                    F.min("canonical_id").alias("canonical_id")
+                ),
+            )
+            self.state.commit()
+        if (
+            self.state.append_segment_count("features")
+            > self.compact_threshold
+        ):
+            self.state.compact_append("features", FEAT_SCHEMA)
+            self.state.commit()
+
+    def replay(self, docs: DataFrame, docs_per_batch: int = 100) -> None:
+        """Deterministic replay in doc_id order; batch numbering
+        continues from the high-water mark."""
+        base = int(self.state.get_scalar("last_batch_id", -1)) + 1
+        ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+        for b, lo in enumerate(range(0, len(ids), docs_per_batch)):
+            chunk = ids[lo : lo + docs_per_batch]
+            batch = docs.filter(
+                (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
+            )
+            self.process_batch(batch, base + b)
+
+    # ----------------------------------------------------------- queries
+
+    def manifest(self) -> DataFrame:
+        """(doc_id, lang_pred, n_tokens, quality_score): the kept-document
+        manifest over everything ingested — equals the batch
+        ``corpus_filter`` on the accumulated corpus (the tracker's parity
+        gate). Canonical resolves as min over the live LSM segments; one
+        shuffle join on ``text_hash``."""
+        canon = (
+            self.state.get_append("seen_hashes", SEEN_SCHEMA)
+            .groupBy("text_hash")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+        )
+        return (
+            self.state.get_append("features", FEAT_SCHEMA)
+            .join(canon, on="text_hash")
+            .filter(F.col("doc_id") == F.col("canonical_id"))
+            .select("doc_id", "lang_pred", "n_tokens", "quality_score")
+        )

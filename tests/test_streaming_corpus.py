@@ -1,0 +1,90 @@
+"""Streaming corpus-filter tracker (streaming/corpus.py): the online
+manifest must equal the batch ``corpus_filter`` over the accumulated
+corpus (losslessness-by-parity — the DuckDB oracle gate proves engine
+agreement; THIS file pins the tracker's own contract: incremental fold,
+kill-restart resume, re-delivery skip, LSM compaction invariance, and
+the retroactive-canonical case)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.plans.corpus import corpus_filter
+from flink_cooccurrence_spark.streaming.corpus import CorpusFilterStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_replay_matches_batch_filter(spark, docs, tmp_path_factory):
+    eng = CorpusFilterStream(
+        spark, workdir=str(tmp_path_factory.mktemp("corpus_replay"))
+    )
+    eng.replay(docs, docs_per_batch=20)
+    got = _rows(eng.manifest())
+    assert got == _rows(corpus_filter(docs)) and got
+
+
+def test_kill_restart_and_redelivery(spark, docs, tmp_path_factory):
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    wd = str(tmp_path_factory.mktemp("corpus_restart"))
+    eng = CorpusFilterStream(spark, workdir=wd)
+    eng.replay(docs.filter(F.col("doc_id") < mid), docs_per_batch=20)
+    # abrupt kill: a new object on the same workdir resumes committed state
+    eng2 = CorpusFilterStream(spark, workdir=wd)
+    before = _rows(eng2.manifest())
+    # re-delivery of a committed batch id is a no-op
+    eng2.process_batch(docs.filter(F.col("doc_id") < mid), batch_id=0)
+    assert _rows(eng2.manifest()) == before
+    # resume with the rest; the final manifest equals the batch build
+    eng2.replay(docs.filter(F.col("doc_id") >= mid), docs_per_batch=20)
+    assert _rows(eng2.manifest()) == _rows(corpus_filter(docs))
+
+
+def test_compaction_preserves_manifest(spark, docs, tmp_path_factory):
+    """Tiny compact_threshold forces the LSM fold mid-replay: the
+    min-per-hash reducer and the feature-log concat must not move the
+    manifest, and the segment count must actually fold."""
+    eng = CorpusFilterStream(
+        spark,
+        workdir=str(tmp_path_factory.mktemp("corpus_compact")),
+        compact_threshold=2,
+    )
+    eng.replay(docs, docs_per_batch=10)
+    assert eng.state.append_segment_count("seen_hashes") <= 3
+    assert _rows(eng.manifest()) == _rows(corpus_filter(docs))
+
+
+def test_late_duplicate_dethrones_earlier_keeper(spark, tmp_path_factory):
+    """The retroactive-canonical case: a later batch delivers a SMALLER
+    doc_id with identical text — the earlier keeper must drop out of the
+    manifest (its hash group's canonical moved), exactly as the batch
+    semi-join decides. Quality-passing filler text keeps the gates out
+    of the way."""
+    filler = " ".join(f"tok{i} alpha beta gamma" for i in range(20))
+    d1 = spark.createDataFrame(
+        [(10, filler + " one"), (11, filler + " two")], "doc_id long, text string"
+    )
+    d2 = spark.createDataFrame(
+        [(5, filler + " one")], "doc_id long, text string"
+    )
+    eng = CorpusFilterStream(
+        spark, workdir=str(tmp_path_factory.mktemp("corpus_retro"))
+    )
+    eng.process_batch(d1, 0)
+    kept_before = {r["doc_id"] for r in eng.manifest().collect()}
+    assert kept_before == {10, 11}
+    eng.process_batch(d2, 1)
+    kept_after = {r["doc_id"] for r in eng.manifest().collect()}
+    assert kept_after == {5, 11}
+    assert _rows(eng.manifest()) == _rows(corpus_filter(d1.unionByName(d2)))
