@@ -374,7 +374,19 @@ QUERIES: dict[str, QueryFn] = {
     "late_data_audit": q_late_data_audit,
     "cooccurrence_counts": q_cooccurrence_counts,
     "row_sums": q_row_sums,
-    "total_observed": q_total_observed,
+    # round-12 rotation (r11 verdict ask #7): cms_item_estimates takes
+    # total_observed's seat. The CMS row is a genuinely distinct check —
+    # the sketch portfolio's frequency-OVERESTIMATE class with
+    # estimate-vs-exact columns (heavy_hitter_items covers only the MG
+    # underestimate side) — while total_observed is the surface's most
+    # redundant row: a 1-row global sum that is the marginal of
+    # row_sums' per-row sums, with five other cooccurrence-count rows
+    # (batch + streaming) still on the surface. total_observed keeps the
+    # identical parity gate pytest-only below.
+    "cms_item_estimates": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.cms",
+        fromlist=["cms_item_estimates"],
+    ).cms_item_estimates(_interactions(s, d)),
     "llr_scores": q_llr_scores,
     "topk_similar": q_topk_similar,
     "windowed_row_sum_deltas": q_windowed_row_sum_deltas,
@@ -845,14 +857,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "ivf_sq8_kmeans_topk": lambda s, d: __import__(
         "flink_cooccurrence_spark.operators.sq", fromlist=["ivf_sq8_topk"]
     ).ivf_sq8_topk(_embeddings(s, d), centroids="kmeans"),
-    # round-11: Count-Min sketch — the sketch portfolio's frequency
-    # OVERESTIMATE class (MG underestimates; CMS point-queries every
-    # item at d·w state); deterministic salted hashes make the
-    # estimates themselves oracle-exact (the KMV discipline)
-    "cms_item_estimates": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.cms",
-        fromlist=["cms_item_estimates"],
-    ).cms_item_estimates(_interactions(s, d)),
+    # round-12 rotation: total_observed ceded its driver seat to
+    # cms_item_estimates (now a DRIVER row — the round-11 CMS batch
+    # estimator, the sketch portfolio's frequency-overestimate class);
+    # the 1-row global sum stays under the identical parity gate here
+    "total_observed": q_total_observed,
     # the streaming CMS tracker's accumulated cells under the UNCHANGED
     # batch oracle (cells are additive — losslessness-by-parity)
     "streaming_cms_estimates": lambda s, d: _cms_stream(s, d).estimates(
