@@ -1,0 +1,214 @@
+"""Weighted PageRank — a link-graph quality prior for corpus curation.
+
+Production crawl pipelines rank hosts/pages by (harmonic/Page-)rank over
+the link graph and use the score as a selection prior (the Common Crawl
+host-level ranking shape; CCNet and friends bucket by exactly such
+priors). This module is that operator over ANY weighted edge frame, plus
+the repo-native composition ``item_pagerank``: rank items by random-walk
+centrality over the engine's own cooccurrence graph
+(``operators/cooccurrence.py`` — the reference's C matrix as edges, so
+the pipeline the reference computes feeds directly into a curation
+prior; reference parity anchor: the C matrix of
+``NonSampledUserInteractionCounterOneInputStreamOperator.java``).
+
+Semantics (fixed ``n_iter`` sweeps, the k-means discipline — PageRank
+is Lloyd's other classic fixpoint):
+
+    r_0(v)     = 1/N
+    r_{t+1}(v) = (1-d)/N + d · Σ_{(u,v,w)∈E} r_t(u) · w / W_u
+
+with ``W_u`` the out-weight of ``u``. No dangling-mass redistribution:
+a sink node's mass leaves the system (total rank decays below 1), the
+standard simplification when the score is a PRIOR, not a distribution —
+documented so the oracle and the property tests can pin the exact
+contract.
+
+Exactness (the package's micro-int contract, taken one step further):
+the rank STATE is an integer micro-unit column end-to-end —
+``r_micro = round(1e6·r)`` — so every cross-row sum in every iteration
+is an exact BIGINT sum (order-independent by construction, not by
+rounding-after-the-fact). The only floating steps are the per-edge
+``round(r·w/W, 0)`` and the damping multiply, both single IEEE ops on
+exactly-representable integers, bit-identical across engines; DuckDB
+runs the same unrolled chain (:func:`pagerank_sql`).
+
+Scale shape: per iteration ONE equi-join of the edge frame against the
+rank frame (shuffle on ``src``) + ONE map-combinable groupBy(``dst``)
+sum — high-in-degree hubs partial-aggregate before the shuffle. The
+edge+out-weight frame is built once and ``localCheckpoint``-ed
+(re-read every sweep); each iteration's rank frame is checkpointed too,
+truncating lineage exactly like the connected-components rounds (the
+plan-canonicalization-OOM discipline). State per iteration is one
+(node, long) row per node — never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_DAMPING = 0.85
+PR_ITERS = 8
+_MICRO = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(node, rank): weighted PageRank over ``edges`` (src, dst, w).
+
+    ``nodes`` (single column ``node``) widens the vertex set beyond the
+    edge endpoints — isolated nodes hold the teleport mass ``(1-d)/N``;
+    defaults to the distinct endpoints. N and the two per-node constants
+    are computed by SPARK expressions and collected once (three scalars
+    — the bounded-sidecar class), so the driver never re-rounds them
+    with Python's banker's rounding."""
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select("node").localCheckpoint(eager=True)
+    consts = (
+        nodes.agg(F.count("*").alias("n"))
+        .select(
+            F.round(F.lit(float(_MICRO)) / F.col("n"), 0)
+            .cast("long")
+            .alias("r0"),
+            F.round(
+                F.lit(1.0 - damping) * F.lit(float(_MICRO)) / F.col("n"), 0
+            )
+            .cast("long")
+            .alias("base"),
+        )
+        .collect()[0]
+    )
+    r0_micro, base_micro = int(consts["r0"]), int(consts["base"])
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    ew = edges.join(outw, on="src").localCheckpoint(eager=True)
+    r = nodes.select("node", F.lit(r0_micro).alias("r_micro"))
+    for _t in range(n_iter):
+        contrib = (
+            ew.join(
+                r.select(F.col("node").alias("src"), "r_micro"), on="src"
+            )
+            .select(
+                "dst",
+                F.round(
+                    F.col("r_micro") * F.col("w") / F.col("w_out"), 0
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("node"), "s"),
+                on="node",
+                how="left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base_micro)
+                    + F.round(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)),
+                        0,
+                    ).cast("long")
+                ).alias("r_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select(
+        "node", F.round(F.col("r_micro") / F.lit(float(_MICRO)), 6).alias("rank")
+    )
+
+
+def item_pagerank(
+    interactions: DataFrame,
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(item, rank): PageRank over the engine's cooccurrence graph —
+    edges are the off-diagonal C-matrix counts (both directions already
+    present: C is symmetric), nodes are ALL interacted items (an item
+    with only self-pairs is isolated and holds the teleport mass)."""
+    from flink_cooccurrence_spark.operators.cooccurrence import (
+        cooccurrence_counts,
+    )
+
+    edges = (
+        cooccurrence_counts(interactions)
+        .filter(F.col("item") != F.col("other_item"))
+        .select(
+            F.col("item").alias("src"),
+            F.col("other_item").alias("dst"),
+            F.col("cnt").alias("w"),
+        )
+    )
+    nodes = interactions.select(F.col("item").alias("node")).distinct()
+    return pagerank(edges, nodes, n_iter, damping).select(
+        F.col("node").alias("item"), "rank"
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def pagerank_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    prefix_ctes: str = "",
+    node_alias: str = "node",
+) -> str:
+    """DuckDB text of :func:`pagerank`: the unrolled iteration chain
+    (one contrib/rank CTE pair per sweep — identical integer micro-sums
+    and single-IEEE-op floating steps). ``edges_sql`` / ``nodes_sql``
+    are subqueries yielding (src, dst, w) / (node); ``prefix_ctes``
+    (``"cte AS (...), "``-style, trailing comma included) lets a caller
+    thread the CTEs those subqueries reference (the cooccurrence chain
+    for ``item_pagerank``). Shared CTEs are MATERIALIZED — DuckDB
+    inlines a CTE per reference otherwise and the edge frame is
+    referenced once per sweep."""
+    one_minus = 1.0 - damping
+    parts = [
+        f"pr_edges AS MATERIALIZED (SELECT src, dst, w FROM ({edges_sql}) t)",
+        f"pr_nodes AS MATERIALIZED (SELECT node FROM ({nodes_sql}) t)",
+        "pr_n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(round({float(_MICRO)!r} / count(*), 0) AS BIGINT) AS r0,"
+        f" CAST(round({one_minus!r} * {float(_MICRO)!r} / count(*), 0)"
+        " AS BIGINT) AS base FROM pr_nodes)",
+        "pr_ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.w_out"
+        " FROM pr_edges e JOIN (SELECT src, CAST(sum(w) AS BIGINT)"
+        " AS w_out FROM pr_edges GROUP BY 1) o USING (src))",
+        "pr_rank0 AS (SELECT node, (SELECT r0 FROM pr_n) AS r FROM pr_nodes)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"pr_contrib{t} AS (SELECT ew.dst,"
+            " CAST(SUM(CAST(round(r.r * ew.w / ew.w_out, 0) AS BIGINT))"
+            " AS BIGINT) AS s"
+            f" FROM pr_ew ew JOIN pr_rank{t - 1} r ON r.node = ew.src"
+            " GROUP BY 1)"
+        )
+        parts.append(
+            f"pr_rank{t} AS (SELECT n.node,"
+            " (SELECT base FROM pr_n)"
+            f" + CAST(round({damping!r} * COALESCE(c.s, 0), 0) AS BIGINT)"
+            " AS r"
+            f" FROM pr_nodes n LEFT JOIN pr_contrib{t} c ON c.dst = n.node)"
+        )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {prefix_ctes}{ctes}\n"
+        f"SELECT node AS {node_alias}, round(r / {float(_MICRO)!r}, 6) AS rank"
+        f" FROM pr_rank{n_iter}"
+    )

@@ -1779,6 +1779,19 @@ GROUP BY d.source
         f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
     )
     o["streaming_cms_estimates"] = o["cms_item_estimates"]
+    # round-12: weighted PageRank over the engine's own cooccurrence
+    # graph (operators/pagerank.py — the crawl-quality-prior shape);
+    # integer micro-rank state makes every per-sweep sum an exact BIGINT
+    # sum, so the unrolled chain is oracle-exact
+    from flink_cooccurrence_spark.operators import pagerank as _pr
+
+    o["item_pagerank"] = _pr.pagerank_sql(
+        "SELECT item AS src, other_item AS dst, cnt AS w FROM counts"
+        " WHERE item <> other_item",
+        "SELECT DISTINCT item AS node FROM inter",
+        prefix_ctes=f"{INTER_CTE}, {UIC_CTE}, {COUNTS_CTE},\n",
+        node_alias="item",
+    )
     # round-12: the streaming corpus-filter tracker replays the whole
     # corpus, so its accumulated manifest runs under the batch
     # corpus_filter oracle UNCHANGED (losslessness-by-parity — the

@@ -867,6 +867,15 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_estimates": lambda s, d: _cms_stream(s, d).estimates(
         _interactions(s, d)
     ),
+    # round-12: weighted PageRank over the engine's own cooccurrence
+    # graph — the crawl-quality-prior operator (Common Crawl host-rank
+    # shape) composed with the reference's C matrix as the edge frame;
+    # fixed-sweep micro-int iteration, oracle-exact (see
+    # operators/pagerank.py)
+    "item_pagerank": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pagerank",
+        fromlist=["item_pagerank"],
+    ).item_pagerank(_interactions(s, d)),
     # round-12: the streaming corpus-filter tracker's accumulated
     # manifest under the UNCHANGED batch corpus_filter oracle — the
     # canonical set is an LSM min-per-hash state table, the features are

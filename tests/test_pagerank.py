@@ -1,0 +1,87 @@
+"""PageRank (operators/pagerank.py): graph-theoretic properties and the
+determinism contract (the DuckDB oracle gate proves engine agreement on
+the corpus composition; THIS file pins the operator's own semantics on
+hand graphs — symmetry, centrality ordering, teleport mass, sink decay,
+partitioning invariance)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.pagerank import pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def _ranks(df) -> dict[int, float]:
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_cycle_is_uniform_and_mass_conserved(spark):
+    """A directed cycle is vertex-transitive: every node must get the
+    same rank, and with no sinks the total stays ~1 (micro rounding)."""
+    r = _ranks(pagerank(_edges(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)])))
+    assert len(set(r.values())) == 1
+    assert abs(sum(r.values()) - 1.0) < 1e-4
+
+
+def test_star_center_outranks_leaves(spark):
+    """Leaves pointing at a center (which cycles mass back): the center
+    must outrank every leaf, and leaves are symmetric."""
+    edges = [(i, 0, 1) for i in (1, 2, 3, 4)] + [
+        (0, i, 1) for i in (1, 2, 3, 4)
+    ]
+    r = _ranks(pagerank(_edges(spark, edges)))
+    assert all(r[0] > r[i] for i in (1, 2, 3, 4))
+    assert len({r[i] for i in (1, 2, 3, 4)}) == 1
+
+
+def test_damping_zero_is_uniform_teleport(spark):
+    """d=0 ignores the graph entirely: every node holds 1/N."""
+    r = _ranks(
+        pagerank(_edges(spark, [(0, 1, 5), (1, 0, 1)]), damping=0.0)
+    )
+    assert set(r.values()) == {0.5}
+
+
+def test_isolated_node_holds_teleport_mass_and_sink_decays(spark):
+    """An isolated node (in the widened vertex set) converges to the
+    teleport fixpoint (1-d)/N·(1+d+d²+…) of zero inflow; a sink leaks
+    its inflow, so total rank < 1."""
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    # 0 -> 1 (1 is a sink), 2 isolated
+    r = _ranks(pagerank(_edges(spark, [(0, 1, 1)]), nodes=nodes))
+    assert set(r) == {0, 1, 2}
+    # node 0 gets teleport only (no inflow) — same closed form as the
+    # isolated node 2
+    assert r[0] == r[2]
+    # the sink receives 0's mass on top of teleport
+    assert r[1] > r[0]
+    assert sum(r.values()) < 1.0
+
+
+def test_weights_shift_rank(spark):
+    """Heavier inbound weight wins: 0 splits 9:1 between 1 and 2."""
+    r = _ranks(
+        pagerank(
+            _edges(
+                spark,
+                [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+            )
+        )
+    )
+    assert r[1] > r[2]
+
+
+def test_partitioning_invariance(spark):
+    """Exact long sums make the result independent of physical layout —
+    the determinism the micro-int state exists for."""
+    edges = [(i, (i * 7 + 3) % 23, 1 + i % 4) for i in range(23)] + [
+        ((i * 5) % 23, i, 1 + i % 3) for i in range(23)
+    ]
+    a = _ranks(pagerank(_edges(spark, edges)))
+    b = _ranks(pagerank(_edges(spark, edges).repartition(13, "dst")))
+    assert a == b
