@@ -1,0 +1,456 @@
+"""PCA / whitening for embedding columns — the linear preprocessing
+family production ANN and semantic-dedup pipelines run before anything
+else (mean-center → project onto the top-k covariance eigenvectors →
+optionally divide by √eigenvalue). OPQ's rotation, SemDeDup's
+normalization, and every "reduce 768→64 dims before the index" step are
+instances of this operator.
+
+Three stages, each in its scale-correct home:
+
+- **Covariance (distributed)** — the only data-scale pass. Each row
+  emits its d² outer-product cells as integer micro-units (round BEFORE
+  sum — the package contract making cross-row float sums
+  order-independent), which partial-aggregate map-side to ≤ d² rows per
+  partition before one shuffle. No self-join of the element table (that
+  shape pays an n·d² join output; the per-row ``flatten(transform)``
+  emits the same cells join-free).
+- **Eigensolve (driver, bounded)** — the collected d² micro-cells are
+  the codebook-sidecar class (d=64 → 4096 longs). Deflated power
+  iteration runs driver-side in EXACT engine arithmetic: every rounding
+  step is the Decimal(repr(x)) HALF_UP hand-model of Spark/DuckDB
+  ``round`` (BigDecimal.valueOf semantics — ``tests/test_stupid_backoff``
+  precedent), every sum an exact int sum, so the Python fit is
+  bit-identical to the unrolled SQL chain the oracle runs.
+- **Projection (distributed, map-only)** — the fitted means/components
+  enter the plan as LITERAL arrays (the k-means-centroid pattern);
+  coordinates are ``zip_with`` micro-dots folded per row inside
+  whole-stage codegen. No shuffle, no UDF; the centered vector is
+  staged as a real column first (the codegen-duplication lesson: k
+  consumers of one subexpression get a projection boundary, not k
+  inlined copies).
+
+Determinism spec (identical in Spark, Python hand-model, DuckDB):
+micro-cell ``round(x_i·x_j·1e6, 0)``; mean ``round(Σround(x·1e6) /
+(n·1e6), 6)``; cov ``round(round(Σp/(n·1e6), 6) − m_i·m_j, 6)``. The
+eigen sweeps run in 1e12 INTERNAL units (the matrix stays micro, v
+stays 6-digit): covariance entries are ~1e-4..1e-2, so a 1e6-unit
+``u`` would quantize its norm cells to single-digit ints (~5% error —
+measured before the upscale); at 1e12 the rounding noise sits at 1e-5
+while every intermediate stays far inside the double's 2^53 integer
+range. Sweep ``u_i = Σ_j round(m_ij·v_j·1e6, 0)``; ``v'_i =
+round((u_i/1e12)/√(Σround((u_i/1e12)²·1e12, 0)/1e12), 6)``;
+each sweep's ``u`` is Gram-Schmidt re-orthogonalized against every
+previous component BEFORE normalizing (``g = Σ round(u_i·vc'_i, 0)``;
+``u_i −= round(g·vc'_i, 0)`` sequentially over c' — deflation alone
+leaves unconverged directions correlated on near-degenerate spectra;
+measured dots 0.07 → 1e-5 with GS); eigenvalue
+``λ12 = Σ round(u_i·v_i, 0)`` (raw final ``u``), ``eigval =
+round(λ12/1e12, 6)``;
+deflation ``m −= round(λ12·v_i·v_j/1e6, 0)``; coordinate
+``round(Σ_i round((x_i−m_i)·v_ci·1e6, 0)/1e6, 6)``; whitened
+``round(coord/√(eigval+1e-9), 6)``. The start vector is the uniform
+``round(1/√d, 6)`` (generic position w.r.t. real covariance spectra;
+both engines build it from the same literal d).
+
+No dependence on numpy/BLAS in any parity path — eigensolves via BLAS
+differ across builds; this fixed-sweep spec is reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.similarity import _as_double
+
+PCA_K = 4
+PCA_ITERS = 12
+_MICRO = 1_000_000
+#: internal unit scale of the eigen sweeps (see the module docstring)
+_M12 = 1_000_000_000_000
+
+
+# ------------------------------------------------------------ hand model
+
+
+def _rm(x: float) -> int:
+    """Engine ``CAST(round(x, 0) AS BIGINT)``: HALF_UP over the double's
+    shortest decimal repr."""
+    return int(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _r6(x: float) -> float:
+    """Engine ``round(x, 6)`` under the same semantics."""
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+# ------------------------------------------------- distributed covariance
+
+
+def _emb_frame(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+
+
+def _probe_dim(embeddings: DataFrame) -> int:
+    """One bounded construction-time action (a single int — the k-means
+    base-probe class): array length is not in the schema."""
+    row = _emb_frame(embeddings).select(F.size("v").alias("d")).first()
+    if row is None:
+        raise ValueError("cannot fit PCA on an empty corpus")
+    return int(row["d"])
+
+
+def _n_frame(emb: DataFrame) -> DataFrame:
+    return emb.agg(F.count("*").cast("long").alias("n"))
+
+
+def _mean_frame(emb: DataFrame) -> DataFrame:
+    """(i, s, m): per-dimension micro-sum and the rounded mean."""
+    elems = emb.select(F.posexplode("v").alias("i", "x"))
+    return (
+        elems.groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(float(_MICRO)), 0).cast("long"))
+            .alias("s")
+        )
+        .crossJoin(F.broadcast(_n_frame(emb)))
+        .select(
+            "i",
+            "s",
+            F.round(
+                F.col("s") / (F.col("n") * F.lit(float(_MICRO))), 6
+            ).alias("m"),
+        )
+    )
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """(i, j, cov): the d×d covariance of the embedding column under the
+    micro-int contract (oracle-exact; :func:`covariance_sql`).
+
+    Scale shape: ONE map-only outer-product emit (d² micro-cells per
+    row, flat index ``i·d+j`` — no element-table self-join) feeding a
+    map-side-combined groupBy of ≤ d² keys, plus the per-dimension mean
+    pass; the 1-row count broadcasts (allowlisted BNLJ class)."""
+    emb = _emb_frame(embeddings)
+    d = _probe_dim(embeddings)
+    outer = emb.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    "v",
+                    lambda xi: F.transform(
+                        "v",
+                        lambda xj: F.round(
+                            xi * xj * F.lit(float(_MICRO)), 0
+                        ).cast("long"),
+                    ),
+                )
+            )
+        ).alias("pos", "p")
+    )
+    sxy = (
+        outer.groupBy("pos")
+        .agg(F.sum("p").alias("s"))
+        .select(
+            (F.col("pos") / d).cast("int").alias("i"),
+            F.pmod(F.col("pos"), F.lit(d)).cast("int").alias("j"),
+            "s",
+        )
+    )
+    means = _mean_frame(emb).select("i", "m")
+    exy = F.round(F.col("s") / (F.col("n") * F.lit(float(_MICRO))), 6)
+    return (
+        sxy.crossJoin(F.broadcast(_n_frame(emb)))
+        .join(F.broadcast(means.select(F.col("i"), F.col("m").alias("m_i"))), on="i")
+        .join(
+            F.broadcast(
+                means.select(F.col("i").alias("j"), F.col("m").alias("m_j"))
+            ),
+            on="j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(exy - F.col("m_i") * F.col("m_j"), 6).alias("cov"),
+        )
+    )
+
+
+# ------------------------------------------------------------- driver fit
+
+
+def pca_fit(
+    embeddings: DataFrame, k: int = PCA_K, n_iter: int = PCA_ITERS
+) -> dict:
+    """Fit means + top-k components + eigenvalues. Returns
+    ``{"dim", "means", "comps", "eigvals"}`` — O(d² + k·d) driver state
+    (the codebook-sidecar class; the two collects are the documented
+    bounded set). Arithmetic is the module's determinism spec, so the
+    result is bit-identical to the oracle's unrolled SQL chain."""
+    emb = _emb_frame(embeddings)
+    d = _probe_dim(embeddings)
+    means = {
+        int(r["i"]): float(r["m"]) for r in _mean_frame(emb).collect()
+    }
+    m: dict[tuple[int, int], int] = {}
+    for r in embedding_covariance(embeddings).collect():
+        m[(int(r["i"]), int(r["j"]))] = int(
+            (
+                decimal.Decimal(repr(float(r["cov"]))) * _MICRO
+            ).to_integral_value(decimal.ROUND_HALF_UP)
+        )
+    # math.sqrt IS the engines' IEEE sqrt; ``** 0.5`` routes through pow
+    # and may differ in the last ulp
+    v0 = _r6(1.0 / math.sqrt(float(d)))
+    comps: list[list[float]] = []
+    eigvals: list[float] = []
+    for _c in range(k):
+        v = [v0] * d
+        for _t in range(n_iter):
+            u = [
+                sum(_rm(m[(i, j)] * v[j] * _MICRO) for j in range(d))
+                for i in range(d)
+            ]
+            for vp in comps:  # Gram-Schmidt vs finished components
+                g = sum(_rm(u[i] * vp[i]) for i in range(d))
+                u = [u[i] - _rm(g * vp[i]) for i in range(d)]
+            n2 = sum(_rm((ui / _M12) * (ui / _M12) * _M12) for ui in u)
+            norm = math.sqrt(n2 / _M12)
+            v = [_r6((ui / _M12) / norm) for ui in u]
+        u = [
+            sum(_rm(m[(i, j)] * v[j] * _MICRO) for j in range(d))
+            for i in range(d)
+        ]
+        lam12 = sum(_rm(u[i] * v[i]) for i in range(d))
+        comps.append(v)
+        eigvals.append(_r6(lam12 / _M12))
+        for i in range(d):
+            for j in range(d):
+                m[(i, j)] -= _rm(lam12 * v[i] * v[j] / _MICRO)
+    return {
+        "dim": d,
+        "means": [means[i] for i in range(d)],
+        "comps": comps,
+        "eigvals": eigvals,
+    }
+
+
+# ------------------------------------------------- distributed projection
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = PCA_K,
+    n_iter: int = PCA_ITERS,
+    whiten: bool = False,
+) -> DataFrame:
+    """(vec_id, comp, coord): every vector's coordinates in the fitted
+    top-k eigenbasis (whitened when asked). The fit enters the plan as
+    literal arrays; the projection is ONE map-only whole-stage-codegen
+    pass — the centered vector is staged as a real column (one
+    projection boundary) and each component is one zip_with micro-dot
+    fold over it."""
+    fit = pca_fit(embeddings, k, n_iter)
+    means_lit = F.array(*[F.lit(x) for x in fit["means"]])
+    centered = _emb_frame(embeddings).select(
+        "vec_id",
+        F.zip_with("v", means_lit, lambda a, b: a - b).alias("cent"),
+    )
+    coords = []
+    for c in range(k):
+        vc = F.array(*[F.lit(x) for x in fit["comps"][c]])
+        micro = F.aggregate(
+            F.zip_with(
+                "cent",
+                vc,
+                lambda a, b: F.round(
+                    a * b * F.lit(float(_MICRO)), 0
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        coord = F.round(micro / F.lit(float(_MICRO)), 6)
+        if whiten:
+            coord = F.round(
+                coord
+                / F.sqrt(F.lit(fit["eigvals"][c]) + F.lit(1e-9)),
+                6,
+            )
+        coords.append(coord)
+    return centered.select(
+        "vec_id",
+        F.posexplode(F.array(*coords)).alias("comp", "coord"),
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _cov_ctes() -> str:
+    """Covariance CTE chain over the ``embeddings`` view (DuckDB uses
+    the element self-join form — different plan, identical values:
+    only the rounded arithmetic is the contract)."""
+    return f"""
+pca_emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pca_n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM pca_emb),
+pca_elems AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+  FROM pca_emb
+),
+pca_means AS MATERIALIZED (
+  SELECT i,
+         round(CAST(SUM(CAST(round(x * {float(_MICRO)!r}, 0) AS BIGINT))
+                    AS BIGINT) / (n * {float(_MICRO)!r}), 6) AS m
+  FROM pca_elems CROSS JOIN pca_n GROUP BY i, n
+),
+pca_sxy AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(round(a.x * b.x * {float(_MICRO)!r}, 0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM pca_elems a JOIN pca_elems b USING (vec_id)
+  GROUP BY 1, 2
+),
+pca_cov AS MATERIALIZED (
+  SELECT pca_sxy.i AS i, pca_sxy.j AS j,
+         round(round(s / (n * {float(_MICRO)!r}), 6) - mi.m * mj.m, 6) AS cov
+  FROM pca_sxy CROSS JOIN pca_n
+  JOIN pca_means mi ON mi.i = pca_sxy.i
+  JOIN pca_means mj ON mj.i = pca_sxy.j
+)
+""".strip()
+
+
+def covariance_sql(dim: int = 64) -> str:
+    return f"WITH {_cov_ctes()}\nSELECT i, j, cov FROM pca_cov"
+
+
+def _eigen_ctes(dim: int, k: int, n_iter: int) -> str:
+    """Unrolled deflated power iteration: per component c, ``n_iter``
+    (u, n2, v) sweep triples over the micro matrix m{c}, then the
+    Rayleigh eigenvalue and the deflation producing m{c+1} — the
+    driver fit's arithmetic, CTE for CTE."""
+    mu = float(_MICRO)
+    m12 = float(_M12)
+    parts = [
+        "pca_m0 AS MATERIALIZED (SELECT i, j,"
+        f" CAST(round(cov * {mu!r}, 0) AS BIGINT) AS m FROM pca_cov)",
+        "pca_idx AS (SELECT DISTINCT i AS idx FROM pca_cov)",
+    ]
+    for c in range(k):
+        parts.append(
+            f"pca_v{c}_0 AS (SELECT idx,"
+            f" round(1.0 / sqrt({float(dim)!r}), 6) AS val FROM pca_idx)"
+        )
+        for t in range(1, n_iter + 1):
+            parts.append(
+                f"pca_u{c}_{t} AS MATERIALIZED (SELECT m.i,"
+                f" CAST(SUM(CAST(round(m.m * v.val * {mu!r}, 0)"
+                " AS BIGINT)) AS BIGINT)"
+                f" AS um FROM pca_m{c} m JOIN pca_v{c}_{t - 1} v"
+                " ON v.idx = m.j GROUP BY 1)"
+            )
+            # Gram-Schmidt vs finished components (sequential, like the
+            # driver fit): uo chains u through one (g, residual) pair
+            # per previous component
+            last = f"pca_u{c}_{t}"
+            for cp in range(c):
+                parts.append(
+                    f"pca_g{c}_{t}_{cp} AS (SELECT"
+                    " CAST(SUM(CAST(round(u.um * v.val, 0) AS BIGINT))"
+                    f" AS BIGINT) AS g FROM {last} u"
+                    f" JOIN pca_v{cp}_{n_iter} v ON v.idx = u.i)"
+                )
+                parts.append(
+                    f"pca_uo{c}_{t}_{cp} AS MATERIALIZED (SELECT u.i,"
+                    " u.um - CAST(round(g.g * v.val, 0) AS BIGINT) AS um"
+                    f" FROM {last} u CROSS JOIN pca_g{c}_{t}_{cp} g"
+                    f" JOIN pca_v{cp}_{n_iter} v ON v.idx = u.i)"
+                )
+                last = f"pca_uo{c}_{t}_{cp}"
+            parts.append(
+                f"pca_n2_{c}_{t} AS (SELECT CAST(SUM(CAST(round("
+                f"(um / {m12!r}) * (um / {m12!r}) * {m12!r}, 0) AS BIGINT))"
+                f" AS BIGINT) AS s FROM {last})"
+            )
+            parts.append(
+                f"pca_v{c}_{t} AS MATERIALIZED (SELECT i AS idx,"
+                f" round((um / {m12!r}) / sqrt(s / {m12!r}), 6) AS val"
+                f" FROM {last} CROSS JOIN pca_n2_{c}_{t})"
+            )
+        parts.append(
+            f"pca_uf{c} AS MATERIALIZED (SELECT m.i,"
+            f" CAST(SUM(CAST(round(m.m * v.val * {mu!r}, 0)"
+            " AS BIGINT)) AS BIGINT)"
+            f" AS um FROM pca_m{c} m JOIN pca_v{c}_{n_iter} v"
+            " ON v.idx = m.j GROUP BY 1)"
+        )
+        parts.append(
+            f"pca_lam{c} AS MATERIALIZED (SELECT"
+            " CAST(SUM(CAST(round(uf.um * v.val, 0) AS BIGINT)) AS BIGINT)"
+            f" AS lm FROM pca_uf{c} uf JOIN pca_v{c}_{n_iter} v"
+            " ON v.idx = uf.i)"
+        )
+        if c + 1 < k:
+            parts.append(
+                f"pca_m{c + 1} AS MATERIALIZED (SELECT m.i, m.j,"
+                " m.m - CAST(round(lam.lm * vi.val * vj.val"
+                f" / {mu!r}, 0) AS BIGINT)"
+                f" AS m FROM pca_m{c} m CROSS JOIN pca_lam{c} lam"
+                f" JOIN pca_v{c}_{n_iter} vi ON vi.idx = m.i"
+                f" JOIN pca_v{c}_{n_iter} vj ON vj.idx = m.j)"
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {c} AS comp, idx, val,"
+        f" round(lm / {m12!r}, 6) AS eigval"
+        f" FROM pca_v{c}_{n_iter} CROSS JOIN pca_lam{c}"
+        for c in range(k)
+    )
+    parts.append(f"pca_comps AS MATERIALIZED ({sel})")
+    return ",\n".join(parts)
+
+
+def pca_components_sql(
+    dim: int = 64, k: int = PCA_K, n_iter: int = PCA_ITERS
+) -> str:
+    return (
+        f"WITH {_cov_ctes()},\n{_eigen_ctes(dim, k, n_iter)}\n"
+        "SELECT comp, idx, val, eigval FROM pca_comps"
+    )
+
+
+def pca_project_sql(
+    dim: int = 64,
+    k: int = PCA_K,
+    n_iter: int = PCA_ITERS,
+    whiten: bool = False,
+) -> str:
+    mu = float(_MICRO)
+    coord = f"round(CAST(SUM(CAST(round((e.x - m.m) * c.val * {mu!r}, 0) AS BIGINT)) AS BIGINT) / {mu!r}, 6)"
+    if whiten:
+        coord = f"round({coord} / sqrt(c.eigval + 1e-09), 6)"
+    return f"""
+WITH {_cov_ctes()},
+{_eigen_ctes(dim, k, n_iter)}
+SELECT e.vec_id, c.comp, {coord} AS coord
+FROM pca_elems e
+JOIN pca_means m ON m.i = e.i
+JOIN pca_comps c ON c.idx = e.i
+GROUP BY e.vec_id, c.comp, c.eigval
+""".strip()

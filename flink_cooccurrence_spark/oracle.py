@@ -1779,6 +1779,14 @@ GROUP BY d.source
         f"(WITH {INTER_CTE.strip()} SELECT item FROM inter)", "item"
     )
     o["streaming_cms_estimates"] = o["cms_item_estimates"]
+    # round-12: PCA/whitening (operators/pca.py) — DuckDB recomputes the
+    # WHOLE pipeline (micro-int covariance + unrolled deflated power
+    # iteration + projection), so the parity gate covers the driver-side
+    # Decimal-exact eigensolve, not just the projection arithmetic
+    from flink_cooccurrence_spark.operators import pca as _pca
+
+    o["embedding_covariance"] = _pca.covariance_sql()
+    o["pca_whiten"] = _pca.pca_project_sql(whiten=True)
     # round-12: weighted PageRank over the engine's own cooccurrence
     # graph (operators/pagerank.py — the crawl-quality-prior shape);
     # integer micro-rank state makes every per-sweep sum an exact BIGINT

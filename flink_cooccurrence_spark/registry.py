@@ -867,6 +867,20 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     "streaming_cms_estimates": lambda s, d: _cms_stream(s, d).estimates(
         _interactions(s, d)
     ),
+    # round-12: PCA/whitening for embeddings (operators/pca.py) — the
+    # linear preprocessing family (OPQ rotation / SemDeDup normalization
+    # / dim-reduction-before-the-index). Covariance is the distributed
+    # micro-int pass; the eigensolve is driver-side in EXACT engine
+    # arithmetic (Decimal hand-model), so the whitened projection is
+    # oracle-exact against DuckDB's fully recomputed unrolled chain
+    "embedding_covariance": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pca",
+        fromlist=["embedding_covariance"],
+    ).embedding_covariance(_embeddings(s, d)),
+    "pca_whiten": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pca",
+        fromlist=["pca_project"],
+    ).pca_project(_embeddings(s, d), whiten=True),
     # round-12: weighted PageRank over the engine's own cooccurrence
     # graph — the crawl-quality-prior operator (Common Crawl host-rank
     # shape) composed with the reference's C matrix as the edge frame;

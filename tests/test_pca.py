@@ -1,0 +1,126 @@
+"""PCA / whitening (operators/pca.py): linear-algebra properties and
+the determinism contract (the DuckDB oracle gate proves engine
+agreement on covariance + the whitened projection; THIS file pins the
+math itself — symmetry, orthonormality, spectral ordering, variance
+capture, layout invariance, the empty-corpus guard)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.pca import (
+    embedding_covariance,
+    pca_fit,
+    pca_project,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    e.count()
+    yield e
+    e.unpersist()
+
+
+@pytest.fixture(scope="module")
+def fit(emb):
+    return pca_fit(emb)
+
+
+def test_covariance_is_symmetric_with_variance_diagonal(spark, emb):
+    rows = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()}
+    d = max(i for i, _ in rows) + 1
+    assert len(rows) == d * d
+    assert all(rows[(i, j)] == rows[(j, i)] for i in range(d) for j in range(d))
+    assert all(rows[(i, i)] >= 0 for i in range(d))
+
+
+def test_components_orthonormal(fit):
+    """The Gram-Schmidt sweeps make orthonormality EXACT up to the
+    6-digit component quantization, even on this corpus's
+    near-degenerate spectrum (eigenvalue gaps ~4% — power iteration
+    cannot fully converge the directions here, and strict spectral
+    ordering is asserted on the anisotropic synthetic below instead)."""
+    for c, v in enumerate(fit["comps"]):
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5, f"comp {c} not unit"
+    for a in range(len(fit["comps"])):
+        for b in range(a + 1, len(fit["comps"])):
+            dot = sum(
+                x * y for x, y in zip(fit["comps"][a], fit["comps"][b])
+            )
+            assert abs(dot) < 1e-5, (a, b, dot)
+    assert all(e > 0 for e in fit["eigvals"])
+
+
+def test_anisotropic_spectrum_recovered(spark):
+    """On data with a strongly decaying spectrum the fixed sweeps must
+    find it: planted variances ~(9, 2.25) on axes (0, 1) of dim 8 over
+    a deterministic low-amplitude background. Eigenvalues come out
+    ordered, axis-aligned, and at the planted scale."""
+    rows = []
+    for t in range(240):
+        a = 3.0 * (1 if t % 2 == 0 else -1) * (1 + (t % 7) / 7.0)
+        b = 1.5 * (1 if t % 3 == 0 else -1) * (1 + (t % 5) / 5.0)
+        base = [((t * 31 + i * 17) % 11 - 5) / 50.0 for i in range(8)]
+        base[0] += a
+        base[1] += b
+        rows.append((t, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fit = pca_fit(df, k=2, n_iter=16)
+    e0, e1 = fit["eigvals"]
+    assert e0 > e1 > 0
+    # planted scales: Var(a)=9·E[(1+t%7/7)²]≈19, Var(b)=2.25·E[(1+t%5/5)²]≈4
+    assert 15.0 < e0 < 25.0 and 3.0 < e1 < 6.0, fit["eigvals"]
+    assert abs(abs(fit["comps"][0][0]) - 1.0) < 0.05  # axis 0 dominant
+    assert abs(abs(fit["comps"][1][1]) - 1.0) < 0.05  # axis 1 next
+
+
+def test_projection_variance_matches_eigenvalues(spark, emb, fit):
+    """Var(coord_c) over the corpus ≈ λ_c, and whitened variance ≈ 1 —
+    the property that MAKES it PCA (loose tolerance: the micro-int
+    rounding and finite sweeps bound the error, not IEEE noise)."""
+    stats = {
+        r["comp"]: (r["mu"], r["var"])
+        for r in pca_project(emb)
+        .groupBy("comp")
+        .agg(
+            F.avg("coord").alias("mu"),
+            F.var_pop("coord").alias("var"),
+        )
+        .collect()
+    }
+    for c, lam in enumerate(fit["eigvals"]):
+        mu, var = stats[c]
+        assert abs(mu) < 1e-3, (c, mu)  # centered projection
+        assert abs(var - lam) < 0.15 * lam + 1e-4, (c, var, lam)
+    wstats = {
+        r["comp"]: r["var"]
+        for r in pca_project(emb, whiten=True)
+        .groupBy("comp")
+        .agg(F.var_pop("coord").alias("var"))
+        .collect()
+    }
+    for c in range(len(fit["eigvals"])):
+        assert abs(wstats[c] - 1.0) < 0.2, (c, wstats[c])
+
+
+def test_projection_layout_invariance(spark, emb):
+    a = sorted(tuple(r) for r in pca_project(emb, k=2, n_iter=4).collect())
+    b = sorted(
+        tuple(r)
+        for r in pca_project(
+            emb.repartition(7, "vec_id"), k=2, n_iter=4
+        ).collect()
+    )
+    assert a == b and a
+
+
+def test_empty_corpus_raises(spark, emb):
+    with pytest.raises(ValueError):
+        pca_fit(emb.filter(F.lit(False)))

@@ -93,6 +93,10 @@ ALLOWED_BNLJ = {
     # large-k assignment backend: corpus × k-row broadcast centroid table
     # with k fixed (corpus-independent by the module's fixed-k contract)
     "kmeans_assign_broadcast": "fixed-k broadcast centroid table (corpus-independent)",
+    # PCA covariance: the 1-row corpus-count broadcasts into the d²-row
+    # cell frame (the mean/exy denominators); d fixed by the data, never
+    # a corpus-scale side
+    "embedding_covariance": "1-row corpus-count aggregate",
     # adaptive plane count rides as a 1-row scalar-subquery crossJoin
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count scalar subquery (adaptive planes)",
@@ -180,6 +184,7 @@ ALLOWED_SINGLE_PARTITION = {
     "ann_lsh_topk": "1-row corpus-count aggregate (adaptive planes)",
     "ann_lsh_multiprobe": "1-row corpus-count aggregate (adaptive planes)",
     "ann_recall": "12-row recall summary aggregate",
+    "embedding_covariance": "1-row corpus-count aggregate",
     "pack_chunks": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_chunks_pretokenized": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "train_shuffle_order": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
