@@ -119,13 +119,8 @@ def _n_frame(emb: DataFrame) -> DataFrame:
 
 def _mean_frame(emb: DataFrame) -> DataFrame:
     """(i, s, m): per-dimension micro-sum and the rounded mean."""
-    elems = emb.select(F.posexplode("v").alias("i", "x"))
     return (
-        elems.groupBy("i")
-        .agg(
-            F.sum(F.round(F.col("x") * F.lit(float(_MICRO)), 0).cast("long"))
-            .alias("s")
-        )
+        _meansum_frame(emb)
         .crossJoin(F.broadcast(_n_frame(emb)))
         .select(
             "i",
@@ -137,16 +132,12 @@ def _mean_frame(emb: DataFrame) -> DataFrame:
     )
 
 
-def embedding_covariance(embeddings: DataFrame) -> DataFrame:
-    """(i, j, cov): the d×d covariance of the embedding column under the
-    micro-int contract (oracle-exact; :func:`covariance_sql`).
-
-    Scale shape: ONE map-only outer-product emit (d² micro-cells per
-    row, flat index ``i·d+j`` — no element-table self-join) feeding a
-    map-side-combined groupBy of ≤ d² keys, plus the per-dimension mean
-    pass; the 1-row count broadcasts (allowlisted BNLJ class)."""
-    emb = _emb_frame(embeddings)
-    d = _probe_dim(embeddings)
+def _sxy_frame(emb: DataFrame, d: int) -> DataFrame:
+    """(i, j, s): summed outer-product micro-cells — ONE map-only emit
+    of d² cells per row at flat index ``i·d+j`` (no element-table
+    self-join) feeding a map-side-combined groupBy of ≤ d² keys. The
+    cells are ADDITIVE across row subsets (each is a rounded-per-row
+    long), which is what the streaming tracker folds."""
     outer = emb.select(
         F.posexplode(
             F.flatten(
@@ -162,7 +153,7 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
             )
         ).alias("pos", "p")
     )
-    sxy = (
+    return (
         outer.groupBy("pos")
         .agg(F.sum("p").alias("s"))
         .select(
@@ -171,11 +162,40 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
             "s",
         )
     )
-    means = _mean_frame(emb).select("i", "m")
+
+
+def _meansum_frame(emb: DataFrame) -> DataFrame:
+    """(i, s): per-dimension micro-sums (additive, like the cells)."""
+    return (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(float(_MICRO)), 0).cast("long"))
+            .alias("s")
+        )
+    )
+
+
+def combine_covariance(
+    sxy: DataFrame, meansums: DataFrame, n_frame: DataFrame
+) -> DataFrame:
+    """(i, j, cov): the covariance combine tail over accumulated
+    micro-state — shared verbatim by the batch operator and the
+    streaming tracker (``streaming/pca.py``), so the online fold is
+    bit-identical by construction."""
+    means = meansums.crossJoin(F.broadcast(n_frame)).select(
+        "i",
+        F.round(F.col("s") / (F.col("n") * F.lit(float(_MICRO))), 6).alias(
+            "m"
+        ),
+    )
     exy = F.round(F.col("s") / (F.col("n") * F.lit(float(_MICRO))), 6)
     return (
-        sxy.crossJoin(F.broadcast(_n_frame(emb)))
-        .join(F.broadcast(means.select(F.col("i"), F.col("m").alias("m_i"))), on="i")
+        sxy.crossJoin(F.broadcast(n_frame))
+        .join(
+            F.broadcast(means.select(F.col("i"), F.col("m").alias("m_i"))),
+            on="i",
+        )
         .join(
             F.broadcast(
                 means.select(F.col("i").alias("j"), F.col("m").alias("m_j"))
@@ -187,6 +207,20 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
             "j",
             F.round(exy - F.col("m_i") * F.col("m_j"), 6).alias("cov"),
         )
+    )
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """(i, j, cov): the d×d covariance of the embedding column under the
+    micro-int contract (oracle-exact; :func:`covariance_sql`).
+
+    Scale shape: the outer-product cell pass (:func:`_sxy_frame`) + the
+    per-dimension mean pass; the 1-row count broadcasts (allowlisted
+    BNLJ class)."""
+    emb = _emb_frame(embeddings)
+    d = _probe_dim(embeddings)
+    return combine_covariance(
+        _sxy_frame(emb, d), _meansum_frame(emb), _n_frame(emb)
     )
 
 
@@ -257,9 +291,11 @@ def pca_project(
     k: int = PCA_K,
     n_iter: int = PCA_ITERS,
     whiten: bool = False,
+    as_array: bool = False,
 ) -> DataFrame:
-    """(vec_id, comp, coord): every vector's coordinates in the fitted
-    top-k eigenbasis (whitened when asked). The fit enters the plan as
+    """(vec_id, comp, coord) — or (vec_id, pc array<double>) with
+    ``as_array`` — every vector's coordinates in the fitted top-k
+    eigenbasis (whitened when asked). The fit enters the plan as
     literal arrays; the projection is ONE map-only whole-stage-codegen
     pass — the centered vector is staged as a real column (one
     projection boundary) and each component is one zip_with micro-dot
@@ -292,10 +328,103 @@ def pca_project(
                 6,
             )
         coords.append(coord)
+    if as_array:
+        return centered.select("vec_id", F.array(*coords).alias("pc"))
     return centered.select(
         "vec_id",
         F.posexplode(F.array(*coords)).alias("comp", "coord"),
     )
+
+
+# --------------------------------------------- reduced-space retrieval
+
+#: the ANN composition's reduced dimensionality / sweeps — measured on
+#: the sf0.001 meter frame (recall@3 vs exact KNN): (12 comps, 6
+#: sweeps, R=8) → 0.433, the repo's best non-exact point (ivf_pq_refined
+#: 0.36; the fitted-cell exact-IVF ceiling 0.387), while keeping the
+#: unrolled DuckDB chain inside the default expression-depth limit
+#: (16 comps × 8 sweeps exceeds it) and ~11s at sf0.01. R defaults to 8,
+#: not faiss's 4: reduced-space candidates carry no ADC decode cost, so
+#: a larger k_factor is the natural operating point here.
+PCA_ANN_COMPS = 12
+PCA_ANN_ITERS = 6
+
+
+def pca_refine_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    refine_factor: int = 8,
+    pca_k: int = PCA_ANN_COMPS,
+    n_iter: int = PCA_ANN_ITERS,
+) -> DataFrame:
+    """(q_id, rank, n_id, cosine): dimensionality-reduction retrieval
+    with exact re-rank — candidates are the top ``refine_factor·k`` by
+    cosine in the ``pca_k``-dim eigenbasis (8× fewer multiply-adds per
+    pair than full-dim), re-scored with EXACT full-space cosine
+    (:func:`~flink_cooccurrence_spark.operators.pq.refine_exact` — the
+    faiss ``IndexRefineFlat`` stage shared with the ADC paths). The
+    returned ``cosine`` is exact; only candidate recall is approximate.
+
+    Reduced-space score (engine-exact): per-pair micro-dot
+    ``Σ_c round(pq_c·pn_c·1e6, 0)`` over the UNWHITENED coordinates
+    (whitening distorts cosine geometry), norms from the same micro
+    fold, ``round((s/1e6)/(√(q_n2/1e6)·√(n_n2/1e6)), 6)``.
+
+    Scale shape: the projection is map-only; candidate scoring
+    broadcasts the bounded query slice against one narrow reduced-vector
+    pass (the ``embedding_knn`` broadcast pattern — at corpus-scale
+    query sets, swap in its blocked grid); the refine joins are
+    O(queries·R·k)."""
+    from flink_cooccurrence_spark.operators.pq import refine_exact
+    from flink_cooccurrence_spark.operators.similarity import QUERY_MOD
+    from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+    red = pca_project(embeddings, k=pca_k, n_iter=n_iter, as_array=True)
+    n2 = F.aggregate(
+        F.transform(
+            "pc",
+            lambda c: F.round(c * c * F.lit(float(_MICRO)), 0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = red.select("vec_id", "pc", n2.alias("n2"))
+    queries = base.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("pc").alias("q_pc"),
+        F.col("n2").alias("q_n2"),
+    )
+    s = F.aggregate(
+        F.zip_with(
+            "q_pc",
+            "pc",
+            lambda a, b: F.round(a * b * F.lit(float(_MICRO)), 0).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(
+            (s / F.lit(float(_MICRO)))
+            / (
+                F.sqrt(F.col("q_n2") / F.lit(float(_MICRO)))
+                * F.sqrt(F.col("n2") / F.lit(float(_MICRO)))
+            ),
+            6,
+        ).alias("cosr"),
+    )
+    cand = top_k_per_group(
+        scored, ["q_id"], "cosr", refine_factor * k, tie_breakers=["n_id"]
+    ).select("q_id", "n_id")
+    return refine_exact(
+        cand, embeddings.select("vec_id", "embedding"), k
+    ).select("q_id", "rank", "n_id", "cosine")
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -433,6 +562,86 @@ def pca_components_sql(
         f"WITH {_cov_ctes()},\n{_eigen_ctes(dim, k, n_iter)}\n"
         "SELECT comp, idx, val, eigval FROM pca_comps"
     )
+
+
+def pca_refine_sql(
+    dim: int = 64,
+    k: int = 3,
+    refine_factor: int = 8,
+    pca_k: int = PCA_ANN_COMPS,
+    n_iter: int = PCA_ANN_ITERS,
+) -> str:
+    """DuckDB twin of :func:`pca_refine_topk`: the projection chain, the
+    reduced-space micro-dot candidate ranking, then the exact-cosine
+    re-rank tail mirroring ``refine_exact`` expression for expression
+    (the ``ivf_pq_refined_sql`` tail)."""
+    from flink_cooccurrence_spark.operators.similarity import QUERY_MOD
+
+    mu = float(_MICRO)
+    rk = refine_factor * k
+    return f"""
+WITH {_cov_ctes()},
+{_eigen_ctes(dim, pca_k, n_iter)},
+red AS MATERIALIZED (
+  SELECT e.vec_id, c.comp,
+         round(CAST(SUM(CAST(round((e.x - m.m) * c.val * {mu!r}, 0)
+                            AS BIGINT)) AS BIGINT) / {mu!r}, 6) AS coord
+  FROM pca_elems e
+  JOIN pca_means m ON m.i = e.i
+  JOIN pca_comps c ON c.idx = e.i
+  GROUP BY e.vec_id, c.comp
+),
+rn2 AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CAST(round(coord * coord * {mu!r}, 0) AS BIGINT))
+              AS BIGINT) AS n2
+  FROM red GROUP BY 1
+),
+pdot AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         CAST(SUM(CAST(round(a.coord * b.coord * {mu!r}, 0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM red a JOIN red b USING (comp)
+  WHERE a.vec_id % {QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+rscored AS (
+  SELECT p.q_id, p.n_id,
+         round((p.s / {mu!r})
+               / (sqrt(q.n2 / {mu!r}) * sqrt(n.n2 / {mu!r})), 6) AS cosr
+  FROM pdot p
+  JOIN rn2 q ON q.vec_id = p.q_id
+  JOIN rn2 n ON n.vec_id = p.n_id
+),
+cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosr DESC, n_id) AS rn
+    FROM rscored
+  ) WHERE rn <= {rk}
+),
+flat AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+fnormed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM flat
+),
+rescored AS (
+  SELECT c.q_id, c.n_id,
+         round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) AS cosine
+  FROM cand c
+  JOIN fnormed q ON q.vec_id = c.q_id
+  JOIN fnormed n ON n.vec_id = c.n_id
+),
+rranked AS (
+  SELECT q_id, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS INT) AS rank
+  FROM rescored
+)
+SELECT q_id, rank, n_id, cosine FROM rranked WHERE rank <= {k}
+""".strip()
 
 
 def pca_project_sql(

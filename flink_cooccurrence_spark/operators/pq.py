@@ -593,6 +593,12 @@ def refine_exact(
     grows with the corpus; nothing broadcasts)."""
     from flink_cooccurrence_spark.operators.similarity import _knn_cosine
 
+    if "cell" not in candidates.columns:
+        # candidate generators without an IVF stage (e.g. the PCA
+        # reduced-space retrieval) carry no cell; −1 marks "no cell"
+        candidates = candidates.withColumn(
+            "cell", F.lit(-1).cast("bigint")
+        )
     nv = _with_norm(corpus.select("vec_id", "embedding")).select(
         F.col("vec_id").alias("n_id"), "embedding", "norm"
     )

@@ -1786,7 +1786,13 @@ GROUP BY d.source
     from flink_cooccurrence_spark.operators import pca as _pca
 
     o["embedding_covariance"] = _pca.covariance_sql()
+    # the streaming tracker replays the whole embedding table, so its
+    # accumulated covariance runs under the batch oracle UNCHANGED
+    o["streaming_covariance"] = o["embedding_covariance"]
     o["pca_whiten"] = _pca.pca_project_sql(whiten=True)
+    # the ANN composition: projection chain + reduced micro-dot ranking
+    # + the refine_exact tail (the ivf_pq_refined_sql tail, shared shape)
+    o["pca_refine_topk"] = _pca.pca_refine_sql()
     # round-12: weighted PageRank over the engine's own cooccurrence
     # graph (operators/pagerank.py — the crawl-quality-prior shape);
     # integer micro-rank state makes every per-sweep sum an exact BIGINT

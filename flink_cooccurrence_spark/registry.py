@@ -669,6 +669,19 @@ def _cdc_stream(spark: SparkSession, sf_dir: str):
     return _ENGINE_MEMO[key]
 
 
+def _cov_stream(spark: SparkSession, sf_dir: str):
+    """Replay the streaming covariance tracker over the embeddings
+    (100 vecs/batch); memoized per (session, sf_dir)."""
+    from flink_cooccurrence_spark.streaming.pca import CovarianceStream
+
+    key = _memo_key(spark, sf_dir, "cov_stream")
+    if key not in _ENGINE_MEMO:
+        eng = CovarianceStream(spark, workdir=_memo_tmpdir("cov_q_"))
+        eng.replay(_embeddings(spark, sf_dir), rows_per_batch=100)
+        _ENGINE_MEMO[key] = eng
+    return _ENGINE_MEMO[key]
+
+
 def _corpus_stream(spark: SparkSession, sf_dir: str):
     """Replay the streaming corpus-filter tracker over the documents
     corpus (100 docs/batch); memoized per (session, sf_dir)."""
@@ -881,6 +894,18 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.pca",
         fromlist=["pca_project"],
     ).pca_project(_embeddings(s, d), whiten=True),
+    # the ANN composition the PCA family is FOR: reduced-space candidate
+    # retrieval (8-dim micro-dot cosine) + the shared exact re-rank
+    # (refine_exact); cosine column is exact, candidate recall is the
+    # only approximation
+    "pca_refine_topk": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pca",
+        fromlist=["pca_refine_topk"],
+    ).pca_refine_topk(_embeddings(s, d)),
+    # the streaming covariance tracker's accumulated micro-state through
+    # the batch operator's SHARED combine tail, under the UNCHANGED
+    # oracle (cells are additive — losslessness-by-parity)
+    "streaming_covariance": lambda s, d: _cov_stream(s, d).covariance(),
     # round-12: weighted PageRank over the engine's own cooccurrence
     # graph — the crawl-quality-prior operator (Common Crawl host-rank
     # shape) composed with the reference's C matrix as the edge frame;

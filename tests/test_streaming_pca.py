@@ -1,0 +1,53 @@
+"""Streaming covariance tracker (streaming/pca.py): the online fold
+must equal the batch ``embedding_covariance`` (the DuckDB oracle gate
+proves engine agreement; THIS file pins the tracker's own contract:
+additive fold across batches, kill-restart resume, re-delivery skip)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.pca import embedding_covariance
+from flink_cooccurrence_spark.streaming.pca import CovarianceStream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    e.count()
+    yield e
+    e.unpersist()
+
+
+def test_replay_matches_batch(spark, emb, tmp_path_factory):
+    eng = CovarianceStream(
+        spark, workdir=str(tmp_path_factory.mktemp("cov_replay"))
+    )
+    eng.replay(emb, rows_per_batch=120)
+    got = _rows(eng.covariance())
+    assert got == _rows(embedding_covariance(emb)) and got
+
+
+def test_kill_restart_and_redelivery(spark, emb, tmp_path_factory):
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    wd = str(tmp_path_factory.mktemp("cov_restart"))
+    eng = CovarianceStream(spark, workdir=wd)
+    eng.replay(emb.filter(F.col("vec_id") < mid), rows_per_batch=120)
+    # abrupt kill: a new object on the same workdir resumes committed state
+    eng2 = CovarianceStream(spark, workdir=wd)
+    before = _rows(eng2.covariance())
+    # re-delivery of a committed batch id is a no-op
+    eng2.process_batch(emb.filter(F.col("vec_id") < mid), batch_id=0)
+    assert _rows(eng2.covariance()) == before
+    # resume with the rest; the final state equals the batch build
+    eng2.replay(emb.filter(F.col("vec_id") >= mid), rows_per_batch=120)
+    assert _rows(eng2.covariance()) == _rows(embedding_covariance(emb))
