@@ -406,7 +406,10 @@ QUERIES: dict[str, QueryFn] = {
     "active_customers": q_active_customers,
     "event_props_struct": q_event_props_struct,
     "rollup_cascade": q_rollup_cascade,
-    "llr_golden": q_llr_golden,
+    # round-12 rotation (second slot): llr_golden ceded its seat to
+    # item_pagerank — the golden-constant frame is a constant-input twin
+    # of llr_scores' scoring math (op 15 stays surfaced by llr_scores);
+    # it keeps the identical parity gate pytest-only
     "streaming_cooccurrence_counts": q_streaming_cooccurrence_counts,
     "streaming_row_sums": q_streaming_row_sums,
     "streaming_final_topk": q_streaming_final_topk,
@@ -452,8 +455,22 @@ def _q_median_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTENSION_QUERIES: dict[str, QueryFn] = {
-    # dedup family
-    "dedup_exact": lambda s, d: _dedup.exact_duplicates(_documents(s, d)),
+    # round-12 rotation: dedup_exact ceded its seat to pca_whiten — the
+    # base exact-dedup map stays exercised on the surface through
+    # corpus_filter / prepare_corpus_manifest (its semi-join) and
+    # dup_clusters (its edges), and keeps the identical parity gate
+    # pytest-only. The two rotated-in rows are the round's flagship
+    # families: PCA whitening (full Decimal-exact eigensolve under a
+    # recomputed DuckDB chain) and cooccurrence-graph PageRank (the
+    # crawl-quality-prior, micro-int fixpoint).
+    "pca_whiten": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pca",
+        fromlist=["pca_project"],
+    ).pca_project(_embeddings(s, d), whiten=True),
+    "item_pagerank": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.pagerank",
+        fromlist=["item_pagerank"],
+    ).item_pagerank(_interactions(s, d)),
     # the corpus-scale skew lever live: hot shingles (df > 5 — chosen so the
     # cut actually fires at every test SF; max df is 7 at sf0.01, 25 at
     # sf0.1) leave the inverted index; denominators stay exact — oracle
@@ -890,10 +907,7 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
         "flink_cooccurrence_spark.operators.pca",
         fromlist=["embedding_covariance"],
     ).embedding_covariance(_embeddings(s, d)),
-    "pca_whiten": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.pca",
-        fromlist=["pca_project"],
-    ).pca_project(_embeddings(s, d), whiten=True),
+    # (pca_whiten is a DRIVER row — round-12 rotation)
     # the ANN composition the PCA family is FOR: reduced-space candidate
     # retrieval (8-dim micro-dot cosine) + the shared exact re-rank
     # (refine_exact); cosine column is exact, candidate recall is the
@@ -906,15 +920,11 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # the batch operator's SHARED combine tail, under the UNCHANGED
     # oracle (cells are additive — losslessness-by-parity)
     "streaming_covariance": lambda s, d: _cov_stream(s, d).covariance(),
-    # round-12: weighted PageRank over the engine's own cooccurrence
-    # graph — the crawl-quality-prior operator (Common Crawl host-rank
-    # shape) composed with the reference's C matrix as the edge frame;
-    # fixed-sweep micro-int iteration, oracle-exact (see
-    # operators/pagerank.py)
-    "item_pagerank": lambda s, d: __import__(
-        "flink_cooccurrence_spark.operators.pagerank",
-        fromlist=["item_pagerank"],
-    ).item_pagerank(_interactions(s, d)),
+    # (item_pagerank is a DRIVER row — round-12 rotation)
+    # round-12 rotation: llr_golden and dedup_exact ceded their driver
+    # seats to the two flagships above; identical parity gates here
+    "llr_golden": q_llr_golden,
+    "dedup_exact": lambda s, d: _dedup.exact_duplicates(_documents(s, d)),
     # round-12: the streaming corpus-filter tracker's accumulated
     # manifest under the UNCHANGED batch corpus_filter oracle — the
     # canonical set is an LSM min-per-hash state table, the features are
