@@ -1378,6 +1378,13 @@ HEADLINE_QUERIES = [
     # scrub∘manifest∘DSIR∘shard would have surfaced nowhere else
     "pq_index_query_refined",
     "prepare_corpus_manifest",
+    # round-12 flagship driver rows (the capstone lesson: driver
+    # flagships carry bench rows + fingerprint pins at both SFs).
+    # Construction-heavy by design: pca_whiten re-fits per run (the
+    # distributed covariance + driver eigensolve is the measured cost),
+    # item_pagerank runs its 8 checkpointed sweeps.
+    "pca_whiten",
+    "item_pagerank",
 ]
 
 #: pre-components EDGE plans of the CC-composed headline queries. The
