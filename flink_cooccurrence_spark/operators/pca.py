@@ -227,26 +227,29 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- driver fit
 
 
-def pca_fit(
-    embeddings: DataFrame, k: int = PCA_K, n_iter: int = PCA_ITERS
-) -> dict:
-    """Fit means + top-k components + eigenvalues. Returns
-    ``{"dim", "means", "comps", "eigvals"}`` — O(d² + k·d) driver state
-    (the codebook-sidecar class; the two collects are the documented
-    bounded set). Arithmetic is the module's determinism spec, so the
-    result is bit-identical to the oracle's unrolled SQL chain."""
-    emb = _emb_frame(embeddings)
-    d = _probe_dim(embeddings)
-    means = {
-        int(r["i"]): float(r["m"]) for r in _mean_frame(emb).collect()
-    }
-    m: dict[tuple[int, int], int] = {}
-    for r in embedding_covariance(embeddings).collect():
-        m[(int(r["i"]), int(r["j"]))] = int(
+def _cov_micro(cov_rows) -> dict[tuple[int, int], int]:
+    """Engine-rounded (i, j, cov) rows → the exact micro-int matrix."""
+    return {
+        (int(r["i"]), int(r["j"])): int(
             (
                 decimal.Decimal(repr(float(r["cov"]))) * _MICRO
             ).to_integral_value(decimal.ROUND_HALF_UP)
         )
+        for r in cov_rows
+    }
+
+
+def power_iteration(
+    m: dict[tuple[int, int], int],
+    d: int,
+    k: int = PCA_K,
+    n_iter: int = PCA_ITERS,
+) -> tuple[list[list[float]], list[float]]:
+    """Deflated GS power iteration over a micro-int matrix — the
+    determinism-spec eigensolve shared by :func:`pca_fit` and the
+    streaming tracker's fit (``streaming/pca.py``). Returns
+    ``(comps, eigvals)``; mutates a COPY of ``m``."""
+    m = dict(m)
     # math.sqrt IS the engines' IEEE sqrt; ``** 0.5`` routes through pow
     # and may differ in the last ulp
     v0 = _r6(1.0 / math.sqrt(float(d)))
@@ -275,6 +278,24 @@ def pca_fit(
         for i in range(d):
             for j in range(d):
                 m[(i, j)] -= _rm(lam12 * v[i] * v[j] / _MICRO)
+    return comps, eigvals
+
+
+def pca_fit(
+    embeddings: DataFrame, k: int = PCA_K, n_iter: int = PCA_ITERS
+) -> dict:
+    """Fit means + top-k components + eigenvalues. Returns
+    ``{"dim", "means", "comps", "eigvals"}`` — O(d² + k·d) driver state
+    (the codebook-sidecar class; the two collects are the documented
+    bounded set). Arithmetic is the module's determinism spec, so the
+    result is bit-identical to the oracle's unrolled SQL chain."""
+    emb = _emb_frame(embeddings)
+    d = _probe_dim(embeddings)
+    means = {
+        int(r["i"]): float(r["m"]) for r in _mean_frame(emb).collect()
+    }
+    m = _cov_micro(embedding_covariance(embeddings).collect())
+    comps, eigvals = power_iteration(m, d, k, n_iter)
     return {
         "dim": d,
         "means": [means[i] for i in range(d)],

@@ -127,3 +127,42 @@ class CovarianceStream:
             self.state.get("sums", SUMS_SCHEMA),
             n_frame,
         )
+
+    def fit(self, k=None, n_iter=None) -> dict:
+        """The PCA refresh the tracker exists for: fit means +
+        components + eigenvalues from the ACCUMULATED sufficient
+        statistic — bit-identical to ``pca_fit`` over the accumulated
+        stream (pytest-pinned), at zero additional corpus passes. The
+        means reuse the engines' division/round through the hand-model
+        (``_r6(s/(n·1e6))`` — the same IEEE ops)."""
+        from flink_cooccurrence_spark.operators.pca import (
+            _MICRO,
+            PCA_ITERS,
+            PCA_K,
+            _cov_micro,
+            _r6,
+            power_iteration,
+        )
+
+        n = int(self.state.get_scalar("n_rows", 0))
+        if not n:
+            raise ValueError("cannot fit PCA on an empty stream")
+        cov_rows = self.covariance().collect()
+        d = max(int(r["i"]) for r in cov_rows) + 1
+        sums = {
+            int(r["i"]): int(r["s"])
+            for r in self.state.get("sums", SUMS_SCHEMA).collect()
+        }
+        means = [_r6(sums[i] / (n * float(_MICRO))) for i in range(d)]
+        comps, eigvals = power_iteration(
+            _cov_micro(cov_rows),
+            d,
+            k if k is not None else PCA_K,
+            n_iter if n_iter is not None else PCA_ITERS,
+        )
+        return {
+            "dim": d,
+            "means": means,
+            "comps": comps,
+            "eigvals": eigvals,
+        }

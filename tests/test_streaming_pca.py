@@ -37,6 +37,20 @@ def test_replay_matches_batch(spark, emb, tmp_path_factory):
     assert got == _rows(embedding_covariance(emb)) and got
 
 
+def test_tracker_fit_equals_batch_fit(spark, emb, tmp_path_factory):
+    """The PCA refresh from the accumulated sufficient statistic must
+    reproduce the batch fit BIT-IDENTICALLY — means, components, and
+    eigenvalues (the covariance cells are the whole input to the
+    deterministic eigensolve)."""
+    from flink_cooccurrence_spark.operators.pca import pca_fit
+
+    eng = CovarianceStream(
+        spark, workdir=str(tmp_path_factory.mktemp("cov_fit"))
+    )
+    eng.replay(emb, rows_per_batch=170)
+    assert eng.fit() == pca_fit(emb)
+
+
 def test_kill_restart_and_redelivery(spark, emb, tmp_path_factory):
     mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
     wd = str(tmp_path_factory.mktemp("cov_restart"))
