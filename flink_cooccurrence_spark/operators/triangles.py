@@ -1,0 +1,237 @@
+"""Triangle counting + local clustering coefficients — the graph-shape
+complement of [PageRank's] random-walk centrality: how CLIQUISH is a
+node's neighborhood. In corpus curation the coefficient separates
+organic co-occurrence neighborhoods (high clustering — communities)
+from hub/spam shapes (high degree, low clustering), the same signal
+host-graph pipelines use next to rank priors.
+
+Algorithm: DEGREE-ORIENTED wedge counting (Suri & Vassilvitskii,
+"Counting triangles and the curse of the last reducer", WWW 2011 — the
+standard distributed scheme):
+
+1. undirected edge set ``{lo, hi}`` (dedup of both directions);
+2. orient every edge from its (degree, id)-SMALLER endpoint to the
+   larger — each node's OUT-degree is then O(√|E|) regardless of how
+   skewed the raw degrees are, which is the whole point: the wedge join
+   under the raw adjacency puts a hub's deg² pairs in one task (the
+   "last reducer"); under the orientation no node fans out more than
+   ~√|E| wedges;
+3. wedges: self-join the oriented adjacency on the source, ordered
+   (v < w by the same orientation order) so each candidate pair appears
+   once;
+4. close: semi-ish join of wedge pairs against the oriented edge set —
+   every triangle is counted EXACTLY once (at its degree-minimal
+   vertex's wedge).
+
+Outputs are exact integers (count sums) and the coefficient is one
+IEEE divide of exact integers rounded to 6 — oracle-exact with no
+micro-int machinery needed.
+
+Scale shape: two shuffles (wedge self-join on the oriented source,
+closing join on the (v, w) pair key) over frames bounded by O(|E|^1.5)
+wedge rows worst-case; per-node outputs fold map-side. Nothing
+collects; no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """(lo, hi): the distinct undirected edge set (self-loops dropped)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """(node, degree, triangles, clustering): per-node triangle count
+    over the undirected form of ``edges`` (src, dst[, w]) and the local
+    clustering coefficient ``round(2·t / (d·(d−1)), 6)`` (0.0 for
+    degree < 2 nodes)."""
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    # orient from the (degree, id)-smaller endpoint to the larger
+    a = deg.select(
+        F.col("node").alias("lo"), F.col("degree").alias("d_lo")
+    )
+    b = deg.select(
+        F.col("node").alias("hi"), F.col("degree").alias("d_hi")
+    )
+    oriented = (
+        und.join(a, on="lo")
+        .join(b, on="hi")
+        .select(
+            F.when(
+                (F.col("d_lo") < F.col("d_hi"))
+                | (
+                    (F.col("d_lo") == F.col("d_hi"))
+                    & (F.col("lo") < F.col("hi"))
+                ),
+                F.struct(
+                    F.col("lo").alias("u"),
+                    F.col("hi").alias("v"),
+                    F.col("d_lo").alias("du"),
+                    F.col("d_hi").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("hi").alias("u"),
+                    F.col("lo").alias("v"),
+                    F.col("d_hi").alias("du"),
+                    F.col("d_lo").alias("dv"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.du", "e.dv")
+    )
+    # wedges at the degree-minimal vertex: neighbor pairs ordered by the
+    # SAME (degree, id) orientation order so (x, y) matches the oriented
+    # edge x→y exactly when the closing edge exists
+    l = oriented.select(
+        "u",
+        F.col("v").alias("x"),
+        F.col("dv").alias("dx"),
+    )
+    r = oriented.select(
+        "u",
+        F.col("v").alias("y"),
+        F.col("dv").alias("dy"),
+    )
+    wedges = l.join(r, on="u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        ),
+        on=["x", "y"],
+    ).select("u", "x", "y")
+    per_node = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("x").alias("node")))
+        .unionByName(closed.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (2.0 * F.coalesce(F.col("triangles"), F.lit(0)))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+#: per-item strongest-neighbor fan-out of the k-NN backbone graph — an
+#: ABSOLUTE count threshold cannot sparsify the C matrix (measured: all
+#: 9,900 off-diagonal pairs at sf0.01 carry cnt ≥ 5), so the graph is
+#: built the way dense similarity graphs always are: top-k per node
+TRI_KNN = 8
+
+
+def item_triangle_stats(
+    interactions: DataFrame, knn: int = TRI_KNN
+) -> DataFrame:
+    """(item, degree, triangles, clustering): triangle statistics over
+    the engine's cooccurrence k-NN backbone — each item keeps its
+    ``knn`` strongest neighbors by (cnt DESC, other_item), the standard
+    sparsification of a near-complete similarity graph; the undirected
+    union is the graph."""
+    from flink_cooccurrence_spark.operators.cooccurrence import (
+        cooccurrence_counts,
+    )
+    from flink_cooccurrence_spark.operators.topk import top_k_per_group
+
+    offdiag = cooccurrence_counts(interactions).filter(
+        F.col("item") != F.col("other_item")
+    )
+    edges = top_k_per_group(
+        offdiag, ["item"], "cnt", knn, tie_breakers=["other_item"]
+    ).select(F.col("item").alias("src"), F.col("other_item").alias("dst"))
+    return triangle_stats(edges).select(
+        F.col("node").alias("item"), "degree", "triangles", "clustering"
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def triangle_sql(
+    edges_sql: str, prefix_ctes: str = "", node_alias: str = "node"
+) -> str:
+    """DuckDB text of :func:`triangle_stats` over the (src, dst)
+    subquery ``edges_sql`` — the same orientation/wedge/close chain."""
+    return f"""
+WITH {prefix_ctes}tr_und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM ({edges_sql}) t WHERE src <> dst
+),
+tr_deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT lo AS node FROM tr_und UNION ALL SELECT hi AS node FROM tr_und
+  ) GROUP BY 1
+),
+tr_or AS MATERIALIZED (
+  SELECT CASE WHEN (a.degree < b.degree)
+               OR (a.degree = b.degree AND u.lo < u.hi)
+              THEN u.lo ELSE u.hi END AS u,
+         CASE WHEN (a.degree < b.degree)
+               OR (a.degree = b.degree AND u.lo < u.hi)
+              THEN u.hi ELSE u.lo END AS v,
+         CASE WHEN (a.degree < b.degree)
+               OR (a.degree = b.degree AND u.lo < u.hi)
+              THEN b.degree ELSE a.degree END AS dv
+  FROM tr_und u
+  JOIN tr_deg a ON a.node = u.lo
+  JOIN tr_deg b ON b.node = u.hi
+),
+tr_closed AS MATERIALIZED (
+  SELECT l.u AS u, l.v AS x, r.v AS y
+  FROM tr_or l JOIN tr_or r ON l.u = r.u
+  JOIN tr_or e ON e.u = l.v AND e.v = r.v
+  WHERE (l.dv < r.dv) OR (l.dv = r.dv AND l.v < r.v)
+),
+tr_pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT u AS node FROM tr_closed
+    UNION ALL SELECT x AS node FROM tr_closed
+    UNION ALL SELECT y AS node FROM tr_closed
+  ) GROUP BY 1
+)
+SELECT d.node AS {node_alias}, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round((2.0 * COALESCE(p.triangles, 0))
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM tr_deg d LEFT JOIN tr_pn p ON p.node = d.node
+""".strip()

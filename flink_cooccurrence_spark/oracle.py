@@ -1799,6 +1799,21 @@ GROUP BY d.source
     # sum, so the unrolled chain is oracle-exact
     from flink_cooccurrence_spark.operators import pagerank as _pr
 
+    # round-12: degree-oriented triangle counting over the cooccurrence
+    # k-NN backbone (top-8 strongest neighbors per item — an absolute
+    # count threshold cannot sparsify the near-complete C matrix)
+    from flink_cooccurrence_spark.operators import triangles as _tri
+
+    o["item_triangle_stats"] = _tri.triangle_sql(
+        "SELECT item AS src, other_item AS dst FROM ("
+        " SELECT item, other_item,"
+        " row_number() OVER (PARTITION BY item"
+        " ORDER BY cnt DESC, other_item) AS rn"
+        " FROM counts WHERE item <> other_item"
+        f") WHERE rn <= {_tri.TRI_KNN}",
+        prefix_ctes=f"{INTER_CTE}, {UIC_CTE}, {COUNTS_CTE},\n",
+        node_alias="item",
+    )
     o["item_pagerank"] = _pr.pagerank_sql(
         "SELECT item AS src, other_item AS dst, cnt AS w FROM counts"
         " WHERE item <> other_item",

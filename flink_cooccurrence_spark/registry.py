@@ -921,6 +921,14 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {
     # oracle (cells are additive — losslessness-by-parity)
     "streaming_covariance": lambda s, d: _cov_stream(s, d).covariance(),
     # (item_pagerank is a DRIVER row — round-12 rotation)
+    # round-12: triangle counting + local clustering over the
+    # cooccurrence k-NN backbone (degree-oriented wedge counting — the
+    # Suri & Vassilvitskii scheme; the coefficient separates community
+    # neighborhoods from hub shapes next to the rank prior)
+    "item_triangle_stats": lambda s, d: __import__(
+        "flink_cooccurrence_spark.operators.triangles",
+        fromlist=["item_triangle_stats"],
+    ).item_triangle_stats(_interactions(s, d)),
     # round-12 rotation: llr_golden and dedup_exact ceded their driver
     # seats to the two flagships above; identical parity gates here
     "llr_golden": q_llr_golden,

@@ -1,0 +1,74 @@
+"""Triangle counting (operators/triangles.py): closed-form hand graphs
+and the exactly-once counting contract (the DuckDB oracle gate proves
+engine agreement on the corpus composition; THIS file pins the graph
+math — known triangle counts, coefficient closed forms, direction/
+duplicate invariance, skew behavior at a hub)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cooccurrence_spark.operators.triangles import triangle_stats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src long, dst long"
+    )
+
+
+def _stats(df):
+    return {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in df.collect()
+    }
+
+
+def test_triangle_and_square(spark):
+    """K3: every node (2, 1, 1.0). C4 (no chord): every node (2, 0, 0)."""
+    tri = _stats(triangle_stats(_edges(spark, [(0, 1), (1, 2), (2, 0)])))
+    assert tri == {i: (2, 1, 1.0) for i in range(3)}
+    sq = _stats(
+        triangle_stats(_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]))
+    )
+    assert sq == {i: (2, 0, 0.0) for i in range(4)}
+
+
+def test_k4_counts(spark):
+    """K4: 4 triangles total; each node in 3 of them, coefficient 1."""
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    st = _stats(triangle_stats(_edges(spark, pairs)))
+    assert st == {i: (3, 3, 1.0) for i in range(4)}
+    # total triangles = sum/3
+    assert sum(t for _, t, _ in st.values()) // 3 == 4
+
+
+def test_direction_and_duplicate_invariance(spark):
+    """The undirected dedup makes both directions + repeats harmless."""
+    base = [(0, 1), (1, 2), (2, 0)]
+    noisy = base + [(b, a) for a, b in base] + base
+    assert _stats(triangle_stats(_edges(spark, noisy))) == _stats(
+        triangle_stats(_edges(spark, base))
+    )
+
+
+def test_hub_with_pendant_leaves(spark):
+    """A K3 whose node 0 also has 3 pendant leaves: node 0's degree
+    grows to 5 but its triangle count stays 1 — the coefficient drops
+    to 2/(5·4) = 0.1 while the other K3 nodes stay at 1.0 (the
+    hub-vs-community separation the statistic exists for)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 10), (0, 11), (0, 12)]
+    st = _stats(triangle_stats(_edges(spark, pairs)))
+    assert st[0] == (5, 1, 0.1)
+    assert st[1] == (2, 1, 1.0) and st[2] == (2, 1, 1.0)
+    assert st[10] == (1, 0, 0.0)
+
+
+def test_self_loops_dropped(spark):
+    st = _stats(
+        triangle_stats(
+            _edges(spark, [(0, 0), (0, 1), (1, 2), (2, 0), (1, 1)])
+        )
+    )
+    assert st == {i: (2, 1, 1.0) for i in range(3)}
