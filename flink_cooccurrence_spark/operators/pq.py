@@ -850,22 +850,23 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
 """
 
 
-def _ivf_pq_residual_sql(
-    k: int,
-    nprobe: int,
-    m: int,
-    ksub: int,
-    n_iter: int,
-    dim: int,
+def residual_chain_ctes(
+    nprobe_max: int = 1,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITERS,
+    dim: int = 64,
     centroids: str = "hash",
 ) -> str:
-    """DuckDB twin of the ``encode='residual'`` path: the residual frame
-    (home-cell join + element-wise subtraction), the m L2-metric
-    salted-seed codebook chains, the reconstruction norm, and the
-    cell-mean + LUT ADC score — every expression structurally identical
-    to the Spark plan. ``centroids`` swaps the cell-set head CTEs: the
-    seeded hash sample or the clustering module's unrolled k-means chain
-    (``ivf_topk_kmeans``'s proven prefix)."""
+    """The nprobe-INDEPENDENT half of the residual-ADC oracle as CTE
+    text (``head … corpus``): cell fit, assignment (kept to
+    ``probe_rank ≤ nprobe_max`` — the home cell is rank 1 regardless),
+    residual frame, the m codebook chains, codes, reconstruction norms.
+    Exposed so SEVERAL query tails (:func:`residual_tail_sql` — the
+    recall meter's nprobe variants) share ONE fit: the codebook chains
+    are the oracle's single most expensive construction, and they do
+    not depend on how many cells a QUERY probes. Heavy shared CTEs are
+    MATERIALIZED (DuckDB inlines per reference otherwise)."""
     if centroids == "kmeans":
         from flink_cooccurrence_spark.operators import clustering as _cl
 
@@ -894,7 +895,7 @@ cents AS (
             (s + 1) * w,
             ksub,
             n_iter,
-            src="resv",
+            src="rc_resv",
             metric="l2",
             seed_salt=PQ_RES_SEED_SALT,
         )
@@ -910,75 +911,124 @@ cents AS (
         f"JOIN cb{s}_{n_iter} b{s} ON b{s}.cluster = p.code_{s}"
         for s in range(m)
     )
-    pair_book_joins = " ".join(
-        f"JOIN cb{s}_{n_iter} b{s} ON b{s}.cluster = n.code_{s}"
-        for s in range(m)
-    )
-    adc = " + ".join(
-        f"list_dot_product(q.v[{s * w + 1}:{(s + 1) * w}], b{s}.c_v)"
-        for s in range(m)
-    )
     ncode_cols = ", ".join(f"code_{s}" for s in range(m))
-    return f"""
-WITH {head},
+    # rc_*-named MATERIALIZED frames: DuckDB's materialized CTEs break
+    # inner same-name shadowing ("Referenced table not found" when a
+    # nested member redefines the name — minimal-repro'd), so every
+    # frame a query TAIL or multiple chain consumers touch gets a
+    # collision-proof name and a materialization; plain chain CTEs keep
+    # the Spark-mirroring names (plain outer CTEs shadow fine)
+    cb_pass = ",\n".join(
+        f"rc_cb{s} AS MATERIALIZED (SELECT * FROM cb{s}_{n_iter})"
+        for s in range(m)
+    )
+    return f"""{head},
+rc_normed AS MATERIALIZED (SELECT * FROM normed),
+rc_cents AS MATERIALIZED (SELECT * FROM cents),
 assign_scored AS (
   SELECT n.vec_id, c.c_id,
          round(list_dot_product(n.v, c.c_v) / (n.norm * c.c_norm), 6) AS cos_c
-  FROM normed n CROSS JOIN cents c
+  FROM rc_normed n CROSS JOIN rc_cents c
 ),
-assigned AS (
+rc_assigned AS MATERIALIZED (
   SELECT vec_id, c_id AS cell, rn AS probe_rank FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id) AS rn
     FROM assign_scored
-  ) WHERE rn <= {nprobe}
+  ) WHERE rn <= {nprobe_max}
 ),
 rjoin AS (
   SELECT n.vec_id, a.cell, c.c_v AS cv, n.v AS raw_v
-  FROM normed n
-  JOIN assigned a ON a.vec_id = n.vec_id AND a.probe_rank = 1
-  JOIN cents c ON c.c_id = a.cell
+  FROM rc_normed n
+  JOIN rc_assigned a ON a.vec_id = n.vec_id AND a.probe_rank = 1
+  JOIN rc_cents c ON c.c_id = a.cell
 ),
-resv AS (
+rc_resv AS MATERIALIZED (
   SELECT vec_id, cell, cv,
          list_transform(list_zip(raw_v, cv), p -> p[1] - p[2]) AS v
   FROM rjoin
 ),
 {subs},
 pqcodes AS (
-  SELECT r.vec_id, r.cell, r.cv, {code_cols} FROM resv r {code_joins}
+  SELECT r.vec_id, r.cell, r.cv, {code_cols} FROM rc_resv r {code_joins}
 ),
 recon AS (
   SELECT p.vec_id, p.cell, {pcode_cols},
          list_transform(list_zip(p.cv, ({rhat})), z -> z[1] + z[2]) AS vhat
   FROM pqcodes p {recon_book_joins}
 ),
-corpus AS (
+rc_corpus AS MATERIALIZED (
   SELECT vec_id, cell, {ncode_cols},
          list_dot_product(vhat, vhat) AS recon_n2
   FROM recon
 ),
-qprobe AS (
-  SELECT a.vec_id AS q_id, a.cell, q.v, q.norm
-  FROM assigned a JOIN normed q ON q.vec_id = a.vec_id
-  WHERE a.vec_id % {QUERY_MOD} = 0
-),
-pairs AS (
-  SELECT q.q_id, q.cell AS cell, n.vec_id AS n_id,
-         round((list_dot_product(q.v, c.c_v) + {adc})
-               / (q.norm * sqrt(n.recon_n2)), {ROUND_DIGITS}) AS cosine
-  FROM qprobe q
-  JOIN corpus n ON n.cell = q.cell AND n.vec_id != q.q_id
-  JOIN cents c ON c.c_id = q.cell
-  {pair_book_joins}
-),
-ranked AS (
+{cb_pass}"""
+
+
+def residual_tail_sql(
+    k: int,
+    nprobe: int = 1,
+    m: int = PQ_M,
+    n_iter: int = PQ_ITERS,
+    dim: int = 64,
+) -> str:
+    """One nprobe variant's query tail over the shared chain CTEs
+    (:func:`residual_chain_ctes` with ``nprobe_max ≥ nprobe``): probe
+    selection, ADC scoring, rank cut — pure nested subqueries (no CTE
+    definitions), so any number of tails coexist under one WITH."""
+    w = dim // m
+    pair_book_joins = " ".join(
+        f"JOIN rc_cb{s} b{s} ON b{s}.cluster = n.code_{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(
+        f"list_dot_product(q.v[{s * w + 1}:{(s + 1) * w}], b{s}.c_v)"
+        for s in range(m)
+    )
+    return f"""SELECT q_id, rank, n_id, cosine, cell FROM (
   SELECT q_id, cell, n_id, cosine,
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT)
            AS rank
-  FROM pairs
-)
-SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
+  FROM (
+    SELECT q.q_id, q.cell AS cell, n.vec_id AS n_id,
+           round((list_dot_product(q.v, c.c_v) + {adc})
+                 / (q.norm * sqrt(n.recon_n2)), {ROUND_DIGITS}) AS cosine
+    FROM (
+      SELECT a.vec_id AS q_id, a.cell, q.v, q.norm
+      FROM rc_assigned a JOIN rc_normed q ON q.vec_id = a.vec_id
+      WHERE a.vec_id % {QUERY_MOD} = 0 AND a.probe_rank <= {nprobe}
+    ) q
+    JOIN rc_corpus n ON n.cell = q.cell AND n.vec_id != q.q_id
+    JOIN rc_cents c ON c.c_id = q.cell
+    {pair_book_joins}
+  )
+) WHERE rank <= {k}"""
+
+
+def _ivf_pq_residual_sql(
+    k: int,
+    nprobe: int,
+    m: int,
+    ksub: int,
+    n_iter: int,
+    dim: int,
+    centroids: str = "hash",
+) -> str:
+    """DuckDB twin of the ``encode='residual'`` path: the shared chain
+    (:func:`residual_chain_ctes`) + this variant's tail — every
+    expression structurally identical to the Spark plan."""
+    chain = residual_chain_ctes(
+        nprobe_max=nprobe,
+        m=m,
+        ksub=ksub,
+        n_iter=n_iter,
+        dim=dim,
+        centroids=centroids,
+    )
+    return f"""
+WITH {chain}
+{residual_tail_sql(k, nprobe, m=m, n_iter=n_iter, dim=dim)}
 """
+
 
 def ivf_pq_refined_sql(
     k: int = ANN_K,

@@ -494,6 +494,18 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
             "ivf_pq_refined_nprobe4",
             ivf_pq_refined_topk(embeddings, k, nprobe=4),
         ),
+        # round-12: PCA reduced-space retrieval + exact re-rank — the
+        # repo's best non-exact point (0.433 at sf0.001 vs refined
+        # residual ADC's 0.36 and the fitted-cell exact-IVF 0.387):
+        # a 12-dim eigenbasis candidate stage beats cell-pruned ADC on
+        # this isotropic corpus at 4× compression
+        (
+            "pca_refine",
+            __import__(
+                "flink_cooccurrence_spark.operators.pca",
+                fromlist=["pca_refine_topk"],
+            ).pca_refine_topk(embeddings, k),
+        ),
         # round-11: SQ8 — 4× memory at near-exact fidelity; its recall
         # should sit AT the IVF cell ceiling (the quantizer costs ~0)
         (

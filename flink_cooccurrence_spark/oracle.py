@@ -959,20 +959,18 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
         definition verbatim). Entries named 'ivf_pq_residual' /
         'ivf_pq_refined' in ``methods`` are placeholders for ordering;
         their SQL text is ignored in favor of the shared-chain forms."""
-        resid_rk = _pq.ivf_pq_sql(
-            _pq.PQ_REFINE_FACTOR * sim.ANN_K,
-            nprobe=1,
-            encode="residual",
-            centroids="kmeans",
+        # round-12: ONE shared fit chain (nprobe_max=4 — the codebook
+        # fit is nprobe-independent) feeding BOTH nprobe variants' query
+        # tails; before the split the meter paid the full residual
+        # construction twice
+        resid_chain = _pq.residual_chain_ctes(
+            nprobe_max=4, centroids="kmeans"
         )
-        # round-12: the nprobe=4 chain — same construction, 4 probed
-        # cells per query; its own MATERIALIZED CTE for the same
-        # inline-per-reference reason as resid_rk
-        resid_rk4 = _pq.ivf_pq_sql(
-            _pq.PQ_REFINE_FACTOR * sim.ANN_K,
-            nprobe=4,
-            encode="residual",
-            centroids="kmeans",
+        resid_rk = _pq.residual_tail_sql(
+            _pq.PQ_REFINE_FACTOR * sim.ANN_K, nprobe=1
+        )
+        resid_rk4 = _pq.residual_tail_sql(
+            _pq.PQ_REFINE_FACTOR * sim.ANN_K, nprobe=4
         )
 
         def _refined_member(chain: str) -> str:
@@ -1010,6 +1008,7 @@ SELECT q_id, rank, n_id, cosine, cell FROM ranked WHERE rank <= {k}
         # re-planned per member blows past memory at sf0.01)
         return f"""
 WITH exact AS MATERIALIZED (SELECT q_id, n_id FROM ({_knn_sql(sim.ANN_K)})),
+{resid_chain},
 resid_rk AS MATERIALIZED (SELECT q_id, rank, n_id FROM ({resid_rk}) t),
 resid_rk4 AS MATERIALIZED (SELECT q_id, rank, n_id FROM ({resid_rk4}) t),
 fnorm AS MATERIALIZED (
@@ -1036,6 +1035,12 @@ fnorm AS MATERIALIZED (
         "lsh": _lsh_sql(sim.ANN_K, multi_probe=False),
         "lsh_multiprobe": _lsh_sql(sim.ANN_K, multi_probe=True),
     }
+    # round-12: the PCA reduced-space + exact-re-rank point — its full
+    # chain (covariance + GS sweeps + projection + refine) embeds as a
+    # derived table like the other nested-WITH members
+    from flink_cooccurrence_spark.operators import pca as _pcam
+
+    recall_methods["pca_refine"] = _pcam.pca_refine_sql(k=sim.ANN_K)
     o["ann_recall"] = _ann_recall_sql(recall_methods)
 
     o["image_resize"] = f"""

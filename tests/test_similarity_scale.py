@@ -170,9 +170,13 @@ def test_multiprobe_superset_of_single_probe_candidates(spark, emb):
     assert set(recalls) == {
         "ivf_nprobe1", "ivf_nprobe2", "ivf_nprobe4", "ivf_kmeans",
         "ivf_pq", "ivf_pq_residual", "ivf_pq_refined",
-        "ivf_pq_refined_nprobe4", "ivf_sq8", "ivf_sq8_kmeans",
-        "lsh", "lsh_multiprobe",
+        "ivf_pq_refined_nprobe4", "pca_refine", "ivf_sq8",
+        "ivf_sq8_kmeans", "lsh", "lsh_multiprobe",
     }
+    # round-12: the PCA reduced-space + exact-re-rank point is the
+    # meter's best non-exact member on this corpus (measured 0.433 vs
+    # the refined residual's 0.36 at sf0.001)
+    assert recalls["pca_refine"] > recalls["ivf_pq_refined"]
     assert recalls["lsh_multiprobe"] >= recalls["lsh"]
     # recall is non-decreasing in nprobe (round-12: the candidate pool
     # only grows with probed cells — the production knob's contract)
