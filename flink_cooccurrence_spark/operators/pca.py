@@ -134,40 +134,77 @@ def _mean_frame(emb: DataFrame) -> DataFrame:
 
 def _sxy_frame(emb: DataFrame, d: int) -> DataFrame:
     """(i, j, s): summed outer-product micro-cells — ONE map-only emit
-    of d² cells per row at flat index ``i·d+j`` (no element-table
-    self-join) feeding a map-side-combined groupBy of ≤ d² keys. The
-    cells are ADDITIVE across row subsets (each is a rounded-per-row
-    long), which is what the streaming tracker folds."""
-    outer = emb.select(
-        F.posexplode(
-            F.flatten(
-                F.transform(
-                    "v",
-                    lambda xi: F.transform(
-                        "v",
-                        lambda xj: F.round(
-                            xi * xj * F.lit(float(_MICRO)), 0
-                        ).cast("long"),
-                    ),
-                )
-            )
-        ).alias("pos", "p")
+    per row (no element-table self-join) feeding a map-side-combined
+    groupBy of ≤ d² keys. The cells are ADDITIVE across row subsets
+    (each is a rounded-per-row long), which is what the streaming
+    tracker folds.
+
+    Only the UPPER TRIANGLE (j ≥ i) is emitted and aggregated —
+    ``round(x_i·x_j·1e6)`` is symmetric in (i, j) (the double product
+    commutes), so the lower triangle is the ≤ d(d+1)/2-row AGGREGATED
+    table mirrored (a per-row explode of the tiny result, not a union
+    that would recompute the corpus pass). Halves the per-row emit and
+    the rows entering the partial aggregate on the PCA family's only
+    data-scale pass; output rows are bit-identical to the full-matrix
+    form. ``_spread`` parallelizes the expansion when the source scan is
+    narrower than the session (guide §2.5; no-op on wide inputs)."""
+    from flink_cooccurrence_spark.operators.similarity import _spread
+
+    tri = F.flatten(
+        F.transform(
+            "v",
+            lambda xi, i: F.transform(
+                F.slice("v", i + F.lit(1), F.lit(d) - i),
+                lambda xj, jo: F.struct(
+                    (i * F.lit(d) + i + jo).cast("int").alias("pos"),
+                    F.round(xi * xj * F.lit(float(_MICRO)), 0)
+                    .cast("long")
+                    .alias("p"),
+                ),
+            ),
+        )
     )
-    return (
-        outer.groupBy("pos")
-        .agg(F.sum("p").alias("s"))
+    upper = (
+        _spread(emb)
+        .select(F.explode(tri).alias("c"))
+        .groupBy(F.col("c.pos").alias("pos"))
+        .agg(F.sum("c.p").alias("s"))
         .select(
             (F.col("pos") / d).cast("int").alias("i"),
             F.pmod(F.col("pos"), F.lit(d)).cast("int").alias("j"),
             "s",
         )
     )
+    # mirror the aggregated triangle in-plan: one row for i == j, two
+    # (cell + transpose) otherwise — no second corpus pass, no union
+    # branch recompute
+    mirrored = upper.select(
+        F.explode(
+            F.when(
+                F.col("i") == F.col("j"),
+                F.array(F.struct(F.col("i"), F.col("j"))),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col("i"), F.col("j")),
+                    F.struct(
+                        F.col("j").alias("i"), F.col("i").alias("j")
+                    ),
+                )
+            )
+        ).alias("e"),
+        "s",
+    )
+    return mirrored.select(
+        F.col("e.i").alias("i"), F.col("e.j").alias("j"), "s"
+    )
 
 
 def _meansum_frame(emb: DataFrame) -> DataFrame:
     """(i, s): per-dimension micro-sums (additive, like the cells)."""
+    from flink_cooccurrence_spark.operators.similarity import _spread
+
     return (
-        emb.select(F.posexplode("v").alias("i", "x"))
+        _spread(emb).select(F.posexplode("v").alias("i", "x"))
         .groupBy("i")
         .agg(
             F.sum(F.round(F.col("x") * F.lit(float(_MICRO)), 0).cast("long"))
@@ -291,14 +328,34 @@ def pca_fit(
     result is bit-identical to the oracle's unrolled SQL chain."""
     emb = _emb_frame(embeddings)
     d = _probe_dim(embeddings)
-    means = {
-        int(r["i"]): float(r["m"]) for r in _mean_frame(emb).collect()
+    # ONE pass each over the corpus: the micro-sums and the count are
+    # collected raw and the covariance COMBINE runs driver-side through
+    # the hand-model (the streaming tracker's ``fit()`` precedent —
+    # ``_r6`` IS the engines' round by the module contract, every
+    # intermediate the same IEEE op). The previous shape ran the
+    # mean-sum pass, the count, and the dimension probe TWICE each
+    # (once inside ``_mean_frame``, again inside
+    # ``embedding_covariance``) plus a cluster-side combine of ≤ d²
+    # rows — all redundant construction-time jobs.
+    n = int(_n_frame(emb).first()["n"])
+    msums = {
+        int(r["i"]): int(r["s"]) for r in _meansum_frame(emb).collect()
     }
-    m = _cov_micro(embedding_covariance(embeddings).collect())
+    means = [_r6(msums[i] / (n * float(_MICRO))) for i in range(d)]
+    m: dict[tuple[int, int], int] = {}
+    for r in _sxy_frame(emb, d).collect():
+        i, j = int(r["i"]), int(r["j"])
+        exy = _r6(int(r["s"]) / (n * float(_MICRO)))
+        cov = _r6(exy - means[i] * means[j])
+        m[(i, j)] = int(
+            (decimal.Decimal(repr(cov)) * _MICRO).to_integral_value(
+                decimal.ROUND_HALF_UP
+            )
+        )
     comps, eigvals = power_iteration(m, d, k, n_iter)
     return {
         "dim": d,
-        "means": [means[i] for i in range(d)],
+        "means": means,
         "comps": comps,
         "eigvals": eigvals,
     }
@@ -321,9 +378,13 @@ def pca_project(
     pass — the centered vector is staged as a real column (one
     projection boundary) and each component is one zip_with micro-dot
     fold over it."""
+    from flink_cooccurrence_spark.operators.similarity import _spread
+
     fit = pca_fit(embeddings, k, n_iter)
     means_lit = F.array(*[F.lit(x) for x in fit["means"]])
-    centered = _emb_frame(embeddings).select(
+    # _spread: k interpreted zip_with micro-dot folds per row — a narrow
+    # scan would run the whole projection on one core (no-op when wide)
+    centered = _spread(_emb_frame(embeddings)).select(
         "vec_id",
         F.zip_with("v", means_lit, lambda a, b: a - b).alias("cent"),
     )

@@ -153,7 +153,14 @@ def pq_codebooks(
     # independent ``kmeans_centroids`` fits on the sliced frames is
     # pinned by tests (identical seeds, argmax, exact-integer update,
     # carry); at corpus scale this is m× fewer scans per iteration.
-    src = embeddings.select("vec_id", "embedding").localCheckpoint(eager=True)
+    # _spread: a narrow (single small file) scan would run every per-
+    # iteration scoring pass — m·ksub interpreted dot folds per row — on
+    # one core; no-op when the input already carries ≥ cores partitions
+    from flink_cooccurrence_spark.operators.similarity import _spread
+
+    src = _spread(embeddings.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
     seed_key = hash32(
         F.concat(F.lit(seed_salt), F.col("vec_id").cast("string"))
     ) if seed_salt else hash32(F.col("vec_id").cast("string"))
@@ -302,11 +309,16 @@ def pq_codes(
     pass (m literal when-chains; no join, no shuffle). Extra input
     columns pass through unchanged (the residual path carries its cell
     and centroid alongside)."""
+    from flink_cooccurrence_spark.operators.similarity import _spread
+
     first = embeddings.select("embedding").first()
     dim = len(first["embedding"]) if first is not None else m
     passthrough = [c for c in embeddings.columns if c != "embedding"]
     v = _as_double(F.col("embedding"))
-    staged = embeddings.select(
+    # _spread: the m per-subspace score arrays are interpreted
+    # higher-order-function folds — on a narrow scan this map pass
+    # serializes on one core (no-op on already-wide inputs)
+    staged = _spread(embeddings).select(
         *passthrough,
         *[
             _scores_arr(F.slice(v, lo, w), books[s], metric=metric).alias(
@@ -411,34 +423,51 @@ def ivf_pq_topk(
     ).select("q_id", "rank", "n_id", "cosine", "cell")
 
 
-def _cell_centroids(embeddings: DataFrame, centroids: str) -> DataFrame:
-    """(cell, c_v): the IVF cell centroid table as doubles — the 'hash'
-    seeded sample or the 'kmeans' fitted set (mirrors
-    ``similarity.ivf_assignments``'s cell sets)."""
+def _cells_table(embeddings: DataFrame, centroids: str) -> DataFrame:
+    """(c_id, c_emb, c_norm): the IVF cell set — the 'hash' seeded
+    sample or the 'kmeans' fitted set (``similarity.ivf_assignments``'s
+    cell sets). The kmeans form is an EAGER construction (Lloyd jobs
+    run now), so callers with several centroid consumers build this
+    ONCE and thread it through."""
     from flink_cooccurrence_spark.operators.similarity import (
         ivf_centroids,
         ivf_centroids_kmeans,
     )
 
     if centroids == "kmeans":
-        cents = ivf_centroids_kmeans(embeddings)
-    elif centroids == "hash":
-        cents = ivf_centroids(embeddings)
-    else:
-        raise ValueError(f"unknown centroids {centroids!r}")
+        return ivf_centroids_kmeans(embeddings)
+    if centroids == "hash":
+        return ivf_centroids(embeddings)
+    raise ValueError(f"unknown centroids {centroids!r}")
+
+
+def _cell_centroids(
+    embeddings: DataFrame, centroids: str, cents: DataFrame | None = None
+) -> DataFrame:
+    """(cell, c_v): the IVF cell centroid table as doubles — projected
+    from ``cents`` when the caller already built the table (one k-means
+    fit shared across all centroid consumers), else fit/sampled here."""
+    if cents is None:
+        cents = _cells_table(embeddings, centroids)
     return cents.select(
         F.col("c_id").alias("cell"), _as_double(F.col("c_emb")).alias("c_v")
     )
 
 
 def residual_frame(
-    embeddings: DataFrame, assign: DataFrame, centroids: str = "hash"
+    embeddings: DataFrame,
+    assign: DataFrame,
+    centroids: str = "hash",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cell, c_v, embedding): each vector's home cell, its
     centroid (double), and the residual ``v − c`` under the codebook
     machinery's expected column name. One corpus pass: home-cell attach
-    (shuffled hash join) + a broadcast of the fixed-K centroid table."""
-    cents = _cell_centroids(embeddings, centroids)
+    (shuffled hash join) + a broadcast of the fixed-K centroid table.
+    ``cents`` is the shared (cell, c_v) frame when the caller already
+    holds one (see :func:`_cell_centroids`)."""
+    if cents is None:
+        cents = _cell_centroids(embeddings, centroids)
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
     return (
         embeddings.select(
@@ -476,11 +505,19 @@ def _ivf_pq_residual_topk(
     0.12 on the ann_recall meter), while fitted ('kmeans') cells realize
     the published gain (measured 0.213 — +78% over raw PQ). The
     registered flagship uses 'kmeans'."""
+    # ONE centroid construction for the whole pipeline: the fitted cell
+    # set has THREE consumers here (the assignment pass, the residual
+    # frame's centroid attach, the query side's dot(q, c)) and the
+    # 'kmeans' fit is an EAGER construction — fitting it per consumer
+    # tripled construction-time Spark jobs (measured ~2s per redundant
+    # fit at sf0.1) for bit-identical centroid literals.
+    cents_tbl = _cells_table(embeddings, centroids)
+    cent_frame = _cell_centroids(embeddings, centroids, cents=cents_tbl)
     # three consumers (residual frame's home cells, home cells again via
     # the coded corpus, query probes) — cache so the centroid assignment
     # pass runs once
-    assign = ivf_assignments(embeddings, nprobe, centroids=centroids).cache()
-    res = residual_frame(embeddings, assign, centroids=centroids)
+    assign = ivf_assignments(embeddings, nprobe, cents=cents_tbl).cache()
+    res = residual_frame(embeddings, assign, cents=cent_frame)
     books = pq_codebooks(
         res, m, ksub, n_iter, metric="l2", seed_salt=PQ_RES_SEED_SALT
     )
@@ -513,7 +550,6 @@ def _ivf_pq_residual_topk(
         dot(vhat, vhat).alias("recon_n2"),
     )
     base = _with_norm(embeddings.select("vec_id", "embedding"))
-    cent_frame = _cell_centroids(embeddings, centroids)
     v = _as_double(F.col("embedding"))
     lut_cols = [
         _lut_arr(F.slice(v, lo, w), books[s]).alias(f"lut_{s}")

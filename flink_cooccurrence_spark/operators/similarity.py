@@ -65,6 +65,27 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-distribute a NARROW scan across the session's cores before a
+    row-expanding / per-row-expensive map pass (guide §2.5 input skew /
+    §6 input splits): a small single-file parquet scan plans as ONE
+    partition, so a pass that multiplies work per row (d² outer-product
+    cells, per-codebook score arrays — all interpreted higher-order
+    functions) serializes on one core no matter how many the session
+    has. Round-robin repartition to ``defaultParallelism`` only when the
+    scan is narrower than that — at data scale the scan already carries
+    ≥ cores partitions and this is a no-op (the condition keeps it
+    scale-adaptive rather than a local-mode constant). Every consumer is
+    order-independent (row-local maps or micro-int sums), so the
+    round-robin placement cannot change results; the sort-before-
+    repartition Spark inserts (SPARK-23207) keeps retries deterministic."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _with_norm(df: DataFrame, out: str = "norm") -> DataFrame:
     v = _as_double(F.col("embedding"))
     return df.withColumn(out, F.sqrt(dot(v, v)))
@@ -130,7 +151,11 @@ def embedding_knn(
         strategy = "broadcast" if probe <= max_broadcast_queries else "blocked"
 
     if strategy == "broadcast":
-        pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        # _spread: |Q| interpreted cosine folds per corpus row — on a
+        # narrow scan the whole scoring pass lands on one core
+        pairs = _spread(base).join(
+            F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+        )
         scored = pairs.select(
             "q_id", F.col("vec_id").alias("n_id"), _knn_cosine().alias("cosine")
         )
@@ -358,7 +383,10 @@ def ivf_centroids_kmeans(embeddings: DataFrame) -> DataFrame:
 
 
 def ivf_assignments(
-    embeddings: DataFrame, nprobe: int = 1, centroids: str = "hash"
+    embeddings: DataFrame,
+    nprobe: int = 1,
+    centroids: str = "hash",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Rank every vector's ``nprobe`` nearest centroid cells:
     (vec_id, cell, cos_c, probe_rank) — probe_rank 1 is the home cell.
@@ -367,12 +395,19 @@ def ivf_assignments(
     is one narrow pass over the corpus + a per-vector top-nprobe —
     O(|C|·K), no corpus self-join. Ties break to the lower centroid id.
     ``centroids`` picks the cell set: 'hash' (the seeded sample) or
-    'kmeans' (:func:`ivf_centroids_kmeans`).
+    'kmeans' (:func:`ivf_centroids_kmeans`). ``cents`` lets a caller that
+    needs the centroid table for OTHER stages too (the residual PQ paths
+    attach centroids to corpus rows and to query rows) pass one already-
+    built (c_id, c_emb, c_norm) frame instead of re-running the eager
+    k-means construction per stage — the fit is construction-time Spark
+    jobs, so sharing it is plan construction hygiene, not result caching.
     """
     from flink_cooccurrence_spark.operators.topk import top_k_per_group
 
     base = _with_norm(embeddings.select("vec_id", "embedding"))
-    if centroids == "kmeans":
+    if cents is not None:
+        pass
+    elif centroids == "kmeans":
         cents = ivf_centroids_kmeans(embeddings)
     elif centroids == "hash":
         cents = ivf_centroids(embeddings)
@@ -383,7 +418,9 @@ def ivf_assignments(
         / (F.col("norm") * F.col("c_norm")),
         6,
     )
-    scored = base.join(F.broadcast(cents)).select(
+    # _spread: K interpreted dot folds per corpus row — a narrow scan
+    # would run the whole assignment pass on one core
+    scored = _spread(base).join(F.broadcast(cents)).select(
         "vec_id", F.col("c_id"), cos.alias("cos_c")
     )
     return top_k_per_group(
