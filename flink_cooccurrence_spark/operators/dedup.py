@@ -70,21 +70,36 @@ def _tokens(text: Column) -> Column:
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
-    Built with posexplode + lead-style join-free window over token position
-    (identical formulation in the oracle so shingle sets match exactly).
-    """
-    from pyspark.sql import Window
+    MAP-ONLY (r12): shingles are row-local — ``transform`` over the token
+    array indexes n consecutive tokens per gram and ``array_distinct``
+    dedupes WITHIN the row, so the whole construction is one projection
+    with no exchange. The previous lead-window formulation shuffled the
+    FULL token stream on doc_id (window sort) and then the full shingle
+    stream again (global ``.distinct()``) — two corpus-scale shuffles for
+    a per-row computation (guide §2.4; per-doc distinct == global
+    distinct on (doc_id, shingle)). Output strings are identical to the
+    oracle's lead-window SQL: ``concat_ws(' ', t[i..i+n-1])`` over the
+    same whitespace tokens, docs with < n tokens (or NULL text) emit
+    nothing (``when`` yields NULL and ``explode`` drops the row).
+    ``_spread`` keeps the row-expanding tokenize+gram pass off a single
+    core when the source scan is one small file (no-op on wide scans —
+    the map-only claim is about KEY shuffles)."""
+    from flink_cooccurrence_spark.operators.similarity import _spread
 
-    words = documents.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    toks = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", _tokens(F.col("text")).alias("t")
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
-    sh = words.select(
-        "doc_id", F.concat_ws(" ", *parts).alias("shingle"),
-        F.lead("w", n - 1).over(win).alias("_last"),
-    ).filter(F.col("_last").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+    m = F.size(F.col("t")) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("t"), i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.when(m >= 1, grams))).alias("shingle"),
+    )
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:

@@ -88,8 +88,24 @@ def pagerank(
         .collect()[0]
     )
     r0_micro, base_micro = int(consts["r0"]), int(consts["base"])
-    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    ew = edges.join(outw, on="src").localCheckpoint(eager=True)
+    # out-weight via a WINDOW sum over src, not a groupBy + self-join:
+    # the self-join form duplicated the whole edge-derivation subtree
+    # (Catalyst does not dedupe common subtrees — item_pagerank's
+    # cooccurrence chain executed TWICE inside this one checkpoint job,
+    # measured 3.6s per execution at sf0.1), and its output partitioning
+    # was whatever the join produced. The window form runs the chain
+    # ONCE, needs exactly one hash(src) exchange — and that partitioning
+    # survives the localCheckpoint (LogicalRDD preserves it), so the
+    # per-sweep join on src never re-shuffles the EDGE side again: the
+    # only per-sweep shuffles are the O(|nodes|) rank/contrib frames
+    # (guide §2.4 — establish the partitioning once; at 100 TB the edge
+    # frame is the data-scale side and previously re-exchanged every
+    # sweep). BIGINT window sum == BIGINT groupBy sum, bit-identical.
+    from pyspark.sql import Window
+
+    ew = edges.withColumn(
+        "w_out", F.sum("w").over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
     r = nodes.select("node", F.lit(r0_micro).alias("r_micro"))
     for _t in range(n_iter):
         contrib = (

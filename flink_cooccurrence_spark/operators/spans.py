@@ -53,22 +53,35 @@ MIN_SPAN_TOKENS = 8
 
 
 def _grams_with_pos(documents: DataFrame, L: int) -> DataFrame:
-    """(doc_id, pos, gram): every L-gram with its 1-based start position."""
-    words = documents.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "w")
+    """(doc_id, pos, gram): every L-gram with its 1-based start position.
+
+    MAP-ONLY (r12): grams are built row-locally — ``transform`` over the
+    token array carries (pos, gram) structs, so the construction is one
+    projection with NO exchange. The previous posexplode + lead-window
+    form shuffled the FULL token stream on doc_id just to read n
+    consecutive tokens that never leave their row (guide §2.4). Output
+    rows are identical: 1-based positions, ``concat_ws(' ', ...)`` over
+    the same whitespace tokens, docs with < L tokens (or NULL text) emit
+    nothing. ``_spread`` keeps the row-expanding pass off a single core
+    on a narrow scan (no-op when the scan is already wide)."""
+    from flink_cooccurrence_spark.operators.similarity import _spread
+
+    toks = _spread(documents.select("doc_id", "text")).select(
+        "doc_id", _tokens(F.col("text")).alias("t")
     )
-    win = Window.partitionBy("doc_id").orderBy("pos0")
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, L)]
-    return (
-        words.select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.concat_ws(" ", *parts).alias("gram"),
-            F.lead("w", L - 1).over(win).alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    m = F.size(F.col("t")) - (L - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + F.lit(j)) for j in range(L)]
+            ).alias("gram"),
+        ),
     )
+    return toks.select(
+        "doc_id", F.explode(F.when(m >= 1, grams)).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
 
 
 def duplicate_spans(
