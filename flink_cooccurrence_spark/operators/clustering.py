@@ -301,9 +301,31 @@ def semantic_dedup_clustered_edges(
 
     if threshold is None:
         threshold = EMBED_NEAR_DUP_THRESHOLD
-    assign = kmeans_assign(embeddings, k, n_iter).select("vec_id", "cluster")
-    withv = _with_norm(embeddings.select("vec_id", "embedding")).join(
-        assign.hint("shuffle_hash"), on="vec_id"
+    # ONE normed frame serves the k-means fit AND the pair join's vector
+    # sides: the cluster id is computed inline on the checkpointed base
+    # (the exact _assign expression, with norm passed through), so the
+    # former second _with_norm scan and the assignment's vec_id
+    # shuffle-hash join are gone — the only exchange left below is the
+    # cell-local pair join's hash(cluster) (guide §1.2/§2.4). Empty
+    # corpus: no seeds ⇒ no rows either way, the empty-edges frame.
+    base = _with_norm(embeddings.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
+    cents = kmeans_centroids(embeddings, k, n_iter, base=base)
+    if not cents:
+        return base.select(
+            F.col("vec_id").alias("doc_a"), F.col("vec_id").alias("doc_b")
+        ).filter(F.lit(False))
+    staged = base.select(
+        "vec_id", "embedding", "norm", F.array(*_cos_cols(cents)).alias("_sc")
+    )
+    withv = staged.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        (F.array_position(F.col("_sc"), F.array_max(F.col("_sc"))) - 1)
+        .cast("int")
+        .alias("cluster"),
     )
     a, b = withv.alias("a"), withv.alias("b")
     cos = F.round(

@@ -1,4 +1,4 @@
-"""Fused single-pass token frame for the streaming dedup engine.
+"""Fused map-only token frame for the streaming dedup engine.
 
 The engine's batch head needs two per-document sketches of every arriving
 micro-batch: the MinHash signature (3-gram shingles,
@@ -7,26 +7,36 @@ set (4-gram packed window-min keys,
 ``operators/winnow.py:winnow_fingerprints``). Built independently, each
 runs its own tokenize -> posexplode -> lead-window pass — two full scans,
 two shuffles on doc_id, two sorts by token position, over the SAME batch
-documents (the round-8 ``dedup_replay`` cost growth).
-
-``fused_token_pass`` computes both derived columns under ONE window spec:
-one explode, one shuffle, one sort, emitting a compact numeric frame
-(doc_id, pos0, sh_hash, key). The two sketches then derive from it with
-no further wide operations — the min-aggregation (signatures) and the
-window-min (fingerprints) both run on the fused frame's preserved
-doc_id partitioning / pos0 ordering.
+documents (the round-8 ``dedup_replay`` cost growth). Round 12 fused the
+two into ONE window pass (one shuffle); round 13 removes the shuffle too:
+both gram streams are ROW-LOCAL functions of the token array (the
+map-only ``doc_shingles`` rewrite, guide §2.4), so the fused frame is one
+projection — (doc_id, sh_hashes, keys) arrays, one row per document, ZERO
+exchanges — and both sketch derivations stay row-local (the signature is
+32 ``array_min`` folds; the fingerprint set is a per-start window-min over
+the keys array). Per batch the engine's heavy head now launches no wide
+stage at all: at corpus scale this deletes a full token-stream shuffle +
+two window sorts per micro-batch.
 
 Bit-identity to the batch operators is a hard contract (the streaming
 engine's stream==batch gates assume it) and is pinned by
 ``tests/test_fused.py``:
 
-- signatures: ``minhash_col`` is a deterministic function of the shingle
-  hash, so ``min`` over the multiset of shingle hashes equals ``min``
-  over its distinct set — skipping ``doc_shingles``' DISTINCT is exact.
+- signatures: identical shingle strings (``concat_ws(' ', t[i..i+n-1])``
+  over the same whitespace tokens), identical ``hash32``/``minhash_col``
+  arithmetic; ``min`` over the multiset of shingle hashes equals ``min``
+  over its distinct set — skipping ``doc_shingles``' DISTINCT is exact,
+  and ``array_min`` over the transformed array is the same fold as the
+  ``min`` aggregate.
 - fingerprints: identical packed-key construction (``hash32(gram) *
-  2^pos_shift + pos``, 1-based pos), identical window frames, identical
-  valid-window filter, including the loud in-expression raise past
-  ``2^pos_shift`` k-grams.
+  2^pos_shift + pos``, 1-based pos), identical window extents — starts
+  ``1..m-w+1`` for m ≥ w k-grams, the single whole-document window for
+  short docs (``slice`` clips at the array end exactly like the
+  ``rowsBetween(0, w-1)`` frame) — identical distinct-ness, including the
+  loud in-expression raise past ``2^pos_shift`` k-grams (evaluated only
+  at real gram positions, matching the batch operator's filter-first
+  order; the branches are CaseWhen-lazy so degenerate docs never evaluate
+  a ``sequence`` with stop < start).
 
 Reference scope: the reference engine has no dedup surface — this module
 serves the training-data-pipeline extension (SURVEY.md §2 addenda).
@@ -34,7 +44,7 @@ serves the training-data-pipeline extension (SURVEY.md §2 addenda).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_cooccurrence_spark.functions.hashing import (
@@ -51,70 +61,96 @@ from flink_cooccurrence_spark.operators.winnow import (
 )
 
 
+def _gram_hash(t: Column, i: Column, n: int) -> Column:
+    """``hash32`` of the n-gram starting at 1-based token index ``i`` —
+    the identical string (and md5) the lead-window form hashed."""
+    return hash32(
+        F.concat_ws(
+            " ", *[F.element_at(t, i + F.lit(j)) for j in range(n)]
+        )
+    )
+
+
 def fused_token_pass(
     documents: DataFrame,
     n: int = 3,
     k: int = WINNOW_K,
     pos_shift: int = POS_SHIFT,
 ) -> DataFrame:
-    """(doc_id, pos0, sh_hash, key): one row per token position.
+    """(doc_id, sh_hashes, keys): ONE row per document, built row-locally.
 
-    ``sh_hash`` is ``hash32`` of the n-gram shingle starting at this
-    position (NULL in the trailing n-1 positions where no full shingle
-    exists); ``key`` is the winnow packed k-gram key ``hash32(gram) *
-    2^pos_shift + (pos0+1)`` (NULL in the trailing k-1 positions). One
-    tokenize + one posexplode + one lead-window pass; both sketch
-    derivations below consume this frame shuffle-free.
-    """
+    ``sh_hashes`` is the array of ``hash32`` shingle hashes (one per
+    n-gram start, multiset — the signature min doesn't need distinct);
+    ``keys`` is the array of winnow packed k-gram keys ``hash32(gram) *
+    2^pos_shift + pos`` (1-based pos). Documents with no full n-gram
+    (resp. k-gram) carry NULL in that column — the derivations drop them,
+    matching the lead-window form's trailing-NULL filters. No explode, no
+    window, no exchange."""
     pos_mod = 1 << pos_shift
-    words = documents.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "w")
+    toks = documents.select("doc_id", _tokens(F.col("text")).alias("t"))
+    t = F.col("t")
+    sz = F.size(t)
+    m_sh = sz - (n - 1)
+    m_k = sz - (k - 1)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), m_sh), lambda i: _gram_hash(t, i, n)
     )
-    win = Window.partitionBy("doc_id").orderBy("pos0")
-    depth = max(n, k)
-    leads = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, depth)]
-    shingle = F.concat_ws(" ", *leads[:n])
-    gram = F.concat_ws(" ", *leads[:k])
-    pos = F.col("pos0") + 1
     # the winnow guard lives INSIDE the key branch (same failure mode as
     # operators/winnow.py): a position past 2^pos_shift would silently
-    # corrupt packed keys — fail loudly; trailing invalid rows never
-    # evaluate the branch, matching the batch operator's filter-first order
-    safe_pos = F.when(
-        pos >= F.lit(pos_mod),
-        F.raise_error(
-            F.concat(
-                F.lit("winnow: document "),
-                F.col("doc_id").cast("string"),
-                F.lit(f" exceeds 2^{pos_shift} k-grams — raise pos_shift"),
-            )
-        ).cast("int"),
-    ).otherwise(pos)
-    return words.select(
+    # corrupt packed keys — fail loudly; the transform only visits real
+    # gram positions, matching the batch operator's filter-first order
+    def _key(i: Column) -> Column:
+        safe_pos = F.when(
+            i >= F.lit(pos_mod),
+            F.raise_error(
+                F.concat(
+                    F.lit("winnow: document "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f" exceeds 2^{pos_shift} k-grams — raise pos_shift"),
+                )
+            ).cast("int"),
+        ).otherwise(i)
+        return _gram_hash(t, i, k) * F.lit(pos_mod) + safe_pos
+
+    key_arr = F.transform(F.sequence(F.lit(1), m_k), _key)
+    return toks.select(
         "doc_id",
-        "pos0",
-        F.when(leads[n - 1].isNotNull(), hash32(shingle)).alias("sh_hash"),
-        F.when(
-            leads[k - 1].isNotNull(),
-            hash32(gram) * F.lit(pos_mod) + safe_pos,
-        ).alias("key"),
+        F.when(m_sh >= 1, sh_arr).alias("sh_hashes"),
+        F.when(m_k >= 1, key_arr).alias("keys"),
     )
 
 
 def fused_minhash_sigs(fused: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>) — bit-identical to
     ``minhash_sig_array`` (pinned by tests): min of the universal-hash
-    family over the shingle-hash stream, distinct-ness irrelevant to min."""
+    family over the shingle-hash array, distinct-ness irrelevant to min.
+    Row-local (32 ``array_min`` folds) — no shuffle, no aggregation."""
     params = minhash_params(NUM_HASHES, MINHASH_SEED)
-    sh = fused.filter(F.col("sh_hash").isNotNull())
-    aggs = [
-        F.min(minhash_col(F.col("sh_hash"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(params)
+    sh = fused.filter(F.col("sh_hashes").isNotNull())
+
+    def _mh(a: int, b: int):
+        return lambda x: minhash_col(x, a, b)
+
+    mins = [
+        F.array_min(F.transform(F.col("sh_hashes"), _mh(a, b)))
+        for a, b in params
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
-    return wide.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig"),
+    return sh.select("doc_id", F.array(*mins).alias("sig"))
+
+
+def _winmins(w: int) -> Column:
+    """DISTINCT packed window-min keys of the ``keys`` array: one min per
+    valid window start (``1..m-w+1``; a short document keeps one
+    whole-document window anchored at the first k-gram) — ``slice`` clips
+    at the array end exactly like the batch operator's
+    ``rowsBetween(0, w-1)`` frame."""
+    keys = F.col("keys")
+    mk = F.size(keys)
+    starts = F.when(mk >= w, F.sequence(F.lit(1), mk - (w - 1))).when(
+        mk >= 1, F.array(F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(keys, i, w)))
     )
 
 
@@ -124,27 +160,39 @@ def fused_winnow_fps(
     pos_shift: int = POS_SHIFT,
 ) -> DataFrame:
     """(doc_id, fp_hash, fp_pos) — bit-identical to
-    ``winnow_fingerprints`` (pinned by tests). The window-min and the
-    whole-document max reuse the fused frame's doc_id partitioning and
-    pos0 ordering — no additional exchange."""
+    ``winnow_fingerprints`` (pinned by tests). Row-local: the window-min
+    runs over the keys array and the per-doc distinct is
+    ``array_distinct`` (distinct packed keys == distinct (hash, pos)
+    pairs — the packing is bijective); no exchange anywhere."""
     pos_mod = 1 << pos_shift
-    keyed = fused.filter(F.col("key").isNotNull()).select(
-        "doc_id", "pos0", "key"
-    )
-    kwin = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, w - 1)
-    full = Window.partitionBy("doc_id")
-    sel = keyed.select(
-        "doc_id",
-        "pos0",
-        F.min("key").over(kwin).alias("winmin"),
-        F.max("pos0").over(full).alias("max_p"),
-    ).filter(
-        # valid window starts; a short document (< w k-grams) keeps one
-        # whole-document window anchored at the first k-gram (pos0 == 0)
-        (F.col("pos0") <= F.col("max_p") - F.lit(w - 1)) | (F.col("pos0") == 0)
-    )
-    return sel.select(
+    return fused.select(
+        "doc_id", F.explode(_winmins(w)).alias("winmin")
+    ).select(
         "doc_id",
         F.expr(f"winmin div {pos_mod}").alias("fp_hash"),
         (F.col("winmin") % F.lit(pos_mod)).cast("int").alias("fp_pos"),
-    ).distinct()
+    )
+
+
+def fused_winnow_fp_hashes(
+    fused: DataFrame,
+    w: int = WINNOW_W,
+    pos_shift: int = POS_SHIFT,
+) -> DataFrame:
+    """(doc_id, fp_hash), distinct per document — the HASH-level set the
+    streaming engine's overlap join and fp-index append consume. Per-doc
+    ``array_distinct`` == the engine's former global ``.distinct()`` on
+    (doc_id, fp_hash) (doc_id is unique per fused row), so the former
+    distinct SHUFFLE is now a row-local dedup."""
+    # packed keys are nonnegative (hash32 ≥ 0, pos ≥ 1), so the shift IS
+    # the integer div by 2^pos_shift the packed-key layout defines
+    return fused.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _winmins(w), lambda x: F.shiftright(x, pos_shift)
+                )
+            )
+        ).alias("fp_hash"),
+    )

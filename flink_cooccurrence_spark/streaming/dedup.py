@@ -47,10 +47,12 @@ the online form of plagiarism/quote/boilerplate-run detection — shared
 token runs ≥ w+k−1 guaranteed caught — which neither the exact hash
 (whole-document) nor the MinHash index (global similarity) can see.
 
-Per micro-batch, in order: the FUSED tokenize/window pass
-(``operators/fused.py`` — one explode + one doc_id shuffle feeding both
-the minhash signatures and the winnow fingerprints; round 8 ran these as
-two separate full passes), ONE combined stats action (row count +
+Per micro-batch, in order: the FUSED map-only token pass
+(``operators/fused.py`` — ONE row-local projection feeding both the
+minhash signatures and the winnow fingerprints with ZERO exchanges;
+round 8 ran these as two separate explode+window passes, round 12 as one
+shared window pass with one doc_id shuffle), ONE combined stats action
+(row count +
 changed-bucket collect_sets — same single-auxiliary-action budget as the
 cooccurrence engine — which also fills the head's lazy persists in the
 same Spark job), the exact-dedup join + MERGE, the near-dup candidate
@@ -93,7 +95,7 @@ from flink_cooccurrence_spark.operators.dedup import est_jaccard, sig_bands
 from flink_cooccurrence_spark.operators.fused import (
     fused_minhash_sigs,
     fused_token_pass,
-    fused_winnow_fps,
+    fused_winnow_fp_hashes,
 )
 from flink_cooccurrence_spark.streaming.state import StateStore
 
@@ -541,7 +543,7 @@ class DedupStreamEngine:
     # --------------------------------------------------------------- stages
 
     def _batch_head(self, docs: DataFrame):
-        """The batch's heavy, state-free head: the fused tokenize/window
+        """The batch's heavy, state-free head: the fused MAP-ONLY token
         pass + the ONE auxiliary stats action. Runs BEFORE the pipelined
         settle — nothing here reads a state table, so the predecessor's
         in-flight writes overlap it. Scalars are staged (applied
@@ -555,26 +557,26 @@ class DedupStreamEngine:
             "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
         )
 
-        # THE batch's one heavy pass: the fused tokenize/explode/window
-        # frame feeds BOTH sketches (round 8 ran the minhash and winnow
-        # passes separately — two full scans + shuffles over the same
-        # documents per batch). All three frames lazy-persist; the single
-        # stats action below fills them in one Spark job. Bit-identity of
-        # each derivation to its batch operator (minhash_sig_array /
-        # winnow_fingerprints) is pinned by tests/test_fused.py, so
-        # stream==batch parity still holds structurally.
+        # THE batch's one heavy pass: the fused MAP-ONLY token frame
+        # feeds BOTH sketches row-locally — zero exchanges in the whole
+        # head (round 8 ran minhash and winnow as two explode+window
+        # passes; round 12 fused them into one window pass with one
+        # doc_id shuffle; round 13 removed the shuffle — guide §2.4).
+        # All three frames lazy-persist; the single stats action below
+        # fills them in one Spark job. Bit-identity of each derivation to
+        # its batch operator (minhash_sig_array / winnow_fingerprints) is
+        # pinned by tests/test_fused.py, so stream==batch parity still
+        # holds structurally.
         fused = fused_token_pass(docs).persist()
         sigs = fused_minhash_sigs(fused).persist()
         batch_bands = sig_bands(sigs)
         # fingerprints distinct to the HASH level here: the index, both
         # overlap joins, and the posting append all consume the
-        # per-(doc, hash) set, never positions
-        batch_fps = (
-            fused_winnow_fps(fused)
-            .select("doc_id", "fp_hash")
-            .distinct()
-            .persist()
-        )
+        # per-(doc, hash) set, never positions — dedup'd ROW-LOCALLY
+        # (array_distinct per doc == the former global .distinct() on
+        # (doc_id, fp_hash); doc_id is unique per fused row), so the
+        # former distinct shuffle is gone with the window shuffle
+        batch_fps = fused_winnow_fp_hashes(fused).persist()
         self._cached.extend([fused, sigs, batch_fps])
 
         # ONE auxiliary action: batch size + the changed-bucket sets

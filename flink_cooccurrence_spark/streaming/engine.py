@@ -983,14 +983,17 @@ class CooccurrenceStreamEngine:
             )
         self._track_max_hist(hist_df, prev_max_hist)
         # no evictions below capacity ⇒ no feedback from this batch; the
-        # previous batch's (already consumed into item_counts) swaps out
+        # previous batch's (already consumed into item_counts) swaps out.
+        # Pointer-only clear — the former empty put_parts launched a full
+        # repartition+write Spark job per fast-path batch to write nothing
+        # (guide §2.4: the cheapest job is the one that never runs). Staged
+        # like a delta-stage write: the pointer zeroing must land in THIS
+        # batch's transaction, never inside the deferred predecessor's
+        # pending commit, and the next batch's feedback read happens only
+        # after its phase-1 settle of this batch.
         if fb_prior_buckets:
-            empty_fb = self.spark.createDataFrame([], FEEDBACK_SCHEMA).withColumn(
-                "_bucket", self._bucket("item")
-            )
-            self._submit_write(
-                lambda: self.state.put_parts("feedback", empty_fb, fb_prior_buckets),
-                delta_stage=True,
+            self._staged_scalars.append(
+                lambda: self.state.clear_parts("feedback", fb_prior_buckets)
             )
         return delta, None
 
@@ -1030,15 +1033,25 @@ class CooccurrenceStreamEngine:
           state-store version pointers (``nonempty_buckets``).
         """
         cfg = self.config
-        # 1. apply batch N−1 feedback to item counts (op 14)
+        # 1. apply batch N−1 feedback to item counts (op 14). ONE pruned
+        # state scan + ONE aggregation serves BOTH consumers (the cut's
+        # prior-count join and the state merge below) — they previously
+        # each re-read and re-aggregated the state parquet. The shared
+        # frame reads the UNION of the bucket lists; the extra rows
+        # (feedback-only buckets' items, absent from this batch) are
+        # dropped by the cut's left join exactly as before, so admission
+        # is unchanged. Lazy persist: the combined stats action fills it.
         fb = self.state.get_parts("feedback", FEEDBACK_SCHEMA)
         fb_prior_buckets = self.state.nonempty_buckets("feedback")
-        ic_cut = (
-            self.state.get_parts("item_counts", ITEM_COUNTS_SCHEMA, i_buckets)
+        ic_listed = sorted(set(i_buckets) | set(fb_prior_buckets))
+        ic_all = (
+            self.state.get_parts("item_counts", ITEM_COUNTS_SCHEMA, ic_listed)
             .unionByName(fb.selectExpr("item", "dec as cnt"))
             .groupBy("item")
             .agg(F.sum("cnt").alias("cnt"))
+            .persist()
         )
+        self._cached.append(ic_all)
 
         # 2. item cut: lifetime-count admission (op 6)
         w = with_window(batch, cfg.window_millis)
@@ -1046,7 +1059,7 @@ class CooccurrenceStreamEngine:
         # no forced broadcast: the item-count state is per-item and can be
         # arbitrarily wide at scale — AQE picks broadcast when it is small
         flagged = (
-            w.join(ic_cut.withColumnRenamed("cnt", "prior"), on="item", how="left")
+            w.join(ic_all.withColumnRenamed("cnt", "prior"), on="item", how="left")
             .fillna(0, subset=["prior"])
             .withColumn("sampled", (F.col("prior") + rn) <= cfg.item_cut)
             # ≥4 consumers below (admitted counts, batch users, reservoir
@@ -1060,11 +1073,8 @@ class CooccurrenceStreamEngine:
             .groupBy("item")
             .agg(F.count("*").cast("long").alias("cnt"))
         )
-        ic_listed = sorted(set(i_buckets) | set(fb_prior_buckets))
         new_ic = (
-            self.state.get_parts("item_counts", ITEM_COUNTS_SCHEMA, ic_listed)
-            .unionByName(fb.selectExpr("item", "dec as cnt"))
-            .unionByName(admitted)
+            ic_all.unionByName(admitted)
             .groupBy("item")
             .agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") != 0)
@@ -1083,10 +1093,26 @@ class CooccurrenceStreamEngine:
         # row per user, so the ≤ kMax array shuffles once, not per row.
         # Only BATCH users' histories enter the processor; co-bucketed
         # bystanders bypass Python and rejoin at the bucket rewrite below.
+        # ONE pruned state scan + ONE join serves both halves of the split
+        # (the semi/anti pair re-scanned the state parquet per side, and
+        # the fast path's consumers re-scanned again): a left join against
+        # the flagged batch-user set tags each state row in/out of the
+        # batch, and the two halves are filters over the shared persisted
+        # frame. Lazy persist — the combined stats action fills it.
         hist = self.state.get_parts("user_histories", USER_HIST_SCHEMA, u_buckets)
         batch_users = flagged.select("user").distinct()
-        hist_active = hist.join(batch_users, on="user", how="leftsemi")
-        hist_passive = hist.join(batch_users, on="user", how="left_anti")
+        hist_tagged = hist.join(
+            batch_users.withColumn("_in_batch", F.lit(True)),
+            on="user",
+            how="left",
+        ).persist()
+        self._cached.append(hist_tagged)
+        hist_active = hist_tagged.filter(
+            F.col("_in_batch").isNotNull()
+        ).drop("_in_batch")
+        hist_passive = hist_tagged.filter(
+            F.col("_in_batch").isNull()
+        ).drop("_in_batch")
 
         # below-capacity fast path: if no user can reach kMax within this
         # batch, the reservoir degenerates to unconditional admission and

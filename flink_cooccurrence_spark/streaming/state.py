@@ -210,6 +210,25 @@ class StateStore:
         self._versions[name] = {"latest": v, "buckets": bmap}
         self._gc_parts(name)
 
+    def clear_parts(self, name: str, buckets: list[int]) -> None:
+        """Zero the listed buckets WITHOUT a Spark job — pointer-only form
+        of ``put_parts(name, <empty frame>, buckets)`` (which still paid a
+        full repartition+write job per call just to produce a dir with no
+        bucket subdirs). Pointer 0 reads as empty (``get_parts`` skips it);
+        the old dirs are garbage-collected exactly as the empty put did.
+        Semantics are identical to the empty put: a table whose per-batch
+        content is transient (the feedback swap) clears its stale buckets
+        with no cluster work at all."""
+        self._expect_layout(name, "parts")
+        ptr = self._versions.get(name)
+        if not isinstance(ptr, dict):
+            ptr = {"latest": 0, "buckets": {}}
+        bmap = dict(ptr["buckets"])
+        for b in buckets:
+            bmap[str(b)] = 0
+        self._versions[name] = {"latest": ptr["latest"], "buckets": bmap}
+        self._gc_parts(name)
+
     def _gc_parts(self, name: str) -> None:
         """Remove version dirs referenced by neither the in-memory pointers
         nor the last-committed (on-disk) pointers — i.e. exactly the

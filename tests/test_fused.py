@@ -16,6 +16,7 @@ from flink_cooccurrence_spark.operators.dedup import minhash_sig_array
 from flink_cooccurrence_spark.operators.fused import (
     fused_minhash_sigs,
     fused_token_pass,
+    fused_winnow_fp_hashes,
     fused_winnow_fps,
 )
 from flink_cooccurrence_spark.operators.winnow import winnow_fingerprints
@@ -79,15 +80,29 @@ def test_fused_edge_docs_both_sketches(spark, edge_docs):
         fused.unpersist()
 
 
-def test_fused_pass_is_one_exchange(spark, docs):
-    """The whole point: ONE shuffle (the doc_id window) in the fused
-    frame, and the fingerprint derivation adds NO further exchange —
-    window-min and whole-doc max ride the fused partitioning/ordering."""
+def test_fused_fp_hashes_match_distinct_fps(spark, docs, edge_docs):
+    """The engine's hash-level fingerprint set (row-local array_distinct)
+    equals the former global .distinct() on (doc_id, fp_hash)."""
+    for d in (docs, edge_docs):
+        got = _rows(fused_winnow_fp_hashes(fused_token_pass(d)))
+        exp = _rows(
+            winnow_fingerprints(d).select("doc_id", "fp_hash").distinct()
+        )
+        assert got == exp
+
+
+def test_fused_pass_is_map_only(spark, docs):
+    """The whole point (round 13): ZERO exchanges anywhere — the fused
+    frame is one row-local projection and both sketch derivations (plus
+    the engine's hash-level fingerprint set) stay row-local. Round 12's
+    form paid one doc_id window shuffle plus the fingerprint distinct's
+    aggregation exchange."""
     fused = fused_token_pass(docs)
-    plan = fused._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
-    fps_plan = (
-        fused_winnow_fps(fused)._jdf.queryExecution().executedPlan().toString()
-    )
-    # distinct() adds its own aggregation exchange; the window stages must not
-    assert fps_plan.count("Exchange") <= 2
+    for df in (
+        fused,
+        fused_minhash_sigs(fused),
+        fused_winnow_fps(fused),
+        fused_winnow_fp_hashes(fused),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0
