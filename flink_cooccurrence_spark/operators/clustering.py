@@ -54,6 +54,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_cooccurrence_spark.functions.arrays import lit_doubles
 from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
 from flink_cooccurrence_spark.operators.similarity import (
     _as_double,
@@ -87,7 +88,7 @@ def _cos_cols(cents: list[tuple[int, list[float], float]]):
     v = _as_double(F.col("embedding"))
     cols = []
     for _, emb, cnorm in cents:
-        c = F.array(*[F.lit(x) for x in emb])
+        c = lit_doubles(emb)
         cols.append(
             F.round(dot(v, c) / (F.col("norm") * F.lit(cnorm)), ROUND_DIGITS)
         )

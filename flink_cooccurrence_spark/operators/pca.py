@@ -64,6 +64,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_cooccurrence_spark.functions.arrays import lit_doubles
 from flink_cooccurrence_spark.operators.similarity import _as_double
 
 PCA_K = 4
@@ -381,7 +382,7 @@ def pca_project(
     from flink_cooccurrence_spark.operators.similarity import _spread
 
     fit = pca_fit(embeddings, k, n_iter)
-    means_lit = F.array(*[F.lit(x) for x in fit["means"]])
+    means_lit = lit_doubles(fit["means"])
     # _spread: k interpreted zip_with micro-dot folds per row — a narrow
     # scan would run the whole projection on one core (no-op when wide)
     centered = _spread(_emb_frame(embeddings)).select(
@@ -390,7 +391,7 @@ def pca_project(
     )
     coords = []
     for c in range(k):
-        vc = F.array(*[F.lit(x) for x in fit["comps"][c]])
+        vc = lit_doubles(fit["comps"][c])
         micro = F.aggregate(
             F.zip_with(
                 "cent",

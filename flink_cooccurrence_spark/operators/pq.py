@@ -70,6 +70,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_cooccurrence_spark.functions.arrays import (
+    lit_double_matrix,
+    lit_doubles,
+)
 from flink_cooccurrence_spark.functions.hashing import hash32, hash32_sql
 from flink_cooccurrence_spark.operators.clustering import _py_norm
 from flink_cooccurrence_spark.operators.similarity import (
@@ -120,6 +124,33 @@ def _slices(dim: int, m: int) -> list[tuple[int, int]]:
     return [(s * w + 1, w) for s in range(m)]  # (1-based start, length)
 
 
+def pq_fit_frame(embeddings: DataFrame) -> DataFrame:
+    """Eagerly materialize a codebook-fit input frame ONCE so a caller
+    can share it between :func:`pq_codebooks` (``prepared=True``) and
+    the coding pass (:func:`pq_codes`) — without this the fit
+    checkpoints its own copy and the lazy coding plan RE-EXECUTES the
+    whole upstream chain (for the residual paths that chain is the
+    home-cell assignment + two joins over the corpus — a full redundant
+    pass per pipeline construction, guide §1.2). Extra columns (cell,
+    centroid) ride along for the coding pass; the fit only reads
+    (vec_id, embedding).
+
+    Checkpoint FIRST, probe after: ``_spread``'s partition probe on a
+    shuffle-bearing plan would eagerly execute the upstream query stages
+    just to read a count (and AQE would coalesce the tiny local frame to
+    one partition anyway). Probing the materialized RDD is free; the
+    narrow case re-spreads the already-local blocks (a round-robin pass
+    over what was just measured too small to matter) so the m·ksub
+    interpreted score folds never serialize on one core. At data scale
+    the checkpoint carries ≥ cores partitions and this is a no-op."""
+    chk = embeddings.localCheckpoint(eager=True)
+    sc = embeddings.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if chk.rdd.getNumPartitions() < target:
+        chk = chk.repartition(target).localCheckpoint(eager=True)
+    return chk
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = PQ_M,
@@ -127,6 +158,7 @@ def pq_codebooks(
     n_iter: int = PQ_ITERS,
     metric: str = "cos",
     seed_salt: str = "",
+    prepared: bool = False,
 ) -> list[list[tuple[int, list[float], float]]]:
     """Fit the ``m`` per-subspace codebooks: list (per subspace) of
     [(code, components, norm)]. Driver state m·ksub·(dim/m) doubles;
@@ -137,7 +169,11 @@ def pq_codebooks(
     ``embeddings`` is any (vec_id, embedding) frame — the raw corpus or
     the residual frame. ``metric`` picks the assignment rule ('cos' for
     the raw path, 'l2' for residuals); ``seed_salt`` prefixes the seed
-    hash order (residual mode; see the module docstring)."""
+    hash order (residual mode; see the module docstring). ``prepared``
+    marks an input already materialized via :func:`pq_fit_frame` — the
+    fit then skips its own spread+checkpoint (plan-construction hygiene:
+    the shared frame serves the fit's jobs AND the caller's coding pass,
+    one upstream execution instead of two)."""
     first = embeddings.select("embedding").first()
     if first is None:
         return []
@@ -158,8 +194,12 @@ def pq_codebooks(
     # one core; no-op when the input already carries ≥ cores partitions
     from flink_cooccurrence_spark.operators.similarity import _spread
 
-    src = _spread(embeddings.select("vec_id", "embedding")).localCheckpoint(
-        eager=True
+    src = (
+        embeddings
+        if prepared
+        else _spread(embeddings.select("vec_id", "embedding")).localCheckpoint(
+            eager=True
+        )
     )
     seed_key = hash32(
         F.concat(F.lit(seed_salt), F.col("vec_id").cast("string"))
@@ -231,10 +271,13 @@ def pq_codebooks(
 
 
 def _cents_lit(cents) -> Column:
-    """The codebook as ONE literal array-of-arrays column."""
-    return F.array(
-        *[F.array(*[F.lit(x) for x in emb]) for _, emb, _n in cents]
-    )
+    """The codebook as ONE literal array-of-arrays column — built with a
+    single ``F.lit(nested_list)`` call (the resulting expression tree is
+    the identical array(array(...)) literal; building it element-wise
+    cost one py4j round trip PER DOUBLE, thousands per codebook, and
+    plan construction — not execution — dominated the ANN family's
+    wall, guide §1.1 measure-first)."""
+    return lit_double_matrix([emb for _, emb, _n in cents])
 
 
 def _scores_arr(sub_v: Column, cents, metric: str = "cos") -> Column:
@@ -254,7 +297,7 @@ def _scores_arr(sub_v: Column, cents, metric: str = "cos") -> Column:
     ks = F.sequence(F.lit(1), F.lit(len(cents)))
     cents_arr = _cents_lit(cents)
     if metric == "l2":
-        n2_arr = F.array(*[F.lit(_fold_sq(emb)) for _, emb, _n in cents])
+        n2_arr = lit_doubles([_fold_sq(emb) for _, emb, _n in cents])
         return F.transform(
             ks,
             lambda j: F.round(
@@ -266,7 +309,7 @@ def _scores_arr(sub_v: Column, cents, metric: str = "cos") -> Column:
     if metric != "cos":
         raise ValueError(f"unknown metric {metric!r}")
     norm = F.sqrt(dot(sub_v, sub_v))
-    norms_arr = F.array(*[F.lit(cnorm) for _, _emb, cnorm in cents])
+    norms_arr = lit_doubles([cnorm for _, _emb, cnorm in cents])
     return F.transform(
         ks,
         lambda j: F.round(
@@ -345,6 +388,7 @@ def ivf_pq_topk(
     n_iter: int = PQ_ITERS,
     encode: str = "raw",
     centroids: str = "hash",
+    fit: dict | None = None,
 ) -> DataFrame:
     """(q_id, rank, n_id, cosine, cell): IVF-PQ approximate top-k.
 
@@ -358,7 +402,8 @@ def ivf_pq_topk(
     (the published default — module docstring) instead of raw vectors."""
     if encode == "residual":
         return _ivf_pq_residual_topk(
-            embeddings, k, nprobe, m, ksub, n_iter, centroids=centroids
+            embeddings, k, nprobe, m, ksub, n_iter,
+            centroids=centroids, fit=fit,
         )
     if encode != "raw":
         raise ValueError(f"unknown encode {encode!r}")
@@ -404,7 +449,7 @@ def ivf_pq_topk(
     for s in range(1, m):
         adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
     norm2_luts = [
-        F.array(*[F.lit(_fold_sq(emb)) for _, emb, _n in books[s]])
+        lit_doubles([_fold_sq(emb) for _, emb, _n in books[s]])
         for s in range(m)
     ]
     n2 = F.element_at(norm2_luts[0], F.col("code_0") + 1)
@@ -486,6 +531,45 @@ def residual_frame(
     )
 
 
+def residual_pq_fit(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = PQ_ITERS,
+    centroids: str = "kmeans",
+    cents_tbl: DataFrame | None = None,
+) -> dict:
+    """ONE eager construction of every nprobe-independent piece of the
+    residual IVF-PQ pipeline — the cell set, its (cell, c_v) projection,
+    the home-cell assignment, the materialized residual frame, and the
+    fitted codebooks — so a caller evaluating SEVERAL members of the
+    family (the ``ann_recall`` meter runs the residual ADC, the refined
+    form, and the refined nprobe=4 form in one query) fits once instead
+    of once per member (guide §1.2; the r12 within-pipeline sharing,
+    extended across pipelines). All pieces are deterministic, so sharing
+    is plan-construction hygiene — the values are bit-identical to
+    per-member fits."""
+    if cents_tbl is None:
+        cents_tbl = _cells_table(embeddings, centroids)
+    cent_frame = _cell_centroids(embeddings, centroids, cents=cents_tbl)
+    assign1 = ivf_assignments(embeddings, 1, cents=cents_tbl).cache()
+    res = pq_fit_frame(residual_frame(embeddings, assign1, cents=cent_frame))
+    books = pq_codebooks(
+        res, m, ksub, n_iter,
+        metric="l2", seed_salt=PQ_RES_SEED_SALT, prepared=True,
+    )
+    return {
+        "cents_tbl": cents_tbl,
+        "cent_frame": cent_frame,
+        "assign1": assign1,
+        "res": res,
+        "books": books,
+        "m": m,
+        "ksub": ksub,
+        "n_iter": n_iter,
+    }
+
+
 def _ivf_pq_residual_topk(
     embeddings: DataFrame,
     k: int,
@@ -494,6 +578,7 @@ def _ivf_pq_residual_topk(
     ksub: int,
     n_iter: int,
     centroids: str = "hash",
+    fit: dict | None = None,
 ) -> DataFrame:
     """The ``encode='residual'`` body of :func:`ivf_pq_topk` (module
     docstring for the published-form rationale and determinism spec).
@@ -511,15 +596,19 @@ def _ivf_pq_residual_topk(
     # 'kmeans' fit is an EAGER construction — fitting it per consumer
     # tripled construction-time Spark jobs (measured ~2s per redundant
     # fit at sf0.1) for bit-identical centroid literals.
-    cents_tbl = _cells_table(embeddings, centroids)
-    cent_frame = _cell_centroids(embeddings, centroids, cents=cents_tbl)
-    # three consumers (residual frame's home cells, home cells again via
-    # the coded corpus, query probes) — cache so the centroid assignment
-    # pass runs once
-    assign = ivf_assignments(embeddings, nprobe, cents=cents_tbl).cache()
-    res = residual_frame(embeddings, assign, cents=cent_frame)
-    books = pq_codebooks(
-        res, m, ksub, n_iter, metric="l2", seed_salt=PQ_RES_SEED_SALT
+    if fit is None:
+        fit = residual_pq_fit(
+            embeddings, m, ksub, n_iter, centroids=centroids
+        )
+    cent_frame, res, books = fit["cent_frame"], fit["res"], fit["books"]
+    # the fit's home-cell assignment is reused when this member probes a
+    # single cell; a multi-probe member ranks top-nprobe against the SAME
+    # shared cell set (cached — two consumers: query probes here, and the
+    # corpus side reads its home cells through the materialized res)
+    assign = (
+        fit["assign1"]
+        if nprobe == 1
+        else ivf_assignments(embeddings, nprobe, cents=fit["cents_tbl"]).cache()
     )
     if not books:
         return embeddings.sparkSession.createDataFrame(
@@ -531,9 +620,7 @@ def _ivf_pq_residual_topk(
     # never per candidate pair (faiss's precomputed-norms trick)
     coded = pq_codes(res, books, m, metric="l2")
     book_arrays = [
-        F.array(
-            *[F.array(*[F.lit(x) for x in emb]) for _, emb, _n in books[s]]
-        )
+        lit_double_matrix([emb for _, emb, _n in books[s]])
         for s in range(m)
     ]
     rhat = F.concat(
@@ -666,6 +753,7 @@ def ivf_pq_refined_topk(
     n_iter: int = PQ_ITERS,
     encode: str = "residual",
     centroids: str = "kmeans",
+    fit: dict | None = None,
 ) -> DataFrame:
     """(q_id, rank, n_id, cosine, cell): IVF-PQ with an exact re-rank —
     the faiss ``IndexRefineFlat(IndexIVFPQ)`` composition, the standard
@@ -690,6 +778,7 @@ def ivf_pq_refined_topk(
         n_iter=n_iter,
         encode=encode,
         centroids=centroids,
+        fit=fit,
     )
     return refine_exact(cand, embeddings.select("vec_id", "embedding"), k)
 

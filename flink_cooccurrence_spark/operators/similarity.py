@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_cooccurrence_spark.functions.arrays import lit_doubles
 from flink_cooccurrence_spark.functions.hashing import hash32
 
 EMBED_DIM = 64
@@ -236,7 +237,7 @@ def adaptive_lsh_buckets(embeddings: DataFrame) -> DataFrame:
     v = _as_double(F.col("embedding"))
     bucket = None
     for j, plane in enumerate(hyperplanes(MAX_ADAPTIVE_PLANES)):
-        lit = F.array(*[F.lit(x) for x in plane])
+        lit = lit_doubles(plane)
         bit = F.when(
             (F.lit(j) < planes_used) & (dot(v, lit) >= 0), F.lit(1 << j)
         ).otherwise(F.lit(0))
@@ -433,7 +434,7 @@ def ivf_assignments(
 
 def ivf_topk(
     embeddings: DataFrame, k: int = IVF_K, nprobe: int = 1,
-    centroids: str = "hash",
+    centroids: str = "hash", cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: (q_id, rank, n_id, cosine, cell).
 
@@ -455,8 +456,11 @@ def ivf_topk(
 
     base = _with_norm(embeddings.select("vec_id", "embedding"))
     # two consumers (home cells + query probes) — cache so the centroid
-    # assignment pass runs once
-    assign = ivf_assignments(embeddings, nprobe, centroids=centroids).cache()
+    # assignment pass runs once; ``cents`` lets a multi-member caller
+    # (the ann_recall meter) share one eagerly fitted cell set
+    assign = ivf_assignments(
+        embeddings, nprobe, centroids=centroids, cents=cents
+    ).cache()
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
     corpus = base.join(home.hint("shuffle_hash"), on="vec_id")
     q_cells = assign.filter(
@@ -500,7 +504,19 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
     from flink_cooccurrence_spark.operators.pq import (
         ivf_pq_refined_topk,
         ivf_pq_topk,
+        residual_pq_fit,
     )
+
+    # SHARED eager fits across the meter's members (guide §1.2): the
+    # fitted k-means cell set has FIVE consumers below (ivf_kmeans, the
+    # three residual-PQ members, ivf_sq8_kmeans) and the residual
+    # codebook fit THREE — previously each member re-ran the bit-identical
+    # Lloyd constructions at meter-construction time, and each residual
+    # member re-executed the corpus residual chain at evaluation. The
+    # shared fit's frames are deterministic, so every member's rows are
+    # unchanged.
+    cents_k = ivf_centroids_kmeans(embeddings)
+    res_fit = residual_pq_fit(embeddings, centroids="kmeans", cents_tbl=cents_k)
 
     methods: list[tuple[str, DataFrame]] = [
         ("ivf_nprobe1", ivf_topk(embeddings, k, nprobe=1)),
@@ -511,25 +527,29 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
         # ceiling (the first parameter faiss tunes); the exact point
         # shows the ceiling itself moving
         ("ivf_nprobe4", ivf_topk(embeddings, k, nprobe=4)),
-        ("ivf_kmeans", ivf_topk(embeddings, k, nprobe=1, centroids="kmeans")),
+        (
+            "ivf_kmeans",
+            ivf_topk(embeddings, k, nprobe=1, centroids="kmeans", cents=cents_k),
+        ),
         ("ivf_pq", ivf_pq_topk(embeddings, k, nprobe=1)),
         # residual encoding over fitted cells (round-10): the published
         # composition — 0.213 vs ivf_pq's 0.12 at sf0.01
         (
             "ivf_pq_residual",
             ivf_pq_topk(
-                embeddings, k, nprobe=1, encode="residual", centroids="kmeans"
+                embeddings, k, nprobe=1, encode="residual",
+                centroids="kmeans", fit=res_fit,
             ),
         ),
         # round-11: exact re-rank of the residual-ADC top R·k (faiss
         # IndexRefineFlat) — candidate recall becomes the only ceiling
-        ("ivf_pq_refined", ivf_pq_refined_topk(embeddings, k)),
+        ("ivf_pq_refined", ivf_pq_refined_topk(embeddings, k, fit=res_fit)),
         # round-12: the production pairing — refine + nprobe=4 probes
         # four cells' codes per query, so the candidate ceiling is the
         # multi-probe one; the full-pipeline point the knob is FOR
         (
             "ivf_pq_refined_nprobe4",
-            ivf_pq_refined_topk(embeddings, k, nprobe=4),
+            ivf_pq_refined_topk(embeddings, k, nprobe=4, fit=res_fit),
         ),
         # round-12: PCA reduced-space retrieval + exact re-rank — the
         # repo's best non-exact point (0.433 at sf0.001 vs refined
@@ -559,7 +579,7 @@ def ann_recall(embeddings: DataFrame, k: int = ANN_K) -> DataFrame:
             __import__(
                 "flink_cooccurrence_spark.operators.sq",
                 fromlist=["ivf_sq8_topk"],
-            ).ivf_sq8_topk(embeddings, k, centroids="kmeans"),
+            ).ivf_sq8_topk(embeddings, k, centroids="kmeans", cents=cents_k),
         ),
         ("lsh", ann_lsh_topk(embeddings, k)),
         ("lsh_multiprobe", ann_lsh_topk(embeddings, k, multi_probe=True)),

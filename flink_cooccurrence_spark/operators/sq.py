@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_cooccurrence_spark.functions.arrays import lit_doubles
 from flink_cooccurrence_spark.functions.hashing import hash32_sql
 from flink_cooccurrence_spark.operators.similarity import (
     ANN_K,
@@ -81,7 +82,8 @@ def sq8_params(embeddings: DataFrame) -> tuple[list[float], list[float]]:
 
 
 def _arr(xs: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in xs])
+    # one py4j call for the whole literal array (identical expression)
+    return lit_doubles(xs)
 
 
 def sq8_codes(
@@ -130,6 +132,7 @@ def ivf_sq8_topk(
     k: int = ANN_K,
     nprobe: int = 1,
     centroids: str = "hash",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, rank, n_id, cosine, cell): IVF-SQ8 approximate top-k —
     the IVF cell join bounds WHICH candidates a query scores, SQ8
@@ -148,8 +151,10 @@ def ivf_sq8_topk(
             [], "q_id long, rank int, n_id long, cosine double, cell long"
         )
     # two consumers (home cells + query probes) — cache so the centroid
-    # assignment pass runs once
-    assign = ivf_assignments(embeddings, nprobe, centroids=centroids).cache()
+    # assignment pass runs once; ``cents`` shares a caller's fitted set
+    assign = ivf_assignments(
+        embeddings, nprobe, centroids=centroids, cents=cents
+    ).cache()
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
     corpus = sq8_codes(
         embeddings.select("vec_id", "embedding"), mins, scales

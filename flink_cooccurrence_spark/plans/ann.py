@@ -57,6 +57,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_cooccurrence_spark.functions.arrays import (
+    lit_double_matrix,
+    lit_doubles,
+)
 from flink_cooccurrence_spark.operators.pq import (
     PQ_ITERS,
     PQ_KSUB,
@@ -68,6 +72,7 @@ from flink_cooccurrence_spark.operators.pq import (
     _slices,
     pq_codebooks,
     pq_codes,
+    pq_fit_frame,
 )
 from flink_cooccurrence_spark.operators.similarity import (
     _as_double,
@@ -122,40 +127,45 @@ def _home_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     ).select("vec_id", "cell")
 
 
-def _codes_frame(embeddings: DataFrame, meta: dict) -> DataFrame:
+def _codes_frame(
+    embeddings: DataFrame, meta: dict, res: DataFrame | None = None
+) -> DataFrame:
     """The code rows for ``embeddings`` under the sidecar's FROZEN state
     — shared verbatim by the one-shot build and ``add_pq_index`` so the
-    incremental path is bit-identical by construction."""
+    incremental path is bit-identical by construction. ``res`` lets the
+    one-shot build hand over its already-materialized residual frame
+    (identical expression over identical frozen state) instead of
+    re-running the home-cell attach + joins a second time."""
     spark = embeddings.sparkSession
     m = meta["m"]
     books = _books_of(meta)
     cents = _cents_df(spark, meta)
-    home = _home_cells(embeddings, cents)
     if meta.get("encode", "raw") == "raw":
+        home = _home_cells(embeddings, cents)
         return pq_codes(
             embeddings.select("vec_id", "embedding"), books, m
         ).join(home.hint("shuffle_hash"), on="vec_id")
     # residual: code v − c, carry the exact reconstruction norm
-    res = (
-        embeddings.select(
-            "vec_id", _as_double(F.col("embedding")).alias("_v")
+    if res is None:
+        home = _home_cells(embeddings, cents)
+        res = (
+            embeddings.select(
+                "vec_id", _as_double(F.col("embedding")).alias("_v")
+            )
+            .join(home.hint("shuffle_hash"), on="vec_id")
+            .join(F.broadcast(cents.select("cell", "c_v")), on="cell")
+            .select(
+                "vec_id",
+                "cell",
+                "c_v",
+                F.zip_with(
+                    F.col("_v"), F.col("c_v"), lambda x, y: x - y
+                ).alias("embedding"),
+            )
         )
-        .join(home.hint("shuffle_hash"), on="vec_id")
-        .join(F.broadcast(cents.select("cell", "c_v")), on="cell")
-        .select(
-            "vec_id",
-            "cell",
-            "c_v",
-            F.zip_with(F.col("_v"), F.col("c_v"), lambda x, y: x - y).alias(
-                "embedding"
-            ),
-        )
-    )
     coded = pq_codes(res, books, m, metric="l2")
     book_arrays = [
-        F.array(
-            *[F.array(*[F.lit(x) for x in emb]) for _, emb, _n in books[s]]
-        )
+        lit_double_matrix([emb for _, emb, _n in books[s]])
         for s in range(m)
     ]
     rhat = F.concat(
@@ -208,8 +218,15 @@ def write_pq_index(
         }
         for r in cent_rows
     ]
+    shared_res = None
     if encode == "residual":
-        # fit the codebooks on the TRAIN set's residuals (frozen cents)
+        # fit the codebooks on the TRAIN set's residuals (frozen cents).
+        # ONE materialized residual frame (home-cell attach + centroid
+        # join + v−c) serves the fit's jobs AND — when the train set IS
+        # the corpus, the one-shot build default — the coding pass below,
+        # which previously re-ran the identical chain a second time
+        # (guide §1.2). The frame carries (cell, c_v) through for the
+        # coding pass's reconstruction-norm column.
         spark = embeddings.sparkSession
         cents = _cents_df(
             spark, {"centroids": meta_cents}
@@ -223,13 +240,19 @@ def write_pq_index(
             .join(F.broadcast(cents.select("cell", "c_v")), on="cell")
             .select(
                 "vec_id",
+                "cell",
+                "c_v",
                 F.zip_with(
                     F.col("_v"), F.col("c_v"), lambda x, y: x - y
                 ).alias("embedding"),
             )
         )
+        res = pq_fit_frame(res)
+        if train is None:
+            shared_res = res
         books = pq_codebooks(
-            res, m, ksub, n_iter, metric="l2", seed_salt=PQ_RES_SEED_SALT
+            res, m, ksub, n_iter,
+            metric="l2", seed_salt=PQ_RES_SEED_SALT, prepared=True,
         )
     elif encode == "raw":
         books = pq_codebooks(fit_on, m, ksub, n_iter)
@@ -258,7 +281,7 @@ def write_pq_index(
             for book in books
         ],
     }
-    codes = _codes_frame(embeddings, meta)
+    codes = _codes_frame(embeddings, meta, res=shared_res)
     (
         codes.repartition("cell")
         .write.partitionBy("cell")
@@ -391,7 +414,7 @@ def query_pq_index(
                 F.col(f"lut_{s}"), F.col(f"code_{s}") + 1
             )
         n2_luts = [
-            F.array(*[F.lit(e["norm2"]) for e in meta["codebooks"][s]])
+            lit_doubles([e["norm2"] for e in meta["codebooks"][s]])
             for s in range(m)
         ]
         n2 = F.element_at(n2_luts[0], F.col("code_0") + 1)

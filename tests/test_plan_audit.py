@@ -202,6 +202,17 @@ ALLOWED_SINGLE_PARTITION = {
     "training_manifest_scrubbed": "1-row bounds aggregate + ≤4096-row bucket-offsets window",
     "pack_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
     "shard_manifest": "1-row bounds aggregates + ≤4096-row bucket-offsets windows",
+    # r13: the materialized residual frame's accurate size stats let the
+    # optimizer inject a runtime Bloom filter (SPARK-32268) into the
+    # refine join — the single-partition exchange is bloom_filter_agg's
+    # 1-row scalar-subquery aggregate over the QUERY slice (bounded by
+    # |queries|·R·k candidates, never the corpus), and the injection
+    # itself is size-thresholded (creationSideThreshold) so it stays off
+    # for data-scale creation sides
+    "ivf_pq_refined_topk": (
+        "1-row bloom_filter_agg scalar subquery over the bounded query "
+        "slice (runtime bloom-filter join injection)"
+    ),
     "tfidf_topk_terms": "1-row corpus-count aggregate (idf)",
     "bm25_topk": "1-row corpus-stats aggregate + ≤4096-row bucket-offsets window",
     "dsir_weights": "1-row λ-totals aggregate",
