@@ -85,15 +85,23 @@ def main() -> None:
     times: dict[str, float] = {}
     runs: dict[str, int] = {}
     fingerprints: dict[str, str] = {}
+    # measurement fix (r13, per the r12 verdict's "pack_manifest is
+    # unmeasurable as a gate"): that row's min-of-3 spread 7.1-50.4s for
+    # identical code across r12's windows — variance-dominated (many
+    # small jobs + cache fills). min-of-5 for just that row; every other
+    # row keeps the min-of-3 methodology, and runs_per_query in the
+    # detail sidecar reports the per-row count as before.
+    extra_runs = {"pack_manifest": 5}
     for name in headline:
         best = float("inf")
-        for _ in range(3):
+        n_runs = extra_runs.get(name, 3)
+        for _ in range(n_runs):
             spark.catalog.clearCache()  # no cross-query cache reuse — honest timings
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
-        runs[name] = 3
+        runs[name] = n_runs
         spark.catalog.clearCache()
         fingerprints[name] = plan_fingerprint(QUERIES[name](spark, sf_dir))
 

@@ -317,7 +317,15 @@ def semantic_dedup_clustered_edges(
         return base.select(
             F.col("vec_id").alias("doc_a"), F.col("vec_id").alias("doc_b")
         ).filter(F.lit(False))
-    staged = base.select(
+    # _spread: the checkpointed base inherits the narrow scan's single
+    # partition, and the pair join broadcasts one side (8-key cluster
+    # column), so WITHOUT the spread the whole cell-local pair-cosine
+    # pass would stream through that one partition's task (the former
+    # vec_id join's exchange used to spread it as a side effect; probe
+    # on a checkpointed RDD is free)
+    from flink_cooccurrence_spark.operators.similarity import _spread
+
+    staged = _spread(base).select(
         "vec_id", "embedding", "norm", F.array(*_cos_cols(cents)).alias("_sc")
     )
     withv = staged.select(

@@ -81,6 +81,12 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     oracle's lead-window SQL: ``concat_ws(' ', t[i..i+n-1])`` over the
     same whitespace tokens, docs with < n tokens (or NULL text) emit
     nothing (``when`` yields NULL and ``explode`` drops the row).
+
+    PRECONDITION (r12 advice): ``doc_id`` must be unique per input row —
+    per-row ``array_distinct`` equals the old global ``.distinct()``
+    only then. A frame with duplicate doc_id rows would emit duplicate
+    (doc_id, shingle) pairs and inflate downstream Jaccard counts; every
+    caller feeds the documents table (doc_id is its key).
     ``_spread`` keeps the row-expanding tokenize+gram pass off a single
     core when the source scan is one small file (no-op on wide scans —
     the map-only claim is about KEY shuffles)."""

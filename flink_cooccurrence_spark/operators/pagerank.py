@@ -101,6 +101,12 @@ def pagerank(
     # (guide §2.4 — establish the partitioning once; at 100 TB the edge
     # frame is the data-scale side and previously re-exchanged every
     # sweep). BIGINT window sum == BIGINT groupBy sum, bit-identical.
+    # SKEW caveat (r12 advice): WindowExec buffers each src group's full
+    # out-edge list in one task — fine while per-src out-degree is
+    # bounded (the cooccurrence backbone's top-k caps it at k·windows);
+    # a power-law graph with supernodes should instead salt a groupBy
+    # and broadcast the small out-weight table to keep the map-side
+    # partial aggregation.
     from pyspark.sql import Window
 
     ew = edges.withColumn(

@@ -348,10 +348,12 @@ def pq_codes(
     m: int = PQ_M,
     metric: str = "cos",
 ) -> DataFrame:
-    """(vec_id, code_0..code_{m-1}): the compressed corpus — one MAP-ONLY
-    pass (m literal when-chains; no join, no shuffle). Extra input
-    columns pass through unchanged (the residual path carries its cell
-    and centroid alongside)."""
+    """(vec_id, code_0..code_{m-1}): the compressed corpus — join-free,
+    no KEY shuffle; at most one row-preserving round-robin spread when
+    the input is a narrow scan (``_spread``; the re-pinned plan test
+    allows exactly that exchange). Extra input columns pass through
+    unchanged (the residual path carries its cell and centroid
+    alongside)."""
     from flink_cooccurrence_spark.operators.similarity import _spread
 
     first = embeddings.select("embedding").first()
@@ -503,14 +505,18 @@ def residual_frame(
     embeddings: DataFrame,
     assign: DataFrame,
     centroids: str = "hash",
-    cents: DataFrame | None = None,
+    cent_frame: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cell, c_v, embedding): each vector's home cell, its
     centroid (double), and the residual ``v − c`` under the codebook
     machinery's expected column name. One corpus pass: home-cell attach
     (shuffled hash join) + a broadcast of the fixed-K centroid table.
-    ``cents`` is the shared (cell, c_v) frame when the caller already
-    holds one (see :func:`_cell_centroids`)."""
+    ``cent_frame`` is the shared PROJECTED (cell, c_v) frame when the
+    caller already holds one (see :func:`_cell_centroids`) — named
+    differently from ``ivf_assignments``' raw (c_id, c_emb, c_norm)
+    ``cents`` param precisely because the two schemas are not
+    interchangeable (r12 advice)."""
+    cents = cent_frame
     if cents is None:
         cents = _cell_centroids(embeddings, centroids)
     home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
@@ -553,7 +559,9 @@ def residual_pq_fit(
         cents_tbl = _cells_table(embeddings, centroids)
     cent_frame = _cell_centroids(embeddings, centroids, cents=cents_tbl)
     assign1 = ivf_assignments(embeddings, 1, cents=cents_tbl).cache()
-    res = pq_fit_frame(residual_frame(embeddings, assign1, cents=cent_frame))
+    res = pq_fit_frame(
+        residual_frame(embeddings, assign1, cent_frame=cent_frame)
+    )
     books = pq_codebooks(
         res, m, ksub, n_iter,
         metric="l2", seed_salt=PQ_RES_SEED_SALT, prepared=True,

@@ -91,8 +91,55 @@ def windowed_topk_similar_items(
     )
     cells = cell_deltas.withColumn("cum_cnt", F.sum("delta").over(cum_w))
 
-    # the set of (item, window) pairs to rescore = windows where the row changed
-    changed = cell_deltas.select("item", "window_start").distinct()
+    # row-sum deltas fall out of the cached cell deltas (each emitted pair
+    # contributes +1 to its row's sum — RowSumAggregator semantics), so the
+    # pair self-join is not recomputed
+    rs_deltas = cell_deltas.groupBy("window_start", "item").agg(
+        F.sum("delta").alias("delta")
+    )
+    # SPARSE cumulative row sums, AT the item's own delta windows only —
+    # the round-5 shape materialized a dense items×windows grid here,
+    # whose size grows linearly with stream lifetime; the sparse form is
+    # O(|rs_deltas|), bounded by the delta table the plan already carries
+    cum_rs = (
+        Window.partitionBy("item")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rs_cum = rs_deltas.withColumn("row_sum", F.sum("delta").over(cum_rs))
+
+    # per-window grand total: one row per DELTA window — a running sum
+    # over the |windows|-row per-window totals (single-partition window,
+    # bounded by window count like the bucket-offset tables), broadcast
+    # into the changed set (the op-12 row-sum-broadcast shape)
+    w_totals = rs_deltas.groupBy("window_start").agg(
+        F.sum("delta").alias("tdelta")
+    )
+    total_at = w_totals.select(
+        F.col("window_start").alias("tw"),
+        F.sum("tdelta")
+        .over(
+            Window.orderBy("window_start").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("total"),
+    )
+
+    # the set of (item, window) pairs to rescore = windows where the row
+    # changed — which is EXACTLY ``rs_deltas``' key set (every cell delta
+    # contributes a row-sum delta at the same (item, window)), so the
+    # cumulative row sums table IS the changed set: the item's own
+    # row_sum and the broadcast per-window total ride this small
+    # pre-explosion frame, replacing the former ``.distinct()`` pass over
+    # the cell deltas and a post-explosion equi-join that re-shuffled the
+    # full rescore frame (r13; guide §2.4 — one fewer corpus-scale
+    # exchange, one fewer aggregation).
+    changed = rs_cum.select(
+        "item",
+        "window_start",
+        F.col("row_sum").alias("row_sum_item"),
+    ).join(F.broadcast(total_at), on=[F.col("window_start") == F.col("tw")])
 
     # full cumulative row as of each changed window: for each changed (item, w),
     # every cell whose last change is <= w, valid until the cell's next change
@@ -113,33 +160,11 @@ def windowed_topk_similar_items(
             F.col("window_start") >= F.col("w_from"),
             F.col("window_start") < F.col("w_until"),
         ],
-    ).select("item", "window_start", "other_item", "cum_cnt")
+    ).select(
+        "item", "window_start", "other_item", "cum_cnt",
+        "row_sum_item", "total",
+    )
 
-    # row-sum deltas fall out of the cached cell deltas (each emitted pair
-    # contributes +1 to its row's sum — RowSumAggregator semantics), so the
-    # pair self-join is not recomputed
-    rs_deltas = cell_deltas.groupBy("window_start", "item").agg(
-        F.sum("delta").alias("delta")
-    )
-    # SPARSE cumulative row sums, AT the item's own delta windows only —
-    # the round-5 shape materialized a dense items×windows grid here,
-    # whose size grows linearly with stream lifetime; the sparse form is
-    # O(|rs_deltas|), bounded by the delta table the plan already carries
-    cum_rs = (
-        Window.partitionBy("item")
-        .orderBy("window_start")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    rs_cum = rs_deltas.withColumn("row_sum", F.sum("delta").over(cum_rs))
-
-    # the rescored item's OWN row sum: every rescored (item, w) is by
-    # construction a delta window for that item (cell_deltas ⇒ rs_deltas
-    # at the same (item, w)), so this is a plain equi-join — no as-of
-    rs_item = rs_cum.select(
-        F.col("window_start").alias("ws"),
-        F.col("item").alias("i"),
-        F.col("row_sum").alias("row_sum_item"),
-    )
     # the OTHER item's row sum as of w: last-known-value validity
     # intervals (delta window → next delta window), the same as-of
     # pattern as cell_intervals above. Coverage: a cell (i, o) in row_at
@@ -155,40 +180,13 @@ def windowed_topk_similar_items(
         F.coalesce(nxt_rs, F.lit(2**62)).alias("rs_until"),
         F.col("row_sum").alias("row_sum_other"),
     )
-    # per-window grand total: one row per DELTA window — a running sum
-    # over the |windows|-row per-window totals (single-partition window,
-    # bounded by window count like the bucket-offset tables), broadcast
-    # into scoring (the op-12 row-sum-broadcast shape)
-    w_totals = rs_deltas.groupBy("window_start").agg(
-        F.sum("delta").alias("tdelta")
-    )
-    total_at = w_totals.select(
-        F.col("window_start").alias("tw"),
-        F.sum("tdelta")
-        .over(
-            Window.orderBy("window_start").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .alias("total"),
-    )
-    scored = (
-        row_at.join(
-            rs_item,
-            on=[row_at.window_start == rs_item.ws, row_at.item == rs_item.i],
-        )
-        .join(
-            rs_intervals,
-            on=[
-                row_at.other_item == F.col("o"),
-                row_at.window_start >= F.col("rs_from"),
-                row_at.window_start < F.col("rs_until"),
-            ],
-        )
-        .join(
-            F.broadcast(total_at),
-            on=[row_at.window_start == F.col("tw")],
-        )
+    scored = row_at.join(
+        rs_intervals,
+        on=[
+            row_at.other_item == F.col("o"),
+            row_at.window_start >= F.col("rs_from"),
+            row_at.window_start < F.col("rs_until"),
+        ],
     )
     k11 = F.col("cum_cnt")
     k12 = F.col("row_sum_item") - k11
