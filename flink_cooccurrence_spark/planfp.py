@@ -55,6 +55,21 @@ _NORMALIZERS = [
 ]
 
 
+def plan_shape_of_string(s: str) -> str:
+    """Normalize an already-captured executed-plan string (captured with
+    ``spark.sql.maxMetadataStringLength`` raised, exactly as
+    :func:`plan_shape` captures it) — lets one construction pass serve
+    both the fingerprint pins and the plan audit's red-flag greps."""
+    for pat, rep in _NORMALIZERS:
+        s = pat.sub(rep, s)
+    return s.strip()
+
+
+def plan_fingerprint_of_string(s: str) -> str:
+    """16-hex-char digest of an already-captured plan string."""
+    return hashlib.sha256(plan_shape_of_string(s).encode()).hexdigest()[:16]
+
+
 def plan_shape(df: DataFrame) -> str:
     """The normalized executed-plan string (pre-execution; with AQE this is
     the initial physical plan, which is what static plan identity means).
@@ -74,9 +89,7 @@ def plan_shape(df: DataFrame) -> str:
         s = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set(key, old)
-    for pat, rep in _NORMALIZERS:
-        s = pat.sub(rep, s)
-    return s.strip()
+    return plan_shape_of_string(s)
 
 
 def plan_fingerprint(df: DataFrame) -> str:

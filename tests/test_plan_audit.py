@@ -27,24 +27,11 @@ from __future__ import annotations
 
 import pytest
 
-from flink_cooccurrence_spark.registry import all_queries
-
 SF_DIR = "/root/testdata/sf0.001"
 
-#: engine/stream-backed queries: their work happens in foreachBatch /
-#: writeStream jobs, not in the returned DataFrame's plan (the replayed
-#: engine's per-batch plans are exercised by the streaming tests); auditing
-#: the final-state read plan would only re-audit parquet scans
-ENGINE_BACKED = {
-    "streaming_cooccurrence_counts",
-    "streaming_row_sums",
-    "streaming_final_topk",
-    "streaming_sampled_matrix",
-    "streaming_sampled_native",
-    "streaming_heavy_hitters",
-    "streaming_dedup_exact",
-    "streaming_dedup_pairs",
-}
+# engine/stream-backed queries are excluded from the sweep — the set (and
+# the construction discipline) lives in conftest.ENGINE_BACKED_QUERIES,
+# shared with the session-scoped plan-string fixture
 
 #: BroadcastNestedLoopJoin allowlist → the bound that keeps it safe.
 #: Every entry is a crossJoin/non-equi join whose BROADCAST side cannot
@@ -245,19 +232,18 @@ ALLOWED_SINGLE_PARTITION = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    """Compile every auditable query's physical plan once (no execution
-    beyond eager plan-time probes like embedding_knn's auto strategy).
-    Cache-free: a subplan cached by an earlier test module would print its
-    InMemoryRelation child tree inside these plan strings, so the audited
-    text would depend on test order."""
-    spark.catalog.clearCache()
-    out: dict[str, str] = {}
-    for name, fn in sorted(all_queries().items()):
-        if name in ENGINE_BACKED:
-            continue
-        out[name] = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    return out
+def plans(constructed_plan_strings):
+    """Every auditable query's physical-plan string — read from the
+    session-scoped shared construction pass (conftest), which compiles
+    each plan ONCE for this module and the fingerprint pins together
+    (cache cleared before every construction, so the audited text never
+    depends on test order). The edge plans are fingerprint-only; this
+    audit sweeps the query surface proper."""
+    return {
+        n: p
+        for n, p in constructed_plan_strings.items()
+        if "@edges" not in n
+    }
 
 
 def test_no_cartesian_product_anywhere(plans):

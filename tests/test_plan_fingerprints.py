@@ -27,7 +27,10 @@ import os
 
 import pytest
 
-from flink_cooccurrence_spark.planfp import plan_fingerprint
+from flink_cooccurrence_spark.planfp import (
+    plan_fingerprint,
+    plan_fingerprint_of_string,
+)
 from flink_cooccurrence_spark.registry import (
     EDGE_PLANS,
     HEADLINE_QUERIES,
@@ -43,20 +46,33 @@ def _sf_key(path: str) -> str:
     return os.path.basename(os.path.normpath(path))
 
 
-def test_headline_plan_fingerprints_pinned(spark):
+def test_headline_plan_fingerprints_pinned(spark, constructed_plan_strings):
     # cached subplans print their InMemoryRelation child tree inside the
     # plan string, so a query built after another query cache()-marked a
-    # shared pass would fingerprint differently — clear before EVERY
-    # construction, exactly as bench.py does between its measured runs
-    # (one clear per sf pass left earlier queries' marks inside later
-    # plans and pinned shapes bench can never reproduce)
+    # shared pass would fingerprint differently — every construction
+    # clears the cache first, exactly as bench.py does between its
+    # measured runs (one clear per sf pass left earlier queries' marks
+    # inside later plans and pinned shapes bench can never reproduce).
+    # The TEST-SF pass hashes the session-shared construction sweep
+    # (conftest.constructed_plan_strings — built once, with the same
+    # clear-before-every-construction discipline, and shared with the
+    # plan audit; r13 suite-wall fix); the BENCH-SF pass constructs here.
     if not os.path.isdir(BENCH_SF_DIR):
         pytest.skip(
             f"bench-scale data {BENCH_SF_DIR} absent — two-scale pins need it"
         )
     qs = all_queries()
     got: dict[str, dict[str, str]] = {}
-    for sf_dir in (TEST_SF_DIR, BENCH_SF_DIR):
+    fps = {}
+    for n in HEADLINE_QUERIES:
+        if n in qs:
+            fps[n] = plan_fingerprint_of_string(constructed_plan_strings[n])
+    for n in EDGE_PLANS:
+        fps[f"{n}@edges"] = plan_fingerprint_of_string(
+            constructed_plan_strings[f"{n}@edges"]
+        )
+    got[_sf_key(TEST_SF_DIR)] = fps
+    for sf_dir in (BENCH_SF_DIR,):
         fps = {}
         for n in HEADLINE_QUERIES:
             if n in qs:
