@@ -348,15 +348,25 @@ def test_propagation_fixpoint_probe_is_not_a_join(spark):
     SF: rounds are bounded by max component diameter (tiny here), and each
     round may launch at most checkpoint + isEmpty probes. A regression to
     the per-round labels×labels join-count shape roughly doubles the job
-    count and breaks the cap."""
+    count and breaks the cap.
+
+    The cache is CLEARED first so the count is a session-order-
+    independent fact: the former ≤16 cap was unknowingly calibrated
+    against a suite ordering in which earlier modules left the shingle/
+    edge subtrees cache-marked — run alone (or after the r13 shared
+    construction sweep, which clears between constructions) the SAME
+    code at the SAME r12 HEAD measures 30 jobs, because every internal
+    .cache() fills from scratch inside the probe. Cap re-pinned to the
+    cold-cache shape measured at the r12 baseline (30) with headroom for
+    scheduler jitter; a join-count regression still roughly doubles it."""
     from flink_cooccurrence_spark.operators.dedup import dup_clusters
     from flink_cooccurrence_spark.sources import load_table
 
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     n = _jobs_for(
         spark, "cc_prop_probe", lambda: dup_clusters(docs).collect()
     )
-    # sf0.001 components converge in ≤3 label rounds (+1 confirmation);
-    # with the LSH edge build, checkpoints, probes and the final collect
-    # the healthy shape sits well under this
-    assert n <= 16, f"dup_clusters ran {n} jobs at sf0.001"
+    # cold-cache budget: ≤3 label rounds (+1 confirmation) × (checkpoint
+    # + probe) + the LSH edge build's cache fills + the final collect
+    assert n <= 36, f"dup_clusters ran {n} jobs at sf0.001 (cold cache)"
